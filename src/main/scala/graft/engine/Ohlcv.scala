@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** OHLCV candle operators, re-expressed as single-shuffle Spark aggregates.
+  *
+  * The reference resamples one pandas Series per output column and re-joins
+  * them on the bucket index (reference: colab_interface.py:416-424 — five
+  * passes). Here the whole candle is ONE `groupBy(bucket).agg(...)` — one
+  * shuffle, map-side partial aggregation, and at 100 TB the shuffle key
+  * (symbol, bucket) is exactly the storage partition key, so AQE-coalesced
+  * post-shuffle partitions stay balanced.
+  *
+  * Determinism note (SURVEY §2.4 A2): pandas `.first()/.last()` are
+  * time-ordered; Spark's `first()` in groupBy is not. We use
+  * `min_by`/`max_by` keyed on the timestamp, which is deterministic and has
+  * an exact DuckDB counterpart for the oracle.
+  */
+object Ohlcv {
+
+  /** Bucket expression for a timeframe: fixed-width `window()` for
+    * everything except calendar months, which use `date_trunc`. */
+  def bucket(ts: Column, timeframe: String): Column =
+    if (timeframe == "1M") date_trunc("month", ts)
+    else window(ts, Timeframes.windowDuration(timeframe)).getField("start")
+
+  /** Resample a tick/trade series (one price column) into OHLCV candles.
+    * open/close are price at min/max time; volume sums `volumeCol` (or the
+    * price column itself when the series has no separate volume — the
+    * events-proxy convention from FIXTURES.md).
+    */
+  def resampleTicks(
+      df: DataFrame, timeframe: String,
+      symbolCol: String = "symbol", tsCol: String = "ts",
+      priceCol: String = "price", volumeCol: Option[String] = None): DataFrame = {
+    val vol = volumeCol.getOrElse(priceCol)
+    df.groupBy(col(symbolCol), bucket(col(tsCol), timeframe).as("bucket"))
+      .agg(
+        min_by(col(priceCol), col(tsCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(tsCol)).as("close"),
+        sum(col(vol)).as("volume"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Resample existing candles (base timeframe, e.g. 1m) to a coarser
+    * timeframe — the reference's store-minutes-derive-the-rest architecture
+    * (reference: plan.md:86-97, colab_interface.py:374-434). */
+  def resampleCandles(
+      df: DataFrame, timeframe: String,
+      symbolCol: String = "symbol", tsCol: String = "ts"): DataFrame =
+    df.groupBy(col(symbolCol), bucket(col(tsCol), timeframe).as("bucket"))
+      .agg(
+        min_by(col("open"), col(tsCol)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col(tsCol)).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n"))
+
+  /** Trailing simple moving average over the previous `n` rows (reference
+    * quick-start analysis: README.md:106 — `rolling(window=20).mean()`).
+    * pandas emits NaN until `n` rows exist (min_periods default); we
+    * reproduce that as NULL via a row_number guard, which keeps the result
+    * oracle-comparable. Partitioned window — scales by symbol at 100 TB;
+    * `orderTieBreak` must make the ordering total (unique) for determinism.
+    */
+  def sma(
+      df: DataFrame, n: Int, partitionCol: String, tsCol: String,
+      valueCol: String, orderTieBreak: String, outCol: String = "sma"): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(tsCol), col(orderTieBreak))
+    df.withColumn(outCol,
+      when(row_number().over(w) >= n,
+        avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0))))
+  }
+
+  /** S3 ingest cast: raw 12-field string klines (reference:
+    * api_connector.py:288-314) → typed OHLCV frame. Input column `kline`
+    * is ARRAY<STRING> in Binance field order; only the first six fields
+    * survive, mirroring the reference's projection (api_connector.py:310).
+    */
+  def ingestCast(raw: DataFrame, klineCol: String = "kline"): DataFrame = {
+    val k = col(klineCol)
+    raw.select(
+      timestamp_millis(k.getItem(0).cast("long")).as("ts"),
+      k.getItem(1).cast("double").as("open"),
+      k.getItem(2).cast("double").as("high"),
+      k.getItem(3).cast("double").as("low"),
+      k.getItem(4).cast("double").as("close"),
+      k.getItem(5).cast("double").as("volume"))
+  }
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (NOT shipped library code).
+
+Usage: python3 tools/compare.py <sfDir> <outDir>
+
+Reads each <outDir>/<name>/ parquet produced by graft.Verify, runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the raw
+testdata tables, and compares: column names (sorted), row count, and values
+row-by-row in emitted order (exact equality; NaN==NaN).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.sql(
+                f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").description]
+            exp_rel = con.sql(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1; continue
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        e = [tuple(norm(r[i]) for i in ei) for r in exp]
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first @ {i}:")
+            print(f"  cols : {sorted(got_cols)}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
