@@ -142,6 +142,432 @@ object Queries {
       FROM events GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q07
+  /** A1/S8 per-series coverage min/max — the metadata derivation the
+    * reference runs after every save (database_handler.py:219-229). */
+  val q07MinmaxCoverage: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(unix_millis(min(col("ts"))).as("cov_start_ms"),
+          unix_millis(max(col("ts"))).as("cov_end_ms"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, epoch_ms(min(ts)) AS cov_start_ms,
+      epoch_ms(max(ts)) AS cov_end_ms, count(*) AS n
+      FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q08
+  /** A3 distinct + limit (type-audit shape, database_handler.py:366). */
+  val q08DistinctLimit: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir).select("event_type").distinct()
+        .orderBy("event_type").limit(3),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY 1 LIMIT 3"))
+
+  // ---------------------------------------------------------------- q09
+  /** Rollup extension of A1 (SURVEY §2.4) — subtotal + grand-total rows,
+    * aggregated-out keys coalesced to a sentinel for unambiguous ordering. */
+  val q09Rollup: Q = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag,'<all>') AS rf,
+      coalesce(l_linestatus,'<all>') AS ls, count(*) AS n,
+      sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q10
+  /** Cube extension of A1 over orders. */
+  val q10Cube: Q = Q(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(decP("o_totalprice")).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority"),
+    Some("""SELECT coalesce(o_orderstatus,'<all>') AS status,
+      coalesce(o_orderpriority,'<all>') AS priority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q11
+  /** J1-generalized star join: fact → dims with explicit broadcasts for the
+    * small dimensions (SURVEY §2.3). At 100 TB lineitem⋈orders is the only
+    * shuffle; customer/nation/region ride along as broadcast hash joins. */
+  val q11JoinStar: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val revenue = decP("l_extendedprice") * (one - decS("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1,2 ORDER BY 1,2"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q12
+  /** Large-large equi-join (sort-merge / shuffled-hash territory): no
+    * broadcast hint on purpose. */
+  val q12JoinLarge: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q13
+  /** Left-semi join = the coverage-hit probe shape (EXISTS). */
+  val q13SemiJoin: Q = Q(
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q14
+  /** Left-anti join = gap detection ("requested minus covered",
+    * the reference's planned missing-range fetch, plan.md:79-80). */
+  val q14AntiJoin: Q = Q(
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q15
+  /** J1/J2 coverage probe with freshness tolerance, injected now
+    * (2024-01-31T00:00:00Z), dur = 1h. Requests are each user's purchase
+    * span, artificially extended past coverage for user_id % 3 == 0 so both
+    * probe branches fire. */
+  val q15CoverageProbe: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val meta = Coverage.deriveMeta(ev, Seq("user_id"), "ts")
+      val req = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(unix_millis(min(col("ts"))).as("req_start_ms"),
+          (unix_millis(max(col("ts"))) +
+            when(col("user_id") % 3 === 0, lit(259200000L)).otherwise(lit(0L)))
+            .as("req_end_ms"))
+      Coverage.probe(req, meta, Seq("user_id"), durMs = 3600000L,
+          nowMs = 1706659200000L)
+        .select("user_id", "req_start_ms", "req_end_ms", "cov_start_ms",
+          "cov_end_ms", "covered", "fresh_hit")
+        .orderBy("user_id")
+    },
+    Some("""WITH meta AS (
+        SELECT user_id, epoch_ms(min(ts)) AS cov_start_ms,
+               epoch_ms(max(ts)) AS cov_end_ms
+        FROM events GROUP BY 1),
+      req AS (
+        SELECT user_id, epoch_ms(min(ts)) AS req_start_ms,
+               epoch_ms(max(ts)) + CASE WHEN user_id % 3 = 0 THEN 259200000 ELSE 0 END AS req_end_ms
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT r.user_id, req_start_ms, req_end_ms, cov_start_ms, cov_end_ms,
+        coalesce(req_start_ms >= cov_start_ms
+                 AND req_end_ms <= cov_end_ms + 3600000 - 1, false) AS covered,
+        coalesce(NOT (req_start_ms >= cov_start_ms
+                      AND req_end_ms <= cov_end_ms + 3600000 - 1)
+                 AND req_start_ms >= cov_start_ms
+                 AND 1706659200000 - cov_end_ms <= 7200000, false) AS fresh_hit
+      FROM req r LEFT JOIN meta m ON r.user_id = m.user_id
+      ORDER BY r.user_id"""))
+
+  // ---------------------------------------------------------------- q16
+  /** Gap buckets: requested hourly buckets minus covered buckets for one
+    * series — anti-join over generated sequence (U-family except). */
+  val q16GapBuckets: Q = Q(
+    (s, dir) => {
+      val requested = s.range(1).select(explode(sequence(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-09 23:00:00").cast("timestamp"),
+          expr("interval 1 hour"))).as("bucket"))
+      val covered = Tables.events(s, dir).filter(col("user_id") === 3)
+        .select(date_trunc("hour", col("ts")).as("bucket")).distinct()
+      Coverage.gaps(requested, covered, "bucket")
+        .select(unix_millis(col("bucket")).as("missing_ms"))
+        .orderBy("missing_ms")
+    },
+    Some("""SELECT epoch_ms(b) AS missing_ms FROM (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+          TIMESTAMP '2024-01-09 23:00:00', INTERVAL 1 HOUR)) AS b)
+      WHERE b NOT IN (SELECT date_trunc('hour', ts) FROM events WHERE user_id = 3)
+      ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q17
+  /** W1 trailing SMA-20 with pandas NaN-prefix parity (README.md:106). */
+  val q17Sma20: Q = Q(
+    (s, dir) =>
+      Ohlcv.sma(Tables.events(s, dir), 20, "user_id", "ts", "value",
+          orderTieBreak = "event_id")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), round(col("sma"), 6).as("sma20"))
+        .orderBy("user_id", "ts_ms", "event_id"),
+    Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      CASE WHEN row_number() OVER w >= 20
+           THEN round(avg(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+      END AS sma20
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts_ms, event_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q18
+  /** W2 ranking: top-3 orders per customer (row_number formulation). */
+  val q18RankTopN: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // ---------------------------------------------------------------- q19
+  /** Range-frame window (SURVEY §2.5 extension): trailing-1h event volume
+    * per user. Both engines frame on epoch-µs so boundary membership is
+    * bit-identical. */
+  val q19Trailing1h: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("vol_1h", round(sum(col("value")).over(w), 4))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("vol_1h"), col("n_1h"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      round(sum(value) OVER w, 4) AS vol_1h, count(*) OVER w AS n_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_ms, event_id"""))
+
+  // ---------------------------------------------------------------- q20
+  /** U1 page-batch union: two overlapping slices, tagged, union all. */
+  val q20Union: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("user_id").between(1, 5) &&
+          col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), lit("a").as("src"))
+      val b = ev.filter(col("user_id").between(4, 8) &&
+          col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), lit("b").as("src"))
+      a.unionByName(b).orderBy("event_id", "src")
+    },
+    Some("""SELECT * FROM (
+        SELECT event_id, user_id, 'a' AS src FROM events
+        WHERE user_id BETWEEN 1 AND 5 AND event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, 'b' AS src FROM events
+        WHERE user_id BETWEEN 4 AND 8 AND event_type = 'purchase')
+      ORDER BY event_id, src"""))
+
+  // ---------------------------------------------------------------- q21
+  /** EXCEPT (distinct): users with a high-value purchase but no high-value
+    * error. */
+  val q21Except: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase" && col("value") > 190)
+        .select("user_id")
+        .except(ev.filter(col("event_type") === "error" && col("value") > 190)
+          .select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 190
+      EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 190
+      ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q22
+  /** INTERSECT (distinct): users who both signed up and purchased. */
+  val q22Intersect: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+      ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q23
+  /** S7/U3 keyed upsert as a query: INSERT OR REPLACE ≡ union + windowed
+    * last-writer-wins dedup on the PK (database_handler.py:215-218). */
+  val q23UpsertDedup: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        lit(1).as("ingest_seq"))
+      val updates = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          (col("value") * 2).as("value"), lit(2).as("ingest_seq"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ingest_seq").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts_ms, value, ingest_seq FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+          ORDER BY ingest_seq DESC) AS rn
+        FROM (
+          SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, 1 AS ingest_seq
+          FROM events
+          UNION ALL
+          SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value * 2 AS value,
+                 2 AS ingest_seq
+          FROM events WHERE event_type = 'click') u)
+      WHERE rn = 1 ORDER BY event_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q24
+  /** F-bundle: the reference's scalar-function surface in one projection
+    * (ms↔ts F1/F2, date_format F7, filename template F8, trim/lower F9,
+    * suffix F10, cursor arithmetic F12, timeframe→duration F4). */
+  val q24ScalarBundle: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        date_format(col("ts"), "yyyyMMdd").as("day_str"),
+        concat_ws("_", col("event_type"), col("user_id").cast("string"),
+          date_format(col("ts"), "yyyyMMdd")).as("export_name"),
+        lower(trim(col("event_type"))).as("norm_type"),
+        col("event_type").endsWith("ck").as("is_ck"),
+        (unix_millis(col("ts")) + 1).as("next_cursor_ms"),
+        when(col("event_type") === "click", 60000L)
+          .when(col("event_type") === "view", 3600000L)
+          .when(col("event_type") === "purchase", 86400000L)
+          .otherwise(0L).as("tf_ms"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, epoch_ms(ts) AS ts_ms,
+      strftime(ts, '%Y%m%d') AS day_str,
+      concat_ws('_', event_type, CAST(user_id AS VARCHAR),
+        strftime(ts, '%Y%m%d')) AS export_name,
+      lower(trim(event_type)) AS norm_type,
+      event_type LIKE '%ck' AS is_ck,
+      epoch_ms(ts) + 1 AS next_cursor_ms,
+      CASE event_type WHEN 'click' THEN 60000 WHEN 'view' THEN 3600000
+        WHEN 'purchase' THEN 86400000 ELSE 0 END AS tf_ms
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q25
+  /** JSON extraction over events.props (F-extension, SURVEY §2.8). */
+  val q25Json: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .orderBy("k"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      count(*) AS n, round(sum(value),4) AS total
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q26
+  /** As-of join (J1 interval family): for each purchase, the user's latest
+    * view at-or-before it. Implemented shuffle-once: tag both streams,
+    * union, one partitioned window pass carrying the last view forward —
+    * no pairwise join, so it scales linearly in events per key. */
+  val q26AsofJoin: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      views.unionByName(purchases)
+        .withColumn("asof_view_ms",
+          last(when(col("side") === 0, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("asof_view_ms"),
+          col("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+      epoch_ms(max(v.ts)) AS asof_view_ms,
+      max_by(v.value, v.ts) AS asof_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+      ORDER BY p.event_id"""),
+    bench = true)
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -149,5 +575,25 @@ object Queries {
     "q03_range_scan" -> q03RangeScan,
     "q04_topk" -> q04TopK,
     "q05_filter_like" -> q05FilterLike,
-    "q06_group_count" -> q06GroupCount)
+    "q06_group_count" -> q06GroupCount,
+    "q07_minmax_coverage" -> q07MinmaxCoverage,
+    "q08_distinct_limit" -> q08DistinctLimit,
+    "q09_rollup" -> q09Rollup,
+    "q10_cube" -> q10Cube,
+    "q11_join_star" -> q11JoinStar,
+    "q12_join_large" -> q12JoinLarge,
+    "q13_semi_join" -> q13SemiJoin,
+    "q14_anti_join" -> q14AntiJoin,
+    "q15_coverage_probe" -> q15CoverageProbe,
+    "q16_gap_buckets" -> q16GapBuckets,
+    "q17_sma20" -> q17Sma20,
+    "q18_rank_topn" -> q18RankTopN,
+    "q19_trailing_1h" -> q19Trailing1h,
+    "q20_union" -> q20Union,
+    "q21_except" -> q21Except,
+    "q22_intersect" -> q22Intersect,
+    "q23_upsert_dedup" -> q23UpsertDedup,
+    "q24_scalar_bundle" -> q24ScalarBundle,
+    "q25_json" -> q25Json,
+    "q26_asof_join" -> q26AsofJoin)
 }
