@@ -568,6 +568,79 @@ object Queries {
       ORDER BY p.event_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q27
+  /** A2 calendar-month resample — months are not fixed-width, so the bucket
+    * is `date_trunc("month")`, not `window()` (SURVEY §7.3; the reference
+    * approximates 1M as 30 days — database_handler.py:188-189 — which we
+    * deliberately do NOT reproduce). */
+  val q27Resample1M: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      Ohlcv.resampleTicks(ev, "1M", symbolCol = "user_id", tsCol = "ts",
+          priceCol = "value")
+        .select(col("user_id"), unix_millis(col("bucket")).as("month_ms"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          round(col("volume"), 4).as("volume"), col("n"))
+        .orderBy("user_id", "month_ms")
+    },
+    Some("""SELECT user_id, epoch_ms(date_trunc('month', ts)) AS month_ms,
+      round(min_by(value, ts),4) AS open, round(max(value),4) AS high,
+      round(min(value),4) AS low, round(max_by(value, ts),4) AS close,
+      round(sum(value),4) AS volume, count(*) AS n
+      FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q28
+  /** Resample pyramid: 1h candles re-resampled to 1d — the reference's
+    * store-minutes-derive-the-rest path (plan.md:86-97) through
+    * [[Ohlcv.resampleCandles]]. Two shuffles total; at scale the second
+    * one is tiny (one row per symbol-hour). */
+  val q28ResamplePyramid: Q = Q(
+    (s, dir) => {
+      val hourly = Ohlcv.resampleTicks(Tables.events(s, dir), "1h",
+          symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+        .withColumnRenamed("bucket", "ts")
+      Ohlcv.resampleCandles(hourly, "1d", symbolCol = "user_id", tsCol = "ts")
+        .select(col("user_id"), unix_millis(col("bucket")).as("day_ms"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          round(col("volume"), 4).as("volume"), col("n"))
+        .orderBy("user_id", "day_ms")
+    },
+    Some("""WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS b,
+          min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+          max_by(value, ts) AS close, sum(value) AS volume
+        FROM events GROUP BY 1,2)
+      SELECT user_id, epoch_ms(time_bucket(INTERVAL '1 day', b)) AS day_ms,
+        round(min_by(open, b),4) AS open, round(max(high),4) AS high,
+        round(min(low),4) AS low, round(max_by(close, b),4) AS close,
+        round(sum(volume),4) AS volume, count(*) AS n
+      FROM hourly GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q29
+  /** A2 weekly resample via `date_trunc('week')` (Monday anchor) — chosen
+    * over `window("7 days")`, whose epoch anchor lands on a Thursday
+    * (SURVEY §7.3 calendar-bucket decision). */
+  val q29Resample1w: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"), date_trunc("week", col("ts")).as("bucket"))
+        .agg(min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          round(sum(col("value")), 4).as("volume"), count(lit(1)).as("n"))
+        .select(col("user_id"), unix_millis(col("bucket")).as("week_ms"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"),
+          col("n"))
+        .orderBy("user_id", "week_ms")
+    },
+    Some("""SELECT user_id, epoch_ms(date_trunc('week', ts)) AS week_ms,
+      min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+      max_by(value, ts) AS close, round(sum(value),4) AS volume,
+      count(*) AS n
+      FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -595,5 +668,8 @@ object Queries {
     "q23_upsert_dedup" -> q23UpsertDedup,
     "q24_scalar_bundle" -> q24ScalarBundle,
     "q25_json" -> q25Json,
-    "q26_asof_join" -> q26AsofJoin)
+    "q26_asof_join" -> q26AsofJoin,
+    "q27_resample_1M" -> q27Resample1M,
+    "q28_resample_pyramid" -> q28ResamplePyramid,
+    "q29_resample_1w" -> q29Resample1w)
 }
