@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for LLM-training-data pipelines
+  * (north-star extension surface, SURVEY §7.4).
+  *
+  * Design for 100 TB:
+  *  - every stage is a hash-partitioned aggregate or equi-join — no
+  *    cartesian products anywhere; candidate generation is LSH-bucketed
+  *    (MinHash bands / SimHash bands), so pair blow-up is bounded by
+  *    bucket size, not corpus size;
+  *  - hashes are `md5` (codegen'd built-in) rather than JVM hashCode so
+  *    results are engine-portable and oracle-checkable;
+  *  - shingle inverted-index joins drop ultra-common shingles
+  *    (document-frequency cap) — the standard guard against quadratic
+  *    candidate explosion on boilerplate text.
+  */
+object Dedup {
+
+  /** Word k-shingles of a space-tokenized text column; documents shorter
+    * than k tokens produce no shingles (matches `range(1, len-k+2)` in the
+    * oracle SQL). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (id, shingle) exploded table — the shared input of MinHash,
+    * Jaccard verification, and the inverted-index join. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: m_i = min over shingles of md5("<i>:" + shingle).
+    * One hash-aggregate producing all `numHashes` mins per document —
+    * single shuffle regardless of signature width. */
+  def minhashSignatures(shingleTbl: DataFrame, idCol: String,
+      numHashes: Int = 16): DataFrame =
+    shingleTbl.groupBy(col(idCol)).agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i")): _*)
+
+  /** LSH banding: hash `rows` consecutive signature entries per band; two
+    * documents are candidates iff they collide in ≥1 band. Returns distinct
+    * (id_a, id_b) with id_a < id_b. The self-join key is (band_idx,
+    * band_hash) — fully hash-partitionable. */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 4,
+      rows: Int = 4): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|",
+        (j * rows until (j + 1) * rows).map(i => col(s"m$i")): _*))
+    }
+    val exploded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+    val a = exploded.select(col(idCol).as("id_a"), col("band_idx"), col("h"))
+    val b = exploded.select(col(idCol).as("id_b"), col("band_idx"), col("h"))
+    a.join(b, Seq("band_idx", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs (verification stage): common
+    * shingles via equi-join on the shingle table, set sizes via a grouped
+    * count — never recomputes shingles pairwise. */
+  def jaccardVerify(cands: DataFrame, shingleTbl: DataFrame,
+      idCol: String): DataFrame = {
+    val sizes = shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = shingleTbl.select(col(idCol).as("id_a"), col("shingle"))
+    val sb = shingleTbl.select(col(idCol).as("id_b"), col("shingle"))
+    cands.join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common") / (col("sz_a") + col("sz_b") - col("common")))
+  }
+
+  /** Inverted-index n-gram Jaccard: candidates from any shared shingle
+    * whose document frequency is ≤ `maxDf` (blocking guard), then exact
+    * verification. */
+  def ngramJaccardPairs(shingleTbl: DataFrame, idCol: String,
+      maxDf: Int = 50): DataFrame = {
+    val rare = shingleTbl.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("shingle")
+    val filtered = shingleTbl.join(rare, "shingle")
+    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
+    val cands = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cands, shingleTbl, idCol)
+  }
+
+  /** 48-bit SimHash over word tokens. Token hash = first 12 hex chars of
+    * md5; bit p of hex digit k=(p div 4) is `(digit >> (p mod 4)) & 1`.
+    * Majority vote per bit (+1/-1 weights, ties → 0). */
+  def simhash48(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("token"))
+      .select(col(idCol), md5(col("token")).as("h"))
+    val bits = tok
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(47))).as("p"))
+      .withColumn("digit",
+        expr("instr('0123456789abcdef', substr(h, (p div 4)+1, 1)) - 1"))
+      .withColumn("w",
+        when(expr("(shiftright(digit, p % 4) & 1) = 1"), 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("p")).agg(sum(col("w")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+          expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
+        .as("fp48"))
+  }
+
+  /** SimHash near-dup pairs: band the 48 bits into 4×12-bit blocks (a pair
+    * within Hamming distance ≤3 must agree on ≥1 block — pigeonhole), join
+    * per block, verify with `bit_count(xor)`. */
+  def simhashPairs(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val banded = fps.select(col(idCol), col("fp48"),
+      posexplode(array((0 until 4).map(j =>
+        expr(s"shiftright(fp48, ${j * 12}) & 4095")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("fp48").as("fp_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("fp48").as("fp_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

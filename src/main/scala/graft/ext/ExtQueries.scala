@@ -1,0 +1,303 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Queries, Tables}
+import graft.engine.Queries.Q
+
+/** Named queries for the LLM-data-pipeline extension surface (SURVEY §7.4):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH), text analysis, and the
+  * multimodal stub. Oracle-parity notes:
+  *  - all cross-engine hashing is md5 (identical hex in Spark and DuckDB);
+  *  - integer-ratio outputs (Jaccard etc.) are raw IEEE divisions of
+  *    identical integers — bit-identical, never rounded (round() itself
+  *    diverges between engines at exact decimal boundaries);
+  *  - float-accumulation outputs (cosine) are rounded at 6 digits in both
+  *    engines.
+  */
+object ExtQueries {
+
+  // ---------------------------------------------------------------- x30
+  /** Exact dedup: content-hash groupBy; keeper = min id (at 100 TB this is
+    * the one-shuffle hash-partitioned dedup — no sort, no window). */
+  val x30DedupExact: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("h"),
+    Some("""SELECT sha256(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  private val shingleCte = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+           FROM tok)"""
+
+  // ---------------------------------------------------------------- x31
+  /** MinHash + LSH near-dup detection: 16 md5-minhashes, 4 bands × 4 rows,
+    * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
+  val x31MinhashLsh: Q = Q(
+    (s, dir) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
+      Dedup.jaccardVerify(cands, sh, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "common", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $shingleCte,
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min(md5('$i:' || shingle)) AS m$i").mkString(", ")}
+        FROM sh GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")})) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1,2)
+      SELECT id_a, id_b, common,
+        common / (za.sz + zb.sz - common) AS jaccard
+      FROM cm JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+      WHERE common / (za.sz + zb.sz - common) >= 0.8
+      ORDER BY 1,2"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- x32
+  /** SimHash document fingerprints (48-bit majority-vote over md5 token
+    * hashes). */
+  val x32Simhash: Q = Q(
+    (s, dir) =>
+      Dedup.simhash48(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        FROM documents),
+      th AS (SELECT doc_id, md5(token) AS h FROM tok),
+      bits AS (SELECT doc_id, h, unnest(range(0, 48)) AS p FROM th),
+      wbits AS (SELECT doc_id, p,
+        CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1 >> (p % 4)) & 1) = 1
+             THEN 1 ELSE -1 END AS w
+        FROM bits),
+      sig AS (SELECT doc_id, p, sum(w) AS s FROM wbits GROUP BY 1,2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS fp48
+      FROM sig GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- x33
+  /** Inverted-index n-gram Jaccard pairs (document frequency ≤ 50
+    * blocking), threshold 0.5. */
+  val x33NgramJaccard: Q = Q(
+    (s, dir) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.ngramJaccardPairs(sh, "doc_id", maxDf = 50)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "common", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $shingleCte,
+      rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+               WHERE df <= 50),
+      f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1,2)
+      SELECT id_a, id_b, common,
+        common / (za.sz + zb.sz - common) AS jaccard
+      FROM cm JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+      WHERE common / (za.sz + zb.sz - common) >= 0.5
+      ORDER BY 1,2"""))
+
+  private val corpusDotCte = """
+    ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)"""
+
+  // ---------------------------------------------------------------- x34
+  /** Embedding near-dup pairs: blocked (IVF-style, label = coarse cell)
+    * all-pairs cosine ≥ 0.4. */
+  val x34CosinePairs: Q = Q(
+    (s, dir) =>
+      Similarity.blockedPairs(Tables.embeddings(s, dir), "vec_id", "label",
+          minCos = 0.4)
+        .orderBy("label", "id_a", "id_b"),
+    Some(s"""WITH $corpusDotCte,
+      dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          sum(a.x * b.x) AS dp
+        FROM ex a JOIN ex b
+          ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY 1,2,3)
+      SELECT label, id_a, id_b,
+        round(dp / (na.nrm * nb.nrm), 6) AS cos
+      FROM dots JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+      WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4
+      ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x35
+  /** Brute-force exact ANN: top-10 by cosine against vec_id 0's embedding. */
+  val x35AnnTopK: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
+      Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0), q,
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("cos").desc, col("vec_id"))
+    },
+    Some(s"""WITH $corpusDotCte,
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+               generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      dots AS (SELECT e.vec_id, sum(e.x * q.qx) AS dp
+        FROM ex e JOIN qx q ON e.i = q.i
+        WHERE e.vec_id <> 0 GROUP BY 1)
+      SELECT d.vec_id, round(dp / (nm.nrm * qn.n), 6) AS cos
+      FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+      ORDER BY cos DESC, d.vec_id LIMIT 10"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- x36
+  /** LSH-bucketed approximate ANN (scale path) — not SQL-oracle-expressible
+    * (hyperplanes are engine-side literals); driver does a rows-only check,
+    * scalatest checks recall vs x35. */
+  val x36AnnLsh: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
+      Similarity.lshTopK(embs.filter(col("vec_id") =!= 0), q, "vec_id",
+          "embedding", numPlanes = 8, dim = 64, k = 10)
+        .orderBy(col("cos").desc, col("vec_id"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- x37
+  /** Heuristic language ID (stopword-frequency argmax, deterministic
+    * rank tie-break) scored against the labeled `lang` column. */
+  val x37LangId: Q = Q(
+    (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("predicted_lang"), col("lang"),
+          (col("predicted_lang") === col("lang")).as("is_match"),
+          col("score_de"), col("score_en"), col("score_es"),
+          col("score_fr"), col("score_zh"))
+        .orderBy("doc_id"),
+    Some("""WITH scored AS (SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS score_de,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of','to'))) AS score_en,
+        len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','que'))) AS score_es,
+        len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','les'))) AS score_fr,
+        len(list_filter(string_split(text,' '), x -> x IN ('de','shi','bu','le','zai'))) AS score_zh
+        FROM documents),
+      pred AS (SELECT *,
+        greatest(score_de*8+3, score_en*8+5, score_es*8+4, score_fr*8+2, score_zh*8+1) AS combined
+        FROM scored)
+      SELECT doc_id,
+        CASE combined % 8 WHEN 5 THEN 'en' WHEN 4 THEN 'es' WHEN 3 THEN 'de'
+          WHEN 2 THEN 'fr' WHEN 1 THEN 'zh' END AS predicted_lang,
+        lang, (CASE combined % 8 WHEN 5 THEN 'en' WHEN 4 THEN 'es'
+          WHEN 3 THEN 'de' WHEN 2 THEN 'fr' WHEN 1 THEN 'zh' END) = lang AS is_match,
+        score_de, score_en, score_es, score_fr, score_zh
+      FROM pred ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x38
+  /** Quality scoring: token counts (split + regex), avg token length,
+    * digit/stopword ratios, bucketed score. */
+  val x38Quality: Q = Q(
+    (s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tokens", "n_alpha_tokens", "avg_token_len",
+          "digit_ratio", "stop_ratio", "quality_score")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(string_split(text,' ')) AS n_tokens,
+      len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+      (length(text) - len(string_split(text,' ')) + 1) / len(string_split(text,' ')) AS avg_token_len,
+      length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+      len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS stop_ratio,
+      CASE WHEN len(string_split(text,' ')) >= 50
+             AND len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of','to'))) / len(string_split(text,' ')) > 0.02
+           THEN 'high'
+           WHEN len(string_split(text,' ')) >= 20 THEN 'medium'
+           ELSE 'low' END AS quality_score
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x39
+  /** Corpus token stats: top-50 tokens by frequency with document counts. */
+  val x39TokenCount: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+      GROUP BY 1 ORDER BY n DESC, token LIMIT 50"""))
+
+  // ---------------------------------------------------------------- x40
+  /** Document fingerprints: positional rolling hash (order-sensitive) +
+    * exact md5. */
+  val x40Fingerprint: Q = Q(
+    (s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, text,
+        unnest(string_split(text,' ')) AS token,
+        generate_subscripts(string_split(text,' '), 1) AS pos1
+      FROM documents)
+      SELECT doc_id,
+        CAST(sum(((length(token)*31 + ascii(substr(token,1,1))*7 + ascii(substr(token,-1,1))) % 1000003)
+                 * ((pos1 % 997) + 1)) % 1000000007 AS BIGINT) AS roll_fp,
+        min(md5(text)) AS md5_fp
+      FROM tok GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- x41
+  /** Multimodal stub: binary payload + mapPartitions feature extraction
+    * (deterministic fake decode — see [[Multimodal.extractFeatures]]). */
+  val x41Multimodal: Q = Q(
+    (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_byte,
+      CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Map[String, Q] = Map(
+    "x30_dedup_exact" -> x30DedupExact,
+    "x31_minhash_lsh" -> x31MinhashLsh,
+    "x32_simhash" -> x32Simhash,
+    "x33_ngram_jaccard" -> x33NgramJaccard,
+    "x34_cosine_pairs" -> x34CosinePairs,
+    "x35_ann_topk" -> x35AnnTopK,
+    "x36_ann_lsh" -> x36AnnLsh,
+    "x37_langid" -> x37LangId,
+    "x38_quality" -> x38Quality,
+    "x39_token_count" -> x39TokenCount,
+    "x40_fingerprint" -> x40Fingerprint,
+    "x41_multimodal" -> x41Multimodal)
+}

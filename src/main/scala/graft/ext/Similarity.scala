@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension, SURVEY §7.4).
+  *
+  * All vector math uses codegen-friendly higher-order functions
+  * (`zip_with`/`aggregate`/`transform`) over `ARRAY<FLOAT>` cast to double —
+  * no UDF, so Catalyst sees through the expressions.
+  *
+  * Scale path: brute-force top-k is the exact baseline (one broadcast of
+  * the query vector, one pass, TakeOrdered — linear, shuffle-free);
+  * [[lshBuckets]] gives the sublinear variant — random-hyperplane signs
+  * bucket the corpus so a query probes ~1/2^planes of it. An IVF variant
+  * falls out of partitioning by any coarse-quantizer column.
+  */
+object Similarity {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * element order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector (single
+    * row in `query`). Broadcast nested-loop of a 1-row side + TakeOrdered:
+    * no shuffle of the corpus. Ties broken by id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      embCol: String = "embedding", k: Int = 10): DataFrame = {
+    val q = broadcast(query.select(col(embCol).as("q_emb")))
+    corpus.crossJoin(q)
+      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), col("cos"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
+    * across sessions; components in [-1, 1]). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign(v · h_i). Computed as a
+    * codegen'd expression over array literals — no UDF. */
+  def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(aggregate(zip_with(d(emb), planeCol, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: assign corpus + query to hyperplane buckets, search only
+    * the query's bucket. Approximate — documents in neighboring buckets are
+    * missed (the recall/speed trade LSH makes); at scale the bucket column
+    * doubles as a storage partition key. */
+  def lshTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      embCol: String = "embedding", numPlanes: Int = 8, dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(embCol), planes))
+    val qb = broadcast(query.select(col(embCol).as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes)))
+    bucketed.join(qb, "bucket")
+      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), col("bucket"), col("cos"))
+      .limit(k)
+  }
+
+  /** All-pairs cosine within a blocking column (IVF-style: the block is the
+    * coarse cell; here the `labelCol`). Join is equi on the block — never a
+    * full cartesian. */
+  def blockedPairs(embs: DataFrame, idCol: String, labelCol: String,
+      embCol: String = "embedding", minCos: Double = 0.4): DataFrame = {
+    val a = embs.select(col(labelCol), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"))
+    val b = embs.select(col(labelCol), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"))
+    a.join(b, labelCol).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col(labelCol), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star extension,
+  * SURVEY §7.4): language ID (stopword n-gram heuristic), quality scoring,
+  * token counting, and document fingerprinting. Everything is built-in
+  * expressions — codegen'd, UDF-free, and oracle-expressible.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the heuristic language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Fixed tie-break rank per language (distinct, < 8) — makes the argmax
+    * a plain integer max: combined = score * 8 + rank is unique per lang. */
+  val langRank: Map[String, Int] =
+    Map("en" -> 5, "es" -> 4, "de" -> 3, "fr" -> 2, "zh" -> 1)
+
+  /** Count of tokens present in `words` (with repeats — frequency, not
+    * set membership). */
+  def stopwordScore(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Heuristic language ID: stopword-frequency argmax with deterministic
+    * rank tie-break. Adds `predicted_lang` and per-language `score_<lang>`
+    * columns. */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scored = stopwords.keys.toSeq.sorted.foldLeft(docs) { (df, lang) =>
+      df.withColumn(s"score_$lang", stopwordScore(toks, stopwords(lang)))
+    }
+    val combined = greatest(stopwords.keys.toSeq.sorted.map(lang =>
+      col(s"score_$lang") * 8 + langRank(lang)): _*)
+    val predicted = langRank.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, rank)) => when(combined % 8 === rank, lang).otherwise(acc)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Quality features: token count (split + regex tokenizers), average
+    * token length, digit ratio, English-stopword ratio, and a bucketed
+    * quality score. Ratios are raw IEEE divisions of exact integers — no
+    * rounding, so they are bit-identical across engines. */
+  def quality(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_alpha_tokens",
+        size(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))))
+      .withColumn("avg_token_len",
+        (length(col(textCol)) - size(toks) + 1) / size(toks))
+      .withColumn("digit_ratio",
+        length(regexp_replace(col(textCol), "[^0-9]", "")) /
+          length(col(textCol)))
+      .withColumn("stop_ratio",
+        stopwordScore(toks, stopwords("en")) / size(toks))
+      .withColumn("quality_score",
+        when(col("n_tokens") >= 50 && col("stop_ratio") > 0.02, "high")
+          .when(col("n_tokens") >= 20, "medium")
+          .otherwise("low"))
+  }
+
+  /** Positional rolling-hash fingerprint (order-sensitive — permuted token
+    * sequences fingerprint differently) plus the exact md5. Pure integer
+    * arithmetic so the oracle reproduces it bit-for-bit. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), col(textCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val tokval = expr(
+      "length(token)*31 + ascii(substr(token,1,1))*7 + ascii(substr(token,-1,1))")
+    tok.withColumn("term",
+        (tokval % 1000003L) * ((col("pos") + 1) % 997L + 1))
+      .groupBy(col(idCol))
+      .agg((sum(col("term")) % 1000000007L).as("roll_fp"),
+        min(md5(col(textCol))).as("md5_fp"))
+  }
+}
