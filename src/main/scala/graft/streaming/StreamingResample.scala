@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming slice (SURVEY §2.9): the reference's incremental behaviors as
+  * Structured Streaming transforms. Each function takes a (possibly
+  * streaming) DataFrame and returns the transformed frame — identical code
+  * path for batch and stream, which is what the batch-equivalence tests
+  * assert.
+  *
+  *  - ST3 resample-as-you-go: tumbling-window candle aggregation; with a
+  *    watermark this is append-mode-safe (buckets finalize once the
+  *    watermark passes bucket end).
+  *  - ST4 idempotent re-ingest: PK dedup with watermark-bounded state —
+  *    the streaming form of the reference's `INSERT OR REPLACE`
+  *    (database_handler.py:215-218).
+  *  - ST2 freshness window (database_handler.py:288-295) maps to the
+  *    watermark delay itself: `2 × timeframe`.
+  */
+object StreamingResample {
+
+  /** ST3: tumbling candle aggregation. `delay` is the watermark (late
+    * tolerance), e.g. the reference's 2×timeframe freshness bound. */
+  def resampleStream(events: DataFrame, keyCol: String, tsCol: String,
+      priceCol: String, duration: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), window(col(tsCol), duration))
+      .agg(
+        min_by(col(priceCol), col(tsCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(tsCol)).as("close"),
+        sum(col(priceCol)).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol), col("window.start").as("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("n"))
+
+  /** ST4: watermark-bounded PK dedup (first-arrival-wins within the state
+    * horizon — overlapping re-fetches collapse exactly like the
+    * reference's PK upsert). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicates(keyCols :+ tsCol)
+}

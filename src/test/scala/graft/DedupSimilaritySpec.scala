@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base.replace("today", "tomorrow")), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffles here now"),
+    (4L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash+LSH pipeline surfaces near- and exact-duplicates, not unrelated docs") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val verified = Dedup.jaccardVerify(cands, sh, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 4L)), "exact dup missed")
+    assert(verified.contains((1L, 2L)), "near dup missed")
+    assert(!verified.exists(p => p._1 == 3L || p._2 == 3L), "false positive")
+  }
+
+  test("simhash: identical docs have identical fingerprints; near-dups are close") {
+    val fps = Dedup.simhash48(docs, "doc_id", "text")
+    val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    val pairs = Dedup.simhashPairs(fps, "doc_id", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val cos = a.crossJoin(b)
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .select("ia", "ib", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
+    assert(math.abs(cos((1L, 2L))) < 1e-12)
+  }
+
+  test("brute-force top-k returns the nearest vectors in order") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (1L to 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val query = corpus.filter(col("vec_id") === 1L).select("embedding")
+    val top = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") =!= 1L), query, "vec_id", k = 5).collect()
+    assert(top.length == 5)
+    val cs = top.map(_.getAs[Double]("cos")).toSeq
+    assert(cs == cs.sorted.reverse, "not sorted by similarity")
+  }
+
+  test("LSH bucketing is deterministic and query bucket matches itself") {
+    val planes = Similarity.hyperplanes(8, 8)
+    assert(planes.map(_.toSeq) == Similarity.hyperplanes(8, 8).map(_.toSeq),
+      "hyperplanes not deterministic")
+    val df = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val b1 = df.select(Similarity.lshBucket(col("embedding"), planes)).head.getLong(0)
+    val b2 = df.select(Similarity.lshBucket(col("embedding"), planes)).head.getLong(0)
+    assert(b1 == b2)
+  }
+
+  test("langid picks the max-stopword language with deterministic tie-break") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "el perro y la casa de que y el", "es"),
+      (3L, "xyz abc nothing matches here", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d, "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "en") // all scores 0 → highest rank wins (en)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 is content-exact") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L)._1 != fp(2L)._1, "permutation collided")
+    assert(fp(1L)._2 != fp(2L)._2)
+  }
+}

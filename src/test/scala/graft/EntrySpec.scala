@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry() non-empty, every query runs at sf0.001,
+  * registry maps are consistent. */
+class EntrySpec extends AnyFunSuite with SparkTestBase {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql and benchQueries keys are valid query names") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(qs))
+    assert(SparkEntry.benchQueries.nonEmpty)
+  }
+
+  test("every declared query executes and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          if (fn(spark, "/root/testdata/sf0.001").count() >= 0) None
+          else Some(name)
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}

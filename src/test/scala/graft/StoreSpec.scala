@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Store
+
+class StoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def mk(rows: (Long, String, String, Double)*) =
+    rows.map { case (t, s, tf, c) => (msTs(t), s, tf, c) }
+      .toDF("ts", "symbol", "timeframe", "close")
+
+  test("upsert: incoming wins on PK collision, others preserved (S7)") {
+    val existing = mk((1000L, "BTC", "1m", 1.0), (2000L, "BTC", "1m", 2.0))
+    val incoming = mk((2000L, "BTC", "1m", 99.0), (3000L, "BTC", "1m", 3.0))
+    val out = Store.upsert(existing, incoming).orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("close")).toSeq == Seq(1.0, 99.0, 3.0))
+  }
+
+  test("upsert idempotence: applying the same batch twice ≡ once (DB:216)") {
+    val base = mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0))
+    val batch = mk((1000L, "BTC", "1m", 5.0), (4000L, "BTC", "1m", 4.0))
+    val once = Store.upsert(base, batch)
+    val twice = Store.upsert(once, batch)
+    assert(once.orderBy("ts", "symbol").collect().toSeq ==
+      twice.orderBy("ts", "symbol").collect().toSeq)
+  }
+
+  test("upsert property: result PK is unique and values come from the right side") {
+    val rnd = new scala.util.Random(7)
+    val ex = mk((1 to 50).map(i =>
+      (rnd.nextInt(20) * 1000L, "S" + rnd.nextInt(3), "1m", rnd.nextDouble())): _*)
+    val in = mk((1 to 50).map(i =>
+      (rnd.nextInt(20) * 1000L, "S" + rnd.nextInt(3), "1m", 100 + rnd.nextDouble())): _*)
+    val exD = Store.upsert(ex.dropDuplicates(Store.pk), in.dropDuplicates(Store.pk))
+    val n = exD.count()
+    assert(exD.dropDuplicates(Store.pk).count() == n, "PK not unique after upsert")
+    // every key present in incoming must carry an incoming value (>= 100)
+    val wrong = exD.join(in.dropDuplicates(Store.pk).select("ts", "symbol", "timeframe"),
+      Store.pk).filter(col("close") < 100).count()
+    assert(wrong == 0, "existing value survived an incoming key")
+  }
+
+  test("save/scan roundtrip with partition pruning layout (S12/S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val df = mk((1000L, "BTC", "1m", 1.0), (2000L, "BTC", "1m", 2.0),
+      (3000L, "BTC", "5m", 9.0), (1000L, "ETH", "1m", 7.0))
+    Store.save(df, s"$dir/ohlcv")
+    val got = Store.scan(spark, s"$dir/ohlcv", "BTC", "1m", msTs(0), msTs(5000))
+    assert(got.count() == 2)
+    assert(got.select("close").as[Double].collect().toSeq == Seq(1.0, 2.0))
+    // partition pruning visible in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ETH"))
+  }
+
+  test("deriveMeta + storedInfo (S8/S6)") {
+    val df = mk((1704067200000L, "BTC", "1m", 1.0),
+      (1704153600000L, "BTC", "1m", 2.0))
+    val meta = Store.deriveMeta(df)
+    val counts = df.groupBy("symbol", "timeframe").agg(count(lit(1)).as("n"))
+    val info = Store.storedInfo(meta, counts).collect()(0)
+    assert(info.getAs[String]("start_date") == "2024-01-01")
+    assert(info.getAs[String]("end_date") == "2024-01-02")
+    assert(info.getAs[Long]("n") == 2L)
+  }
+
+  test("deleteSeries removes exactly the keyed series (S9)") {
+    val df = mk((1000L, "BTC", "1m", 1.0), (2000L, "BTC", "5m", 2.0),
+      (3000L, "ETH", "1m", 3.0))
+    val out = Store.deleteSeries(df, "BTC", "1m")
+    assert(out.count() == 2)
+    assert(out.filter(col("symbol") === "BTC" && col("timeframe") === "1m").isEmpty)
+  }
+
+  test("csv/parquet export with filename template (S10/S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val df = mk((1000L, "BTC", "1m", 1.0))
+    val csv = Store.exportCsv(df, dir, "BTCUSDT", "1h", "20240101", "20240201")
+    val pq = Store.exportParquet(df, dir, "BTCUSDT", "1h", "20240101", "20240201")
+    assert(csv.endsWith("BTCUSDT_1h_20240101_20240201.csv"))
+    assert(new java.io.File(csv).exists())
+    assert(spark.read.option("header", "true").csv(csv).count() == 1)
+    assert(spark.read.parquet(pq).count() == 1)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Ohlcv
+import graft.streaming.StreamingResample
+
+/** ST3/ST4 batch-equivalence (SURVEY §2.9): the streaming transforms over a
+  * file source must agree with the batch operators on the same rows. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("symbol", StringType), StructField("ts", TimestampType),
+    StructField("price", DoubleType)))
+
+  private def writeInput(dir: String) = {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      ("S" + rnd.nextInt(2), msTs(1704067200000L + rnd.nextInt(6 * 3600) * 1000L),
+        rnd.nextDouble() * 50 + 1)
+    }
+    rows.toDF("symbol", "ts", "price").coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    rows
+  }
+
+  test("ST3: streaming tumbling-window candles equal the batch resample") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    writeInput(s"$dir/in")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val candles = StreamingResample.resampleStream(stream, "symbol", "ts",
+      "price", "1 hour", "2 hours")
+    val q = candles.writeStream.outputMode("complete")
+      .format("memory").queryName("st3_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("st3_out")
+      .orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "open", "high", "low", "close", "n")
+      .collect().toSeq
+    val want = Ohlcv.resampleTicks(
+        spark.read.parquet(s"$dir/in"), "1h", priceCol = "price")
+      .orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "open", "high", "low", "close", "n")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("ST4: streaming PK dedup collapses overlapping re-ingest (DB:215-218)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    val rows = Seq(
+      ("A", msTs(1000L), 1.0), ("A", msTs(2000L), 2.0), ("B", msTs(1000L), 3.0))
+    // page 1 and page 2 overlap on (A, 2000) — like a cursor re-fetch
+    rows.take(2).toDF("symbol", "ts", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    (rows.drop(1) :+ ("A", msTs(3000L), 4.0)).toDF("symbol", "ts", "price")
+      .write.mode("append").parquet(s"$dir/in/p2")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val deduped = StreamingResample.dedupStream(stream, "ts", Seq("symbol"), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("st4_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("st4_out")
+    assert(got.count() == 4) // 5 ingested rows, 1 overlap collapsed
+    assert(got.groupBy("symbol", "ts").count().filter(col("count") > 1).isEmpty)
+  }
+}
