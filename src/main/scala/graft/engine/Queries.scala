@@ -89,8 +89,7 @@ object Queries {
     (s, dir) => {
       val ev = Tables.events(s, dir)
       ev.filter(col("user_id") === 7 &&
-          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") <= lit("2024-01-20 23:59:59").cast("timestamp"))
+          Tables.tsRangePushdown("2024-01-10 00:00:00", "2024-01-20 23:59:59"))
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_type"), col("value"))
         .orderBy("ts_ms", "event_id")

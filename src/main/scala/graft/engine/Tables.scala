@@ -34,8 +34,12 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val nsFixed =
       if (name == "events" && raw.schema("ts").dataType == LongType)
-        // ns → µs truncation (positive epochs ⇒ `div` == floor division)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // ns → µs truncation (positive epochs ⇒ `div` == floor division).
+        // The raw nanos survive as ts_ns so range predicates can be pushed
+        // to parquet row groups (the derived-column filter cannot) — see
+        // [[tsRangePushdown]].
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     // TIMESTAMP_NTZ → TIMESTAMP under UTC session tz (same wall clock).
     nsFixed.schema.fields.foldLeft(nsFixed) { (df, f) =>
@@ -43,6 +47,23 @@ object Tables {
         df.withColumn(f.name, col(f.name).cast(TimestampType))
       else df
     }
+  }
+
+  /** Closed-bound ts range predicate on events that ALSO hits the raw
+    * nanos column, so parquet row-group min/max skipping applies (the
+    * equivalent predicate on the µs-derived `ts` is not pushable).
+    * `ts ∈ [from, to]` at µs precision ⟺ `ts_ns ∈ [from·1000, to·1000+999]`.
+    * Bounds are ISO local datetimes interpreted as UTC. */
+  def tsRangePushdown(from: String, to: String): org.apache.spark.sql.Column = {
+    import java.time.{LocalDateTime, ZoneOffset}
+    def us(sIso: String): Long = {
+      val i = LocalDateTime.parse(sIso.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val (lo, hi) = (us(from), us(to))
+    col("ts") >= timestamp_micros(lit(lo)) &&
+      col("ts") <= timestamp_micros(lit(hi)) &&
+      col("ts_ns") >= lit(lo * 1000) && col("ts_ns") <= lit(hi * 1000 + 999)
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

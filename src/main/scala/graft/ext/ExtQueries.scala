@@ -41,7 +41,10 @@ object ExtQueries {
     * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
   val x31MinhashLsh: Q = Q(
     (s, dir) => {
+      // cache: the shingle table feeds signatures, both verify sides, and
+      // set sizes — without it the text is re-shingled four times
       val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+        .cache()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
       Dedup.jaccardVerify(cands, sh, "doc_id")
@@ -50,11 +53,13 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH $shingleCte,
+      hb AS (SELECT doc_id, (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
+        FROM sh),
       sigs AS (SELECT doc_id,
-        ${(0 until 16).map(i => s"min(md5('$i:' || shingle)) AS m$i").mkString(", ")}
-        FROM sh GROUP BY 1),
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM hb GROUP BY 1),
       bands AS (
-        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")})) AS h FROM sigs")
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
           .mkString(" UNION ALL ")}),
       cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -99,6 +104,7 @@ object ExtQueries {
   val x33NgramJaccard: Q = Q(
     (s, dir) => {
       val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+        .cache()
       Dedup.ngramJaccardPairs(sh, "doc_id", maxDf = 50)
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "common", "jaccard")
