@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Ohlcv
+import graft.sources.ExchangeInfo
+
+class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dayMs = 86400000L
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+
+  private def read(extra: (String, String)*) = {
+    val base = spark.read.format("graft.sources.KlineSource")
+      .option("symbols", "BTCUSDT,ETHUSDT")
+      .option("startMs", t0.toString)
+      .option("endMs", (t0 + 2 * dayMs).toString)
+      .option("timeframe", "1m")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("S1: produces one row per (symbol, bucket) over the requested range") {
+    val df = read()
+    assert(df.count() == 2 * 2 * 1440) // 2 symbols × 2 days × 1440 min
+    assert(df.select("symbol").distinct().count() == 2)
+    val ts = df.agg(min("ts"), max("ts")).collect()(0)
+    assert(ts.getTimestamp(0).getTime == t0)
+    assert(ts.getTimestamp(1).getTime == t0 + 2 * dayMs - 60000)
+  }
+
+  test("parallel ingest: one input partition per (symbol, slice)") {
+    assert(read().rdd.getNumPartitions == 4) // 2 symbols × 2 day-slices
+    assert(read("sliceMs" -> (12 * 3600000L).toString).rdd.getNumPartitions == 8)
+  }
+
+  test("pagination/partitioning invariance: same data regardless of slicing") {
+    val a = read().orderBy("symbol", "ts").collect().toSeq
+    val b = read("sliceMs" -> (7 * 3600000L).toString)
+      .orderBy("symbol", "ts").collect().toSeq
+    assert(a == b)
+  }
+
+  test("candle invariants hold and rows are typed OHLCV") {
+    val bad = read().filter(!(col("low") <= col("open") &&
+      col("open") <= col("high") && col("low") <= col("close") &&
+      col("close") <= col("high") && col("volume") > 0)).count()
+    assert(bad == 0)
+  }
+
+  test("source composes with resampleCandles (ingest → 1h pyramid)") {
+    val hourly = Ohlcv.resampleCandles(read(), "1h")
+    assert(hourly.count() == 2 * 48) // 2 symbols × 48 hours
+    assert(hourly.agg(max("n")).collect()(0).getLong(0) == 60)
+  }
+
+  test("S13/P3: exchange catalog filters to sorted active USDT pairs") {
+    val pairs = ExchangeInfo.usdtTradingPairs(spark).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[String]("symbol").endsWith("USDT")))
+    assert(pairs.forall(_.getAs[String]("status") == "TRADING"))
+    val syms = pairs.map(_.getAs[String]("symbol")).toSeq
+    assert(syms == syms.sorted)
+    assert(ExchangeInfo.catalog(spark).count() > pairs.length) // filter real
+  }
+}
