@@ -1,0 +1,123 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's public programmatic API (SURVEY §3.2; reference
+  * README.md:82-101), mirrored 1:1 as a facade over the engine parts:
+  *
+  * | reference (python)              | here                       |
+  * |---------------------------------|----------------------------|
+  * | `get_historical_data(...)`      | [[getHistoricalData]]      |
+  * | `save_data(df, sym, tf)`        | [[saveData]]               |
+  * | `check_data_exists(...)`        | [[checkDataExists]]        |
+  * | `get_data(...)` (cache-or-fetch)| [[getData]]                |
+  * | resampled load (`UI:374-434`)   | [[getResampledData]]       |
+  * | `delete_data(sym, tf)`          | [[deleteData]]             |
+  * | `get_stored_info()`             | [[getStoredInfo]]          |
+  * | export CSV/parquet (`UI:565-594`)| [[Store.exportCsv]]/[[Store.exportParquet]] |
+  *
+  * State is two parquet tables under `basePath`: the fact table in the
+  * canonical partitioned layout and the coverage metadata side table —
+  * the Spark re-expression of `ohlcv_data`/`ohlcv_metadata`
+  * (database_handler.py:110-134). `now` is injected for determinism
+  * (never `current_timestamp()`).
+  *
+  * The cache-or-fetch decision (scan-source elision) is driver-side
+  * control flow over the broadcast-joined metadata — deliberately NOT a
+  * Catalyst rule (SURVEY §4): the choice happens before plan construction.
+  */
+class MarketData(spark: SparkSession, basePath: String,
+    fetch: (String, String, Long, Long) => DataFrame) {
+
+  private val factPath = s"$basePath/ohlcv"
+  private val metaPath = s"$basePath/ohlcv_meta"
+
+  /** Default fetcher = the DSv2 kline source. */
+  def this(spark: SparkSession, basePath: String) = this(spark, basePath,
+    (symbol, timeframe, fromMs, toMs) =>
+      spark.read.format("graft.sources.KlineSource")
+        .option("symbols", symbol).option("timeframe", timeframe)
+        .option("startMs", fromMs.toString).option("endMs", toMs.toString)
+        .load())
+
+  private def factExists: Boolean =
+    new java.io.File(factPath).exists()
+
+  /** Full fact table (empty frame with canonical schema when absent). */
+  def facts(): DataFrame =
+    if (factExists) spark.read.parquet(factPath)
+      .select("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.sources.KlineSource.schema)
+
+  /** S1: source ingest for one series over [fromMs, toMs). */
+  def getHistoricalData(symbol: String, timeframe: String, fromMs: Long,
+      toMs: Long): DataFrame = fetch(symbol, timeframe, fromMs, toMs)
+
+  /** S7+S8: keyed upsert into the store, then metadata refresh —
+    * the reference's save path (database_handler.py:193-241). */
+  def saveData(df: DataFrame): Unit = {
+    val merged = Store.upsert(facts(), df
+      .select("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume"))
+      .cache() // two actions below (save + meta) — compute the merge once
+    Store.save(merged, factPath)
+    Store.deriveMeta(merged).write.mode("overwrite").parquet(metaPath)
+    merged.unpersist()
+  }
+
+  /** J1/J2 coverage probe for one request (database_handler.py:257-307).
+    * Returns (hit, freshHit). */
+  def checkDataExists(symbol: String, timeframe: String, fromMs: Long,
+      toMs: Long, nowMs: Long): (Boolean, Boolean) = {
+    if (!new java.io.File(metaPath).exists()) return (false, false)
+    val meta = spark.read.parquet(metaPath)
+      .filter(col("symbol") === symbol && col("timeframe") === timeframe)
+      .select(col("symbol"), col("timeframe"),
+        unix_millis(col("start_ts")).as("cov_start_ms"),
+        unix_millis(col("end_ts")).as("cov_end_ms"))
+    import spark.implicits._
+    val req = Seq((symbol, timeframe, fromMs, toMs))
+      .toDF("symbol", "timeframe", "req_start_ms", "req_end_ms")
+    val r = Coverage.probe(req, meta, Seq("symbol", "timeframe"),
+      Timeframes.durationMs(timeframe), nowMs).collect()(0)
+    (r.getAs[Boolean]("covered") || r.getAs[Boolean]("fresh_hit"),
+      r.getAs[Boolean]("fresh_hit"))
+  }
+
+  /** Cache-or-fetch (entry point §3.1 step 4, colab_interface.py:343-372):
+    * coverage hit → pruned range scan; miss → source fetch + save + scan. */
+  def getData(symbol: String, timeframe: String, fromMs: Long, toMs: Long,
+      nowMs: Long): DataFrame = {
+    val (hit, _) = checkDataExists(symbol, timeframe, fromMs, toMs, nowMs)
+    if (!hit) saveData(getHistoricalData(symbol, timeframe, fromMs, toMs))
+    Store.scan(spark, factPath, symbol, timeframe,
+      new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs))
+  }
+
+  /** Resampled load (§3.3, colab_interface.py:374-434): force the 1m base
+    * series through the cache, derive the target timeframe — one shuffle,
+    * not five per-column passes. */
+  def getResampledData(symbol: String, timeframe: String, fromMs: Long,
+      toMs: Long, nowMs: Long): DataFrame =
+    Ohlcv.resampleCandles(
+      getData(symbol, "1m", fromMs, toMs, nowMs), timeframe)
+
+  /** S9: delete one series and refresh metadata
+    * (database_handler.py:243-255). */
+  def deleteData(symbol: String, timeframe: String): Unit = {
+    val remaining = Store.deleteSeries(facts(), symbol, timeframe).cache()
+    Store.save(remaining, factPath)
+    Store.deriveMeta(remaining).write.mode("overwrite").parquet(metaPath)
+    remaining.unpersist()
+  }
+
+  /** S6: stored-series listing with counts and dates
+    * (database_handler.py:348-377). */
+  def getStoredInfo(): DataFrame = {
+    val f = facts()
+    Store.storedInfo(Store.deriveMeta(f),
+      f.groupBy("symbol", "timeframe").agg(count(lit(1)).as("n")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.MarketData
+
+/** Full cache-or-fetch lifecycle (SURVEY §3.1/§3.2) against a counting
+  * fetcher: fetch → save → hit → resample → delete. */
+class MarketDataSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val h = 3600000L
+  private val t0 = 1704067200000L // 2024-01-01T00:00Z
+  private val now = t0 + 400 * h
+
+  private def newMd(): (MarketData, AtomicInteger) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_md").toString
+    val calls = new AtomicInteger(0)
+    val fetch = (symbol: String, tf: String, from: Long, to: Long) => {
+      calls.incrementAndGet()
+      val dur = graft.engine.Timeframes.durationMs(tf)
+      (from until to by dur).map { ts =>
+        (msTs(ts), symbol, tf, 1.0, 2.0, 0.5, 1.5, 10.0)
+      }.toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+    }
+    (new MarketData(spark, dir, fetch), calls)
+  }
+
+  test("cache-or-fetch: miss fetches once, hit never re-fetches (UI:343-372)") {
+    val (md, calls) = newMd()
+    assert(md.checkDataExists("BTC", "1h", t0, t0 + 10 * h, now) == (false, false))
+    val first = md.getData("BTC", "1h", t0, t0 + 10 * h, now)
+    assert(first.count() == 10 && calls.get() == 1)
+    // contained re-request: pure scan, no fetch
+    val again = md.getData("BTC", "1h", t0 + 2 * h, t0 + 8 * h, now)
+    assert(again.count() == 7 && calls.get() == 1)
+    // covered through cov_end + dur - 1 (closed interval, DB:296-298)
+    assert(md.checkDataExists("BTC", "1h", t0, t0 + 10 * h - 1, now)._1)
+  }
+
+  test("freshness tolerance admits a just-beyond-coverage request (DB:288-295)") {
+    val (md, calls) = newMd()
+    md.getData("BTC", "1h", t0, t0 + 10 * h, now)
+    // coverage ends at t0+9h; request to t0+10h30m with now close to cov end
+    val freshNow = t0 + 10 * h
+    val (hit, fresh) = md.checkDataExists("BTC", "1h", t0, t0 + h / 2 + 10 * h, freshNow)
+    assert(hit && fresh)
+    md.getData("BTC", "1h", t0, t0 + h / 2 + 10 * h, freshNow)
+    assert(calls.get() == 1, "fresh hit must not re-fetch")
+  }
+
+  test("saveData is an idempotent keyed upsert + metadata refresh (S7/S8)") {
+    val (md, _) = newMd()
+    val batch = md.getHistoricalData("BTC", "1h", t0, t0 + 5 * h)
+    md.saveData(batch)
+    md.saveData(batch) // idempotent
+    assert(md.facts().count() == 5)
+    val overwrite = Seq((msTs(t0), "BTC", "1h", 9.0, 9.0, 9.0, 9.0, 99.0))
+      .toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+    md.saveData(overwrite) // last writer wins on the PK
+    assert(md.facts().count() == 5)
+    assert(md.facts().filter(unix_millis(col("ts")) === t0)
+      .select("volume").as[Double].head() == 99.0)
+  }
+
+  test("resampled load derives coarse candles from the 1m base (UI:374-434)") {
+    val (md, calls) = newMd()
+    val daily = md.getResampledData("BTC", "1d", t0, t0 + 2880 * 60000L, now)
+    assert(calls.get() == 1)       // one 1m fetch
+    assert(daily.count() == 2)     // 2 days
+    assert(daily.agg(max("n")).as[Long].head() == 1440) // minutes per day
+  }
+
+  test("delete + storedInfo bookkeeping (S9/S6)") {
+    val (md, _) = newMd()
+    md.getData("BTC", "1h", t0, t0 + 5 * h, now)
+    md.getData("ETH", "1h", t0, t0 + 3 * h, now)
+    val info = md.getStoredInfo().collect()
+    assert(info.length == 2)
+    assert(info.head.getAs[String]("start_date") == "2024-01-01")
+    md.deleteData("BTC", "1h")
+    val left = md.getStoredInfo().collect()
+    assert(left.length == 1 && left.head.getAs[String]("symbol") == "ETH")
+    // deleted series is a miss again
+    assert(!md.checkDataExists("BTC", "1h", t0, t0 + 5 * h, now)._1)
+  }
+
+  test("default fetcher wires the DSv2 kline source end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_md_dsv2").toString
+    val md = new MarketData(spark, dir)
+    val df = md.getData("BTCUSDT", "1h", t0, t0 + 6 * h, now)
+    assert(df.count() == 6)
+    assert(df.select("timeframe").distinct().as[String].head() == "1h")
+  }
+}
