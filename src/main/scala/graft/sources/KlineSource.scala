@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,7 +86,7 @@ class KlineTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft_klines"
   override def schema(): StructType = KlineSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KlineScanBuilder(props ++ options.asScala)
 }
@@ -105,6 +106,14 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
   override def readSchema(): StructType = KlineSource.schema
   override def toBatch: Batch = this
 
+  /** ST1 (SURVEY §2.9): the reference's monotone ingest cursor
+    * (api_connector.py:244-268) as a genuine streaming source offset.
+    * Each micro-batch covers (lastOffsetMs, min(lastOffsetMs + batchMs,
+    * endMs)] — an incremental fetch of exactly the missing tail. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KlineMicroBatchStream(symbols, timeframe, durMs, startMs, endMs,
+      opts.get("batchMs").map(_.toLong).getOrElse(sliceMs))
+
   override def planInputPartitions(): Array[InputPartition] = {
     val slices = (startMs until endMs by sliceMs).map(s =>
       (s, math.min(s + sliceMs, endMs)))
@@ -118,6 +127,40 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
 /** One (symbol, time-slice) of the request — the unit of parallel ingest. */
 case class KlinePartition(symbol: String, timeframe: String, durMs: Long,
     fromMs: Long, toMs: Long) extends InputPartition
+
+/** Cursor position in epoch-ms — the streaming offset. */
+case class KlineOffset(ms: Long) extends Offset {
+  override def json(): String = ms.toString
+}
+
+/** Micro-batch form of the source: `latestOffset` advances the cursor by
+  * `batchMs` per trigger (bounded by `endMs`), and each batch plans the
+  * same per-symbol partitions over just the new range — so restart from a
+  * checkpoint resumes exactly at the last committed cursor, the streaming
+  * equivalent of the reference's `last_ts + 1` resume rule. */
+class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
+    durMs: Long, startMs: Long, endMs: Long, batchMs: Long)
+    extends MicroBatchStream {
+  private var current: Long = startMs
+
+  override def initialOffset(): Offset = KlineOffset(startMs)
+  override def latestOffset(): Offset = {
+    current = math.min(current + math.max(batchMs, durMs), endMs)
+    KlineOffset(current)
+  }
+  override def deserializeOffset(json: String): Offset =
+    KlineOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[KlineOffset].ms,
+      end.asInstanceOf[KlineOffset].ms)
+    symbols.map(s => KlinePartition(s, timeframe, durMs, a, b): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KlineReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class KlineReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

@@ -53,6 +53,24 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(hourly.agg(max("n")).collect()(0).getLong(0) == 60)
   }
 
+  test("ST1: micro-batch stream covers the range incrementally and equals the batch read") {
+    val sq = spark.readStream.format("graft.sources.KlineSource")
+      .option("symbols", "BTCUSDT,ETHUSDT")
+      .option("startMs", t0.toString)
+      .option("endMs", (t0 + 2 * dayMs).toString)
+      .option("timeframe", "1m")
+      .option("batchMs", (6 * 3600000L).toString) // 8 micro-batches
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kline_stream").start()
+    try { sq.processAllAvailable() } finally { sq.stop() }
+    val streamed = spark.table("kline_stream")
+    assert(streamed.count() == 2 * 2 * 1440)
+    val a = streamed.orderBy("symbol", "ts").collect().toSeq
+    val b = read().orderBy("symbol", "ts").collect().toSeq
+    assert(a == b, "stream and batch disagree")
+  }
+
   test("S13/P3: exchange catalog filters to sorted active USDT pairs") {
     val pairs = ExchangeInfo.usdtTradingPairs(spark).collect()
     assert(pairs.nonEmpty)
