@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Ohlcv
+import graft.streaming.LiveCandles
+
+/** The live-candle state stream must converge to the batch resample: the
+  * LAST update emitted per (symbol, bucket) across micro-batches equals
+  * the batch candle over all data. */
+class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("mapGroupsWithState live candles converge to the batch resample") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_live").toString
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 400).map { _ =>
+      ("S" + rnd.nextInt(2), msTs(1704067200000L + rnd.nextInt(4 * 3600) * 1000L),
+        rnd.nextDouble() * 20 + 1)
+    }
+    // two files → two micro-batches → buckets get UPDATED, not just created
+    rows.take(200).toDF("symbol", "ts", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    rows.drop(200).toDF("symbol", "ts", "price")
+      .write.mode("append").parquet(s"$dir/in/p2")
+
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("ts", TimestampType),
+      StructField("price", DoubleType)))
+    val ticks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .select(col("symbol"),
+        unix_millis(date_trunc("hour", col("ts"))).as("bucketMs"),
+        unix_micros(col("ts")).as("ts"), col("price"))
+      .as[LiveCandles.TickIn]
+
+    val q = LiveCandles.stream(ticks)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("live_candles").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val updates = spark.table("live_candles")
+    // more updates than final keys proves buckets were revised across batches
+    val finalPerKey = updates
+      .withColumn("seq", monotonically_increasing_id())
+      .groupBy("symbol", "bucket")
+      .agg(max_by(struct(col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n")), col("seq")).as("c"))
+      .select(col("symbol"), col("bucket"), col("c.*"))
+    val want = Ohlcv.resampleTicks(rows.toDF("symbol", "ts", "price"), "1h",
+        priceCol = "price")
+      .select(col("symbol"), col("bucket"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n"))
+    assert(updates.count() > finalPerKey.count(), "no incremental updates seen")
+    val g = finalPerKey.orderBy("symbol", "bucket").collect().toSeq
+    val w = want.orderBy("symbol", "bucket").collect().toSeq
+    assert(g.size == w.size)
+    g.zip(w).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getTimestamp(1) == b.getTimestamp(1))
+      (2 to 5).foreach(i => assert(a.getDouble(i) == b.getDouble(i), s"$a vs $b"))
+      assert(math.abs(a.getDouble(6) - b.getDouble(6)) < 1e-9)
+      assert(a.getLong(7) == b.getLong(7))
+    }
+  }
+}

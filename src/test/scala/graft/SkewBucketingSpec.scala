@@ -45,9 +45,21 @@ class SkewBucketingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("bucketed tables join without an exchange (co-located SMJ)") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // in-memory catalog forgets tables between JVMs but the warehouse dir
+    // survives → clear both the catalog entry and the stale location
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_b", "o_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     val li = (1L to 1000L).map(k => (k % 100, k, k * 1.0))
       .toDF("l_orderkey", "id", "qty")
     val o = (0L until 100L).map(k => (k, s"P$k")).toDF("o_orderkey", "prio")
