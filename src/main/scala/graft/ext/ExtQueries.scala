@@ -193,6 +193,20 @@ object ExtQueries {
     },
     None)
 
+  // ---------------------------------------------------------------- x42
+  /** IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — like x36 not
+    * SQL-oracle-expressible (model state); rows-only driver check,
+    * recall-vs-exact asserted in scalatest. */
+  val x42AnnIvf: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
+      Similarity.ivfTopK(embs.filter(col("vec_id") =!= 0), q, "vec_id",
+          "embedding", nCells = 16, nProbe = 4, k = 10)
+        .orderBy(col("cos").desc, col("vec_id"))
+    },
+    None)
+
   // ---------------------------------------------------------------- x37
   /** Heuristic language ID (stopword-frequency argmax, deterministic
     * rank tie-break) scored against the labeled `lang` column. */
@@ -301,6 +315,7 @@ object ExtQueries {
     "x34_cosine_pairs" -> x34CosinePairs,
     "x35_ann_topk" -> x35AnnTopK,
     "x36_ann_lsh" -> x36AnnLsh,
+    "x42_ann_ivf" -> x42AnnIvf,
     "x37_langid" -> x37LangId,
     "x38_quality" -> x38Quality,
     "x39_token_count" -> x39TokenCount,

@@ -55,7 +55,7 @@ object Similarity {
     * codegen'd expression over array literals — no UDF. */
   def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit(_)): _*)
       when(aggregate(zip_with(d(emb), planeCol, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -75,6 +75,38 @@ object Similarity {
       .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col("bucket"), col("cos"))
+      .limit(k)
+  }
+
+  /** IVF (inverted-file) ANN with a KMeans coarse quantizer: cluster the
+    * corpus into `nCells`, search only the `nProbe` cells whose centroids
+    * are nearest the query. Index build is distributed MLlib KMeans; the
+    * probe is a cell-pruned scan + exact cosine — at scale, cell id
+    * doubles as the storage partition key so a query touches
+    * nProbe/nCells of the data. Deterministic via fixed seed. */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      embCol: String = "embedding", nCells: Int = 16, nProbe: Int = 2,
+      k: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("_v", array_to_vector(d(col(embCol))))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("_v").setPredictionCol("_cell").fit(featured)
+    val assigned = model.transform(featured)
+    // rank cells by centroid distance to the (single-row) query vector
+    val qVec = query.select(array_to_vector(d(col(embCol))).as("q"))
+      .head.getAs[org.apache.spark.ml.linalg.Vector]("q")
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)))
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val qb = broadcast(query.select(col(embCol).as("q_emb")))
+    assigned.filter(col("_cell").isin(probeCells: _*))
+      .crossJoin(qb)
+      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), col("_cell").as("cell"), col("cos"))
       .limit(k)
   }
 

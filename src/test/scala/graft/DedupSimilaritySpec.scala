@@ -66,6 +66,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cs == cs.sorted.reverse, "not sorted by similarity")
   }
 
+  test("IVF top-k recalls most of the exact top-k while scanning fewer cells") {
+    val embs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, q, "vec_id", nCells = 16,
+      nProbe = 8, k = 10)
+    val got = ivf.select("vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    assert((exact & got).size >= 5,
+      s"recall too low: ${(exact & got).size}/10")
+    // probe really pruned: candidates come from <= nProbe distinct cells
+    assert(ivf.select("cell").distinct().count() <= 8)
+  }
+
   test("LSH bucketing is deterministic and query bucket matches itself") {
     val planes = Similarity.hyperplanes(8, 8)
     assert(planes.map(_.toSeq) == Similarity.hyperplanes(8, 8).map(_.toSeq),
