@@ -19,14 +19,24 @@ object Similarity {
 
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+
   /** Dot product of two float-array columns, accumulated in double in
-    * element order (deterministic). */
+    * element order — the codegen'd native expression
+    * ([[graft.functions.DotF32]]); bit-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    toCol(graft.functions.DotF32(toExpr(a), toExpr(b)))
+
+  /** Higher-order-function formulation of [[dot]] (interpreted lambdas) —
+    * kept as the cross-check reference implementation. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** L2 norm (= sqrt of self-dot, native). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

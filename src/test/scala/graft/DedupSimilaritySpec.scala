@@ -54,6 +54,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cos((1L, 2L))) < 1e-12)
   }
 
+  test("native DotF32 is bit-identical to the HOF formulation (interpreted + codegen)") {
+    val rnd = new scala.util.Random(17)
+    val df = (1L to 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "a", "b")
+    val diff = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF dot products disagree")
+    // null input → null
+    val n = df.limit(1)
+      .select(Similarity.dot(lit(null).cast("array<float>"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("brute-force top-k returns the nearest vectors in order") {
     val rnd = new scala.util.Random(5)
     val corpus = (1L to 100L).map(i =>
