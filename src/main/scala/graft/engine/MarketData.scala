@@ -90,6 +90,13 @@ class MarketData(spark: SparkSession, basePath: String,
     * coverage hit → pruned range scan; miss → source fetch + save + scan. */
   def getData(symbol: String, timeframe: String, fromMs: Long, toMs: Long,
       nowMs: Long): DataFrame = {
+    // parameter validation mirroring the reference (colab_interface.py:
+    // 222-225 end<start rejection; database_handler.py:204-205 non-empty
+    // symbol; closed timeframe vocabulary api_connector.py:194)
+    require(symbol.nonEmpty, "symbol must be non-empty")
+    require(Timeframes.all.contains(timeframe),
+      s"unknown timeframe '$timeframe' (expected one of ${Timeframes.all.mkString(",")})")
+    require(toMs >= fromMs, s"end $toMs before start $fromMs")
     val (hit, _) = checkDataExists(symbol, timeframe, fromMs, toMs, nowMs)
     if (!hit) saveData(getHistoricalData(symbol, timeframe, fromMs, toMs))
     Store.scan(spark, factPath, symbol, timeframe,

@@ -640,6 +640,26 @@ object Queries {
       count(*) AS n
       FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- q30
+  /** Skew-safe salted aggregation (SCALING.md): two-stage partial/merge
+    * sum via [[Skew.saltedAgg]] must equal the plain grouped sum — here
+    * oracle-checked, not just unit-tested. DECIMAL partials keep the
+    * two-stage float order difference out of the result. */
+  val q30SaltedAgg: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Skew.saltedAgg(li, Seq("l_returnflag"), col("l_orderkey"), 16,
+          partial = Seq(sum(decP("l_extendedprice")).as("v"),
+            count(lit(1)).as("c")),
+          merge = Seq(sum(col("v")).cast("double").as("total_price"),
+            sum(col("c")).as("n")))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -669,6 +689,7 @@ object Queries {
     "q25_json" -> q25Json,
     "q26_asof_join" -> q26AsofJoin,
     "q27_resample_1M" -> q27Resample1M,
+    "q30_salted_agg" -> q30SaltedAgg,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }

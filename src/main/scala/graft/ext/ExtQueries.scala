@@ -289,6 +289,34 @@ object ExtQueries {
         min(md5(text)) AS md5_fp
       FROM tok GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x43
+  /** TF-IDF weights per (doc, token) — the classic text-pipeline weighting
+    * as two hash aggregations + a broadcast of the corpus size; df-capped
+    * and doc-limited to bound output. */
+  val x43Tfidf: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .filter(col("df") <= 395 && col("doc_id") < 25)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1,2),
+      dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, token, tf, df,
+        round(tf * ln(n_docs / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token), n
+      WHERE df <= 395 AND doc_id < 25
+      ORDER BY doc_id, token"""))
+
   // ---------------------------------------------------------------- x41
   /** Multimodal stub: binary payload + mapPartitions feature extraction
     * (deterministic fake decode — see [[Multimodal.extractFeatures]]). */
@@ -320,5 +348,6 @@ object ExtQueries {
     "x38_quality" -> x38Quality,
     "x39_token_count" -> x39TokenCount,
     "x40_fingerprint" -> x40Fingerprint,
-    "x41_multimodal" -> x41Multimodal)
+    "x41_multimodal" -> x41Multimodal,
+    "x43_tfidf" -> x43Tfidf)
 }
