@@ -660,6 +660,40 @@ object Queries {
       CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q31
+  /** Shipping-priority shape (TPC-H Q3): selective filters on all three
+    * inputs, fact-fact join + broadcast dim, grouped decimal revenue,
+    * top-k by revenue. Ordering on the decimal-derived double is
+    * cross-engine safe because the sums are exact. */
+  val q31ShippingPriority: Q = Q(
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(decP("l_extendedprice") * (one - decS("l_discount")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_orderpriority,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1,2,3
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    bench = true)
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -690,6 +724,7 @@ object Queries {
     "q26_asof_join" -> q26AsofJoin,
     "q27_resample_1M" -> q27Resample1M,
     "q30_salted_agg" -> q30SaltedAgg,
+    "q31_shipping_priority" -> q31ShippingPriority,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }

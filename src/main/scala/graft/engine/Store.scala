@@ -46,6 +46,34 @@ object Store {
       .partitionBy("symbol", "timeframe")
       .parquet(path)
 
+  /** Partition-scoped upsert — the 100 TB form of S7: merge `incoming`
+    * only with the (symbol, timeframe) partitions it touches, then rewrite
+    * JUST those partitions via dynamic partition overwrite. Untouched
+    * partitions are never read or written, so cost scales with the batch,
+    * not the table. */
+  def upsertSave(spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String] = pk): Unit = {
+    val touched = incoming.select("symbol", "timeframe").distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(touched), Seq("symbol", "timeframe"), "left_semi")
+      .select(incoming.columns.map(col).toIndexedSeq: _*)
+    val merged = upsert(existing, incoming, keys)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.repartition(col("symbol"), col("timeframe"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("symbol", "timeframe")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** S4 range scan: key predicates prune partitions, the ts range is
     * pushed to parquet row groups (database_handler.py:329-332). */
   def scan(spark: SparkSession, path: String, symbol: String,

@@ -55,6 +55,27 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("ETH"))
   }
 
+  test("upsertSave rewrites only touched partitions (dynamic overwrite)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val path = s"$dir/ohlcv"
+    Store.save(mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0)), path)
+    def ethFiles() = {
+      val d = new java.io.File(s"$path/symbol=ETH/timeframe=1m")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSeq.sorted
+    }
+    val before = ethFiles()
+    Thread.sleep(1100) // mtime granularity
+    // batch touches only BTC: update one row, add one
+    Store.upsertSave(spark, path,
+      mk((1000L, "BTC", "1m", 9.0), (3000L, "BTC", "1m", 3.0)))
+    assert(ethFiles() == before, "untouched ETH partition was rewritten")
+    val all = spark.read.parquet(path)
+    assert(all.count() == 3)
+    assert(all.filter(col("symbol") === "BTC" && col("close") === 9.0).count() == 1)
+    assert(all.filter(col("symbol") === "ETH").count() == 1)
+  }
+
   test("deriveMeta + storedInfo (S8/S6)") {
     val df = mk((1704067200000L, "BTC", "1m", 1.0),
       (1704153600000L, "BTC", "1m", 2.0))
