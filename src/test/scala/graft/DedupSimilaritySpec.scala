@@ -71,6 +71,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("graft_dot reaches SQL via the registry; extensions installer wires cleanly") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").head.getDouble(0)
+    assert(r == 11.0)
+    // type mismatch is rejected at analysis, not at runtime
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+    // the SparkSessionExtensions installer injects without error (a fresh
+    // session would pick it up via spark.sql.extensions)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+  }
+
   test("brute-force top-k returns the nearest vectors in order") {
     val rnd = new scala.util.Random(5)
     val corpus = (1L to 100L).map(i =>
