@@ -57,14 +57,19 @@ class MarketData(spark: SparkSession, basePath: String,
       toMs: Long): DataFrame = fetch(symbol, timeframe, fromMs, toMs)
 
   /** S7+S8: keyed upsert into the store, then metadata refresh —
-    * the reference's save path (database_handler.py:193-241). */
+    * the reference's save path (database_handler.py:193-241).
+    *
+    * Uses partition-scoped dynamic overwrite ([[Store.upsertSave]]): only
+    * the incoming (symbol, timeframe) partitions rewrite. Besides being
+    * the 100 TB cost model, this keeps DataFrames previously returned for
+    * OTHER series valid mid-batch — a full-table overwrite would yank
+    * their underlying files (FAILED_READ_FILE on the next action). */
   def saveData(df: DataFrame): Unit = {
-    val merged = Store.upsert(facts(), df
-      .select("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume"))
-      .cache() // two actions below (save + meta) — compute the merge once
-    Store.save(merged, factPath)
-    Store.deriveMeta(merged).write.mode("overwrite").parquet(metaPath)
-    merged.unpersist()
+    val incoming = df.select("ts", "symbol", "timeframe", "open", "high",
+      "low", "close", "volume")
+    if (factExists) Store.upsertSave(spark, factPath, incoming)
+    else Store.save(incoming, factPath)
+    Store.deriveMeta(facts()).write.mode("overwrite").parquet(metaPath)
   }
 
   /** J1/J2 coverage probe for one request (database_handler.py:257-307).
