@@ -48,6 +48,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("stream-static join: streaming facts enrich against the broadcast catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    Seq(("BTCUSDT", msTs(1000L), 1.0), ("ZZZ", msTs(2000L), 2.0))
+      .toDF("symbol", "ts", "price").write.mode("overwrite").parquet(s"$dir/in")
+    val catalog = graft.sources.ExchangeInfo.catalog(spark)
+    val joined = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .join(org.apache.spark.sql.functions.broadcast(catalog), Seq("symbol"))
+      .select("symbol", "ts", "price", "status")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssj_out").collect()
+    assert(got.length == 1) // ZZZ not in catalog → dropped by inner join
+    assert(got(0).getAs[String]("symbol") == "BTCUSDT")
+    assert(got(0).getAs[String]("status") == "TRADING")
+  }
+
+  test("foreachBatch upsert sink: stream lands in the store with PK semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fbs").toString
+    val store = s"$dir/ohlcv"
+    def candle(ts: Long, sym: String, c: Double) =
+      (msTs(ts), sym, "1m", 1.0, 2.0, 0.5, c, 10.0)
+    // batch 2 re-delivers (2000, BTC) with a new close — last writer wins
+    Seq(candle(1000L, "BTC", 1.0), candle(2000L, "BTC", 2.0))
+      .toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    Seq(candle(2000L, "BTC", 99.0), candle(1000L, "ETH", 7.0))
+      .toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+      .write.mode("append").parquet(s"$dir/in/p2")
+    val sch = graft.sources.KlineSource.schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (new java.io.File(store).exists())
+          graft.engine.Store.upsertSave(spark, store, batch)
+        else graft.engine.Store.save(batch, store)
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val out = spark.read.parquet(store)
+    assert(out.count() == 3) // (1000,BTC) (2000,BTC) (1000,ETH)
+    val btc2000 = out.filter(col("symbol") === "BTC" &&
+      unix_millis(col("ts")) === 2000L).select("close").as[Double].collect()
+    assert(btc2000.toSeq == Seq(99.0), "late re-delivery must win on the PK")
+  }
+
   test("ST4: streaming PK dedup collapses overlapping re-ingest (DB:215-218)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
     val rows = Seq(
