@@ -73,8 +73,10 @@ object Dedup {
       concat_ws("|",
         (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
     }
+    // cache: the self-join's two sides would otherwise recompute the whole
+    // shingle→minhash pipeline twice (band table is tiny: docs × bands)
     val exploded = sigs.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h"))).cache()
     val a = exploded.select(col(idCol).as("id_a"), col("band_idx"), col("h"))
     val b = exploded.select(col(idCol).as("id_b"), col("band_idx"), col("h"))
     a.join(b, Seq("band_idx", "h"))
@@ -108,7 +110,7 @@ object Dedup {
     val rare = shingleTbl.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("shingle")
-    val filtered = shingleTbl.join(rare, "shingle")
+    val filtered = shingleTbl.join(rare, "shingle").cache()
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
     val cands = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
