@@ -208,33 +208,42 @@ object ExtQueries {
     None)
 
   // ---------------------------------------------------------------- x37
-  /** Heuristic language ID (stopword-frequency argmax, deterministic
-    * rank tie-break) scored against the labeled `lang` column. */
-  val x37LangId: Q = Q(
-    (s, dir) =>
-      TextAnalysis.langId(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("predicted_lang"), col("lang"),
-          (col("predicted_lang") === col("lang")).as("is_match"),
-          col("score_de"), col("score_en"), col("score_es"),
-          col("score_fr"), col("score_zh"))
-        .orderBy("doc_id"),
-    Some("""WITH scored AS (SELECT doc_id, lang,
-        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS score_de,
-        len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of','to'))) AS score_en,
-        len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','que'))) AS score_es,
-        len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','les'))) AS score_fr,
-        len(list_filter(string_split(text,' '), x -> x IN ('de','shi','bu','le','zai'))) AS score_zh
-        FROM documents),
-      pred AS (SELECT *,
-        greatest(score_de*8+3, score_en*8+5, score_es*8+4, score_fr*8+2, score_zh*8+1) AS combined
-        FROM scored)
-      SELECT doc_id,
-        CASE combined % 8 WHEN 5 THEN 'en' WHEN 4 THEN 'es' WHEN 3 THEN 'de'
-          WHEN 2 THEN 'fr' WHEN 1 THEN 'zh' END AS predicted_lang,
-        lang, (CASE combined % 8 WHEN 5 THEN 'en' WHEN 4 THEN 'es'
-          WHEN 3 THEN 'de' WHEN 2 THEN 'fr' WHEN 1 THEN 'zh' END) = lang AS is_match,
-        score_de, score_en, score_es, score_fr, score_zh
-      FROM pred ORDER BY doc_id"""))
+  /** Heuristic language ID (stopword-frequency + char-trigram argmax,
+    * deterministic rank tie-break) scored against the labeled `lang`
+    * column. Oracle generated from the same word/trigram profiles. */
+  val x37LangId: Q = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
+    val wordCtes = langs.map(l =>
+      s"len(list_filter(tk, x -> x IN (${inList(TextAnalysis.stopwords(l))}))) AS score_$l")
+    val triCtes = langs.map(l =>
+      s"len(list_filter(tg, x -> x IN (${inList(TextAnalysis.charTrigrams(l))}))) AS tri_$l")
+    val combined = langs.map(l =>
+      s"(score_$l + tri_$l)*8+${TextAnalysis.langRank(l)}").mkString(", ")
+    val caseExpr = "CASE combined % 8 " + langs.map(l =>
+      s"WHEN ${TextAnalysis.langRank(l)} THEN '$l'").mkString(" ") + " END"
+    Q(
+      (s, dir) =>
+        TextAnalysis.langId(Tables.documents(s, dir), "text")
+          .select((Seq(col("doc_id"), col("predicted_lang"), col("lang"),
+            (col("predicted_lang") === col("lang")).as("is_match")) ++
+            langs.map(l => col(s"score_$l")) ++
+            langs.map(l => col(s"tri_$l"))): _*)
+          .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, lang, string_split(text,' ') AS tk,
+          list_transform(range(1, greatest(length(text) - 1, 1)),
+            i -> substr(text, i, 3)) AS tg
+          FROM documents),
+        scored AS (SELECT doc_id, lang,
+          ${(wordCtes ++ triCtes).mkString(",\n          ")}
+          FROM base),
+        pred AS (SELECT *, greatest($combined) AS combined FROM scored)
+        SELECT doc_id, $caseExpr AS predicted_lang, lang,
+          ($caseExpr) = lang AS is_match,
+          ${langs.map(l => s"score_$l").mkString(", ")},
+          ${langs.map(l => s"tri_$l").mkString(", ")}
+        FROM pred ORDER BY doc_id"""))
+  }
 
   // ---------------------------------------------------------------- x38
   /** Quality scoring: token counts (split + regex), avg token length,

@@ -23,21 +23,43 @@ object TextAnalysis {
   val langRank: Map[String, Int] =
     Map("en" -> 5, "es" -> 4, "de" -> 3, "fr" -> 2, "zh" -> 1)
 
+  /** Characteristic character trigrams per language — the n-gram half of
+    * the heuristic (applied to raw text, catches morphology the word lists
+    * miss). */
+  val charTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "he ", "er ", "nd "),
+    "es" -> Seq("de ", "os ", "ión", "ent", "la "),
+    "de" -> Seq("der", "ich", "sch", "ein", "und"),
+    "fr" -> Seq("les", "ent", "de ", "ion", "que"),
+    "zh" -> Seq("shi", "zhi", "ang", "eng", "ong"))
+
   /** Count of tokens present in `words` (with repeats — frequency, not
     * set membership). */
   def stopwordScore(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
 
-  /** Heuristic language ID: stopword-frequency argmax with deterministic
-    * rank tie-break. Adds `predicted_lang` and per-language `score_<lang>`
-    * columns. */
+  /** Count of character trigrams of `text` matching `grams` (with
+    * repeats). */
+  def trigramScore(text: Column, grams: Seq[String]): Column =
+    size(filter(
+      // greatest(...,1): sequence(1,0) would generate a DESCENDING range;
+      // a single too-short gram can never match a 3-char profile entry
+      transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
+        i => text.substr(i, lit(3))),
+      t => grams.map(g => t === g).reduce(_ || _)))
+
+  /** Heuristic language ID: combined stopword-frequency + char-trigram
+    * argmax with deterministic rank tie-break. Adds `predicted_lang` and
+    * per-language `score_<lang>` (words) / `tri_<lang>` (trigrams). */
   def langId(docs: DataFrame, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    val scored = stopwords.keys.toSeq.sorted.foldLeft(docs) { (df, lang) =>
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(docs) { (df, lang) =>
       df.withColumn(s"score_$lang", stopwordScore(toks, stopwords(lang)))
+        .withColumn(s"tri_$lang", trigramScore(col(textCol), charTrigrams(lang)))
     }
-    val combined = greatest(stopwords.keys.toSeq.sorted.map(lang =>
-      col(s"score_$lang") * 8 + langRank(lang)): _*)
+    val combined = greatest(langs.map(lang =>
+      (col(s"score_$lang") + col(s"tri_$lang")) * 8 + langRank(lang)): _*)
     val predicted = langRank.foldLeft(lit(null).cast("string")) {
       case (acc, (lang, rank)) => when(combined % 8 === rank, lang).otherwise(acc)
     }
