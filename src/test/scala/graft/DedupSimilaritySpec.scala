@@ -126,6 +126,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(b1 == b2)
   }
 
+  test("multimodal plumbing: media wrap, partition-wise features, frame sampling") {
+    val d = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val media = graft.ext.Multimodal.asMedia(d, "doc_id", "text")
+    val feats = graft.ext.Multimodal.extractFeatures(media)
+    val f = feats.collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).n_bytes == 11 && f(1L).first_byte == 'h'.toInt)
+    assert(f(1L).n_frames == 11 % 7 + 1)
+    val frames = graft.ext.Multimodal.sampleFrames(feats, every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // doc 1 has 5 frames → sampled 0,2,4; doc 2 has 4 → 0,2
+    assert(frames == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2)))
+  }
+
   test("langid picks the max-stopword language with deterministic tie-break") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),
