@@ -694,6 +694,67 @@ object Queries {
       ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q32
+  /** Explicit GROUPING SETS through the SQL entry path (`spark.sql`) —
+    * same Catalyst pipeline as the DSL, exercised once deliberately. */
+  val q32GroupingSets: Q = Q(
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT coalesce(l_returnflag, '<rf>') AS rf,
+          coalesce(l_linestatus, '<ls>') AS ls,
+          count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY rf, ls""")
+    },
+    Some("""SELECT coalesce(l_returnflag, '<rf>') AS rf,
+      coalesce(l_linestatus, '<ls>') AS ls,
+      count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY rf, ls"""))
+
+  // ---------------------------------------------------------------- q33
+  /** lag/lead analytics: per-user delta to the previous event and time
+    * since it — differences of exact values, no rounding needed. */
+  val q33LagDelta: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"), col("prev_value"), col("delta"), col("gap_ms"),
+          col("next_type"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      lag(value, 1) OVER w AS prev_value,
+      value - lag(value, 1) OVER w AS delta,
+      epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms,
+      lead(event_type, 1) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts_ms, event_id"""))
+
+  // ---------------------------------------------------------------- q34
+  /** Exact percentiles per group: both engines linearly interpolate over
+    * the sorted values, so identical inputs give identical doubles. */
+  val q34Percentiles: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+      quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,
+      min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -725,6 +786,9 @@ object Queries {
     "q27_resample_1M" -> q27Resample1M,
     "q30_salted_agg" -> q30SaltedAgg,
     "q31_shipping_priority" -> q31ShippingPriority,
+    "q32_grouping_sets" -> q32GroupingSets,
+    "q33_lag_delta" -> q33LagDelta,
+    "q34_percentiles" -> q34Percentiles,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }
