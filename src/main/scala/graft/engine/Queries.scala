@@ -755,6 +755,53 @@ object Queries {
       min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q35
+  /** approx_count_distinct extension (SURVEY §2.4): HLL sketches aren't
+    * oracle-reproducible (different algorithms) → rows-only check here;
+    * the ±5% accuracy bound vs exact is asserted in EntrySpec. The exact
+    * countDistinct rides along for that comparison. */
+  val q35ApproxDistinct: Q = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag"),
+    None)
+
+  // ---------------------------------------------------------------- q36
+  /** Sessionization: events within a 30-minute inactivity gap form one
+    * session — Spark's native `session_window` aggregation; the oracle
+    * reproduces its half-open [start, last+gap) semantics with the
+    * classic lag + running-sum formulation. A training-pipeline staple
+    * (user activity segmentation) beyond the reference's surface. */
+  val q36Sessionize: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "start_ms"),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        epoch_ms(max(ts)) + 1800000 AS end_ms,
+        count(*) AS n_events, round(sum(value), 4) AS session_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, start_ms"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -789,6 +836,8 @@ object Queries {
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_lag_delta" -> q33LagDelta,
     "q34_percentiles" -> q34Percentiles,
+    "q35_approx_distinct" -> q35ApproxDistinct,
+    "q36_sessionize" -> q36Sessionize,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }

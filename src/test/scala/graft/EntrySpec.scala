@@ -17,6 +17,17 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 
+  test("approx_count_distinct stays within 5% of exact (q35 accuracy bound)") {
+    val rows = SparkEntry.queries("q35_approx_distinct")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact drifted > 5%")
+    }
+  }
+
   test("every declared query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
