@@ -118,6 +118,39 @@ object Dedup {
     jaccardVerify(cands, shingleTbl, idCol)
   }
 
+  /** Connected components over near-dup pairs (id_a < id_b) by iterative
+    * min-label propagation: each round every node adopts the minimum label
+    * in its neighborhood; converges in graph-diameter rounds (dup clusters
+    * are shallow — chains of LSH hits). Returns (id, keeper) where keeper
+    * is the component's minimum id — the canonical survivor choice.
+    * At adversarial diameters switch to large-star/small-star; the loop
+    * here is driver-side control flow over fully distributed steps. */
+  def connectedKeepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("keeper", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("keeper")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("keeper"), coalesce(col("nbr_min"), col("keeper")))
+            .as("keeper"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("keeper", "old"), "id")
+        .filter(col("keeper") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** 48-bit SimHash over word tokens. Token hash = first 12 hex chars of
     * md5; bit p of hex digit k=(p div 4) is `(digit >> (p mod 4)) & 1`.
     * Majority vote per bit (+1/-1 weights, ties → 0). */

@@ -78,6 +78,55 @@ object ExtQueries {
       ORDER BY 1,2"""),
     bench = true)
 
+  // ---------------------------------------------------------------- x44
+  /** Dedup keeper selection: MinHash-LSH pairs → connected components →
+    * min-id keeper per cluster (the step that turns pair detection into
+    * an actionable drop-list). Oracle: same pair pipeline + a recursive
+    * CTE computing min reachable id. */
+  val x44DedupClusters: Q = Q(
+    (s, dir) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+        .cache()
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
+      val pairs = Dedup.jaccardVerify(cands, sh, "doc_id")
+        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      Dedup.connectedKeepers(pairs)
+        .select(col("id").as("doc_id"), col("keeper"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      hb AS (SELECT doc_id, (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
+        FROM sh),
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM hb GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1,2),
+      pairs AS (SELECT id_a, id_b FROM cm
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE common / (za.sz + zb.sz - common) >= 0.8),
+      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges2),
+      reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id)
+      SELECT id AS doc_id, min(root) AS keeper
+      FROM reach GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- x32
   /** SimHash document fingerprints (48-bit majority-vote over md5 token
     * hashes). */
@@ -358,5 +407,6 @@ object ExtQueries {
     "x39_token_count" -> x39TokenCount,
     "x40_fingerprint" -> x40Fingerprint,
     "x41_multimodal" -> x41Multimodal,
-    "x43_tfidf" -> x43Tfidf)
+    "x43_tfidf" -> x43Tfidf,
+    "x44_dedup_clusters" -> x44DedupClusters)
 }

@@ -27,6 +27,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L), "false positive")
   }
 
+  test("connectedKeepers clusters chains transitively and picks the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedKeepers(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs have identical fingerprints; near-dups are close") {
     val fps = Dedup.simhash48(docs, "doc_id", "text")
     val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
