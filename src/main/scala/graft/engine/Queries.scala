@@ -800,7 +800,52 @@ object Queries {
         epoch_ms(max(ts)) + 1800000 AS end_ms,
         count(*) AS n_events, round(sum(value), 4) AS session_value
       FROM s GROUP BY user_id, session_id
-      ORDER BY user_id, start_ms"""))
+      ORDER BY user_id, start_ms"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q37
+  /** Pivot: per-user event counts spread over the closed event-type
+    * vocabulary (explicit value list ⇒ no extra distinct-values job —
+    * the scale-correct form). */
+  val q37Pivot: Q = Q(
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p) { (df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L)))
+      }.orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS click,
+      count(*) FILTER (WHERE event_type = 'error') AS error,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q38
+  /** Unpivot (melt): wide lineitem measures to long (measure, value)
+    * rows — the inverse reshape, free of shuffles (pure flatMap). */
+  val q38Unpivot: Q = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber, measure"""))
 
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
@@ -838,6 +883,8 @@ object Queries {
     "q34_percentiles" -> q34Percentiles,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q36_sessionize" -> q36Sessionize,
+    "q37_pivot" -> q37Pivot,
+    "q38_unpivot" -> q38Unpivot,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }

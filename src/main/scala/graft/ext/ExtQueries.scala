@@ -125,7 +125,8 @@ object ExtQueries {
         UNION
         SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id)
       SELECT id AS doc_id, min(root) AS keeper
-      FROM reach GROUP BY 1 ORDER BY 1"""))
+      FROM reach GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // ---------------------------------------------------------------- x32
   /** SimHash document fingerprints (48-bit majority-vote over md5 token
