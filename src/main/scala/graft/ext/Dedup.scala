@@ -126,28 +126,37 @@ object Dedup {
     * At adversarial diameters switch to large-star/small-star; the loop
     * here is driver-side control flow over fully distributed steps. */
   def connectedKeepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+    // localCheckpoint (eager) everywhere a frame feeds the loop: iterative
+    // plans otherwise accumulate the WHOLE upstream lineage (here, the
+    // MinHash pipeline) into every iteration's logical plan, and Catalyst
+    // re-analysis time — driver-side — comes to dominate the job. Cutting
+    // lineage per round keeps planning O(1) per iteration.
+    val p = pairs.localCheckpoint(true)
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("keeper", col("id")).cache()
+      .withColumn("keeper", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("keeper")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("keeper"), coalesce(col("nbr_min"), col("keeper")))
             .as("keeper"))
-        .cache()
+      // pointer jumping: keeper := keeper's keeper — squares the
+      // propagation distance per round (log-diameter convergence)
+      val k2 = hop.select(col("id").as("kid"), col("keeper").as("kk"))
+      val next = hop.join(k2, hop("keeper") === k2("kid"), "left")
+        .select(hop("id"), coalesce(col("kk"), hop("keeper")).as("keeper"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("keeper", "old"), "id")
         .filter(col("keeper") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
-    sym.unpersist()
     labels
   }
 
