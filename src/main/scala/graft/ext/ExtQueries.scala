@@ -394,6 +394,28 @@ object ExtQueries {
       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- x45
+  /** Array-function family over embeddings: size, element min/max, and an
+    * element-order fold (Spark `aggregate` ≡ DuckDB `list_reduce`, both
+    * left-to-right — bit-identical doubles, no rounding). */
+  val x45ArrayStats: Q = Q(
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          array_min(col("embedding")).as("emin"),
+          array_max(col("embedding")).as("emax"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("esum"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))).as("l1"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, label, len(embedding) AS dim,
+      list_min(embedding) AS emin, list_max(embedding) AS emax,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) AS esum,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + abs(b)) AS l1
+      FROM embeddings ORDER BY vec_id"""))
+
   val all: Map[String, Q] = Map(
     "x30_dedup_exact" -> x30DedupExact,
     "x31_minhash_lsh" -> x31MinhashLsh,
@@ -409,5 +431,6 @@ object ExtQueries {
     "x40_fingerprint" -> x40Fingerprint,
     "x41_multimodal" -> x41Multimodal,
     "x43_tfidf" -> x43Tfidf,
-    "x44_dedup_clusters" -> x44DedupClusters)
+    "x44_dedup_clusters" -> x44DedupClusters,
+    "x45_array_stats" -> x45ArrayStats)
 }
