@@ -847,6 +847,25 @@ object Queries {
       WHERE l_orderkey <= 100
       ORDER BY l_orderkey, l_linenumber, measure"""))
 
+  // ---------------------------------------------------------------- q39
+  /** Salted replicated-dim join ([[Skew.saltedJoin]]) must equal the plain
+    * join — oracle-checked like q30. Dim = order-priority lookup. */
+  val q39SaltedJoin: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("o_orderkey", col("l_orderkey")) // align the join key name
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "o_orderkey",
+          factTieBreak = col("l_linenumber"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q01_resample_1h" -> q01Resample1h,
@@ -885,6 +904,7 @@ object Queries {
     "q36_sessionize" -> q36Sessionize,
     "q37_pivot" -> q37Pivot,
     "q38_unpivot" -> q38Unpivot,
+    "q39_salted_join" -> q39SaltedJoin,
     "q28_resample_pyramid" -> q28ResamplePyramid,
     "q29_resample_1w" -> q29Resample1w)
 }

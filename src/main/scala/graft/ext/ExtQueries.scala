@@ -416,6 +416,27 @@ object ExtQueries {
       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + abs(b)) AS l1
       FROM embeddings ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- x46
+  /** The typed OHLCV Aggregator (§2.10 UDAF) driven through the gate: same
+    * candle computation as q01 but via `udaf(OhlcvAggregator.agg)` — the
+    * oracle is therefore q01's SQL verbatim. Proves the UDAF's
+    * partial-merge path produces oracle-exact candles, not just
+    * unit-test-equal ones. */
+  val x46UdafCandle: Q = Q(
+    (s, dir) => {
+      val candle = org.apache.spark.sql.functions.udaf(
+        graft.functions.OhlcvAggregator.agg)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(candle(unix_micros(col("ts")), col("value")).as("c"))
+        .select(col("user_id"), unix_millis(col("window.start")).as("bucket_ms"),
+          round(col("c.open"), 4).as("open"), round(col("c.high"), 4).as("high"),
+          round(col("c.low"), 4).as("low"), round(col("c.close"), 4).as("close"),
+          round(col("c.volume"), 4).as("volume"), col("c.n").as("n"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Queries.q01Resample1h.oracle)
+
   val all: Map[String, Q] = Map(
     "x30_dedup_exact" -> x30DedupExact,
     "x31_minhash_lsh" -> x31MinhashLsh,
@@ -432,5 +453,6 @@ object ExtQueries {
     "x41_multimodal" -> x41Multimodal,
     "x43_tfidf" -> x43Tfidf,
     "x44_dedup_clusters" -> x44DedupClusters,
-    "x45_array_stats" -> x45ArrayStats)
+    "x45_array_stats" -> x45ArrayStats,
+    "x46_udaf_candle" -> x46UdafCandle)
 }
