@@ -33,16 +33,23 @@ object Bench {
       try run(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
+    // a crashing query must not masquerade as a fast one: its entry is -1,
+    // its error is listed, and it contributes nothing to the total
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name, sfDir)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { run(name, sfDir); None }
+      catch { case t: Throwable =>
+        Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(120)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, e) =>
+        "\"" + k + "\":" + (if (e.isDefined) "-1" else v.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

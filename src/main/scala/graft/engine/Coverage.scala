@@ -29,6 +29,20 @@ object Coverage {
     *    [cov_start, cov_end + dur - 1] (database_handler.py:296-298);
     *  - freshness hit: requested end exceeds coverage but coverage end is
     *    within 2×dur of `now` (database_handler.py:288-295).
+    *
+    * Two DELIBERATE divergences from the reference's freshness arithmetic
+    * (same spirit as the documented 30m timeframe-bug fix in
+    * [[Timeframes]]):
+    *  1. the reference tests `abs(now - (cov_end + dur - 1)) < 2*dur` with
+    *     no containment of the requested START — it will report a cache hit
+    *     for a request that begins BEFORE stored coverage, then serve a
+    *     range scan missing that head. Here a freshness hit additionally
+    *     requires `req_start >= cov_start` (strict start containment);
+    *  2. our staleness bound is `now - cov_end <= 2*dur` on the bucket
+    *     START (inclusive at exactly 2×dur) rather than a strict `<` on the
+    *     bucket end + dur - 1 — requests landing exactly on the boundary
+    *     classify as fresh here, stale there. The truth table in
+    *     CoverageSpec pins both choices.
     */
   def probe(requests: DataFrame, meta: DataFrame, keyCols: Seq[String],
       durMs: Long, nowMs: Long): DataFrame = {

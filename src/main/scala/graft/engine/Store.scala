@@ -22,17 +22,19 @@ object Store {
 
   /** S7 keyed upsert: `INSERT OR REPLACE` ≡ union + last-writer-wins dedup
     * on the PK (database_handler.py:215-218). `incoming` beats `existing`;
-    * within `incoming`, later rows beat earlier only if an explicit
-    * `seqCol` is provided (the reference's executemany has no intra-batch
-    * order guarantee either — last wins by row order, which is not
-    * reproducible; we require determinism instead). Single shuffle on the
-    * PK; at scale combine with partition-overwrite so only touched
+    * within `incoming`, the row with the highest `seqCol` wins when one is
+    * provided (the reference's executemany is last-wins by batch row order,
+    * which is not a reproducible order — an explicit sequence column is the
+    * deterministic equivalent). Without `seqCol`, `incoming` must be
+    * PK-unique or the surviving duplicate is engine-chosen. Single shuffle
+    * on the PK; at scale combine with partition-overwrite so only touched
     * (symbol, timeframe) partitions rewrite. */
   def upsert(existing: DataFrame, incoming: DataFrame,
-      keys: Seq[String] = pk): DataFrame = {
+      keys: Seq[String] = pk, seqCol: Option[String] = None): DataFrame = {
     val tagged = existing.withColumn("_src", lit(0))
       .unionByName(incoming.withColumn("_src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    val order = col("_src").desc +: seqCol.map(c => col(c).desc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")

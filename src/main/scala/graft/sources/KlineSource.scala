@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -133,21 +133,29 @@ case class KlineOffset(ms: Long) extends Offset {
   override def json(): String = ms.toString
 }
 
-/** Micro-batch form of the source: `latestOffset` advances the cursor by
-  * `batchMs` per trigger (bounded by `endMs`), and each batch plans the
-  * same per-symbol partitions over just the new range — so restart from a
-  * checkpoint resumes exactly at the last committed cursor, the streaming
-  * equivalent of the reference's `last_ts + 1` resume rule. */
+/** Micro-batch form of the source: each trigger's end offset is computed
+  * from the PREVIOUS batch's committed start via
+  * [[SupportsAdmissionControl.latestOffset(start, limit)]] — the stream
+  * holds no mutable cursor at all, so a restart from a checkpoint resumes
+  * exactly at the last committed offset (the streaming equivalent of the
+  * reference's `last_ts + 1` resume rule, api_connector.py:268) and can
+  * never regress or re-emit committed ranges. */
 class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
     durMs: Long, startMs: Long, endMs: Long, batchMs: Long)
-    extends MicroBatchStream {
-  private var current: Long = startMs
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = KlineOffset(startMs)
-  override def latestOffset(): Offset = {
-    current = math.min(current + math.max(batchMs, durMs), endMs)
-    KlineOffset(current)
+  /** Dead code path once SupportsAdmissionControl is implemented — the
+    * engine always calls the (start, limit) overload below. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "use latestOffset(start, limit) via SupportsAdmissionControl")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KlineOffset].ms
+    KlineOffset(math.min(from + math.max(batchMs, durMs), endMs))
   }
+  /** True end of the (bounded) stream, for progress reporting. */
+  override def reportLatestOffset(): Offset = KlineOffset(endMs)
   override def deserializeOffset(json: String): Offset =
     KlineOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -71,6 +71,35 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, "stream and batch disagree")
   }
 
+  test("ST1 restart: checkpoint resume re-emits nothing and completes the range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kline_restart").toString
+    def runStream(endMs: Long): Unit = {
+      val sq = spark.readStream.format("graft.sources.KlineSource")
+        .option("symbols", "BTCUSDT")
+        .option("startMs", t0.toString)
+        .option("endMs", endMs.toString)
+        .option("timeframe", "1m")
+        .option("batchMs", (3 * 3600000L).toString)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .format("parquet").option("path", s"$dir/out").start()
+      try { sq.processAllAvailable() } finally { sq.stop() }
+    }
+    // run 1 drains [t0, t0+12h); run 2 restarts from the checkpoint with a
+    // larger endMs (more data has "arrived") and must resume at +12h, not
+    // regress to startMs and re-emit committed ranges
+    runStream(t0 + 12 * 3600000L)
+    runStream(t0 + dayMs)
+    val out = spark.read.parquet(s"$dir/out") // file-sink metadata log: committed files only
+    assert(out.count() == 1440, "restart must complete exactly one day of minutes")
+    assert(out.groupBy("symbol", "ts").count()
+      .filter(col("count") > 1).isEmpty, "restart re-emitted committed ranges")
+    val mm = out.agg(min("ts"), max("ts")).collect()(0)
+    assert(mm.getTimestamp(0).getTime == t0)
+    assert(mm.getTimestamp(1).getTime == t0 + dayMs - 60000)
+  }
+
   test("S13/P3: exchange catalog filters to sorted active USDT pairs") {
     val pairs = ExchangeInfo.usdtTradingPairs(spark).collect()
     assert(pairs.nonEmpty)

@@ -42,6 +42,20 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(wrong == 0, "existing value survived an incoming key")
   }
 
+  test("upsert seqCol: highest sequence wins inside a duplicate-PK batch") {
+    val existing = mk((1000L, "BTC", "1m", 1.0)).withColumn("seq", lit(0L))
+    // the same PK delivered twice in one batch (a cursor re-fetch overlap):
+    // the row with the higher ingest sequence must survive, deterministically
+    val incoming = Seq(
+      (msTs(1000L), "BTC", "1m", 50.0, 1L),
+      (msTs(1000L), "BTC", "1m", 99.0, 2L),
+      (msTs(2000L), "BTC", "1m", 7.0, 1L))
+      .toDF("ts", "symbol", "timeframe", "close", "seq")
+    val out = Store.upsert(existing, incoming, Store.pk, Some("seq"))
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("close")).toSeq == Seq(99.0, 7.0))
+  }
+
   test("save/scan roundtrip with partition pruning layout (S12/S4)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val df = mk((1000L, "BTC", "1m", 1.0), (2000L, "BTC", "1m", 2.0),
