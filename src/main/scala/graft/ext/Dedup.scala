@@ -30,11 +30,25 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, shingle) exploded table — the shared input of MinHash,
-    * Jaccard verification, and the inverted-index join. */
+  /** Distinct (id, shingle) exploded table — kept for callers that need the
+    * raw shingle strings; the dedup pipelines below use
+    * [[hashedShingleTable]] instead. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** Distinct (id, h) table with shingles hashed to 60-bit ints BEFORE the
+    * distinct — the shared input of MinHash, Jaccard verification, and the
+    * inverted-index join. Hashing first means every downstream shuffle
+    * (distinct, signature agg, verify joins) moves 8-byte longs instead of
+    * ~30-byte shingle strings — a 3–4× shuffle-width cut that compounds at
+    * 100 TB. Set semantics are preserved modulo 60-bit hash collisions,
+    * which the md5-derived oracle reproduces bit-for-bit. */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .select(col(idCol), baseHash(col("shingle")).as("h"))
       .distinct()
 
   /** Universal-hash family constants for MinHash: permutation i is
@@ -51,17 +65,16 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
-  /** MinHash signatures: m_i = min over shingles of permutation_i(md5).
-    * One hash-aggregate producing all `numHashes` mins per document —
-    * single shuffle regardless of signature width. */
-  def minhashSignatures(shingleTbl: DataFrame, idCol: String,
-      numHashes: Int = 16): DataFrame = {
-    val withBase = shingleTbl.withColumn("_h", baseHash(col("shingle")))
-    withBase.groupBy(col(idCol)).agg(
-      min((lit(aConst(0)) * col("_h") + lit(bConst(0))) % P).as("m0"),
+  /** MinHash signatures over a [[hashedShingleTable]] (column `h`):
+    * m_i = min over shingles of permutation_i(h). One hash-aggregate
+    * producing all `numHashes` mins per document — single shuffle
+    * regardless of signature width. */
+  def minhashSignatures(hashedTbl: DataFrame, idCol: String,
+      numHashes: Int = 16): DataFrame =
+    hashedTbl.groupBy(col(idCol)).agg(
+      min((lit(aConst(0)) * col("h") + lit(bConst(0))) % P).as("m0"),
       (1 until numHashes).map(i =>
-        min((lit(aConst(i)) * col("_h") + lit(bConst(i))) % P).as(s"m$i")): _*)
-  }
+        min((lit(aConst(i)) * col("h") + lit(bConst(i))) % P).as(s"m$i")): _*)
 
   /** LSH banding: hash `rows` consecutive signature entries per band; two
     * documents are candidates iff they collide in ≥1 band. Returns distinct
@@ -85,14 +98,14 @@ object Dedup {
   }
 
   /** Exact Jaccard over candidate pairs (verification stage): common
-    * shingles via equi-join on the shingle table, set sizes via a grouped
-    * count — never recomputes shingles pairwise. */
-  def jaccardVerify(cands: DataFrame, shingleTbl: DataFrame,
+    * shingles via equi-join on the hashed shingle table (column `h`), set
+    * sizes via a grouped count — never recomputes shingles pairwise. */
+  def jaccardVerify(cands: DataFrame, hashedTbl: DataFrame,
       idCol: String): DataFrame = {
-    val sizes = shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val sa = shingleTbl.select(col(idCol).as("id_a"), col("shingle"))
-    val sb = shingleTbl.select(col(idCol).as("id_b"), col("shingle"))
-    cands.join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
+    val sizes = hashedTbl.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = hashedTbl.select(col(idCol).as("id_a"), col("h"))
+    val sb = hashedTbl.select(col(idCol).as("id_b"), col("h"))
+    cands.join(sa, "id_a").join(sb, Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       .join(sizes.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")
@@ -103,19 +116,19 @@ object Dedup {
   }
 
   /** Inverted-index n-gram Jaccard: candidates from any shared shingle
-    * whose document frequency is ≤ `maxDf` (blocking guard), then exact
-    * verification. */
-  def ngramJaccardPairs(shingleTbl: DataFrame, idCol: String,
+    * hash whose document frequency is ≤ `maxDf` (blocking guard), then
+    * exact verification. */
+  def ngramJaccardPairs(hashedTbl: DataFrame, idCol: String,
       maxDf: Int = 50): DataFrame = {
-    val rare = shingleTbl.groupBy("shingle")
+    val rare = hashedTbl.groupBy("h")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select("shingle")
-    val filtered = shingleTbl.join(rare, "shingle").cache()
-    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
-    val cands = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .select("h")
+    val filtered = hashedTbl.join(rare, "h").cache()
+    val a = filtered.select(col(idCol).as("id_a"), col("h"))
+    val b = filtered.select(col(idCol).as("id_b"), col("h"))
+    val cands = a.join(b, "h").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    jaccardVerify(cands, shingleTbl, idCol)
+    jaccardVerify(cands, hashedTbl, idCol)
   }
 
   /** Connected components over near-dup pairs (id_a < id_b) by iterative

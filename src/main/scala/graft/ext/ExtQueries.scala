@@ -29,21 +29,27 @@ object ExtQueries {
     Some("""SELECT sha256(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  private val shingleCte = """
+  // sh = distinct (doc_id, 60-bit shingle hash) — hashed BEFORE the
+  // distinct, mirroring Dedup.hashedShingleTable exactly (same md5→bigint
+  // reduction) so both engines agree even on hash collisions
+  private val shingleCte = s"""
     tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
+    shRaw AS (SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                i -> array_to_string(t[i:i+2], ' '))) AS shingle
-           FROM tok)"""
+           FROM tok),
+    sh AS (SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
+           FROM shRaw)"""
 
   // ---------------------------------------------------------------- x31
   /** MinHash + LSH near-dup detection: 16 md5-minhashes, 4 bands × 4 rows,
     * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
   val x31MinhashLsh: Q = Q(
     (s, dir) => {
-      // cache: the shingle table feeds signatures, both verify sides, and
-      // set sizes — without it the text is re-shingled four times
-      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      // cache: the hashed shingle table feeds signatures, both verify
+      // sides, and set sizes — without it the text is re-shingled four times
+      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
         .cache()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
@@ -53,11 +59,9 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH $shingleCte,
-      hb AS (SELECT doc_id, (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
-        FROM sh),
       sigs AS (SELECT doc_id,
         ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
-        FROM hb GROUP BY 1),
+        FROM sh GROUP BY 1),
       bands AS (
         ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
           .mkString(" UNION ALL ")}),
@@ -68,7 +72,7 @@ object ExtQueries {
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
         JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
         GROUP BY 1,2)
       SELECT id_a, id_b, common,
         common / (za.sz + zb.sz - common) AS jaccard
@@ -85,7 +89,7 @@ object ExtQueries {
     * CTE computing min reachable id. */
   val x44DedupClusters: Q = Q(
     (s, dir) => {
-      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
         .cache()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
@@ -96,11 +100,9 @@ object ExtQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shingleCte,
-      hb AS (SELECT doc_id, (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
-        FROM sh),
       sigs AS (SELECT doc_id,
         ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
-        FROM hb GROUP BY 1),
+        FROM sh GROUP BY 1),
       bands AS (
         ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
           .mkString(" UNION ALL ")}),
@@ -111,7 +113,7 @@ object ExtQueries {
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
         JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
         GROUP BY 1,2),
       pairs AS (SELECT id_a, id_b FROM cm
         JOIN sizes za ON za.doc_id = id_a
@@ -153,7 +155,7 @@ object ExtQueries {
     * blocking), threshold 0.5. */
   val x33NgramJaccard: Q = Q(
     (s, dir) => {
-      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
         .cache()
       Dedup.ngramJaccardPairs(sh, "doc_id", maxDf = 50)
         .filter(col("jaccard") >= 0.5)
@@ -161,16 +163,16 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH $shingleCte,
-      rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY 1)
                WHERE df <= 50),
-      f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      f AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
       cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
         JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
         GROUP BY 1,2)
       SELECT id_a, id_b, common,
         common / (za.sz + zb.sz - common) AS jaccard

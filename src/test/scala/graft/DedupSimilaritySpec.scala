@@ -16,7 +16,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
   ).toDF("doc_id", "text")
 
   test("minhash+LSH pipeline surfaces near- and exact-duplicates, not unrelated docs") {
-    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
     val cands = Dedup.lshCandidates(sigs, "doc_id")
     val verified = Dedup.jaccardVerify(cands, sh, "doc_id")
