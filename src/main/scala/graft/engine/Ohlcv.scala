@@ -61,6 +61,47 @@ object Ohlcv {
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n"))
 
+  /** [[resampleTicks]] plus the first/last tick timestamps — a MERGEABLE
+    * candle state: two partials over disjoint tick sets re-aggregate into
+    * the candle of their union via [[mergeCandles]]. This is the
+    * incremental-view-maintenance form of the reference's
+    * store-minutes-derive-the-rest plan (plan.md:86-97): a new ingest batch
+    * only re-merges the buckets it touches. */
+  def resampleTicksPartial(
+      df: DataFrame, timeframe: String,
+      symbolCol: String = "symbol", tsCol: String = "ts",
+      priceCol: String = "price", volumeCol: Option[String] = None): DataFrame = {
+    val vol = volumeCol.getOrElse(priceCol)
+    df.groupBy(col(symbolCol), bucket(col(tsCol), timeframe).as("bucket"))
+      .agg(
+        min_by(col(priceCol), col(tsCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(tsCol)).as("close"),
+        sum(col(vol)).as("volume"),
+        count(lit(1)).as("n"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+  }
+
+  /** Merge partial candle states sharing (symbol, bucket): open follows the
+    * earliest first_ts, close the latest last_ts, extrema/sums combine —
+    * the same associative fold Structured Streaming state uses, expressed
+    * as a batch aggregate. `mergeCandles(partial(A) ∪ partial(B)) ≡
+    * partial(A ∪ B)` for disjoint tick sets (spec-pinned). */
+  def mergeCandles(partials: DataFrame,
+      symbolCol: String = "symbol"): DataFrame =
+    partials.groupBy(col(symbolCol), col("bucket"))
+      .agg(
+        min_by(col("open"), col("first_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("last_ts")).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("n")).as("n"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"))
+
   /** Trailing simple moving average over the previous `n` rows (reference
     * quick-start analysis: README.md:106 — `rolling(window=20).mean()`).
     * pandas emits NaN until `n` rows exist (min_periods default); we

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -866,8 +866,76 @@ object Queries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q40
+  /** Large-large range join without a nested loop: purchases attributed to
+    * the click (same user) whose 30-minute half-open window contains them.
+    * The physical plan is a bucket-prekeyed hash equi-join
+    * ([[RangeJoin.pointInInterval]]); a naive theta join here is a
+    * BroadcastNestedLoopJoin that cannot scale past one executor's memory. */
+  val q40RangeJoin: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_millis(col("ts")).as("c_ms"),
+          (unix_millis(col("ts")) + lit(1800000L)).as("c_end_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+          "c_ms", "c_end_ms", "p_ms", bucketMs = 1800000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_ms") - col("c_ms")).as("lag_ms"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        AND epoch_ms(p.ts) < epoch_ms(c.ts) + 1800000
+      ORDER BY 1, 2, 3"""))
+
+  // ---------------------------------------------------------------- q41
+  /** Incremental candle maintenance: ticks split at a fixed instant into a
+    * "stored" base and a "newly ingested" delta; each side folds to partial
+    * candle states, only delta-touched buckets re-merge
+    * ([[Ohlcv.mergeCandles]]), untouched base candles pass through
+    * unread. The oracle is the FULL recompute (q01's SQL) — incremental ≡
+    * batch is exactly the invariant that matters. At 100 TB this is the
+    * difference between re-aggregating a day and re-aggregating a decade. */
+  val q41IncrementalResample: Q = Q(
+    (s, dir) => {
+      val splitMs = 1706000000000L // 2024-01-23T09:33:20Z, inside the range
+      val ev = Tables.events(s, dir)
+      def partial(f: Column) = Ohlcv.resampleTicksPartial(
+        ev.filter(f), "1h", symbolCol = "user_id", tsCol = "ts",
+        priceCol = "value")
+      val base = partial(unix_millis(col("ts")) < splitMs)
+      val delta = partial(unix_millis(col("ts")) >= splitMs)
+      val touched = delta.select(col("user_id"), col("bucket"))
+      val merged = Ohlcv.mergeCandles(
+        base.join(touched, Seq("user_id", "bucket"), "left_semi")
+          .unionByName(delta), symbolCol = "user_id")
+      val untouched = base.join(touched, Seq("user_id", "bucket"), "left_anti")
+      merged.unionByName(untouched)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          round(col("volume"), 4).as("volume"), col("n"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    // full recompute — the equivalence oracle (same shape/order as q01)
+    Some("""SELECT user_id, epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS bucket_ms,
+      round(min_by(value, ts),4) AS open, round(max(value),4) AS high,
+      round(min(value),4) AS low, round(max_by(value, ts),4) AS close,
+      round(sum(value),4) AS volume, count(*) AS n
+      FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
+    "q40_range_join" -> q40RangeJoin,
+    "q41_incremental_resample" -> q41IncrementalResample,
     "q01_resample_1h" -> q01Resample1h,
     "q02_pricing_summary" -> q02PricingSummary,
     "q03_range_scan" -> q03RangeScan,
