@@ -439,7 +439,96 @@ object ExtQueries {
     },
     Queries.q01Resample1h.oracle)
 
+  // ---------------------------------------------------------------- x47
+  /** Stratified sampling + deterministic train/val/test split — the data
+    * mixing step of a training pipeline. The sampling key is an md5 bucket
+    * of the document id (portable, reshuffle-stable: a doc's fate never
+    * depends on partitioning, cluster size, or row order), language keep
+    * rates are upsampling/downsampling knobs (en 80%, others 40%), and the
+    * split is a second decile of the same bucket. One narrow scan, no
+    * shuffle until the final order. */
+  val x47StratifiedSplit: Q = Q(
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(80)).otherwise(lit(40)))
+        .withColumn("split",
+          when(col("bucket") % 10 < 8, lit("train"))
+            .when(col("bucket") % 10 === 8, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, lang,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+      FROM documents)
+      SELECT doc_id, lang, bucket,
+        CASE WHEN bucket % 10 < 8 THEN 'train'
+             WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      FROM b
+      WHERE bucket < CASE WHEN lang = 'en' THEN 80 ELSE 40 END
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x48
+  /** Sequence packing: greedy contiguous binning of documents into
+    * fixed token budgets (256 tokens) per language — the step that turns a
+    * corpus into training sequences. A document's bin is the budget-floor
+    * of its START offset in the per-language running token sum, so packing
+    * is one window pass + one aggregate: no driver loop, no UDF, and the
+    * window partitions by language (state per task = one language's docs). */
+  val x48PackSequences: Q = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("tokens")) / 256))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+        len(string_split(text, ' ')) AS tokens FROM documents),
+      c AS (SELECT lang, doc_id, tokens,
+        CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+      SELECT lang, (cum - tokens) // 256 AS bin, count(*) AS n_docs,
+        CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- x49
+  /** Decontamination: training docs sharing ≥1 word-3-gram with the
+    * benchmark set (doc_id < 25 plays the held-out benchmark, as in x43).
+    * The overlap test is an equi-join on the hashed shingle table — the
+    * benchmark side is tiny and broadcasts; at 100 TB this is a broadcast
+    * semi-join against a benchmark suite, never a text-vs-text scan. */
+  val x49Decontaminate: Q = Q(
+    (s, dir) => {
+      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
+      val bench = sh.filter(col("doc_id") < 25).select("h").distinct()
+      sh.filter(col("doc_id") >= 25)
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shingleCte,
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+      tr AS (SELECT doc_id, h FROM sh WHERE doc_id >= 25)
+      SELECT doc_id, count(*) AS n_shared
+      FROM tr JOIN bench USING (h)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Map[String, Q] = Map(
+    "x47_stratified_split" -> x47StratifiedSplit,
+    "x48_pack_sequences" -> x48PackSequences,
+    "x49_decontaminate" -> x49Decontaminate,
     "x30_dedup_exact" -> x30DedupExact,
     "x31_minhash_lsh" -> x31MinhashLsh,
     "x32_simhash" -> x32Simhash,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.ExtQueries
+
+/** Training-pipeline operator invariants (x47–x49) beyond the oracle
+  * equality the driver gate already enforces. */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x47 stratified split: md5 bucketing is deterministic, rates stratify") {
+    val a = ExtQueries.x47StratifiedSplit.fn(spark, dir).collect()
+    val b = ExtQueries.x47StratifiedSplit.fn(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "sampling must not depend on run/partitioning")
+    val ids = a.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "a doc sampled twice")
+    assert(a.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+    val enAll = total.filter(col("lang") === "en").count().toDouble
+    val enKept = a.count(_.getAs[String]("lang") == "en").toDouble
+    // md5 buckets are uniform-ish; 80% nominal, generous band for 218 docs
+    assert(enKept / enAll > 0.6 && enKept / enAll < 0.95,
+      s"en keep-rate ${enKept / enAll} not ~0.8")
+  }
+
+  test("x48 packing: bins are contiguous per lang and conserve tokens") {
+    val out = ExtQueries.x48PackSequences.fn(spark, dir).collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L, s"$lang: first bin ${bins.head}")
+      assert(bins.zip(bins.tail).forall { case (x, y) => y == x + 1 },
+        s"$lang: bins not contiguous")
+    }
+    val packedTokens = out.map(_.getAs[Long]("total_tokens")).sum
+    val directTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(packedTokens == directTokens, "packing dropped or duplicated tokens")
+  }
+
+  test("x49 decontamination: flags exactly the docs sharing a benchmark 3-gram") {
+    val out = ExtQueries.x49Decontaminate.fn(spark, dir).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") >= 25), "benchmark doc flagged")
+    assert(out.forall(_.getAs[Long]("n_shared") >= 1))
+    // a doc that IS a benchmark doc's text must be flagged (self-overlap):
+    // construct the check from data — any duplicate text across the split
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dupAcross = docs.filter(col("doc_id") < 25).select(col("text"))
+      .intersect(docs.filter(col("doc_id") >= 25).select(col("text")))
+      .count()
+    val flagged = out.map(_.getAs[Long]("doc_id")).toSet
+    if (dupAcross > 0) {
+      val dupIds = docs.filter(col("doc_id") >= 25)
+        .join(docs.filter(col("doc_id") < 25).select(col("text")), Seq("text"),
+          "left_semi")
+        .filter(size(split(col("text"), " ")) >= 3) // needs ≥1 shingle
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(dupIds.forall(flagged.contains), "exact cross-split dup not flagged")
+    }
+  }
+}
