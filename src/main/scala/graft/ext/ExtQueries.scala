@@ -525,7 +525,44 @@ object ExtQueries {
       FROM tr JOIN bench USING (h)
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x50
+  /** Embedding-cosine near-dup dedup, end to end: blocked cosine pairs
+    * (x34's candidate generation) → connected components → min-id keeper
+    * per cluster — the embedding-space analogue of x44's MinHash drop-list.
+    * Same distributed pieces ([[Similarity.blockedPairs]],
+    * [[Dedup.connectedKeepers]]); oracle = recursive-CTE reachability over
+    * the same pair set. */
+  val x50EmbedDedup: Q = Q(
+    (s, dir) => {
+      val pairs = Similarity.blockedPairs(Tables.embeddings(s, dir),
+          "vec_id", "label", minCos = 0.4)
+        .select("id_a", "id_b")
+      Dedup.connectedKeepers(pairs)
+        .select(col("id").as("vec_id"), col("keeper"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $corpusDotCte,
+      dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          sum(a.x * b.x) AS dp
+        FROM ex a JOIN ex b
+          ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY 1,2,3),
+      pairs AS (SELECT id_a, id_b
+        FROM dots JOIN norms na ON na.vec_id = id_a
+          JOIN norms nb ON nb.vec_id = id_b
+        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4),
+      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges2),
+      reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id)
+      SELECT id AS vec_id, min(root) AS keeper
+      FROM reach GROUP BY 1 ORDER BY 1"""))
+
   val all: Map[String, Q] = Map(
+    "x50_embed_dedup" -> x50EmbedDedup,
     "x47_stratified_split" -> x47StratifiedSplit,
     "x48_pack_sequences" -> x48PackSequences,
     "x49_decontaminate" -> x49Decontaminate,
