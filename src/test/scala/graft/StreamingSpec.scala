@@ -48,6 +48,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("ST3 restart: window-agg state survives a checkpoint restart (append mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st3_restart").toString
+    val t0 = 1704067200000L
+    val rnd = new scala.util.Random(23)
+    def mkRows(n: Int, fromH: Int, toH: Int) = (1 to n).map { _ =>
+      ("S" + rnd.nextInt(2),
+        msTs(t0 + (fromH * 3600 + rnd.nextInt((toH - fromH) * 3600)) * 1000L),
+        rnd.nextDouble() * 50 + 1)
+    }
+    val p1 = mkRows(120, 0, 3)
+    val p2 = mkRows(120, 2, 6) // overlaps hour 2: state from run 1 must merge
+    p1.toDF("symbol", "ts", "price").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      val q = StreamingResample.resampleStream(stream, "symbol", "ts",
+          "price", "1 hour", "2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .format("parquet").option("path", s"$dir/out").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    runStream() // run 1: hours 0-3 seen; early buckets may or may not emit
+    // "more data arrives" while the query is down — incl. a far-future
+    // sentinel that pushes the watermark past every real bucket on run 2
+    (p2 :+ (("S0", msTs(t0 + 48 * 3600 * 1000L), 1.0)))
+      .toDF("symbol", "ts", "price").coalesce(2)
+      .write.mode("append").parquet(s"$dir/in/p2")
+    runStream() // run 2: restored state + new rows finalize all real buckets
+
+    val got = spark.read.parquet(s"$dir/out")
+      .filter(col("bucket") < msTs(t0 + 24 * 3600 * 1000L)) // drop sentinel bucket
+      .orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "open", "high", "low", "close", "n")
+      .collect().toSeq
+    val want = Ohlcv.resampleTicks(
+        (p1 ++ p2).toDF("symbol", "ts", "price"), "1h", priceCol = "price")
+      .orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "open", "high", "low", "close", "n")
+      .collect().toSeq
+    assert(got == want,
+      "restarted stream must equal the batch resample over all input")
+    assert(got.map(r => (r.getString(0), r.getTimestamp(1))).distinct.size ==
+      got.size, "append mode emitted a bucket twice across the restart")
+  }
+
   test("stream-static join: streaming facts enrich against the broadcast catalog") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     Seq(("BTCUSDT", msTs(1000L), 1.0), ("ZZZ", msTs(2000L), 2.0))
