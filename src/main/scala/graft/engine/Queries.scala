@@ -212,7 +212,10 @@ object Queries {
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
       val revenue = decP("l_extendedprice") * (one - decS("l_discount"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // fact⋈fact edge pinned to sort-merge (the 100 TB strategy — orders
+      // does not broadcast at scale, and building its broadcast locally is
+      // pure driver-side variance); dims stay explicit broadcasts
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -233,13 +236,16 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------- q12
-  /** Large-large equi-join (sort-merge / shuffled-hash territory): no
-    * broadcast hint on purpose. */
+  /** Large-large equi-join. The `merge` hint pins the sort-merge strategy
+    * the planner would choose at 100 TB (where neither side broadcasts),
+    * so the SMJ path is genuinely exercised — and its plan evidence real —
+    * at local SF too, instead of silently degrading to the broadcast join
+    * Catalyst prefers for a 600k-row side. */
   val q12JoinLarge: Q = Q(
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))
