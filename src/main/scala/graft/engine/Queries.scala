@@ -938,9 +938,38 @@ object Queries {
       round(sum(value),4) AS volume, count(*) AS n
       FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- q42
+  /** Distribution-rank window family (percent_rank / cume_dist / ntile) —
+    * the W-extension members q17–q19/q33 don't cover. Ordering is made
+    * total (price desc, key) so ntile is deterministic; percent_rank and
+    * cume_dist are ratios of identical integers in both engines →
+    * bit-identical doubles, no rounding needed. */
+  val q42WindowRanks: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd, quartile
+      FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+          percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+          ntile(4) OVER w AS quartile, row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q40_range_join" -> q40RangeJoin,
+    "q42_window_ranks" -> q42WindowRanks,
     "q41_incremental_resample" -> q41IncrementalResample,
     "q01_resample_1h" -> q01Resample1h,
     "q02_pricing_summary" -> q02PricingSummary,
