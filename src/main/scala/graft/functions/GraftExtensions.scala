@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** `SparkSessionExtensions` installer for the engine's native functions —
-  * the deployment path for clusters (`spark.sql.extensions=
-  * graft.functions.GraftExtensions`), making `graft_dot` available in
-  * plain SQL on every session without per-session registration
-  * ([[VectorExpressions.register]] remains for ad-hoc use).
+/** `SparkSessionExtensions` installer for the engine's native functions
+  * and optimizer rules — the deployment path for clusters
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), making
+  * `graft_dot` and the range-join rewrite available on every session
+  * without per-session registration ([[VectorExpressions.register]] and
+  * `spark.experimental.extraOptimizations` remain for ad-hoc use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotF32].getName, "graft_dot"),
       (children: Seq[Expression]) => DotF32(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
