@@ -966,10 +966,59 @@ object Queries {
           ORDER BY o_totalprice DESC, o_orderkey))
       WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"""))
 
+  // ---------------------------------------------------------------- q43
+  /** Correlated EXISTS subquery (TPC-H Q4 shape: orders with a line
+    * shipped >60 days after ordering) — Catalyst decorrelates it into a
+    * left-semi join; the one subquery form q13's DSL semi-join does not
+    * exercise. Timestamp/interval comparisons only → exact in both
+    * engines. */
+  val q43ExistsSubquery: Q = Q(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+        FROM orders_v o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q44
+  /** Correlated scalar subquery — decorrelates into an aggregate + join.
+    * Pure integer logic (counts), so the decorrelated comparison is exact
+    * in both engines. */
+  val q44ScalarSubquery: Q = Q(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey
+        FROM orders_v o
+        WHERE (SELECT count(*) FROM orders_v i
+               WHERE i.o_custkey = o.o_custkey) > 20
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey
+      FROM orders o
+      WHERE (SELECT count(*) FROM orders i
+             WHERE i.o_custkey = o.o_custkey) > 20
+      ORDER BY o_orderkey"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q40_range_join" -> q40RangeJoin,
     "q42_window_ranks" -> q42WindowRanks,
+    "q43_exists_subquery" -> q43ExistsSubquery,
+    "q44_scalar_subquery" -> q44ScalarSubquery,
     "q41_incremental_resample" -> q41IncrementalResample,
     "q01_resample_1h" -> q01Resample1h,
     "q02_pricing_summary" -> q02PricingSummary,
