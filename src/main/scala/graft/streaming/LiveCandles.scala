@@ -45,4 +45,49 @@ object LiveCandles {
           LiveCandle(symbol, new Timestamp(bucketMs), buf.open, buf.high,
             buf.low, buf.close, buf.volume, buf.n)
       }
+
+  /** Event-time tick for the bounded-state variant (`ts` doubles as the
+    * watermark column). */
+  final case class TickEvt(symbol: String, bucketMs: Long, ts: Timestamp,
+      price: Double)
+  /** Live candle with a finalization flag: `closed = true` is the bucket's
+    * LAST emission, fired when its state evicts. */
+  final case class LiveCandleF(symbol: String, bucket: Timestamp,
+      open: Double, high: Double, low: Double, close: Double,
+      volume: Double, n: Long, closed: Boolean)
+
+  implicit private val outFEnc: Encoder[LiveCandleF] =
+    Encoders.product[LiveCandleF]
+
+  /** Bounded-state live candles — the production form the [[stream]]
+    * scaladoc promises: `EventTimeTimeout` + a per-bucket timeout at
+    * bucket end, so a (symbol, bucket) state row lives only until the
+    * watermark passes the bucket (plus the watermark delay). The timed-out
+    * call emits the candle once more with `closed = true` and removes the
+    * state — total state is O(open buckets per key), not O(history).
+    * Input MUST be watermarked on `ts` (event time). */
+  def streamEvicting(ticks: Dataset[TickEvt],
+      bucketWidthMs: Long): Dataset[LiveCandleF] =
+    ticks.groupByKey(t => (t.symbol, t.bucketMs))
+      .mapGroupsWithState[Buf, LiveCandleF](GroupStateTimeout.EventTimeTimeout) {
+        case ((symbol, bucketMs), batch, state: GroupState[Buf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            LiveCandleF(symbol, new Timestamp(bucketMs), buf.open, buf.high,
+              buf.low, buf.close, buf.volume, buf.n, closed = true)
+          } else {
+            var buf = state.getOption.getOrElse(OhlcvAggregator.empty)
+            batch.foreach(t =>
+              buf = OhlcvAggregator.agg.reduce(buf,
+                Tick(t.ts.getTime * 1000L, t.price)))
+            state.update(buf)
+            // evict when the watermark passes bucket end; clamp above the
+            // current watermark (required by the API for late buckets)
+            state.setTimeoutTimestamp(math.max(bucketMs + bucketWidthMs,
+              state.getCurrentWatermarkMs() + 1))
+            LiveCandleF(symbol, new Timestamp(bucketMs), buf.open, buf.high,
+              buf.low, buf.close, buf.volume, buf.n, closed = false)
+          }
+      }
 }

@@ -64,4 +64,63 @@ class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
       assert(a.getLong(7) == b.getLong(7))
     }
   }
+
+  test("streamEvicting: closed buckets emit a final candle and leave the state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_live_evict").toString
+    val t0 = 1704067200000L
+    val rnd = new scala.util.Random(31)
+    def ticks(fromH: Int, toH: Int, n: Int) = (1 to n).map { _ =>
+      ("S" + rnd.nextInt(2),
+        msTs(t0 + (fromH * 3600 + rnd.nextInt((toH - fromH) * 3600)) * 1000L),
+        rnd.nextDouble() * 20 + 1)
+    }
+    val early = ticks(0, 1, 100) // hour-0 buckets
+    val late = ticks(5, 6, 100)  // hour-5: watermark jumps past hour 0
+    // one file per phase → exactly one micro-batch each (several part
+    // files would split a phase across batches and strand rows behind the
+    // watermark the first part sets)
+    early.toDF("symbol", "ts", "price").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    late.toDF("symbol", "ts", "price").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in/p2")
+
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("ts", TimestampType),
+      StructField("price", DoubleType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", "10 minutes")
+      .select(col("symbol"),
+        unix_millis(date_trunc("hour", col("ts"))).as("bucketMs"),
+        col("ts"), col("price"))
+      .as[LiveCandles.TickEvt]
+    val q = LiveCandles.streamEvicting(in, 3600000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("live_evict").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val out = spark.table("live_evict")
+    val closed = out.filter(col("closed"))
+    // every hour-0 bucket must have finalized...
+    val hour0 = out.filter(unix_millis(col("bucket")) === t0)
+    assert(hour0.select("symbol").distinct().count() ==
+      closed.filter(unix_millis(col("bucket")) === t0)
+        .select("symbol").distinct().count(),
+      "an hour-0 bucket never closed")
+    // ...with the exact batch candle as its final emission
+    val finalClosed = closed.filter(unix_millis(col("bucket")) === t0)
+      .select("symbol", "open", "high", "low", "close", "n")
+      .orderBy("symbol").collect().toSeq
+    val want = Ohlcv.resampleTicks(early.toDF("symbol", "ts", "price"), "1h",
+        priceCol = "price")
+      .select("symbol", "open", "high", "low", "close", "n")
+      .orderBy("symbol").collect().toSeq
+    assert(finalClosed == want, s"$finalClosed vs $want")
+    // and the state store must only hold the still-open (hour-5) buckets
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+    val openBuckets = late.map(r => (r._1, r._2.getTime / 3600000)).distinct.size
+    assert(lastState.numRowsTotal == openBuckets,
+      s"state rows ${lastState.numRowsTotal} != open buckets $openBuckets — eviction failed")
+  }
 }
