@@ -1013,9 +1013,30 @@ object Queries {
              WHERE i.o_custkey = o.o_custkey) > 20
       ORDER BY o_orderkey"""))
 
+  // ---------------------------------------------------------------- q45
+  /** Multiset set-ops (EXCEPT ALL / INTERSECT ALL) — the bag-semantics
+    * variants q21/q22's distinct forms don't exercise. Multiplicity is
+    * data (how many 'A'-flag lines an order loses vs its 'R'-flag lines),
+    * so the ALL forms are the correct ones here. */
+  val q45SetAll: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "A").select("l_orderkey")
+      val r = li.filter(col("l_returnflag") === "R").select("l_orderkey")
+      a.exceptAll(r)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("surplus"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, count(*) AS surplus FROM (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q40_range_join" -> q40RangeJoin,
+    "q45_set_all" -> q45SetAll,
     "q42_window_ranks" -> q42WindowRanks,
     "q43_exists_subquery" -> q43ExistsSubquery,
     "q44_scalar_subquery" -> q44ScalarSubquery,
