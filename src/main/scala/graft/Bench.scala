@@ -46,7 +46,9 @@ object Bench {
         "\"" + k + "\":" + (if (e.isDefined) "-1" else v.toString) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-        "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"" }
+        // strip everything JSON strings can't carry raw (quotes,
+        // backslashes, ALL control chars), not just newlines
+        "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
