@@ -396,6 +396,21 @@ object ExtQueries {
       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- x51
+  /** Multimodal frame sampling: every-kth "frame" of each media row
+    * exploded to frame granularity ([[Multimodal.sampleFrames]]) — the
+    * sampled-explode shape frame-level training datasets use. */
+  val x51FrameSample: Q = Q(
+    (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.extractFeatures(
+            Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")),
+          every = 2)
+        .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id,
+      unnest(range(0, octet_length(encode(text)) % 7 + 1, 2)) AS frame_idx
+      FROM documents ORDER BY doc_id, frame_idx"""))
+
   // ---------------------------------------------------------------- x45
   /** Array-function family over embeddings: size, element min/max, and an
     * element-order fold (Spark `aggregate` ≡ DuckDB `list_reduce`, both
@@ -563,6 +578,7 @@ object ExtQueries {
 
   val all: Map[String, Q] = Map(
     "x50_embed_dedup" -> x50EmbedDedup,
+    "x51_frame_sample" -> x51FrameSample,
     "x47_stratified_split" -> x47StratifiedSplit,
     "x48_pack_sequences" -> x48PackSequences,
     "x49_decontaminate" -> x49Decontaminate,
