@@ -29,22 +29,16 @@ object Ohlcv {
   /** Resample a tick/trade series (one price column) into OHLCV candles.
     * open/close are price at min/max time; volume sums `volumeCol` (or the
     * price column itself when the series has no separate volume — the
-    * events-proxy convention from FIXTURES.md).
-    */
+    * events-proxy convention from FIXTURES.md). Defined as the mergeable
+    * partial ([[resampleTicksPartial]]) minus its merge-state columns, so
+    * there is exactly one candle aggregate to maintain (Catalyst prunes
+    * the dropped aggregates out of the plan). */
   def resampleTicks(
       df: DataFrame, timeframe: String,
       symbolCol: String = "symbol", tsCol: String = "ts",
-      priceCol: String = "price", volumeCol: Option[String] = None): DataFrame = {
-    val vol = volumeCol.getOrElse(priceCol)
-    df.groupBy(col(symbolCol), bucket(col(tsCol), timeframe).as("bucket"))
-      .agg(
-        min_by(col(priceCol), col(tsCol)).as("open"),
-        max(col(priceCol)).as("high"),
-        min(col(priceCol)).as("low"),
-        max_by(col(priceCol), col(tsCol)).as("close"),
-        sum(col(vol)).as("volume"),
-        count(lit(1)).as("n"))
-  }
+      priceCol: String = "price", volumeCol: Option[String] = None): DataFrame =
+    resampleTicksPartial(df, timeframe, symbolCol, tsCol, priceCol, volumeCol)
+      .drop("first_ts", "last_ts")
 
   /** Resample existing candles (base timeframe, e.g. 1m) to a coarser
     * timeframe — the reference's store-minutes-derive-the-rest architecture
@@ -88,15 +82,19 @@ object Ohlcv {
     * earliest first_ts, close the latest last_ts, extrema/sums combine —
     * the same associative fold Structured Streaming state uses, expressed
     * as a batch aggregate. `mergeCandles(partial(A) ∪ partial(B)) ≡
-    * partial(A ∪ B)` for disjoint tick sets (spec-pinned). */
+    * partial(A ∪ B)` for disjoint tick sets WITH UNIQUE TIMESTAMPS per
+    * (symbol, bucket) — with duplicate tick timestamps open/close are
+    * already tie-ambiguous in the direct resample itself. The merge's own
+    * tie-break is total ((first_ts, open) / (last_ts, close)) so merging
+    * is deterministic regardless. Spec-pinned. */
   def mergeCandles(partials: DataFrame,
       symbolCol: String = "symbol"): DataFrame =
     partials.groupBy(col(symbolCol), col("bucket"))
       .agg(
-        min_by(col("open"), col("first_ts")).as("open"),
+        min_by(col("open"), struct(col("first_ts"), col("open"))).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("last_ts")).as("close"),
+        max_by(col("close"), struct(col("last_ts"), col("close"))).as("close"),
         sum(col("volume")).as("volume"),
         sum(col("n")).as("n"),
         min(col("first_ts")).as("first_ts"),

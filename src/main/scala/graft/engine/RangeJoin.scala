@@ -32,15 +32,15 @@ object RangeJoin {
       pointMsCol: String, bucketMs: Long): DataFrame = {
     val lastBucket = // empty intervals still need a non-empty, valid sequence
       greatest(floor((col(endMsCol) - 1) / bucketMs), floor(col(startMsCol) / bucketMs))
-    val iv = intervals.withColumn("_bucket",
+    val iv = intervals.withColumn("_graft_rj_bucket",
       explode(sequence(floor(col(startMsCol) / bucketMs).cast("long"),
         lastBucket.cast("long"))))
-    val pt = points.withColumn("_bucket",
+    val pt = points.withColumn("_graft_rj_bucket",
       floor(col(pointMsCol) / bucketMs).cast("long"))
-    iv.join(pt, (keys :+ "_bucket").toSeq)
+    iv.join(pt, (keys :+ "_graft_rj_bucket").toSeq)
       .filter(col(pointMsCol) >= col(startMsCol) &&
         col(pointMsCol) < col(endMsCol))
-      .drop("_bucket")
+      .drop("_graft_rj_bucket")
   }
 
   /** Interval-overlap join between two interval tables (half-open ranges,
@@ -53,15 +53,15 @@ object RangeJoin {
       lStartCol: String, lEndCol: String, rStartCol: String, rEndCol: String,
       bucketMs: Long): DataFrame = {
     def burst(df: DataFrame, s: String, e: String) =
-      df.withColumn("_bucket",
+      df.withColumn("_graft_rj_bucket",
         explode(sequence(floor(col(s) / bucketMs).cast("long"),
           greatest(floor((col(e) - 1) / bucketMs), floor(col(s) / bucketMs))
             .cast("long"))))
     burst(left, lStartCol, lEndCol)
-      .join(burst(right, rStartCol, rEndCol), (keys :+ "_bucket").toSeq)
+      .join(burst(right, rStartCol, rEndCol), (keys :+ "_graft_rj_bucket").toSeq)
       .filter(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol) &&
-        col("_bucket") === floor(greatest(col(lStartCol), col(rStartCol)) / bucketMs)
+        col("_graft_rj_bucket") === floor(greatest(col(lStartCol), col(rStartCol)) / bucketMs)
           .cast("long"))
-      .drop("_bucket")
+      .drop("_graft_rj_bucket")
   }
 }

@@ -31,7 +31,14 @@ object Store {
     * (symbol, timeframe) partitions rewrite. */
   def upsert(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String] = pk, seqCol: Option[String] = None): DataFrame = {
-    val tagged = existing.withColumn("_src", lit(0))
+    // stored data typically lacks the batch's ingest-sequence column;
+    // `_src desc` already outranks it for existing rows, so null it in
+    val exAligned = seqCol.filterNot(existing.columns.contains) match {
+      case Some(c) =>
+        existing.withColumn(c, lit(null).cast(incoming.schema(c).dataType))
+      case None => existing
+    }
+    val tagged = exAligned.withColumn("_src", lit(0))
       .unionByName(incoming.withColumn("_src", lit(1)))
     val order = col("_src").desc +: seqCol.map(c => col(c).desc).toSeq
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

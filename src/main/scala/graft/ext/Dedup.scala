@@ -30,14 +30,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, shingle) exploded table — kept for callers that need the
-    * raw shingle strings; the dedup pipelines below use
-    * [[hashedShingleTable]] instead. */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct()
-
   /** Distinct (id, h) table with shingles hashed to 60-bit ints BEFORE the
     * distinct — the shared input of MinHash, Jaccard verification, and the
     * inverted-index join. Hashing first means every downstream shuffle

@@ -61,6 +61,7 @@ object Multimodal {
   def sampleFrames(features: Dataset[MediaFeatures], every: Int = 2): DataFrame =
     features.toDF()
       .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1))
+          .as("frame_idx"))
       .filter(col("frame_idx") % every === 0)
 }

@@ -27,13 +27,25 @@ import org.apache.spark.sql.types.LongType
   *
   * Fires only when BOTH sides exceed the broadcast threshold (a
   * broadcastable side makes BNLJ acceptable) or broadcasting is disabled.
-  * Idempotent by construction: the rewritten join has an equi-conjunct, so
-  * it no longer matches. Floor division is sign-correct (floor, not
+  * Idempotent by construction: the rewritten joins carry equi-conjuncts,
+  * so they no longer match. Floor division is sign-correct (floor, not
   * truncate), so negative domains bucket consistently.
+  *
+  * Wide/open-ended intervals (sentinel ends like Long.MaxValue, spans
+  * beyond `maxBuckets` buckets) must not explode into billions of
+  * generated rows: the rewrite splits the interval side by width. Narrow
+  * intervals take the exploded-bucket join; wide ones take a salted
+  * restricted-cross branch (interval replicated to `wideFanout` salts,
+  * point hashed to one) — a wide interval matches a large share of points
+  * anyway, so that branch is the honest floor, and it is distributed
+  * across `wideFanout` partitions instead of one broadcast. The two
+  * branches union; each qualifying pair emerges exactly once.
   *
   * Config: `spark.graft.rangeJoin.enabled` (default true),
   * `spark.graft.rangeJoin.bucket` (default 3600000 — one hour in ms;
-  * pick ≈ the typical interval length so intervals explode to ≤2 rows).
+  * pick ≈ the typical interval length so intervals explode to ≤2 rows),
+  * `spark.graft.rangeJoin.maxBuckets` (default 256 — width cutoff),
+  * `spark.graft.rangeJoin.wideFanout` (default 32 — wide-branch salts).
   * Install session-wide via `spark.sql.extensions=
   * graft.functions.GraftExtensions` or ad hoc through
   * `spark.experimental.extraOptimizations`.
@@ -70,18 +82,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else if (e.references.subsetOf(right.outputSet)) Some(false)
     else None
 
-  /** True if any conjunct is already a cross-side equality — Spark then
-    * plans a hash join and the rewrite would only add work. */
+  /** True if any conjunct is already a cross-side equality (incl. the
+    * null-safe form) — Spark then plans a hash join and the rewrite would
+    * only add work. */
   private def hasEquiPair(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Boolean =
+      right: LogicalPlan): Boolean = {
+    def crossSide(a: Expression, b: Expression) =
+      (sideOf(a, left, right), sideOf(b, left, right)) match {
+        case (Some(x), Some(y)) => x != y
+        case _ => false
+      }
     conjuncts.exists {
-      case EqualTo(a, b) =>
-        (sideOf(a, left, right), sideOf(b, left, right)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
+      case EqualTo(a, b) => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
       case _ => false
     }
+  }
 
   /** Find `point >= start` and `point < end` conjuncts (either operand
     * order) with the point on one side and both bounds on the other, all
@@ -120,36 +136,79 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val Join(left, right, _, Some(cond), hint) = j
     val conjuncts = splitConjunctivePredicates(cond)
     if (hasEquiPair(conjuncts, left, right)) return None
+    val maxBuckets = conf.getConfString("spark.graft.rangeJoin.maxBuckets",
+      "256").toLong
+    val wideFanout = conf.getConfString("spark.graft.rangeJoin.wideFanout",
+      "32").toLong
     findPattern(conjuncts, left, right).map { pat =>
       val pointOnLeft = sideOf(pat.point, left, right).get
       val (pointSide, intervalSide) =
         if (pointOnLeft) (left, right) else (right, left)
 
-      val pointBucket = AttributeReference("_graft_bucket_p", LongType,
-        nullable = true)()
-      val newPointSide = Project(
-        pointSide.output :+ Alias(floorDiv(pat.point, bucket),
-          pointBucket.name)(pointBucket.exprId), pointSide)
+      def mkJoin(newIntervalSide: LogicalPlan, ivKey: Attribute,
+          newPointSide: LogicalPlan, ptKey: Attribute): LogicalPlan = {
+        val (newLeft, newRight) =
+          if (pointOnLeft) (newPointSide, newIntervalSide)
+          else (newIntervalSide, newPointSide)
+        Project(j.output,
+          Join(newLeft, newRight, Inner,
+            Some(And(cond, EqualTo(ptKey, ivKey))), hint))
+      }
 
-      // interval explodes to every bucket it spans; empty intervals
-      // (e <= s) still get one valid bucket and are culled by the filter
+      val firstBucket = floorDiv(pat.start, bucket)
+      // empty intervals (e <= s) still get one valid bucket; the range
+      // filter culls their rows
       val lastBucket = floorDiv(
         Greatest(Seq(Subtract(pat.end, Literal(1L)), pat.start)), bucket)
+      // width guard: a sentinel/open-ended interval (e.g. e = Long.MaxValue)
+      // must not explode into billions of buckets — see wide branch below
+      val narrowCond = LessThan(Subtract(lastBucket, firstBucket),
+        Literal(maxBuckets))
+
+      // NARROW branch (the common case): interval explodes to the ≤
+      // maxBuckets buckets it spans; point keyed by its single bucket.
+      val pointBucket = AttributeReference("_graft_bucket_p", LongType,
+        nullable = true)()
+      val narrowPointSide = Project(
+        pointSide.output :+ Alias(floorDiv(pat.point, bucket),
+          pointBucket.name)(pointBucket.exprId), pointSide)
       // TimeZoneAwareExpression: past analysis, the rule must supply the
       // zone itself or the plan regresses to unresolved
-      val seq = new Sequence(floorDiv(pat.start, bucket), lastBucket,
-        Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
+      val seq = new Sequence(firstBucket, lastBucket, Literal(1L))
+        .withTimeZone(conf.sessionLocalTimeZone)
       val ivBucket = AttributeReference("_graft_bucket_i", LongType,
         nullable = false)()
-      val newIntervalSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
-        outer = false, qualifier = None, generatorOutput = Seq(ivBucket),
-        child = intervalSide)
+      val narrowIntervalSide = Generate(Explode(seq),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(ivBucket),
+        child = Filter(narrowCond, intervalSide))
+      val narrowJoin = mkJoin(narrowIntervalSide, ivBucket,
+        narrowPointSide, pointBucket)
 
-      val (newLeft, newRight) =
-        if (pointOnLeft) (newPointSide, newIntervalSide)
-        else (newIntervalSide, newPointSide)
-      val newCond = And(cond, EqualTo(pointBucket, ivBucket))
-      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      // WIDE branch (rare: intervals spanning > maxBuckets buckets): a
+      // wide interval matches a large fraction of points anyway, so the
+      // honest floor is a restricted cross — distributed by salting: the
+      // interval replicates to `wideFanout` salts, each point hashes to
+      // one. The salt equality is itself an equi-pair, so this join can
+      // never re-match the rule (termination), and each pair still
+      // emerges exactly once.
+      val ptSalt = AttributeReference("_graft_salt_p", LongType,
+        nullable = false)()
+      val widePointSide = Project(
+        pointSide.output :+ Alias(Cast(Pmod(new Murmur3Hash(Seq(pat.point)),
+          Literal(wideFanout.toInt)), LongType), ptSalt.name)(ptSalt.exprId),
+        pointSide)
+      val ivSalt = AttributeReference("_graft_salt_i", LongType,
+        nullable = false)()
+      val saltSeq = new Sequence(Literal(0L), Literal(wideFanout - 1),
+        Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
+      val wideIntervalSide = Generate(Explode(saltSeq),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(ivSalt),
+        child = Filter(Not(narrowCond), intervalSide))
+      val wideJoin = mkJoin(wideIntervalSide, ivSalt, widePointSide, ptSalt)
+
+      Union(Seq(narrowJoin, wideJoin))
     }
   }
 }

@@ -141,9 +141,9 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(f(1L).n_bytes == 11 && f(1L).first_byte == 'h'.toInt)
     assert(f(1L).n_frames == 11 % 7 + 1)
     val frames = graft.ext.Multimodal.sampleFrames(feats, every = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // doc 1 has 5 frames → sampled 0,2,4; doc 2 has 4 → 0,2
-    assert(frames == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2)))
+    assert(frames == Set((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L), (2L, 2L)))
   }
 
   test("langid picks the max-stopword language with deterministic tie-break") {

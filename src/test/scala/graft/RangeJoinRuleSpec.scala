@@ -76,6 +76,29 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("wide/sentinel intervals survive: salted wide branch, identical results") {
+    // open-ended sentinel ends (Long.MaxValue/2) and month-wide intervals
+    // would explode a naive bucket sequence into billions of rows
+    val iv = (Seq((900L, 0L, Long.MaxValue / 2),          // sentinel "open"
+        (901L, -5000L, 90L * 86400000)) ++                // ~3 months wide
+      (1 to 50).map { i =>
+        val s = rnd.nextInt(20000).toLong
+        (i.toLong, s, s + 1 + rnd.nextInt(2000))          // narrow
+      }).toDF("iv_id", "s_ms", "e_ms")
+    val want = iv.as("a").join(points.as("b"),
+        $"p_ms" >= $"s_ms" && $"p_ms" < $"e_ms")
+      .select("iv_id", "pt_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    withRule() {
+      val df = iv.join(points, $"p_ms" >= $"s_ms" && $"p_ms" < $"e_ms")
+        .select("iv_id", "pt_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_salt"), "wide branch missing:\n" + plan.take(800))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted.toSeq == want.sorted.toSeq)
+      assert(got.length == got.distinct.length, "pair duplicated across branches")
+    }
+  }
+
   test("boundary semantics: inclusive start, exclusive end, across bucket edges") {
     val iv = Seq((1L, 0L, 2000L), (2L, -3000L, -1000L)).toDF("iv_id", "s_ms", "e_ms")
     val pt = Seq((10L, 0L), (11L, 1999L), (12L, 2000L), (13L, -3000L),
