@@ -83,6 +83,40 @@ object Store {
     }
   }
 
+  /** Small-files compaction — the storage-maintenance op incremental
+    * upsert ingest (S7) eventually needs at scale: every micro-batch
+    * appends small files, and a 100 TB table degrades into millions of
+    * them (slow listings, tiny row groups, no skipping). Rewrites the
+    * table at `targetFileBytes` granularity using a RANGE repartition on
+    * (symbol, timeframe, ts), which both merges small files and splits
+    * oversized series into ts-contiguous files — so parquet min/max
+    * row-group skipping stays sharp after the rewrite. The rewrite lands
+    * in a sibling directory and swaps in only after success (no partial
+    * overwrite of live data). */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    df.repartitionByRange(nOut, col("symbol"), col("timeframe"), col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .partitionBy("symbol", "timeframe")
+      .parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    nOut
+  }
+
   /** S4 range scan: key predicates prune partitions, the ts range is
     * pushed to parquet row groups (database_handler.py:329-332). */
   def scan(spark: SparkSession, path: String, symbol: String,

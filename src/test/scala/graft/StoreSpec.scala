@@ -90,6 +90,32 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(all.filter(col("symbol") === "ETH").count() == 1)
   }
 
+  test("compact merges small files without changing data (storage maintenance)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val store = s"$dir/ohlcv"
+    val rows = (1 to 2000).map(i =>
+      (msTs(i * 60000L), if (i % 2 == 0) "BTC" else "ETH", "1m", i.toDouble))
+      .toDF("ts", "symbol", "timeframe", "close")
+    // simulate many tiny ingest files: 25 shuffled parts per partition dir
+    rows.repartition(25).write.mode("overwrite")
+      .partitionBy("symbol", "timeframe").parquet(store)
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(store)
+      .orderBy("ts", "symbol").collect().toSeq
+    val nBefore = parquetFiles().size
+    assert(nBefore >= 25, s"fixture not fragmented: $nBefore files")
+    Store.compact(spark, store, targetFileBytes = 1L << 30)
+    val nAfter = parquetFiles().size
+    assert(nAfter <= 2, s"still fragmented after compact: $nAfter files")
+    val after = spark.read.parquet(store)
+      .orderBy("ts", "symbol").collect().toSeq
+    assert(after == before, "compaction changed the data")
+  }
+
   test("deriveMeta + storedInfo (S8/S6)") {
     val df = mk((1704067200000L, "BTC", "1m", 1.0),
       (1704153600000L, "BTC", "1m", 2.0))
