@@ -38,6 +38,11 @@ def digest(src: str, dst: str) -> int:
             lines.append(f"- join: {j.strip()}")
         if n_agg:
             lines.append(f"- HashAggregate nodes: {n_agg}")
+        if len(lines) == 1:
+            lines.append(
+                "- (plan rooted at localCheckpoint — iterative "
+                "connected-components loop cuts lineage per round; "
+                "see Dedup.connectedKeepers / SCALING.md)")
         out.append("\n".join(lines) + "\n")
     open(dst, "w").write("\n".join(out))
     return len(blocks) // 2
