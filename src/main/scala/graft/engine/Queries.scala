@@ -1004,13 +1004,13 @@ object Queries {
       s.sql("""SELECT o_orderkey, o_custkey
         FROM orders_v o
         WHERE (SELECT count(*) FROM orders_v i
-               WHERE i.o_custkey = o.o_custkey) > 20
+               WHERE i.o_custkey = o.o_custkey) > 12
         ORDER BY o_orderkey""")
     },
     Some("""SELECT o_orderkey, o_custkey
       FROM orders o
       WHERE (SELECT count(*) FROM orders i
-             WHERE i.o_custkey = o.o_custkey) > 20
+             WHERE i.o_custkey = o.o_custkey) > 12
       ORDER BY o_orderkey"""))
 
   // ---------------------------------------------------------------- q45
