@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession (SparkTestBase.getOrCreate) and some
+// mutate session conf (RangeJoinRuleSpec: broadcast threshold,
+// experimental.extraOptimizations) — run them sequentially
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked JVM's stdout through VERBATIM (no "[info] " logger
 // decoration): the driver parses Bench's one-line JSON from stdout, and
