@@ -100,6 +100,30 @@ object Ohlcv {
         min(col("first_ts")).as("first_ts"),
         max(col("last_ts")).as("last_ts"))
 
+  /** Gap fill: expand each series to its full fixed-width bucket grid and
+    * forward-fill the last known value into missing buckets (the
+    * continuous-series view the reference's plotting path implies, and the
+    * imputation step of a feature pipeline). Grid generation is a
+    * per-series `sequence` explode — no driver loop; the fill is one
+    * window pass per series. `filled` is NULL before the first observation
+    * (nothing to carry); `is_gap` marks synthesized rows. */
+  def gapFill(candles: DataFrame, timeframe: String,
+      symbolCol: String = "symbol", bucketCol: String = "bucket",
+      valueCol: String = "close"): DataFrame = {
+    val stepMs = Timeframes.durationMs(timeframe)
+    val grid = candles.groupBy(col(symbolCol))
+      .agg(min(col(bucketCol)).as("_b0"), max(col(bucketCol)).as("_b1"))
+      .select(col(symbolCol), explode(sequence(col("_b0"), col("_b1"),
+        expr(s"INTERVAL ${stepMs / 1000} SECOND"))).as(bucketCol))
+    val w = Window.partitionBy(col(symbolCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(candles.select(col(symbolCol), col(bucketCol),
+        col(valueCol).as("_obs")), Seq(symbolCol, bucketCol), "left")
+      .withColumn("filled", last(col("_obs"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("_obs").isNull)
+      .drop("_obs")
+  }
+
   /** Trailing simple moving average over the previous `n` rows (reference
     * quick-start analysis: README.md:106 — `rolling(window=20).mean()`).
     * pandas emits NaN until `n` rows exist (min_periods default); we

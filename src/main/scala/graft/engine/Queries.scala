@@ -1033,10 +1033,42 @@ object Queries {
         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q46
+  /** Gap fill + forward fill over a sparse candle series
+    * ([[Ohlcv.gapFill]]): the full bucket grid is generated per series
+    * (sequence explode — no driver loop), missing buckets carry the last
+    * observed close, `is_gap` marks synthesized rows. The continuous
+    * series the reference's plotting path implies, and the imputation
+    * primitive of a feature pipeline. */
+  val q46GapFill: Q = Q(
+    (s, dir) => {
+      val sparse = Ohlcv.resampleTicks(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        "1h", symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      Ohlcv.gapFill(sparse, "1h", symbolCol = "user_id")
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("filled"), col("is_gap"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Some("""WITH c AS (SELECT user_id,
+        time_bucket(INTERVAL '1 hour', ts) AS bucket,
+        max_by(value, ts) AS close
+      FROM events WHERE event_type = 'purchase' GROUP BY 1,2),
+      g AS (SELECT user_id,
+        unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        FROM c GROUP BY user_id)
+      SELECT g.user_id, epoch_ms(g.bucket) AS bucket_ms,
+        last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.user_id
+          ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled,
+        c.close IS NULL AS is_gap
+      FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+      ORDER BY 1, 2"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
     "q40_range_join" -> q40RangeJoin,
     "q45_set_all" -> q45SetAll,
+    "q46_gapfill" -> q46GapFill,
     "q42_window_ranks" -> q42WindowRanks,
     "q43_exists_subquery" -> q43ExistsSubquery,
     "q44_scalar_subquery" -> q44ScalarSubquery,
