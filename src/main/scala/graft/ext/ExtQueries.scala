@@ -232,9 +232,12 @@ object ExtQueries {
     bench = true)
 
   // ---------------------------------------------------------------- x36
-  /** LSH-bucketed approximate ANN (scale path) — not SQL-oracle-expressible
-    * (hyperplanes are engine-side literals); driver does a rows-only check,
-    * scalatest checks recall vs x35. */
+  /** LSH-bucketed approximate ANN (scale path). The hyperplanes are
+    * deterministic engine-side constants (fixed seed), so — like the
+    * MinHash permutation constants — the oracle SQL is GENERATED from the
+    * very same plane literals: a 512-row VALUES table reproduces the
+    * bucket assignment bit by bit. Scalatest additionally checks recall
+    * vs the exact x35. */
   val x36AnnLsh: Q = Q(
     (s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -243,7 +246,27 @@ object ExtQueries {
           "embedding", numPlanes = 8, dim = 64, k = 10)
         .orderBy(col("cos").desc, col("vec_id"))
     },
-    None)
+    Some(s"""WITH $corpusDotCte,
+      planes(p, i, w) AS (VALUES ${Similarity.hyperplanes(8, 64).zipWithIndex
+        .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
+          s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
+      pd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
+        FROM ex JOIN planes pl ON pl.i = ex.i GROUP BY 1, 2),
+      bkt AS (SELECT vec_id,
+        CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY 1),
+      qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+      qd AS (SELECT a.vec_id, sum(a.x * b.x) AS dp
+        FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id = 0
+        WHERE a.vec_id != 0 GROUP BY 1)
+      SELECT k.vec_id, k.bucket,
+        round(qd.dp / (na.nrm * nq.nrm), 6) AS cos
+      FROM bkt k JOIN qb ON k.bucket = qb.bucket
+      JOIN qd ON qd.vec_id = k.vec_id
+      JOIN norms na ON na.vec_id = k.vec_id
+      JOIN norms nq ON nq.vec_id = 0
+      WHERE k.vec_id != 0
+      ORDER BY cos DESC, k.vec_id LIMIT 10"""))
 
   // ---------------------------------------------------------------- x42
   /** IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — like x36 not
