@@ -117,9 +117,12 @@ class MarketData(spark: SparkSession, basePath: String,
       getData(symbol, "1m", fromMs, toMs, nowMs), timeframe)
 
   /** S9: delete one series and refresh metadata
-    * (database_handler.py:243-255). */
+    * (database_handler.py:243-255). The surviving rows are EAGERLY
+    * materialized (localCheckpoint) before the overwrite — a lazy cache
+    * would still be reading the very files the overwrite deletes. */
   def deleteData(symbol: String, timeframe: String): Unit = {
-    val remaining = Store.deleteSeries(facts(), symbol, timeframe).cache()
+    val remaining = Store.deleteSeries(facts(), symbol, timeframe)
+      .localCheckpoint(true)
     Store.save(remaining, factPath)
     Store.deriveMeta(remaining).write.mode("overwrite").parquet(metaPath)
     remaining.unpersist()
