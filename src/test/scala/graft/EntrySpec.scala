@@ -28,6 +28,14 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rows-only set is exactly the two legitimately non-oracle-able queries") {
+    // pins the oracle surface: an accidentally dropped oracleSql entry
+    // (silently downgrading a query to a rows-only check) fails here
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q35_approx_distinct", "x42_ann_ivf"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
   test("every declared query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
