@@ -9,12 +9,20 @@ import org.apache.spark.sql.SparkSession
   * sink (so final sorts/projections are not optimized away, unlike
   * `count()`), after a warm-up pass at sf0.001 that JITs the common
   * codepaths out of the measurement.
+  *
+  * Methodology (round 3): each query is measured `SPARK_GRAFT_REPS` times
+  * (default 3) and the MEDIAN is reported, with min/max recorded in
+  * `"spread"` so run-to-run variance is visible rather than folded into the
+  * headline. `spark.catalog.clearCache()` runs before every measurement so a
+  * query that caches intermediates (x31/x33/x44/x49) cannot leak memory
+  * pressure into the queries measured after it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,33 +32,55 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchQueries
     def run(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
 
+    /** Median-of-`reps` wall time; a query that crashes on ANY rep reports
+      * -1 and its first error string (a crashing query must not masquerade
+      * as a fast one).
+      */
+    def measure(name: String): (Double, Double, Double, Option[String]) = {
+      var err: Option[String] = None
+      val times = (1 to reps).flatMap { _ =>
+        if (err.isDefined) None
+        else {
+          spark.catalog.clearCache() // queries must not inherit cached state
+          val t0 = System.nanoTime()
+          try { run(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case t: Throwable =>
+            err = Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(120))
+            None
+          }
+        }
+      }
+      if (err.isDefined || times.isEmpty) (-1d, -1d, -1d, err)
+      else {
+        val s = times.sorted
+        (s(s.length / 2), s.head, s.last, None)
+      }
+    }
+
+    val names = SparkEntry.benchQueries
     names.foreach { n => // warm-up: JIT + codegen caches, tiny data
       try run(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
-    // a crashing query must not masquerade as a fast one: its entry is -1,
-    // its error is listed, and it contributes nothing to the total
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err = try { run(name, sfDir); None }
-      catch { case t: Throwable =>
-        Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(120)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
-    val qs = results.map { case (k, v, e) =>
-        "\"" + k + "\":" + (if (e.isDefined) "-1" else v.toString) }
+    val results = names.map { name => (name, measure(name)) }
+
+    val qs = results.map { case (k, (med, _, _, e)) =>
+        "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val spread = results.collect { case (k, (_, lo, hi, None)) =>
+        "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, _, _, Some(e))) =>
         // strip everything JSON strings can't carry raw (quotes,
         // backslashes, ALL control chars), not just newlines
         "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, (med, _, _, None)) => med }.sum
+
     // round-2+ operators, timed OUTSIDE the headline so "value"/"queries"
     // stay comparable to the recorded baseline across rounds
     val extraNames = Seq("q40_range_join", "q41_incremental_resample",
@@ -60,12 +90,11 @@ object Bench {
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
     val extra = extraNames.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { run(name, sfDir); true } catch { case _: Throwable => false }
-      "\"" + name + "\":" +
-        (if (ok) ((System.nanoTime() - t0) / 1e9).toString else "-1")
+      val (med, _, _, e) = measure(name)
+      "\"" + name + "\":" + (if (e.isDefined) "-1" else med.toString)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extra":$extra,"errors":$errs,"sf":"$sfDir"}""")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
