@@ -68,12 +68,26 @@ object Dedup {
       (1 until numHashes).map(i =>
         min((lit(aConst(i)) * col("h") + lit(bConst(i))) % P).as(s"m$i")): _*)
 
+  /** Default LSH band-bucket size cap (see [[lshCandidates]]); oracle SQL
+    * is generated from this same constant so both engines drop identical
+    * buckets. */
+  val DefaultMaxBucket: Int = 1000
+
   /** LSH banding: hash `rows` consecutive signature entries per band; two
     * documents are candidates iff they collide in ≥1 band. Returns distinct
     * (id_a, id_b) with id_a < id_b. The self-join key is (band_idx,
-    * band_hash) — fully hash-partitionable. */
+    * band_hash) — fully hash-partitionable.
+    *
+    * Buckets larger than `maxBucket` are dropped BEFORE the self-join: on
+    * boilerplate-heavy corpora (templated pages, license headers) entire
+    * band signatures collide, and the self-join over one mega-bucket is
+    * quadratic in its size — at 100 TB a single 10M-doc bucket is 10^14
+    * pairs. Dropping over-cap buckets bounds per-bucket work at
+    * `maxBucket²` (the same guard the n-gram path applies via its df cap);
+    * pairs that only collide in mega-buckets are the standard accepted loss
+    * — such documents still meet in any *discriminative* band they share. */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 4,
-      rows: Int = 4): DataFrame = {
+      rows: Int = 4, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       concat_ws("|",
         (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
@@ -82,8 +96,12 @@ object Dedup {
     // shingle→minhash pipeline twice (band table is tiny: docs × bands)
     val exploded = sigs.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "h"))).cache()
-    val a = exploded.select(col(idCol).as("id_a"), col("band_idx"), col("h"))
-    val b = exploded.select(col(idCol).as("id_b"), col("band_idx"), col("h"))
+    val small = exploded.groupBy("band_idx", "h")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+      .select("band_idx", "h")
+    val kept = exploded.join(small, Seq("band_idx", "h"))
+    val a = kept.select(col(idCol).as("id_a"), col("band_idx"), col("h"))
+    val b = kept.select(col(idCol).as("id_b"), col("band_idx"), col("h"))
     a.join(b, Seq("band_idx", "h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -65,8 +65,12 @@ object ExtQueries {
       bands AS (
         ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
           .mkString(" UNION ALL ")}),
+      keptBuckets AS (SELECT band_idx, h FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      bandsKept AS (SELECT b.doc_id, b.band_idx, b.h FROM bands b
+        JOIN keptBuckets k ON b.band_idx = k.band_idx AND b.h = k.h),
       cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM bandsKept a JOIN bandsKept b
           ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
@@ -106,8 +110,12 @@ object ExtQueries {
       bands AS (
         ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
           .mkString(" UNION ALL ")}),
+      keptBuckets AS (SELECT band_idx, h FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      bandsKept AS (SELECT b.doc_id, b.band_idx, b.h FROM bands b
+        JOIN keptBuckets k ON b.band_idx = k.band_idx AND b.h = k.h),
       cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM bandsKept a JOIN bandsKept b
           ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
@@ -187,19 +195,38 @@ object ExtQueries {
            FROM embeddings),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)"""
 
+  /** Secondary LSH sub-bucket inside the label block — mirrors
+    * `Similarity.blockedPairs(subPlanes = SubPlanes)` exactly: the VALUES
+    * table is generated from the same deterministic plane constants (the
+    * x36 technique), so both engines agree on every bucket assignment. */
+  private val SubPlanes = 2
+  private val subBucketCte = s"""
+    splanes(p, i, w) AS (VALUES ${Similarity.hyperplanes(SubPlanes, 64).zipWithIndex
+      .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
+        s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
+    spd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
+      FROM ex JOIN splanes pl ON pl.i = ex.i GROUP BY 1, 2),
+    sub AS (SELECT vec_id,
+      CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sb
+      FROM spd GROUP BY 1)"""
+
   // ---------------------------------------------------------------- x34
   /** Embedding near-dup pairs: blocked (IVF-style, label = coarse cell)
-    * all-pairs cosine ≥ 0.4. */
+    * all-pairs cosine ≥ 0.4, sub-blocked by a 2-plane LSH bucket so a hot
+    * label cannot go quadratic (see [[Similarity.blockedPairs]]). */
   val x34CosinePairs: Q = Q(
     (s, dir) =>
       Similarity.blockedPairs(Tables.embeddings(s, dir), "vec_id", "label",
-          minCos = 0.4)
+          minCos = 0.4, subPlanes = SubPlanes)
         .orderBy("label", "id_a", "id_b"),
     Some(s"""WITH $corpusDotCte,
+      $subBucketCte,
       dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           sum(a.x * b.x) AS dp
         FROM ex a JOIN ex b
           ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        JOIN sub ka ON ka.vec_id = a.vec_id
+        JOIN sub kb ON kb.vec_id = b.vec_id AND kb.sb = ka.sb
         GROUP BY 1,2,3)
       SELECT label, id_a, id_b,
         round(dp / (na.nrm * nb.nrm), 6) AS cos
@@ -575,17 +602,20 @@ object ExtQueries {
   val x50EmbedDedup: Q = Q(
     (s, dir) => {
       val pairs = Similarity.blockedPairs(Tables.embeddings(s, dir),
-          "vec_id", "label", minCos = 0.4)
+          "vec_id", "label", minCos = 0.4, subPlanes = SubPlanes)
         .select("id_a", "id_b")
       Dedup.connectedKeepers(pairs)
         .select(col("id").as("vec_id"), col("keeper"))
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE $corpusDotCte,
+      $subBucketCte,
       dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           sum(a.x * b.x) AS dp
         FROM ex a JOIN ex b
           ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        JOIN sub ka ON ka.vec_id = a.vec_id
+        JOIN sub kb ON kb.vec_id = b.vec_id AND kb.sb = ka.sb
         GROUP BY 1,2,3),
       pairs AS (SELECT id_a, id_b
         FROM dots JOIN norms na ON na.vec_id = id_a

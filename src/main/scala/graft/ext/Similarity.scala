@@ -122,14 +122,29 @@ object Similarity {
 
   /** All-pairs cosine within a blocking column (IVF-style: the block is the
     * coarse cell; here the `labelCol`). Join is equi on the block — never a
-    * full cartesian. */
+    * full cartesian.
+    *
+    * `subPlanes > 0` conjoins a secondary random-hyperplane LSH bucket
+    * ([[lshBucket]], deterministic planes) into the join key: work within a
+    * hot label drops from `n²` to `Σ bucketᵢ²` (expected `n²/2^subPlanes` on
+    * spread-out data) — the guard for the 100 TB case where one label holds
+    * millions of vectors and intra-label all-pairs goes quadratic. The
+    * trade, as with any LSH blocking: a pair split across sub-buckets is
+    * missed; high-cosine pairs agree on most hyperplane signs, so recall
+    * loss concentrates on pairs near the threshold. `subPlanes = 0`
+    * preserves exact within-label semantics. */
   def blockedPairs(embs: DataFrame, idCol: String, labelCol: String,
-      embCol: String = "embedding", minCos: Double = 0.4): DataFrame = {
-    val a = embs.select(col(labelCol), col(idCol).as("id_a"),
+      embCol: String = "embedding", minCos: Double = 0.4,
+      subPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val keyed =
+      if (subPlanes > 0) embs.withColumn("_sub",
+        lshBucket(col(embCol), hyperplanes(subPlanes, dim)))
+      else embs.withColumn("_sub", lit(0L))
+    val a = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"))
-    val b = embs.select(col(labelCol), col(idCol).as("id_b"),
+    val b = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_b"),
       col(embCol).as("emb_b"))
-    a.join(b, labelCol).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq(labelCol, "_sub")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col(labelCol), col("id_a"), col("id_b"), col("cos"))

@@ -27,6 +27,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L), "false positive")
   }
 
+  test("LSH band-bucket cap bounds candidates on a boilerplate-heavy corpus") {
+    // 40 identical docs: every band hashes to ONE bucket of size 40, so the
+    // uncapped self-join is quadratic — 40·39/2 pairs from a single bucket
+    val boiler = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.hashedShingleTable(boiler, "doc_id", "text"), "doc_id", 16)
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 1000).count()
+    assert(uncapped == 40L * 39 / 2)
+    // cap 10 < bucket size 40 → the mega-bucket is dropped entirely and
+    // candidate count collapses to zero (bounded work, standard LSH guard)
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 10).count()
+    assert(capped == 0, s"mega-bucket must be dropped, got $capped pairs")
+    // the cap must NOT harm discriminative buckets: small dup-groups in the
+    // 4-doc corpus still surface under the same tight cap
+    val sigs2 = Dedup.minhashSignatures(
+      Dedup.hashedShingleTable(docs, "doc_id", "text"), "doc_id", 16)
+    val small = Dedup.lshCandidates(sigs2, "doc_id", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(small.contains((1L, 4L)), "small-bucket pair lost to the cap")
+  }
+
   test("connectedKeepers clusters chains transitively and picks the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val got = Dedup.connectedKeepers(pairs)
@@ -43,6 +64,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val pairs = Dedup.simhashPairs(fps, "doc_id", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
+  }
+
+  test("blockedPairs sub-bucketing bounds hot-label quadratic work") {
+    val rnd = new scala.util.Random(11)
+    // one hot label holding the whole corpus — the adversarial shape where
+    // within-label all-pairs goes quadratic at scale
+    val hot = ((1L to 60L).map(i =>
+        (i, "hot", Array.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+        (100L, "hot", Array.fill(16)(0.25f)) :+ // identical pair: must
+        (101L, "hot", Array.fill(16)(0.25f)))   // survive sub-bucketing
+      .toDF("vec_id", "label", "embedding")
+    val exact = Similarity.blockedPairs(hot, "vec_id", "label",
+      minCos = -2.0).count()
+    assert(exact == 62L * 61 / 2)
+    val sub = Similarity.blockedPairs(hot, "vec_id", "label",
+      minCos = -2.0, subPlanes = 2, dim = 16)
+    val n = sub.count()
+    assert(n < exact, s"sub-bucketing did not reduce pair count: $n")
+    // identical vectors get identical bucket signs — the pair is retained
+    assert(sub.filter(col("id_a") === 100L && col("id_b") === 101L)
+      .count() == 1, "identical-vector pair lost to sub-bucketing")
   }
 
   test("cosine: self-similarity is 1, orthogonal is 0") {
