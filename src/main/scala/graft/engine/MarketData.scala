@@ -41,8 +41,15 @@ class MarketData(spark: SparkSession, basePath: String,
         .option("startMs", fromMs.toString).option("endMs", toMs.toString)
         .load())
 
-  private def factExists: Boolean =
-    new java.io.File(factPath).exists()
+  /** Existence checks go through the Hadoop FileSystem of the path's
+    * scheme — `basePath` may be any supported filesystem (hdfs://, s3a://,
+    * file:, …), not just the local disk `java.io.File` would pin us to. */
+  private def pathExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def factExists: Boolean = pathExists(factPath)
 
   /** Full fact table (empty frame with canonical schema when absent). */
   def facts(): DataFrame =
@@ -76,7 +83,7 @@ class MarketData(spark: SparkSession, basePath: String,
     * Returns (hit, freshHit). */
   def checkDataExists(symbol: String, timeframe: String, fromMs: Long,
       toMs: Long, nowMs: Long): (Boolean, Boolean) = {
-    if (!new java.io.File(metaPath).exists()) return (false, false)
+    if (!pathExists(metaPath)) return (false, false)
     val meta = spark.read.parquet(metaPath)
       .filter(col("symbol") === symbol && col("timeframe") === timeframe)
       .select(col("symbol"), col("timeframe"),

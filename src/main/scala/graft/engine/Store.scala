@@ -91,8 +91,12 @@ object Store {
     * (symbol, timeframe, ts), which both merges small files and splits
     * oversized series into ts-contiguous files — so parquet min/max
     * row-group skipping stays sharp after the rewrite. The rewrite lands
-    * in a sibling directory and swaps in only after success (no partial
-    * overwrite of live data). */
+    * in a sibling directory and swaps in via two renames — live → backup,
+    * tmp → live — so there is NO window in which nothing exists at `path`
+    * (a reader mid-swap sees either the old or the new table), and a crash
+    * leaves either the live table or the `__old` backup recoverable. Every
+    * FileSystem call's boolean result is checked: a false return (common
+    * on object stores) aborts loudly instead of silently losing the table. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -112,8 +116,18 @@ object Store {
       .write.mode("overwrite")
       .partitionBy("symbol", "timeframe")
       .parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compact: cannot clear stale backup $old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      // restore the live table before surfacing the failure
+      fs.rename(old, p)
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"compact: cannot delete backup $old")
     nOut
   }
 

@@ -40,6 +40,27 @@ class MarketDataSpec extends AnyFunSuite with SparkTestBase {
     assert(md.checkDataExists("BTC", "1h", t0, t0 + 10 * h - 1, now)._1)
   }
 
+  test("basePath may be scheme-qualified: existence checks use Hadoop FS, not java.io.File") {
+    // "file:/..." is a valid Hadoop URI but NOT a valid java.io.File path —
+    // a local-File existence check would always miss and re-fetch
+    val dir = "file:" +
+      java.nio.file.Files.createTempDirectory("graft_md_uri").toString
+    val calls = new AtomicInteger(0)
+    val fetch = (symbol: String, tf: String, from: Long, to: Long) => {
+      calls.incrementAndGet()
+      val dur = graft.engine.Timeframes.durationMs(tf)
+      (from until to by dur).map { ts =>
+        (msTs(ts), symbol, tf, 1.0, 2.0, 0.5, 1.5, 10.0)
+      }.toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+    }
+    val md = new MarketData(spark, dir, fetch)
+    assert(md.getData("BTC", "1h", t0, t0 + 5 * h, now).count() == 5)
+    assert(calls.get() == 1)
+    // re-request within coverage (closed interval: cov_end + dur - 1)
+    assert(md.getData("BTC", "1h", t0, t0 + 5 * h - 1, now).count() == 5)
+    assert(calls.get() == 1, "scheme-qualified store was not recognized as a hit")
+  }
+
   test("freshness tolerance admits a just-beyond-coverage request (DB:288-295)") {
     val (md, calls) = newMd()
     md.getData("BTC", "1h", t0, t0 + 10 * h, now)

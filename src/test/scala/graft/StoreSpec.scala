@@ -114,6 +114,28 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     val after = spark.read.parquet(store)
       .orderBy("ts", "symbol").collect().toSeq
     assert(after == before, "compaction changed the data")
+    // two-rename swap leaves no scratch dirs behind
+    val siblings = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!siblings.contains("ohlcv__compacting") &&
+      !siblings.contains("ohlcv__old"),
+      s"compact left scratch dirs: $siblings")
+  }
+
+  test("compact swap survives a stale backup from a prior crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    val store = s"$dir/ohlcv"
+    val rows = (1 to 100).map(i => (msTs(i * 60000L), "BTC", "1m", i.toDouble))
+      .toDF("ts", "symbol", "timeframe", "close")
+    rows.write.mode("overwrite")
+      .partitionBy("symbol", "timeframe").parquet(store)
+    // a crash after the first rename of an earlier compact leaves __old
+    val stale = new java.io.File(s"$dir/ohlcv__old")
+    stale.mkdirs()
+    new java.io.File(stale, "junk.txt").createNewFile()
+    val before = spark.read.parquet(store).orderBy("ts").collect().toSeq
+    Store.compact(spark, store, targetFileBytes = 1L << 30)
+    assert(spark.read.parquet(store).orderBy("ts").collect().toSeq == before)
+    assert(!stale.exists(), "stale backup not cleared")
   }
 
   test("deriveMeta + storedInfo (S8/S6)") {
