@@ -52,7 +52,53 @@ class KlineSource extends TableProvider {
     new KlineTable(properties.asScala.toMap)
 }
 
+/** Transport signal for an exchange rate-limit rejection (the reference's
+  * "Too much request weight" response, api_connector.py:274) — the ONE
+  * failure class the page loop retries; everything else aborts. */
+class RateLimitException(msg: String) extends RuntimeException(msg)
+
+/** S2 rate-limit / retry policy (api_connector.py:270-282), re-expressed as
+  * a per-partition-reader concern — one policy instance per task, wrapping
+  * every page fetch of that task:
+  *
+  *  - **pacing**: `sleep(paceMs)` between successive pages (the reference's
+  *    0.1 s inter-request delay keeps a single client under the weight
+  *    budget; with N parallel tasks each task paces itself, so the
+  *    aggregate rate is `N / paceMs` — size N accordingly);
+  *  - **backoff**: a [[RateLimitException]] sleeps `backoffMs` (60 s in the
+  *    reference) and RETRIES the same page, up to `maxRetries` times;
+  *  - **abort**: any other failure propagates immediately and fails the
+  *    task (api_connector.py:279-282) — Spark's task retry takes over.
+  *
+  * `sleep` is injectable so specs assert the exact backoff sequence with a
+  * fake clock instead of really sleeping. */
+class PagePolicy(paceMs: Long, backoffMs: Long, maxRetries: Int,
+    sleep: Long => Unit = Thread.sleep) {
+  private var firstPage = true
+
+  def fetchPaced[A](fetch: () => A): A = {
+    if (!firstPage && paceMs > 0) sleep(paceMs)
+    firstPage = false
+    var attempts = 0
+    while (true) {
+      try return fetch()
+      catch {
+        case e: RateLimitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          sleep(backoffMs)
+        // anything else falls through uncaught: abort the task
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 object KlineSource {
+  /** Test hook: when set, partition readers route policy sleeps here
+    * instead of `Thread.sleep` (local-mode specs record the sequence). */
+  @volatile var sleepHook: Option[Long => Unit] = None
+
   val schema: StructType = StructType(Seq(
     StructField("ts", TimestampType, nullable = false),
     StructField("symbol", StringType, nullable = false),
@@ -101,6 +147,16 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
   /** ms per partition slice: one day's worth of buckets by default. */
   private val sliceMs =
     opts.get("sliceMs").map(_.toLong).getOrElse(math.max(durMs * 1440, durMs))
+  // S2 policy knobs. paceMs defaults to 0 for the offline generator; a real
+  // REST transport sets 100 (the reference's 0.1 s inter-request delay).
+  private val paceMs = opts.get("paceMs").map(_.toLong).getOrElse(0L)
+  private val backoffMs = opts.get("rateLimitBackoffMs").map(_.toLong)
+    .getOrElse(60000L)
+  private val maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(10)
+  /** Simulated-exchange failure injection: page indexes (per partition)
+    * that reject their FIRST attempt with a rate-limit error. */
+  private val simRateLimitPages = opts.get("simRateLimitPages")
+    .map(_.split(",").filter(_.nonEmpty).map(_.toInt).toSeq).getOrElse(Nil)
 
   override def build(): Scan = this
   override def readSchema(): StructType = KlineSource.schema
@@ -118,15 +174,21 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
     val slices = (startMs until endMs by sliceMs).map(s =>
       (s, math.min(s + sliceMs, endMs)))
     (for (sym <- symbols; (a, b) <- slices)
-      yield KlinePartition(sym, timeframe, durMs, a, b)).toArray
+      yield KlinePartition(sym, timeframe, durMs, a, b,
+        paceMs, backoffMs, maxRetries, simRateLimitPages)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new KlineReaderFactory
 }
 
-/** One (symbol, time-slice) of the request — the unit of parallel ingest. */
+/** One (symbol, time-slice) of the request — the unit of parallel ingest.
+  * Carries the S2 policy knobs so each task builds its own [[PagePolicy]];
+  * `simRateLimitPages` injects first-attempt rate-limit rejections into the
+  * offline exchange simulation (page indexes are per-partition). */
 case class KlinePartition(symbol: String, timeframe: String, durMs: Long,
-    fromMs: Long, toMs: Long) extends InputPartition
+    fromMs: Long, toMs: Long, paceMs: Long = 0L, backoffMs: Long = 60000L,
+    maxRetries: Int = 10, simRateLimitPages: Seq[Int] = Nil)
+    extends InputPartition
 
 /** Cursor position in epoch-ms — the streaming offset. */
 case class KlineOffset(ms: Long) extends Offset {
@@ -177,26 +239,42 @@ class KlineReaderFactory extends PartitionReaderFactory {
 
 /** Page-wise reader: fetches `pageSize` candles at a time, advancing the
   * cursor past the last returned bucket (`last_ts + 1` semantics,
-  * api_connector.py:268). Retry/backoff for a real REST endpoint would wrap
-  * `fetchPage` — the page loop shape is identical. */
+  * api_connector.py:268). Every page fetch runs under the partition's
+  * [[PagePolicy]] — paced, rate-limit-retried, abort-on-other (S2). The
+  * cursor only advances on a SUCCESSFUL fetch, so a retried page re-reads
+  * the same range and results are retry-invariant. */
 class KlineReader(p: KlinePartition) extends PartitionReader[InternalRow] {
   private var cursorMs: Long = // align cursor up to the first bucket start
     ((p.fromMs + p.durMs - 1) / p.durMs) * p.durMs
   private var page: Iterator[InternalRow] = Iterator.empty
+  private val policy = new PagePolicy(p.paceMs, p.backoffMs, p.maxRetries,
+    KlineSource.sleepHook.getOrElse((ms: Long) => Thread.sleep(ms)))
+  private var pageIdx = -1
+  private val pendingSimFails =
+    scala.collection.mutable.Set(p.simRateLimitPages: _*)
 
   private def fetchPage(): Iterator[InternalRow] = {
     if (cursorMs >= p.toMs) return Iterator.empty
-    val buckets = (0 until KlineSource.pageSize).iterator
-      .map(i => cursorMs + i * p.durMs)
-      .takeWhile(_ < p.toMs)
-      .toVector
-    if (buckets.isEmpty) return Iterator.empty
-    cursorMs = buckets.last + p.durMs // cursor = last_ts + 1 bucket
-    buckets.iterator.map { ts =>
-      val (o, h, l, c, v) = KlineSource.candle(p.symbol, ts)
-      InternalRow(ts * 1000L, // TimestampType carries epoch-µs
-        UTF8String.fromString(p.symbol), UTF8String.fromString(p.timeframe),
-        o, h, l, c, v)
+    pageIdx += 1
+    policy.fetchPaced { () =>
+      // simulated exchange: the listed pages reject their first attempt
+      if (pendingSimFails.remove(pageIdx))
+        throw new RateLimitException(
+          s"simulated: Too much request weight (page $pageIdx)")
+      val buckets = (0 until KlineSource.pageSize).iterator
+        .map(i => cursorMs + i * p.durMs)
+        .takeWhile(_ < p.toMs)
+        .toVector
+      if (buckets.isEmpty) Iterator.empty
+      else {
+        cursorMs = buckets.last + p.durMs // cursor = last_ts + 1 bucket
+        buckets.iterator.map { ts =>
+          val (o, h, l, c, v) = KlineSource.candle(p.symbol, ts)
+          InternalRow(ts * 1000L, // TimestampType carries epoch-µs
+            UTF8String.fromString(p.symbol), UTF8String.fromString(p.timeframe),
+            o, h, l, c, v)
+        }
+      }
     }
   }
 

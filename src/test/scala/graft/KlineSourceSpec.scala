@@ -47,6 +47,61 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("S2 policy: pacing between pages, 60s backoff on rate limit, abort on other") {
+    import graft.sources.{PagePolicy, RateLimitException}
+    // fake clock records every sleep; nothing actually waits
+    var sleeps = Vector.empty[Long]
+    val policy = new PagePolicy(paceMs = 100, backoffMs = 60000,
+      maxRetries = 10, sleep = sleeps :+= _)
+    var attempts = 0
+    policy.fetchPaced(() => "page0")
+    val p1 = policy.fetchPaced { () =>
+      attempts += 1
+      if (attempts == 1) throw new RateLimitException("Too much request weight")
+      "page1"
+    }
+    policy.fetchPaced(() => "page2")
+    assert(p1 == "page1")
+    // page0 unpaced (first), pace before page1, 60s backoff on its retry,
+    // pace before page2 — exactly the reference's sequence
+    assert(sleeps == Vector(100L, 60000L, 100L))
+    // non-rate-limit failures abort immediately: no retry, no sleep
+    val before = sleeps.size
+    intercept[IllegalArgumentException] {
+      policy.fetchPaced(() => throw new IllegalArgumentException("bad symbol"))
+    }
+    assert(sleeps.size == before + 1, "abort path must not backoff") // only the pace
+    // rate-limit retries are bounded: maxRetries exhausted → propagate
+    var n = 0
+    val tight = new PagePolicy(0, 1, maxRetries = 2, sleep = _ => ())
+    intercept[RateLimitException] {
+      tight.fetchPaced { () => n += 1; throw new RateLimitException("always") }
+    }
+    assert(n == 3) // initial attempt + 2 retries
+  }
+
+  test("S2 end-to-end: rate-limited pages backoff and results are retry-invariant") {
+    import graft.sources.KlineSource
+    val recorded = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    KlineSource.sleepHook = Some(ms => recorded.add(ms))
+    try {
+      // both pages of every partition (1440 buckets = pages 0 and 1) reject
+      // their first attempt; pace 100ms so the rhythm shows in the recording.
+      // NOTE no orderBy before collect: a range sort would re-scan the
+      // source for partition-boundary sampling and double every count here.
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(1), r.getTimestamp(0).getTime)
+      val flaky = read("simRateLimitPages" -> "0,1", "paceMs" -> "100")
+        .collect().toSeq.sortBy(key)
+      val clean = read().collect().toSeq.sortBy(key)
+      assert(flaky == clean, "retried ingest diverged from clean ingest")
+      val sleeps = recorded.toArray(Array.empty[java.lang.Long]).toVector
+      // 4 partitions × 2 simulated rejections, each backing off 60s
+      assert(sleeps.count(_ == 60000L) == 8)
+      assert(sleeps.count(_ == 100L) > 0, "pacing sleeps missing")
+    } finally KlineSource.sleepHook = None
+  }
+
   test("source composes with resampleCandles (ingest → 1h pyramid)") {
     val hourly = Ohlcv.resampleCandles(read(), "1h")
     assert(hourly.count() == 2 * 48) // 2 symbols × 48 hours
