@@ -106,15 +106,24 @@ object Ohlcv {
     * imputation step of a feature pipeline). Grid generation is a
     * per-series `sequence` explode — no driver loop; the fill is one
     * window pass per series. `filled` is NULL before the first observation
-    * (nothing to carry); `is_gap` marks synthesized rows. */
+    * (nothing to carry); `is_gap` marks synthesized rows.
+    *
+    * The grid step must match the bucketing rule: fixed-width timeframes
+    * step by their exact duration, but `1M` buckets are CALENDAR months
+    * (`date_trunc`, see [[bucket]]) — a 30-day approximation would drift
+    * off the real month starts and mark every actual candle a gap — so
+    * months step by `INTERVAL 1 MONTH` (well-defined here because every
+    * bucket value is a month start by construction). */
   def gapFill(candles: DataFrame, timeframe: String,
       symbolCol: String = "symbol", bucketCol: String = "bucket",
       valueCol: String = "close"): DataFrame = {
-    val stepMs = Timeframes.durationMs(timeframe)
+    val step =
+      if (timeframe == "1M") "INTERVAL 1 MONTH"
+      else s"INTERVAL ${Timeframes.durationMs(timeframe) / 1000} SECOND"
     val grid = candles.groupBy(col(symbolCol))
       .agg(min(col(bucketCol)).as("_b0"), max(col(bucketCol)).as("_b1"))
       .select(col(symbolCol), explode(sequence(col("_b0"), col("_b1"),
-        expr(s"INTERVAL ${stepMs / 1000} SECOND"))).as(bucketCol))
+        expr(step))).as(bucketCol))
     val w = Window.partitionBy(col(symbolCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(candles.select(col(symbolCol), col(bucketCol),

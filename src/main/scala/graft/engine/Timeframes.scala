@@ -24,8 +24,11 @@ object Timeframes {
   private val Day    = 24L * Hour
 
   /** Timeframe → duration in ms. `1M` uses the reference's 30-day
-    * approximation (database_handler.py:188-189) — only consumed by the
-    * freshness probe, never by bucketing. */
+    * approximation (database_handler.py:188-189) — consumed by the
+    * freshness probe and by fixed-width grid steps for sub-month
+    * timeframes; NEVER by bucketing or by the `1M` gap-fill grid, which
+    * are calendar-true (`date_trunc("month")` / `INTERVAL 1 MONTH` — see
+    * [[Ohlcv.bucket]], [[Ohlcv.gapFill]]). */
   val durationMs: Map[String, Long] = Map(
     "1m" -> Minute, "3m" -> 3 * Minute, "5m" -> 5 * Minute,
     "15m" -> 15 * Minute,

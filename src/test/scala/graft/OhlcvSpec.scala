@@ -65,6 +65,25 @@ class OhlcvSpec extends AnyFunSuite with SparkTestBase {
     assert(candles.length <= 2 * (7 * 24 / 4 + 1))
   }
 
+  test("gapFill 1M walks real calendar month starts, not 30-day steps") {
+    // Jan, Feb, Apr 2024 observed; Mar missing. A 30-day grid would drift
+    // off the month starts (Jan 31, Mar 1, ...) and mark EVERY real candle
+    // a gap; the calendar grid must hit exactly Jan/Feb/Mar/Apr 1st.
+    val candles = Seq(
+      ("BTC", msTs(1704067200000L), 10.0), // 2024-01-01
+      ("BTC", msTs(1706745600000L), 20.0), // 2024-02-01
+      ("BTC", msTs(1711929600000L), 40.0)  // 2024-04-01
+    ).toDF("symbol", "bucket", "close")
+    val out = Ohlcv.gapFill(candles, "1M").orderBy("bucket")
+      .select(col("bucket"), col("filled"), col("is_gap")).collect()
+    assert(out.length == 4, s"grid size ${out.length}, want 4 month starts")
+    assert(out.map(_.getTimestamp(0).getTime).toSeq == Seq(
+      1704067200000L, 1706745600000L, 1709251200000L, 1711929600000L))
+    assert(out.map(_.getBoolean(2)).toSeq ==
+      Seq(false, false, true, false), "only March is a gap")
+    assert(out(2).getDouble(1) == 20.0, "March must carry February's close")
+  }
+
   test("sma emits null for the first n-1 rows (pandas min_periods parity)") {
     val df = (1 to 10).map(i => ("A", msTs(i * 60000L), i.toDouble, i.toLong))
       .toDF("symbol", "ts", "price", "id")
