@@ -161,9 +161,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val lastBucket = floorDiv(
         Greatest(Seq(Subtract(pat.end, Literal(1L)), pat.start)), bucket)
       // width guard: a sentinel/open-ended interval (e.g. e = Long.MaxValue)
-      // must not explode into billions of buckets — see wide branch below
-      val narrowCond = LessThan(Subtract(lastBucket, firstBucket),
-        Literal(maxBuckets))
+      // must not explode into billions of buckets — see wide branch below.
+      // The subtraction runs in TRY mode: bounds near Long.Min/MaxValue
+      // with a small bucket overflow the diff, which under ANSI (Spark 4
+      // default) would error and under LEGACY would wrap NEGATIVE and
+      // misclassify an astronomically wide interval as narrow. TRY yields
+      // NULL on overflow; COALESCE(cond, false) then routes the row to the
+      // wide branch (a bare NULL would drop it from BOTH branches).
+      val widthDiff = Subtract(lastBucket, firstBucket,
+        NumericEvalContext(EvalMode.TRY))
+      val narrowCond = Coalesce(Seq(
+        And(GreaterThanOrEqual(widthDiff, Literal(0L)),
+          LessThan(widthDiff, Literal(maxBuckets))),
+        Literal(false)))
 
       // NARROW branch (the common case): interval explodes to the ≤
       // maxBuckets buckets it spans; point keyed by its single bucket.

@@ -99,6 +99,24 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("overflow-wide interval (Long.Min..Long.Max bounds, bucket=1) takes the wide branch") {
+    // lastBucket - firstBucket overflows Long here; a raw `< maxBuckets`
+    // check would see a negative diff, misclassify the interval as narrow,
+    // and explode the bucket Sequence. The guard must route it wide.
+    val iv = Seq((1L, Long.MinValue + 10, Long.MaxValue - 10),
+      (2L, 100L, 200L)).toDF("iv_id", "s_ms", "e_ms")
+    val pt = Seq((10L, 0L), (11L, 150L), (12L, 300L)).toDF("pt_id", "p_ms")
+    val want = Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L))
+    withRule(bucket = 1L) {
+      val df = iv.join(pt, $"p_ms" >= $"s_ms" && $"p_ms" < $"e_ms")
+        .select("iv_id", "pt_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_salt"), "wide branch missing:\n" + plan.take(800))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
   test("boundary semantics: inclusive start, exclusive end, across bucket edges") {
     val iv = Seq((1L, 0L, 2000L), (2L, -3000L, -1000L)).toDF("iv_id", "s_ms", "e_ms")
     val pt = Seq((10L, 0L), (11L, 1999L), (12L, 2000L), (13L, -3000L),
