@@ -65,17 +65,33 @@ object LiveCandles {
     * watermark passes the bucket (plus the watermark delay). The timed-out
     * call emits the candle once more with `closed = true` and removes the
     * state — total state is O(open buckets per key), not O(history).
-    * Input MUST be watermarked on `ts` (event time). */
+    * Input MUST be watermarked on `ts` (event time).
+    *
+    * `closed = true` is GUARANTEED to be the bucket's last emission:
+    * `flatMapGroupsWithState` (not `map`) so ticks arriving after their
+    * bucket's state evicted are dropped without output — the engine does
+    * not late-filter inputs to arbitrary-state operators itself, and
+    * re-folding such stragglers would re-create empty state and fire a
+    * SECOND `closed` candle holding only the late ticks. Dropping is the
+    * watermark contract: data later than the delay has no guarantees. */
   def streamEvicting(ticks: Dataset[TickEvt],
       bucketWidthMs: Long): Dataset[LiveCandleF] =
     ticks.groupByKey(t => (t.symbol, t.bucketMs))
-      .mapGroupsWithState[Buf, LiveCandleF](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[Buf, LiveCandleF](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
         case ((symbol, bucketMs), batch, state: GroupState[Buf]) =>
           if (state.hasTimedOut) {
             val buf = state.get
             state.remove()
-            LiveCandleF(symbol, new Timestamp(bucketMs), buf.open, buf.high,
-              buf.low, buf.close, buf.volume, buf.n, closed = true)
+            Iterator.single(LiveCandleF(symbol, new Timestamp(bucketMs),
+              buf.open, buf.high, buf.low, buf.close, buf.volume, buf.n,
+              closed = true))
+          } else if (!state.exists &&
+              bucketMs + bucketWidthMs <= state.getCurrentWatermarkMs()) {
+            // late resurrection: this bucket already closed and evicted —
+            // swallow the stragglers, leave no state, emit nothing
+            Iterator.empty
           } else {
             var buf = state.getOption.getOrElse(OhlcvAggregator.empty)
             batch.foreach(t =>
@@ -86,8 +102,9 @@ object LiveCandles {
             // current watermark (required by the API for late buckets)
             state.setTimeoutTimestamp(math.max(bucketMs + bucketWidthMs,
               state.getCurrentWatermarkMs() + 1))
-            LiveCandleF(symbol, new Timestamp(bucketMs), buf.open, buf.high,
-              buf.low, buf.close, buf.volume, buf.n, closed = false)
+            Iterator.single(LiveCandleF(symbol, new Timestamp(bucketMs),
+              buf.open, buf.high, buf.low, buf.close, buf.volume, buf.n,
+              closed = false))
           }
       }
 }

@@ -66,7 +66,7 @@ class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streamEvicting: closed buckets emit a final candle and leave the state") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_live_evict").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val t0 = 1704067200000L
     val rnd = new scala.util.Random(31)
     def ticks(fromH: Int, toH: Int, n: Int) = (1 to n).map { _ =>
@@ -76,19 +76,13 @@ class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
     }
     val early = ticks(0, 1, 100) // hour-0 buckets
     val late = ticks(5, 6, 100)  // hour-5: watermark jumps past hour 0
-    // one file per phase → exactly one micro-batch each (several part
-    // files would split a phase across batches and strand rows behind the
-    // watermark the first part sets)
-    early.toDF("symbol", "ts", "price").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/in/p1")
-    late.toDF("symbol", "ts", "price").coalesce(1)
-      .write.mode("append").parquet(s"$dir/in/p2")
+    val straggler = ticks(0, 1, 20) // hour-0 AGAIN, after eviction
 
-    val schema = StructType(Seq(
-      StructField("symbol", StringType), StructField("ts", TimestampType),
-      StructField("price", DoubleType)))
-    val in = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    // MemoryStream: one addData per phase → deterministic batch order
+    // (file sources order by modification time, which can tie)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val in = input.toDF().toDF("symbol", "ts", "price")
       .withWatermark("ts", "10 minutes")
       .select(col("symbol"),
         unix_millis(date_trunc("hour", col("ts"))).as("bucketMs"),
@@ -97,7 +91,12 @@ class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
     val q = LiveCandles.streamEvicting(in, 3600000L)
       .writeStream.outputMode("update")
       .format("memory").queryName("live_evict").start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      Seq(early, late, straggler).foreach { phase =>
+        input.addData(phase)
+        q.processAllAvailable()
+      }
+    } finally { q.stop() }
 
     val out = spark.table("live_evict")
     val closed = out.filter(col("closed"))
@@ -116,7 +115,14 @@ class LiveCandlesSpec extends AnyFunSuite with SparkTestBase {
       .select("symbol", "open", "high", "low", "close", "n")
       .orderBy("symbol").collect().toSeq
     assert(finalClosed == want, s"$finalClosed vs $want")
-    // and the state store must only hold the still-open (hour-5) buckets
+    // closed=true really is the LAST emission: the p3 stragglers (hour-0
+    // after eviction) must be swallowed, not resurrect a second closure
+    val closures = closed.filter(unix_millis(col("bucket")) === t0)
+      .groupBy("symbol").count().collect()
+    assert(closures.forall(_.getLong(1) == 1),
+      s"duplicate closed candles: ${closures.mkString(",")}")
+    // and the state store must only hold the still-open (hour-5) buckets —
+    // swallowed stragglers must not have re-created hour-0 state rows
     val lastState = q.recentProgress.reverse
       .find(_.stateOperators.nonEmpty).get.stateOperators(0)
     val openBuckets = late.map(r => (r._1, r._2.getTime / 3600000)).distinct.size
