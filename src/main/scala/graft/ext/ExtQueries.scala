@@ -539,24 +539,19 @@ object ExtQueries {
   // ---------------------------------------------------------------- x48
   /** Sequence packing: greedy contiguous binning of documents into
     * fixed token budgets (256 tokens) per language — the step that turns a
-    * corpus into training sequences. A document's bin is the budget-floor
-    * of its START offset in the per-language running token sum, so packing
-    * is one window pass + one aggregate: no driver loop, no UDF, and the
-    * window partitions by language (state per task = one language's docs). */
+    * corpus into training sequences. Uses [[Packing]]'s DISTRIBUTED prefix
+    * sum (chunked windows + chunk-offset merge) so a dominant language
+    * cannot serialize into one task at 100 TB; bin ids are identical to
+    * the naive single-window form (spec-pinned on a skewed corpus), which
+    * is also what the oracle SQL computes. */
   val x48PackSequences: Q = Q(
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.documents(s, dir)
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
-        .withColumn("cum", sum(col("tokens")).over(w))
-        .withColumn("bin", floor((col("cum") - col("tokens")) / 256))
-        .groupBy("lang", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("lang", "bin")
+      Packing.packSummary(
+        Packing.packDocs(toks, "doc_id", "lang", "tokens", budget = 256),
+        "doc_id", "lang", "tokens")
     },
     Some("""WITH t AS (SELECT lang, doc_id,
         len(string_split(text, ' ')) AS tokens FROM documents),

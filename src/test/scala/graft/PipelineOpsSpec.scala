@@ -40,6 +40,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(packedTokens == directTokens, "packing dropped or duplicated tokens")
   }
 
+  test("x48 distributed prefix sum ≡ single-window packing on a skewed corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 95% of docs in one language — the skew that would serialize a
+    // single lang-partitioned window into one task
+    val docs = (0L until 2000L).map { i =>
+      (i, if (i % 20 == 0) "de" else "en", (1 + rnd.nextInt(300)).toLong)
+    }.toDF("doc_id", "lang", "tokens")
+    val got = graft.ext.Packing
+      .packDocs(docs, "doc_id", "lang", "tokens", budget = 256, chunkSize = 64)
+      .select("doc_id", "cum", "bin")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = docs.withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tokens")) / 256))
+      .select("doc_id", "cum", "bin")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "chunked prefix sum diverged from the single-window form")
+  }
+
   test("x49 decontamination: flags exactly the docs sharing a benchmark 3-gram") {
     val out = ExtQueries.x49Decontaminate.fn(spark, dir).collect()
     assert(out.forall(_.getAs[Long]("doc_id") >= 25), "benchmark doc flagged")
