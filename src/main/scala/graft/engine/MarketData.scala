@@ -135,6 +135,41 @@ class MarketData(spark: SparkSession, basePath: String,
     remaining.unpersist()
   }
 
+  /** Bounded head/tail preview — the reference binds the loaded frame's
+    * first/last rows into its notebook UI (colab_interface.py:624-647).
+    * Both sorts compile to TakeOrderedAndProject (top-k, no full sort, no
+    * full materialization), so the collect is bounded by `2n` rows — the
+    * one sanctioned driver-side collection in this API, and explicitly
+    * sized. Returns (first n, last n) in ascending time order. */
+  def preview(symbol: String, timeframe: String, n: Int = 20)
+      : (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {
+    val series = facts()
+      .filter(col("symbol") === symbol && col("timeframe") === timeframe)
+    (series.orderBy(col("ts").asc).limit(n).collect(),
+      series.orderBy(col("ts").desc).limit(n).collect().reverse)
+  }
+
+  /** Plot-ready candles — the reference's candlestick path
+    * (colab_interface.py:467-499), made scale-safe: the requested range is
+    * resampled to the FINEST timeframe (≥ `timeframe`) whose bucket count
+    * fits `maxPoints`, so a caller can collect the result for display no
+    * matter how wide the range — a day plots at minutes, ten years at
+    * months. The frame itself stays distributed; it is merely guaranteed
+    * small. */
+  def plotCandles(symbol: String, timeframe: String, fromMs: Long,
+      toMs: Long, nowMs: Long, maxPoints: Int = 500): DataFrame = {
+    require(maxPoints > 0, "maxPoints must be positive")
+    val baseDur = Timeframes.durationMs(timeframe)
+    val span = math.max(toMs - fromMs, 1L)
+    val plotTf = Timeframes.all
+      .filter(Timeframes.durationMs(_) >= baseDur)
+      .sortBy(Timeframes.durationMs)
+      .find(tf => span / Timeframes.durationMs(tf) <= maxPoints)
+      .getOrElse("1M")
+    getResampledData(symbol, plotTf, fromMs, toMs, nowMs)
+      .orderBy("bucket")
+  }
+
   /** S6: stored-series listing with counts and dates
     * (database_handler.py:348-377). */
   def getStoredInfo(): DataFrame = {

@@ -61,6 +61,29 @@ class MarketDataSpec extends AnyFunSuite with SparkTestBase {
     assert(calls.get() == 1, "scheme-qualified store was not recognized as a hit")
   }
 
+  test("preview is bounded top-k and plotCandles auto-coarsens to fit maxPoints") {
+    val (md, _) = newMd()
+    md.getData("BTC", "1h", t0, t0 + 100 * h, now) // 100 hourly candles
+    val (headRows, tailRows) = md.preview("BTC", "1h", n = 5)
+    assert(headRows.length == 5 && tailRows.length == 5)
+    assert(headRows.head.getAs[java.sql.Timestamp]("ts").getTime == t0)
+    assert(tailRows.last.getAs[java.sql.Timestamp]("ts").getTime == t0 + 99 * h)
+    assert(headRows.map(_.getAs[java.sql.Timestamp]("ts").getTime).toSeq ==
+      headRows.map(_.getAs[java.sql.Timestamp]("ts").getTime).toSeq.sorted)
+    // the top-k must reach the plan, not sort-then-limit
+    val plan = md.facts().filter(col("symbol") === "BTC")
+      .orderBy(col("ts")).limit(5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    // 100h span, maxPoints 30 → 1h/2h don't fit (100/50 buckets), 4h does:
+    // 25 buckets — the finest timeframe within the budget
+    val plot = md.plotCandles("BTC", "1h", t0, t0 + 100 * h, now, maxPoints = 30)
+    val rows = plot.collect()
+    assert(rows.length == 25, s"got ${rows.length} buckets")
+    // volume conserved through the coarsening (resampled load fetches the
+    // 1m base: 6000 minutes × volume 10.0)
+    assert(math.abs(rows.map(_.getAs[Double]("volume")).sum - 6000 * 10.0) < 1e-9)
+  }
+
   test("freshness tolerance admits a just-beyond-coverage request (DB:288-295)") {
     val (md, calls) = newMd()
     md.getData("BTC", "1h", t0, t0 + 10 * h, now)
