@@ -626,7 +626,65 @@ object ExtQueries {
       SELECT id AS vec_id, min(root) AS keeper
       FROM reach GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x52
+  /** End-to-end training-data pipeline: exact-dedup keepers (x30) →
+    * benchmark decontamination (x49) → stratified train split (x47) →
+    * sequence packing (x48), composed as ONE lazy plan — the full
+    * corpus-to-training-sequences path a 100 TB pipeline runs nightly.
+    * Every stage is the already-verified operator; the composition itself
+    * is what this query pins (stage order, survivor semantics, and that
+    * the chain stays a single DAG with no driver materialization between
+    * stages). Oracle = the same four stages as chained CTEs. */
+  val x52PipelineE2e: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 1. exact dedup: keeper = min doc_id per content hash
+      val keepers = docs.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // 2. decontamination: training docs sharing a 3-gram with the
+      //    benchmark slice (doc_id < 25) are dropped
+      val sh = Dedup.hashedShingleTable(docs, "doc_id", "text").cache()
+      val bench = sh.filter(col("doc_id") < 25).select("h").distinct()
+      val contaminated = sh.filter(col("doc_id") >= 25)
+        .join(broadcast(bench), "h").select("doc_id").distinct()
+      // 3. stratified split: md5 bucket (x47's formula), train = %10 < 8
+      val train = docs
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") >= 25)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100) % 10 < 8)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      // 4. pack into 256-token sequences (skew-proof distributed form)
+      Packing.packSummary(
+        Packing.packDocs(train, "doc_id", "lang", "tokens", budget = 256),
+        "doc_id", "lang", "tokens")
+    },
+    Some(s"""WITH $shingleCte,
+      keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY sha256(text)),
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+      contaminated AS (SELECT DISTINCT s.doc_id FROM sh s
+        JOIN bench USING (h) WHERE s.doc_id >= 25),
+      train AS (SELECT d.doc_id, d.lang,
+          len(string_split(d.text, ' ')) AS tokens
+        FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+        WHERE d.doc_id >= 25
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+               % 100) % 10 < 8),
+      c AS (SELECT lang, doc_id, tokens,
+        CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM train)
+      SELECT lang, (cum - tokens) // 256 AS bin, count(*) AS n_docs,
+        CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1,2 ORDER BY 1,2"""))
+
   val all: Map[String, Q] = Map(
+    "x52_pipeline_e2e" -> x52PipelineE2e,
     "x50_embed_dedup" -> x50EmbedDedup,
     "x51_frame_sample" -> x51FrameSample,
     "x47_stratified_split" -> x47StratifiedSplit,
