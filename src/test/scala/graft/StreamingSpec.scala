@@ -142,6 +142,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(btc2000.toSeq == Seq(99.0), "late re-delivery must win on the PK")
   }
 
+  test("streamToStore: DSv2 micro-batch source → upsert store ≡ the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_si").toString
+    val t0 = 1704067200000L
+    val end = t0 + 6 * 3600000L
+    // 3 micro-batches of 2h each, two symbols, through the full pipeline:
+    // offset-tracked source → foreachBatch → partition-scoped upsert + meta
+    val q = graft.streaming.StreamingIngest.streamToStore(spark, dir,
+      "BTCUSDT,ETHUSDT", "1h", t0, end, batchMs = 2 * 3600000L,
+      checkpoint = s"$dir/ckpt")
+    try { q.processAllAvailable() } finally { q.stop() }
+    val cols = Seq("ts", "symbol", "timeframe", "open", "high", "low",
+      "close", "volume")
+    val got = spark.read.parquet(s"$dir/ohlcv")
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val want = spark.read.format("graft.sources.KlineSource")
+      .option("symbols", "BTCUSDT,ETHUSDT").option("timeframe", "1h")
+      .option("startMs", t0.toString).option("endMs", end.toString)
+      .load().select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want, "streamed store diverged from the batch read")
+    // the metadata side table tracked the stream: cache-or-fetch now hits
+    val md = new graft.engine.MarketData(spark, dir)
+    assert(md.checkDataExists("BTCUSDT", "1h", t0, end - 1, end)._1,
+      "coverage metadata did not observe the streamed ingest")
+  }
+
   test("ST4: streaming PK dedup collapses overlapping re-ingest (DB:215-218)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
     val rows = Seq(
