@@ -683,7 +683,57 @@ object ExtQueries {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1,2 ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- x53
+  /** Int8 scalar quantization of embeddings — the storage-compression step
+    * a 100 TB embedding corpus needs (4 bytes → 1 byte per dimension =
+    * 4× less scan I/O for ANN). Per-vector affine quantization:
+    * `scale = (max−min)/255`, `q = clamp(floor((x−min)/scale + 0.5), 0,
+    * 255)`, dequantized `x̂ = min + q·scale`. The query reports the
+    * fidelity metrics that decide whether ANN recall survives: max
+    * reconstruction error (order-independent, exact cross-engine) and
+    * cosine(original, dequantized) (float-sum → rounded at 6, the x34/x35
+    * convention). `floor(y + 0.5)` instead of `round()` everywhere —
+    * round() half-even/half-up rules diverge between engines.
+    * All arithmetic is codegen'd HOFs; no UDF. */
+  val x53QuantizeEmbeddings: Q = Q(
+    (s, dir) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      val mn = array_min(emb)
+      val mx = array_max(emb)
+      val scale = (mx - mn) / 255.0d
+      val qv = transform(emb, x =>
+        when(scale === 0d, 0d).otherwise(
+          least(greatest(floor((x - mn) / scale + 0.5d), lit(0d)), lit(255d))))
+      val dq = transform(qv, v => mn + v * scale)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), emb.as("e"), dq.as("d"))
+        .select(col("vec_id"),
+          array_max(zip_with(col("e"), col("d"), (a, b) => abs(a - b)))
+            .as("max_abs_err"),
+          round(dot(col("e"), col("d")) /
+            (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("d"), col("d")))), 6)
+            .as("cos_fidelity"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings),
+      st AS (SELECT vec_id, min(x) AS mn, (max(x) - min(x)) / 255.0 AS scale
+             FROM ex GROUP BY 1),
+      dq AS (SELECT e.vec_id, e.i, e.x,
+               s.mn + (CASE WHEN s.scale = 0 THEN 0
+                 ELSE least(greatest(floor((e.x - s.mn) / s.scale + 0.5), 0), 255)
+               END) * s.scale AS d
+             FROM ex e JOIN st s ON s.vec_id = e.vec_id)
+      SELECT vec_id, max(abs(x - d)) AS max_abs_err,
+        round(sum(x * d) / (sqrt(sum(x * x)) * sqrt(sum(d * d))), 6)
+          AS cos_fidelity
+      FROM dq GROUP BY 1 ORDER BY 1"""))
+
   val all: Map[String, Q] = Map(
+    "x53_quantize_embeddings" -> x53QuantizeEmbeddings,
     "x52_pipeline_e2e" -> x52PipelineE2e,
     "x50_embed_dedup" -> x50EmbedDedup,
     "x51_frame_sample" -> x51FrameSample,

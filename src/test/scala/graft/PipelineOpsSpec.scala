@@ -61,6 +61,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       "chunked prefix sum diverged from the single-window form")
   }
 
+  test("x53 quantization: reconstruction error ≤ half a quantization step, cosine ≈ 1") {
+    val out = ExtQueries.x53QuantizeEmbeddings.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    // per-vector step = (max-min)/255; affine quantization bounds the
+    // reconstruction error by step/2 (+ fp slack)
+    val steps = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), ((array_max(transform(col("embedding"),
+        x => x.cast("double"))) - array_min(transform(col("embedding"),
+        x => x.cast("double")))) / 255.0).as("step"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (id, err, cos) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(err <= steps(id) / 2 + 1e-12, s"vec $id err $err > step/2")
+      assert(cos > 0.999, s"vec $id cosine fidelity $cos")
+    }
+  }
+
   test("x49 decontamination: flags exactly the docs sharing a benchmark 3-gram") {
     val out = ExtQueries.x49Decontaminate.fn(spark, dir).collect()
     assert(out.forall(_.getAs[Long]("doc_id") >= 25), "benchmark doc flagged")
