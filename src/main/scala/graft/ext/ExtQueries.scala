@@ -732,7 +732,76 @@ object ExtQueries {
           AS cos_fidelity
       FROM dq GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x54
+  /** Intra-document repetition ratio — the corpus-quality signal (share of
+    * duplicated word 3-grams) that flags templated/degenerate text for
+    * filtering. Entirely per-row array expressions (`Dedup.shingles` +
+    * `array_distinct`): ZERO shuffles except the final sort — at 100 TB
+    * this is a pure map-side scan, the cheapest possible operator shape.
+    * Docs with <3 tokens have no 3-grams → NULL ratio (nothing to judge).
+    * Integer-ratio output: raw IEEE division, never rounded. */
+  val x54RepetitionRatio: Q = Q(
+    (s, dir) => {
+      val sh = Dedup.shingles(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(sh).cast("long").as("n_grams"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") === 0, lit(null).cast("double"))
+            .otherwise(lit(1.0d) - col("n_distinct") / col("n_grams")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      g AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))
+          ELSE [] END AS grams
+        FROM tok)
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        CASE WHEN len(grams) = 0 THEN NULL
+             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                  / len(grams) END AS rep_ratio
+      FROM g ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x55
+  /** Corpus-level boilerplate identification: the top-3 most frequent word
+    * 3-grams per language (count desc, gram asc tie-break — total order,
+    * so both engines agree). Explode → hash agg by (lang, gram) →
+    * windowed top-k: two shuffles regardless of corpus size; the per-lang
+    * window runs over aggregated gram counts, not documents, so a
+    * dominant language is bounded by its VOCABULARY, not its row count. */
+  val x55TopNgrams: Q = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("gram"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(Dedup.shingles(col("text"))).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "gram", "n")
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH tok AS (SELECT lang, string_split(text, ' ') AS t
+        FROM documents),
+      g AS (SELECT lang, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+          i -> array_to_string(t[i:i+2], ' '))) AS gram
+        FROM tok WHERE len(t) >= 3),
+      c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2),
+      r AS (SELECT lang, gram, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rank
+        FROM c)
+      SELECT lang, rank, gram, n FROM r WHERE rank <= 3
+      ORDER BY lang, rank"""))
+
   val all: Map[String, Q] = Map(
+    "x54_repetition_ratio" -> x54RepetitionRatio,
+    "x55_top_ngrams" -> x55TopNgrams,
     "x53_quantize_embeddings" -> x53QuantizeEmbeddings,
     "x52_pipeline_e2e" -> x52PipelineE2e,
     "x50_embed_dedup" -> x50EmbedDedup,

@@ -78,6 +78,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x54 repetition: duplicated 3-grams raise the ratio; short docs are null") {
+    import spark.implicits._
+    val sh = graft.ext.Dedup.shingles(col("text"))
+    val out = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, 3 distinct → 1 - 3/7
+      (2L, "w x"),               // <3 tokens → null
+      (3L, "p q r s")            // 2 grams, both unique → 0.0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), size(sh).cast("long").as("n"),
+        size(array_distinct(sh)).cast("long").as("d"))
+      .withColumn("r", when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0d) - col("d") / col("n")))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).getDouble(3) == 1.0 - 3.0 / 7.0)
+    assert(out(2L).isNullAt(3))
+    assert(out(3L).getDouble(3) == 0.0)
+  }
+
   test("x49 decontamination: flags exactly the docs sharing a benchmark 3-gram") {
     val out = ExtQueries.x49Decontaminate.fn(spark, dir).collect()
     assert(out.forall(_.getAs[Long]("doc_id") >= 25), "benchmark doc flagged")
