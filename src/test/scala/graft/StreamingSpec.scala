@@ -169,6 +169,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "coverage metadata did not observe the streamed ingest")
   }
 
+  test("streamToStore restart: checkpoint resume completes the range, store stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sir").toString
+    val t0 = 1704067200000L
+    val end = t0 + 8 * 3600000L
+    def start() = graft.streaming.StreamingIngest.streamToStore(spark, dir,
+      "BTCUSDT", "1h", t0, end, batchMs = 2 * 3600000L,
+      checkpoint = s"$dir/ckpt")
+    // phase 1: ingest at least one micro-batch, then kill mid-stream
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      while (q1.recentProgress.length < 2 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    // phase 2: resume from the checkpoint — must complete the range and
+    // any replayed batch must upsert idempotently, never duplicate
+    val q2 = start()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val cols = Seq("ts", "symbol", "timeframe", "open", "high", "low",
+      "close", "volume")
+    val got = spark.read.parquet(s"$dir/ohlcv")
+      .select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = spark.read.format("graft.sources.KlineSource")
+      .option("symbols", "BTCUSDT").option("timeframe", "1h")
+      .option("startMs", t0.toString).option("endMs", end.toString)
+      .load().select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want, "restarted stream corrupted or truncated the store")
+  }
+
   test("ST4: streaming PK dedup collapses overlapping re-ingest (DB:215-218)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
     val rows = Seq(
