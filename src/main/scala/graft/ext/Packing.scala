@@ -33,7 +33,9 @@ object Packing {
     * id) and `bin` (budget-floor of the document's start offset). */
   def packDocs(docs: DataFrame, idCol: String, langCol: String,
       tokensCol: String, budget: Int = 256, chunkSize: Int = 100): DataFrame = {
-    val chunked = docs.withColumn("_chunk", floor(col(idCol) / chunkSize))
+    // integer `div`, not floor(double division): a 64-bit hashed id would
+    // lose low bits past 2^53 in double and smear chunk boundaries
+    val chunked = docs.withColumn("_chunk", expr(s"`$idCol` div $chunkSize"))
     val wChunks = Window.partitionBy(langCol).orderBy("_chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = chunked.groupBy(col(langCol), col("_chunk"))
