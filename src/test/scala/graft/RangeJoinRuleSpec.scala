@@ -99,6 +99,43 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: rewrite ≡ naive theta join across random corpora and bucket sizes") {
+    // randomized shapes: mixed narrow/wide/empty/sentinel intervals and
+    // negative domains, checked against the un-rewritten join at several
+    // bucket granularities (incl. 1 — maximal explosion pressure — and a
+    // bucket far larger than every interval)
+    val prnd = new scala.util.Random(91)
+    (1 to 3).foreach { round =>
+      val iv = (1 to 80).map { i =>
+        val s = prnd.nextInt(40000).toLong - 20000
+        val width = prnd.nextInt(4) match {
+          case 0 => 0L                              // empty (e == s)
+          case 1 => 1L + prnd.nextInt(50)           // narrow
+          case 2 => 1L + prnd.nextInt(20000)        // spans many buckets
+          case _ => Long.MaxValue / 4                // sentinel-wide
+        }
+        (i.toLong, s, s + width)
+      }.toDF("iv_id", "s_ms", "e_ms")
+      val pt = (1 to 120).map { i =>
+        (1000L + i, prnd.nextInt(48000).toLong - 24000)
+      }.toDF("pt_id", "p_ms")
+      val want = iv.join(pt, $"p_ms" >= $"s_ms" && $"p_ms" < $"e_ms")
+        .select("iv_id", "pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      Seq(1L, 97L, 1000L, 1000000L).foreach { bucket =>
+        withRule(bucket) {
+          val got = iv.join(pt, $"p_ms" >= $"s_ms" && $"p_ms" < $"e_ms")
+            .select("iv_id", "pt_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          assert(got.length == got.distinct.length,
+            s"round $round bucket $bucket: duplicated pairs")
+          assert(got.sorted.toSeq == want,
+            s"round $round bucket $bucket: result diverged")
+        }
+      }
+    }
+  }
+
   test("overflow-wide interval (Long.Min..Long.Max bounds, bucket=1) takes the wide branch") {
     // lastBucket - firstBucket overflows Long here; a raw `< maxBuckets`
     // check would see a negative diff, misclassify the interval as narrow,
