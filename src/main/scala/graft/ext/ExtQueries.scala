@@ -799,7 +799,77 @@ object ExtQueries {
       SELECT lang, rank, gram, n FROM r WHERE rank <= 3
       ORDER BY lang, rank"""))
 
+  // ---------------------------------------------------------------- x56
+  /** Unigram-LM document scoring — the corpus-LM quality filter (CCNet
+    * style) with the LM honestly stubbed as the corpus's own unigram
+    * distribution: score(doc) = mean over tokens of ln P(token), P from
+    * global counts. Shape at 100 TB: one vocab hash-agg (bounded by
+    * vocabulary, not corpus), broadcast of the vocab to the token scan,
+    * one per-doc agg — no quadratic anywhere. avg written as sum/count
+    * (engine avg internals differ); float-log sum rounded at 6. */
+  val x56UnigramScore: Q = Q(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = toks.count() // driver scalar: corpus size (one long)
+      toks.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round((sum(log(col("n") / total.toDouble)) / count(lit(1))), 6)
+            .as("mean_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      vocab AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM tok)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(sum(ln(v.n / (SELECT CAST(total AS DOUBLE) FROM tot)))
+          / count(*), 6) AS mean_logp
+      FROM tok t JOIN vocab v ON v.token = t.token
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- x57
+  /** Source-mixture reweighting — the data-mixing step: per `source`,
+    * the sampling weight that moves the corpus to a uniform target mix,
+    * capped at 4 epochs (the standard repeat bound). All outputs are
+    * ratios of exact integers — raw IEEE division, bit-identical across
+    * engines, never rounded. One hash-agg + a broadcast scalar join. */
+  val x57MixtureWeights: Q = Q(
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val totals = perSource.agg(
+        sum(col("n_docs")).as("total_docs"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("actual_share", col("n_docs") / col("total_docs"))
+        .withColumn("weight",
+          least(col("total_docs") / (col("n_sources") * col("n_docs")),
+            lit(4.0d)))
+        .withColumn("eff_tokens", col("weight") * col("n_tokens"))
+        .select("source", "n_docs", "n_tokens", "actual_share", "weight",
+          "eff_tokens")
+        .orderBy("source")
+    },
+    Some("""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+          CAST(count(*) AS BIGINT) AS n_sources FROM ps)
+      SELECT source, n_docs, n_tokens,
+        n_docs / CAST(total_docs AS DOUBLE) AS actual_share,
+        least(total_docs / (CAST(n_sources AS DOUBLE) * n_docs), 4.0)
+          AS weight,
+        least(total_docs / (CAST(n_sources AS DOUBLE) * n_docs), 4.0)
+          * n_tokens AS eff_tokens
+      FROM ps, t ORDER BY source"""))
+
   val all: Map[String, Q] = Map(
+    "x56_unigram_score" -> x56UnigramScore,
+    "x57_mixture_weights" -> x57MixtureWeights,
     "x54_repetition_ratio" -> x54RepetitionRatio,
     "x55_top_ngrams" -> x55TopNgrams,
     "x53_quantize_embeddings" -> x53QuantizeEmbeddings,
