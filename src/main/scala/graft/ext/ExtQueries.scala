@@ -811,8 +811,10 @@ object ExtQueries {
     (s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
-      val total = toks.count() // driver scalar: corpus size (one long)
+      // cache the vocab: the corpus total derives from it (sum of counts)
+      // instead of a second full token scan, and the join reuses it
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n")).cache()
+      val total = vocab.agg(sum(col("n"))).head.getLong(0)
       toks.join(broadcast(vocab), "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
