@@ -78,6 +78,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packing property: chunked ≡ single-window for random corpora and chunk sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    for (seed <- Seq(3, 17); chunkSize <- Seq(1, 7, 64, 5000)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse, non-contiguous ids — chunk assignment must not assume density
+      val docs = (0 until 500).map { _ =>
+        (rnd.nextInt(100000).toLong, "L" + rnd.nextInt(3),
+          (1 + rnd.nextInt(400)).toLong)
+      }.distinctBy(_._1).toDF("doc_id", "lang", "tokens")
+      val got = graft.ext.Packing
+        .packDocs(docs, "doc_id", "lang", "tokens", 256, chunkSize)
+        .select("doc_id", "cum", "bin")
+      val want = docs.withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("tokens")) / 256))
+        .select("doc_id", "cum", "bin")
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"seed $seed chunkSize $chunkSize diverged")
+    }
+  }
+
   test("x54 repetition: duplicated 3-grams raise the ratio; short docs are null") {
     import spark.implicits._
     val sh = graft.ext.Dedup.shingles(col("text"))
