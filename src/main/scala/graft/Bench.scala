@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   * `"spread"` so run-to-run variance is visible rather than folded into the
   * headline. `spark.catalog.clearCache()` runs before every measurement so a
   * query that caches intermediates (x31/x33/x44/x49) cannot leak memory
-  * pressure into the queries measured after it.
+  * pressure into the queries measured after it. A query whose first rep
+  * exceeds `SPARK_GRAFT_REP_BUDGET_SEC` (default 30) is not repeated —
+  * under heavy host contention the bench must stay bounded rather than
+  * triple an already-pathological measurement; such a query is flagged by
+  * magnitude regardless, and its spread degenerates to the single rep.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +27,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val repBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_REP_BUDGET_SEC", "30").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,12 +48,18 @@ object Bench {
       */
     def measure(name: String): (Double, Double, Double, Option[String]) = {
       var err: Option[String] = None
+      var overBudget = false
       val times = (1 to reps).flatMap { _ =>
-        if (err.isDefined) None
+        if (err.isDefined || overBudget) None
         else {
           spark.catalog.clearCache() // queries must not inherit cached state
           val t0 = System.nanoTime()
-          try { run(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          try {
+            run(name, sfDir)
+            val sec = (System.nanoTime() - t0) / 1e9
+            overBudget = sec > repBudgetSec
+            Some(sec)
+          }
           catch { case t: Throwable =>
             err = Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(120))
             None
