@@ -869,7 +869,53 @@ object ExtQueries {
           * n_tokens AS eff_tokens
       FROM ps, t ORDER BY source"""))
 
+  // ---------------------------------------------------------------- x58
+  /** Document chunking — overlapping token windows (64 tokens, stride 48)
+    * with stable ids, the preprocessing step that feeds embedding / RAG
+    * indexing. Pure per-row array expressions + one explode: zero
+    * shuffles before the final sort, so it scales as a map-side scan.
+    * Chunk CONTENT is pinned cross-engine by md5 of the joined window —
+    * the oracle proves byte equality of every chunk without shipping the
+    * text. Chunk count = 1 + ceil(max(len−w, 0)/s); the trailing window
+    * truncates (both engines' list slicing truncates past the end). */
+  val x58ChunkDocuments: Q = {
+    val w = 64
+    val s = 48
+    Q(
+      (sp, dir) => {
+        val toks = split(col("text"), " ")
+        val len = size(toks)
+        val nChunks = (lit(1) +
+          ceil(greatest(len - w, lit(0)) / lit(s.toDouble))).cast("long")
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), toks.as("t"), nChunks.as("nc"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+          .withColumn("start_tok", lit(1L) + col("chunk_idx") * s)
+          .withColumn("ct",
+            slice(col("t"), col("start_tok").cast("int"), lit(w)))
+          .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+            size(col("ct")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("ct"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+        n AS (SELECT doc_id, t,
+            1 + CAST(ceil(greatest(len(t) - $w, 0) / $s.0) AS BIGINT)
+              AS n_chunks FROM tok),
+        k AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_idx
+          FROM n),
+        c AS (SELECT doc_id, chunk_idx, 1 + chunk_idx * $s AS start_tok,
+            t[(1 + chunk_idx * $s):(chunk_idx * $s + $w)] AS ct FROM k)
+        SELECT doc_id, chunk_idx, start_tok,
+          CAST(len(ct) AS BIGINT) AS n_tokens,
+          md5(array_to_string(ct, ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx"""))
+  }
+
   val all: Map[String, Q] = Map(
+    "x58_chunk_documents" -> x58ChunkDocuments,
     "x56_unigram_score" -> x56UnigramScore,
     "x57_mixture_weights" -> x57MixtureWeights,
     "x54_repetition_ratio" -> x54RepetitionRatio,
