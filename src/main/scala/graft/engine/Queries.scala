@@ -1064,8 +1064,47 @@ object Queries {
       FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
       ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q47
+  /** Full-outer reconciliation — the one join type the surface lacked:
+    * per-user click vs purchase activity FULL OUTER joined; users active
+    * on one side only surface with an explicit status. The symmetric-diff
+    * report every reconciliation pipeline runs (old-vs-new snapshot,
+    * expected-vs-actual). Shape: two partial-aggregated hash aggs + one
+    * shuffle full-outer hash join on the same key — no extra pass. */
+  val q47FullOuter: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purch, Seq("user_id"), "full_outer")
+        .withColumn("status",
+          when(col("n_clicks").isNull, lit("purchases_only"))
+            .when(col("n_purchases").isNull, lit("clicks_only"))
+            .otherwise(lit("both")))
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("status"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        coalesce(n_clicks, 0) AS n_clicks,
+        coalesce(n_purchases, 0) AS n_purchases,
+        CASE WHEN n_clicks IS NULL THEN 'purchases_only'
+             WHEN n_purchases IS NULL THEN 'clicks_only'
+             ELSE 'both' END AS status
+      FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
+      ORDER BY 1"""))
+
   /** Registry — names are stable driver-facing identifiers. */
   val all: Map[String, Q] = Map(
+    "q47_full_outer" -> q47FullOuter,
     "q40_range_join" -> q40RangeJoin,
     "q45_set_all" -> q45SetAll,
     "q46_gapfill" -> q46GapFill,
