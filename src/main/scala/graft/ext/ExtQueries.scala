@@ -804,9 +804,12 @@ object ExtQueries {
     * style) with the LM honestly stubbed as the corpus's own unigram
     * distribution: score(doc) = mean over tokens of ln P(token), P from
     * global counts. Shape at 100 TB: one vocab hash-agg (bounded by
-    * vocabulary, not corpus), broadcast of the vocab to the token scan,
-    * one per-doc agg — no quadratic anywhere. avg written as sum/count
-    * (engine avg internals differ); float-log sum rounded at 6. */
+    * vocabulary, not corpus), a token⋈vocab equi-join the planner sizes
+    * itself — NO broadcast hint: a web-scale vocabulary is unbounded and
+    * a forced broadcast would OOM the executors; at test SF AQE
+    * broadcasts it anyway, at scale it shuffle-joins — then one per-doc
+    * agg. No quadratic anywhere. avg written as sum/count (engine avg
+    * internals differ); float-log sum rounded at 6. */
   val x56UnigramScore: Q = Q(
     (s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -815,7 +818,7 @@ object ExtQueries {
       // instead of a second full token scan, and the join reuses it
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("n")).cache()
       val total = vocab.agg(sum(col("n"))).head.getLong(0)
-      toks.join(broadcast(vocab), "token")
+      toks.join(vocab, "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round((sum(log(col("n") / total.toDouble)) / count(lit(1))), 6)
