@@ -61,6 +61,34 @@ class MarketDataSpec extends AnyFunSuite with SparkTestBase {
     assert(calls.get() == 1, "scheme-qualified store was not recognized as a hit")
   }
 
+  test("getDataIncremental fetches only the missing runs, never the whole range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val ranges = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    val fetch = (symbol: String, tf: String, from: Long, to: Long) => {
+      ranges += ((from, to))
+      val dur = graft.engine.Timeframes.durationMs(tf)
+      (from until to by dur).map { ts =>
+        (msTs(ts), symbol, tf, 1.0, 2.0, 0.5, 1.5, 10.0)
+      }.toDF("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
+    }
+    val md = new MarketData(spark, dir, fetch)
+    // two cached segments with a hole: [0,5h) and [10h,15h)
+    md.saveData(fetch("BTC", "1h", t0, t0 + 5 * h)); ranges.clear()
+    md.saveData(fetch("BTC", "1h", t0 + 10 * h, t0 + 15 * h)); ranges.clear()
+    // incremental load of [0,15h): must fetch EXACTLY the hole [5h,10h)
+    val df = md.getDataIncremental("BTC", "1h", t0, t0 + 15 * h, now)
+    assert(df.count() == 15)
+    assert(ranges.toSeq == Seq((t0 + 5 * h, t0 + 10 * h)),
+      s"fetched $ranges instead of just the hole")
+    // fully-covered re-request: zero fetches
+    assert(md.getDataIncremental("BTC", "1h", t0, t0 + 15 * h, now).count() == 15)
+    assert(ranges.size == 1, "covered re-request must not fetch")
+    // extension past coverage fetches only the tail run
+    assert(md.getDataIncremental("BTC", "1h", t0, t0 + 18 * h, now).count() == 18)
+    assert(ranges.toSeq == Seq((t0 + 5 * h, t0 + 10 * h),
+      (t0 + 15 * h, t0 + 18 * h)))
+  }
+
   test("preview is bounded top-k and plotCandles auto-coarsens to fit maxPoints") {
     val (md, _) = newMd()
     md.getData("BTC", "1h", t0, t0 + 100 * h, now) // 100 hourly candles
