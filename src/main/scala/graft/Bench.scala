@@ -10,16 +10,27 @@ import org.apache.spark.sql.SparkSession
   * `count()`), after a warm-up pass at sf0.001 that JITs the common
   * codepaths out of the measurement.
   *
-  * Methodology (round 3): each query is measured `SPARK_GRAFT_REPS` times
-  * (default 3) and the MEDIAN is reported, with min/max recorded in
-  * `"spread"` so run-to-run variance is visible rather than folded into the
-  * headline. `spark.catalog.clearCache()` runs before every measurement so a
-  * query that caches intermediates (x31/x33/x44/x49) cannot leak memory
-  * pressure into the queries measured after it. A query whose first rep
-  * exceeds `SPARK_GRAFT_REP_BUDGET_SEC` (default 30) is not repeated —
-  * under heavy host contention the bench must stay bounded rather than
-  * triple an already-pathological measurement; such a query is flagged by
-  * magnitude regardless, and its spread degenerates to the single rep.
+  * Methodology (round 4):
+  *  - each query is measured `SPARK_GRAFT_REPS` times (default 3) and the
+  *    MEDIAN is reported (true median: mean of the middle two when the rep
+  *    count is even), with min/max recorded in `"spread"`;
+  *  - reps are interleaved ROUND-ROBIN (q1 rep1, q2 rep1, …, q1 rep2, …)
+  *    so one transient host-contention window cannot define every rep of a
+  *    single query — with sequential reps, the r3 driver run had rep-2/3 of
+  *    the two heaviest queries land in one such window and their medians
+  *    report the spike;
+  *  - before EVERY measurement all engine state is dropped:
+  *    `spark.catalog.clearCache()` for SQL caches AND an explicit unpersist
+  *    of every persistent RDD — `localCheckpoint` blocks (connected
+  *    components) live at the RDD layer and survive clearCache, otherwise
+  *    accumulating across reps until the ContextCleaner gets to them;
+  *  - a query whose rep exceeds `SPARK_GRAFT_REP_BUDGET_SEC` (default 30)
+  *    is not measured again — under heavy host contention the bench must
+  *    stay bounded rather than keep re-running a pathological measurement;
+  *    such a query is flagged by magnitude regardless;
+  *  - the sf dir's files are faulted into the OS page cache once before
+  *    measuring (tens of MB), so the first measured query doesn't pay
+  *    cold-read latency the later ones don't.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,43 +53,67 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
 
-    /** Median-of-`reps` wall time; a query that crashes on ANY rep reports
-      * -1 and its first error string (a crashing query must not masquerade
-      * as a fast one).
-      */
-    def measure(name: String): (Double, Double, Double, Option[String]) = {
-      var err: Option[String] = None
-      var overBudget = false
-      val times = (1 to reps).flatMap { _ =>
-        if (err.isDefined || overBudget) None
-        else {
-          spark.catalog.clearCache() // queries must not inherit cached state
-          val t0 = System.nanoTime()
-          try {
-            run(name, sfDir)
-            val sec = (System.nanoTime() - t0) / 1e9
-            overBudget = sec > repBudgetSec
-            Some(sec)
-          }
-          catch { case t: Throwable =>
-            err = Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(120))
-            None
-          }
+    /** Drop ALL engine state a previous measurement may have left: SQL
+      * caches and RDD-level persisted blocks (localCheckpoints). */
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    /** One timed, state-isolated execution. */
+    def measureOnce(name: String): Either[String, Double] = {
+      clearState()
+      val t0 = System.nanoTime()
+      try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable =>
+        Left(Option(t.getMessage).getOrElse(t.getClass.getName).take(120)) }
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+    }
+
+    /** Round-robin reps over `names`; per query: median/min/max/error.
+      * A query that crashes on ANY rep reports -1 and its first error (a
+      * crashing query must not masquerade as a fast one); a rep over
+      * budget ends that query's reps. */
+    def roundRobin(names: Seq[String])
+        : Seq[(String, (Double, Double, Double, Option[String]))] = {
+      val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      val errs = scala.collection.mutable.Map.empty[String, String]
+      val stopped = scala.collection.mutable.Set.empty[String]
+      for (_ <- 1 to reps; n <- names if !errs.contains(n) && !stopped(n))
+        measureOnce(n) match {
+          case Right(sec) =>
+            times(n) = times.getOrElse(n, Vector.empty) :+ sec
+            if (sec > repBudgetSec) stopped += n
+          case Left(e) => errs(n) = e
         }
-      }
-      if (err.isDefined || times.isEmpty) (-1d, -1d, -1d, err)
-      else {
-        val s = times.sorted
-        (s(s.length / 2), s.head, s.last, None)
+      names.map { n =>
+        val t = times.getOrElse(n, Vector.empty)
+        if (errs.contains(n) || t.isEmpty) n -> (-1d, -1d, -1d, errs.get(n))
+        else n -> (median(t), t.min, t.max, None)
       }
     }
+
+    // fault the benchmark inputs into the OS page cache (bench hygiene:
+    // cold-read latency belongs to no single query)
+    Option(new java.io.File(sfDir).listFiles).getOrElse(Array.empty)
+      .filter(_.isFile).foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
 
     val names = SparkEntry.benchQueries
     names.foreach { n => // warm-up: JIT + codegen caches, tiny data
       try run(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
-    val results = names.map { name => (name, measure(name)) }
+    val results = roundRobin(names)
 
     val qs = results.map { case (k, (med, _, _, e)) =>
         "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
@@ -86,7 +121,7 @@ object Bench {
     val spread = results.collect { case (k, (_, lo, hi, None)) =>
         "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, _, _, Some(e))) =>
+    val errsJson = results.collect { case (k, (_, _, _, Some(e))) =>
         // strip everything JSON strings can't carry raw (quotes,
         // backslashes, ALL control chars), not just newlines
         "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
@@ -101,12 +136,11 @@ object Bench {
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
-    val extra = extraNames.map { name =>
-      val (med, _, _, e) = measure(name)
+    val extra = roundRobin(extraNames).map { case (name, (med, _, _, e)) =>
       "\"" + name + "\":" + (if (e.isDefined) "-1" else med.toString)
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"errors":$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

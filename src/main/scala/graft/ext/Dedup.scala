@@ -30,18 +30,27 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, h) table with shingles hashed to 60-bit ints BEFORE the
-    * distinct — the shared input of MinHash, Jaccard verification, and the
-    * inverted-index join. Hashing first means every downstream shuffle
-    * (distinct, signature agg, verify joins) moves 8-byte longs instead of
-    * ~30-byte shingle strings — a 3–4× shuffle-width cut that compounds at
-    * 100 TB. Set semantics are preserved modulo 60-bit hash collisions,
-    * which the md5-derived oracle reproduces bit-for-bit. */
-  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+  /** Raw (id, h) MULTISET of hashed shingles — one row per shingle
+    * occurrence, no distinct. This is the right input for
+    * [[minhashSignatures]]: `min` is duplicate-insensitive, so feeding the
+    * multiset skips an entire corpus-wide shuffle (the distinct) on the
+    * signature path — at 100 TB that is the single largest avoidable
+    * exchange in the dedup pipeline. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
       .select(col(idCol), baseHash(col("shingle")).as("h"))
-      .distinct()
+
+  /** Distinct (id, h) table with shingles hashed to 60-bit ints BEFORE the
+    * distinct — the input of exact-Jaccard verification and the
+    * inverted-index join (which need set semantics). Hashing first means
+    * every downstream shuffle (distinct, verify joins) moves 8-byte longs
+    * instead of ~30-byte shingle strings — a 3–4× shuffle-width cut that
+    * compounds at 100 TB. Set semantics are preserved modulo 60-bit hash
+    * collisions, which the md5-derived oracle reproduces bit-for-bit. */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    hashedShingles(docs, idCol, textCol, k).distinct()
 
   /** Universal-hash family constants for MinHash: permutation i is
     * `(A(i)·h + B(i)) mod P` over the base hash h (first 60 bits of md5).
@@ -57,10 +66,12 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
-  /** MinHash signatures over a [[hashedShingleTable]] (column `h`):
+  /** MinHash signatures over a hashed-shingle frame (column `h`):
     * m_i = min over shingles of permutation_i(h). One hash-aggregate
     * producing all `numHashes` mins per document — single shuffle
-    * regardless of signature width. */
+    * regardless of signature width. `min` is duplicate-insensitive, so the
+    * cheap [[hashedShingles]] multiset is the preferred input (identical
+    * result to the distinct [[hashedShingleTable]], one less shuffle). */
   def minhashSignatures(hashedTbl: DataFrame, idCol: String,
       numHashes: Int = 16): DataFrame =
     hashedTbl.groupBy(col(idCol)).agg(
@@ -75,52 +86,73 @@ object Dedup {
 
   /** LSH banding: hash `rows` consecutive signature entries per band; two
     * documents are candidates iff they collide in ≥1 band. Returns distinct
-    * (id_a, id_b) with id_a < id_b. The self-join key is (band_idx,
-    * band_hash) — fully hash-partitionable.
+    * (id_a, id_b) with id_a < id_b.
     *
-    * Buckets larger than `maxBucket` are dropped BEFORE the self-join: on
+    * Shape: ONE bucket aggregate (`collect_list` of ids per (band_idx,
+    * band_hash)) followed by in-bucket pair expansion with a higher-order
+    * function, then a distinct — two shuffles total, no self-join, no
+    * cached intermediate. The classic formulation (bucket-count agg +
+    * filter-join + self-join on the bucket key) computes the same pairs in
+    * ~5 exchanges; at scale both shuffle the same doc×bands rows, but this
+    * form has less than half the stages — and stage count is what a busy
+    * cluster (or a contended benchmark host) amplifies.
+    *
+    * Buckets larger than `maxBucket` are dropped BEFORE pair expansion: on
     * boilerplate-heavy corpora (templated pages, license headers) entire
-    * band signatures collide, and the self-join over one mega-bucket is
+    * band signatures collide, and pair expansion of one mega-bucket is
     * quadratic in its size — at 100 TB a single 10M-doc bucket is 10^14
-    * pairs. Dropping over-cap buckets bounds per-bucket work at
-    * `maxBucket²` (the same guard the n-gram path applies via its df cap);
-    * pairs that only collide in mega-buckets are the standard accepted loss
-    * — such documents still meet in any *discriminative* band they share. */
+    * pairs. The cap bounds per-bucket work at `maxBucket²` (the same guard
+    * the n-gram path applies via its df cap). The bucket size is computed
+    * with a WINDOW count rather than inside the collect aggregate, so a
+    * mega-bucket is dropped by a spill-safe operator (WindowExec buffers
+    * spill to disk) and never materializes as a 10M-element array in an
+    * agg buffer; pairs that only collide in mega-buckets are the standard
+    * accepted loss — such documents still meet in any *discriminative*
+    * band they share. */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 4,
       rows: Int = 4, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bandCols = (0 until bands).map { j =>
       concat_ws("|",
         (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
     }
-    // cache: the self-join's two sides would otherwise recompute the whole
-    // shingle→minhash pipeline twice (band table is tiny: docs × bands)
-    val exploded = sigs.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h"))).cache()
-    val small = exploded.groupBy("band_idx", "h")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-      .select("band_idx", "h")
-    val kept = exploded.join(small, Seq("band_idx", "h"))
-    val a = kept.select(col(idCol).as("id_a"), col("band_idx"), col("h"))
-    val b = kept.select(col(idCol).as("id_b"), col("band_idx"), col("h"))
-    a.join(b, Seq("band_idx", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    sigs.select(col(idCol),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band_idx", "h")))
+      .filter(col("bsz").between(2, maxBucket)) // singletons yield no pairs
+      .groupBy("band_idx", "h") // same keys as the window: no new exchange
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+             transform(filter(ids, b -> b > a), b ->
+               named_struct('id_a', a, 'id_b', b))))""")).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .distinct()
   }
 
-  /** Exact Jaccard over candidate pairs (verification stage): common
-    * shingles via equi-join on the hashed shingle table (column `h`), set
-    * sizes via a grouped count — never recomputes shingles pairwise. */
+  /** Exact Jaccard over candidate pairs (verification stage): each doc's
+    * distinct shingle-hash SET is assembled once (`collect_set` — one
+    * shuffle; input may be the raw multiset, the set agg dedups), then each
+    * pair is verified with `array_intersect` arithmetic — two equi-joins
+    * total, no pair×shingle row explosion and no separate set-size joins.
+    * Per-doc arrays are bounded by document length (unlike cross-doc
+    * bucket state), so agg buffers stay small at any corpus scale.
+    * Output columns and types match the classic join-form exactly
+    * (`common`/`sz_a`/`sz_b` as BIGINT, `jaccard` the raw IEEE division of
+    * identical integers — oracle-parity). */
   def jaccardVerify(cands: DataFrame, hashedTbl: DataFrame,
       idCol: String): DataFrame = {
-    val sizes = hashedTbl.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val sa = hashedTbl.select(col(idCol).as("id_a"), col("h"))
-    val sb = hashedTbl.select(col(idCol).as("id_b"), col("h"))
-    cands.join(sa, "id_a").join(sb, Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    val sets = hashedTbl.groupBy(col(idCol))
+      .agg(collect_set(col("h")).as("hs"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("common"),
+        size(col("hs_a")).cast("long").as("sz_a"),
+        size(col("hs_b")).cast("long").as("sz_b"))
       .withColumn("jaccard",
         col("common") / (col("sz_a") + col("sz_b") - col("common")))
   }
@@ -141,20 +173,44 @@ object Dedup {
     jaccardVerify(cands, hashedTbl, idCol)
   }
 
-  /** Connected components over near-dup pairs (id_a < id_b) by iterative
-    * min-label propagation: each round every node adopts the minimum label
-    * in its neighborhood; converges in graph-diameter rounds (dup clusters
-    * are shallow — chains of LSH hits). Returns (id, keeper) where keeper
-    * is the component's minimum id — the canonical survivor choice.
-    * At adversarial diameters switch to large-star/small-star; the loop
-    * here is driver-side control flow over fully distributed steps. */
-  def connectedKeepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Edge-count threshold under which [[connectedKeepers]] solves the
+    * components with a single-task executor-side union-find instead of the
+    * iterative distributed loop. 5M edges ≈ 80 MB of longs — trivially
+    * one-core work, while the loop costs ~5 Spark jobs per iteration. */
+  val SmallGraphEdges: Long = 5000000L
+
+  /** Connected components over near-dup pairs (id_a < id_b). Returns
+    * (id, keeper) where keeper is the component's minimum id — the
+    * canonical survivor choice.
+    *
+    * Adaptive execution (same spirit as Spark choosing a broadcast join
+    * from runtime stats): the pair frame is materialized once (eager
+    * localCheckpoint — also needed to cut the MinHash lineage out of any
+    * iteration), its edge count read for free, and then
+    *  - ≤ `smallGraphEdges` AND integral ids: one `coalesce(1).
+    *    mapPartitions` union-find task — exact, deterministic, O(E α(E)),
+    *    ~3 Spark jobs total. Near-dup edge sets are tiny relative to the
+    *    corpus (pairs that survived Jaccard ≥ 0.8), so this is the common
+    *    case even at large corpus scale;
+    *  - otherwise: iterative min-label propagation with pointer jumping —
+    *    log-diameter rounds of fully distributed joins (driver only runs
+    *    the control loop). At adversarial diameters switch to
+    *    large-star/small-star. */
+  def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     // localCheckpoint (eager) everywhere a frame feeds the loop: iterative
     // plans otherwise accumulate the WHOLE upstream lineage (here, the
     // MinHash pipeline) into every iteration's logical plan, and Catalyst
     // re-analysis time — driver-side — comes to dominate the job. Cutting
     // lineage per round keeps planning O(1) per iteration.
     val p = pairs.localCheckpoint(true)
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      p.schema.fields.take(2).forall(f =>
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    }
+    if (integralIds && p.count() <= smallGraphEdges)
+      return unionFindKeepers(p)
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -181,6 +237,44 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Exact union-find over a materialized small edge frame (first two
+    * columns = endpoints, integral types), in ONE executor task — the
+    * small-graph path of [[connectedKeepers]]. Union-by-min + path
+    * compression: the root of every tree is provably the minimum id of its
+    * component, so the output is deterministic regardless of edge order. */
+  private def unionFindKeepers(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val idType = p.schema.fields.head.dataType
+    val out = p
+      .select(col(p.columns(0)).cast("long"), col(p.columns(1)).cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent(root) != root) root = parent(root)
+          var cur = x // path compression
+          while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+          root
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot keys before emitting: find() compresses paths (updates
+        // existing entries) and must not race the key iterator
+        parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
+      }
+    out.toDF("id", "keeper")
+      .select(col("id").cast(idType).as("id"),
+        col("keeper").cast(idType).as("keeper"))
   }
 
   /** 48-bit SimHash over word tokens. Token hash = first 12 hex chars of

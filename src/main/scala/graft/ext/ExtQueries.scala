@@ -47,13 +47,25 @@ object ExtQueries {
     * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
   val x31MinhashLsh: Q = Q(
     (s, dir) => {
-      // cache: the hashed shingle table feeds signatures, both verify
-      // sides, and set sizes — without it the text is re-shingled four times
-      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
-        .cache()
-      val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+      val docs = Tables.documents(s, dir)
+      // signature path reads the raw shingle MULTISET: min is duplicate-
+      // insensitive, so the corpus-wide distinct shuffle is skipped entirely
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      // cache: cands is tiny (surviving LSH pairs) and feeds both the
+      // verify join and the candidate-id semi-join below
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
-      Dedup.jaccardVerify(cands, sh, "doc_id")
+        .cache()
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      // verification needs shingle SETS only for candidate docs — semi-join
+      // BEFORE the explode, so the verify joins scale with |candidates|,
+      // not the corpus (result-identical: jaccardVerify inner-joins on
+      // candidate ids anyway)
+      val shCand = Dedup.hashedShingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      Dedup.jaccardVerify(cands, shCand, "doc_id")
         .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b", "common", "jaccard")
         .orderBy("id_a", "id_b")
@@ -93,11 +105,18 @@ object ExtQueries {
     * CTE computing min reachable id. */
   val x44DedupClusters: Q = Q(
     (s, dir) => {
-      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
-        .cache()
-      val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
+      val docs = Tables.documents(s, dir)
+      // same multiset-signature + candidate-filtered-verify shape as x31
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
-      val pairs = Dedup.jaccardVerify(cands, sh, "doc_id")
+        .cache()
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val shCand = Dedup.hashedShingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      val pairs = Dedup.jaccardVerify(cands, shCand, "doc_id")
         .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
       Dedup.connectedKeepers(pairs)
         .select(col("id").as("doc_id"), col("keeper"))

@@ -50,9 +50,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("connectedKeepers clusters chains transitively and picks the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedKeepers(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // default: small integral edge set → single-task union-find path
+    val fast = Dedup.connectedKeepers(pairs).as[(Long, Long)].collect().toMap
+    assert(fast == expected)
+    // forced large-graph path (threshold 0): distributed label propagation
+    // must produce the identical component map
+    val loop = Dedup.connectedKeepers(pairs, smallGraphEdges = 0L)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(loop == expected)
+  }
+
+  test("connectedKeepers falls back to the distributed loop for non-integral ids") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "z")).toDF("id_a", "id_b")
+    val got = Dedup.connectedKeepers(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "z" -> "x"))
+  }
+
+  test("union-find path handles a long chain and adversarial edge order") {
+    // chain 1-2-…-30 fed in REVERSE order plus a disjoint 2-cycle: min-root
+    // invariant must hold regardless of union order (diameter 29 would need
+    // ~5 pointer-jumping rounds; union-find does it in one task)
+    val edges = (29L to 1L by -1).map(i => (i, i + 1)) :+ (100L, 101L)
+    val got = Dedup.connectedKeepers(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(got(_) == 1L))
+    assert(got(100L) == 100L && got(101L) == 100L)
   }
 
   test("simhash: identical docs have identical fingerprints; near-dups are close") {
