@@ -66,6 +66,14 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
+  /** Per-ROW array of hashed k-shingles (no explode, no shuffle) — the
+    * building block for stateless set-overlap checks such as the streaming
+    * decontamination filter, where per-doc shingle sets must be computed
+    * inside one row to avoid streaming aggregation state. Same hash family
+    * as [[hashedShingles]], so results are interchangeable. */
+  def shingleHashArray(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => baseHash(s))
+
   /** MinHash signatures over a hashed-shingle frame (column `h`):
     * m_i = min over shingles of permutation_i(h). One hash-aggregate
     * producing all `numHashes` mins per document — single shuffle

@@ -936,7 +936,82 @@ object ExtQueries {
         FROM c ORDER BY doc_id, chunk_idx"""))
   }
 
+  // ---------------------------------------------------------------- x59
+  /** Fuzzy decontamination by MinHash-set CONTAINMENT: for every training
+    * doc (doc_id ≥ 25), the max over benchmark docs (doc_id < 25) of
+    * |shingles(bench) ∩ shingles(train)| / |shingles(bench)| — "how much
+    * of some benchmark document appears inside this training document".
+    * Exact-overlap decontamination (x49) catches verbatim leakage;
+    * containment catches PARTIAL embedding of a benchmark item inside a
+    * longer document, the standard eval-leakage failure mode. At 100 TB
+    * the benchmark side is a small static suite: both the per-bench-doc
+    * shingle table and the size table broadcast, so the corpus is touched
+    * by one scan + one hash aggregate — no corpus-side self-join.
+    * Containment is a raw IEEE division of identical BIGINTs in both
+    * engines (oracle-parity; never rounded). */
+  val x59Containment: Q = Q(
+    (s, dir) => {
+      // cache: benchmark and training branches both read the shingle table
+      val sh = Dedup.hashedShingleTable(Tables.documents(s, dir), "doc_id", "text")
+        .cache()
+      val benchSh = sh.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val bsz = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+      sh.filter(col("doc_id") >= 25)
+        .join(broadcast(benchSh), "h")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("common"))
+        .join(broadcast(bsz), "bench_id")
+        .groupBy("doc_id")
+        .agg(max(col("common") / col("bsz")).as("max_containment"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shingleCte,
+      bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 25),
+      bsz AS (SELECT bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+      cm AS (SELECT t.doc_id, b.bench_id, count(*) AS common
+        FROM sh t JOIN bench b ON b.h = t.h
+        WHERE t.doc_id >= 25 GROUP BY 1, 2)
+      SELECT doc_id, max(common / bsz) AS max_containment
+      FROM cm JOIN bsz USING (bench_id)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- x60
+  /** Pattern scrubbing / PII redaction: replace every match of a regex
+    * with a placeholder and count hits — a pure per-row codegen'd
+    * expression pipeline (zero shuffles before the final sort), so it
+    * scales as a map-side scan at any corpus size. The query's scrub
+    * pattern matches the synthetic corpus (so the oracle exercises real
+    * replacements); the canned PII patterns ([[TextAnalysis.EmailPattern]]
+    * etc.) ride along as counts (zero on this corpus — spec-verified on
+    * synthetic PII instead). Patterns stay inside the Java∩RE2 regex
+    * subset: character classes, alternation, \\b — no backrefs, no
+    * lookaround — so Spark and DuckDB agree byte-for-byte. */
+  val x60Redact: Q = {
+    val pat = "\\b(customer|vector)\\b"
+    Q(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), lit(pat), lit("[TERM]"))
+              .as("redacted"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("n_hits"),
+            size(regexp_extract_all(col("text"),
+                lit(TextAnalysis.EmailPattern), lit(0)))
+              .cast("long").as("n_emails"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          regexp_replace(text, '$pat', '[TERM]', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_hits,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+            AS BIGINT) AS n_emails
+        FROM documents ORDER BY doc_id"""))
+  }
+
   val all: Map[String, Q] = Map(
+    "x59_containment" -> x59Containment,
+    "x60_redact" -> x60Redact,
     "x58_chunk_documents" -> x58ChunkDocuments,
     "x56_unigram_score" -> x56UnigramScore,
     "x57_mixture_weights" -> x57MixtureWeights,

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Canned scrub patterns for PII redaction. All stay inside the
+    * Java∩RE2 regex subset (classes, quantifiers, alternation, \b; no
+    * backreferences or lookaround) so the same pattern string behaves
+    * identically in Spark and in RE2-based engines (DuckDB oracle). */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^ ]+"
+  val PhonePattern: String =
+    "\\+?[0-9][0-9()\\[\\] .-]{6,}[0-9]"
+  val DigitRunPattern: String = "[0-9]{4,}"
+
+  /** Replace every match of each pattern with its placeholder, left to
+    * right, and append a `n_<name>` match-count column per pattern — a
+    * pure per-row expression pipeline (codegen'd, zero shuffles): the
+    * redaction pass is a map-side scan at any corpus size. Counts are
+    * computed against the ORIGINAL text, so an earlier pattern's
+    * placeholder cannot consume a later pattern's matches in the count
+    * (the replacements themselves compose in order). */
+  def redact(docs: DataFrame, textCol: String,
+      patterns: Seq[(String, String, String)] = Seq(
+        ("email", EmailPattern, "[EMAIL]"),
+        ("url", UrlPattern, "[URL]"),
+        ("phone", PhonePattern, "[PHONE]"))): DataFrame = {
+    val counted = patterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+          .cast("long"))
+    }
+    counted.withColumn("redacted",
+      patterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, lit(pat), lit(repl))
+      })
+  }
+
   /** Tiny per-language stopword lists for the heuristic language ID. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to"),

@@ -226,6 +226,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == "en") // all scores 0 → highest rank wins (en)
   }
 
+  test("redact: canned PII patterns replace and count; counts use original text") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+      (2L, "call +1 (555) 123-4567 tomorrow"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("redacted"), r.getAs[Long]("n_email"),
+         r.getAs[Long]("n_url"), r.getAs[Long]("n_phone"))).toMap
+    assert(out(1L)._1 == "mail me at [EMAIL] or visit [URL] now")
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(2L)._1 == "call [PHONE] tomorrow")
+    assert(out(2L)._4 == 1L)
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")

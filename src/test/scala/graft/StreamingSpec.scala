@@ -217,4 +217,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == 4) // 5 ingested rows, 1 overlap collapsed
     assert(got.groupBy("symbol", "ts").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("streaming decontamination filter equals the batch x49 verdicts, statelessly") {
+    import graft.streaming.StreamingDecontaminate
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val bench = Seq((100L, "secret held out benchmark question answer pair"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated training text about spark engines"),
+      // embeds a benchmark 3-gram ("held out benchmark") → contaminated
+      (2L, "prefix words then held out benchmark content appears here"),
+      (3L, "another clean document with its own words entirely"))
+    val hashes = StreamingDecontaminate.benchmarkHashes(bench, "text")
+    assert(hashes.nonEmpty)
+    // batch semantics: overlap verdicts match the x49-style shingle join
+    val batchClean = StreamingDecontaminate.clean(
+      corpus.toDF("doc_id", "text"), "text", hashes)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchClean == Set(1L, 3L))
+    assert(StreamingDecontaminate.contaminated(
+      corpus.toDF("doc_id", "text"), "text", hashes)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    // identical code path on a stream: no aggregation, no state store
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docsSchema).parquet(s"$dir/in")
+    val q = StreamingDecontaminate.clean(stream, "text", hashes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.table("decon_out")
+      .select("doc_id").as[Long].collect().toSet == batchClean)
+  }
 }
