@@ -167,7 +167,8 @@ object Dedup {
 
   /** Inverted-index n-gram Jaccard: candidates from any shared shingle
     * hash whose document frequency is ≤ `maxDf` (blocking guard), then
-    * exact verification. */
+    * exact verification over the candidate docs only (semi-join before
+    * the set agg — |candidates| ≪ corpus, same shape as the LSH path). */
   def ngramJaccardPairs(hashedTbl: DataFrame, idCol: String,
       maxDf: Int = 50): DataFrame = {
     val rare = hashedTbl.groupBy("h")
@@ -177,8 +178,12 @@ object Dedup {
     val a = filtered.select(col(idCol).as("id_a"), col("h"))
     val b = filtered.select(col(idCol).as("id_b"), col("h"))
     val cands = a.join(b, "h").filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    jaccardVerify(cands, hashedTbl, idCol)
+      .select("id_a", "id_b").distinct().cache()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    jaccardVerify(cands,
+      hashedTbl.join(candIds, Seq(idCol), "left_semi"), idCol)
   }
 
   /** Edge-count threshold under which [[connectedKeepers]] solves the

@@ -1009,9 +1009,36 @@ object ExtQueries {
         FROM documents ORDER BY doc_id"""))
   }
 
+  // ---------------------------------------------------------------- x61
+  /** Winnowing fingerprints (MOSS): per-doc distinct window-min of hashed
+    * 3-shingles, window 4 — a positional-guarantee sketch (any shared
+    * ≥6-token run ⇒ shared fingerprint) at ~2/(w+1) shingle density.
+    * See [[TextAnalysis.winnow]] for the scale shape (one window shuffle,
+    * per-group state bounded by doc length). */
+  val x61Winnow: Q = Q(
+    (s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id", "fingerprint"),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      posr AS (SELECT doc_id, t,
+          unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      shpos AS (SELECT doc_id, i - 1 AS pos,
+          (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+            % ${Dedup.P}) AS h
+        FROM posr),
+      wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM shpos)
+      SELECT DISTINCT doc_id, wmin AS fingerprint
+      FROM wm WHERE pos >= 3
+      ORDER BY doc_id, fingerprint"""))
+
   val all: Map[String, Q] = Map(
     "x59_containment" -> x59Containment,
     "x60_redact" -> x60Redact,
+    "x61_winnow" -> x61Winnow,
     "x58_chunk_documents" -> x58ChunkDocuments,
     "x56_unigram_score" -> x56UnigramScore,
     "x57_mixture_weights" -> x57MixtureWeights,

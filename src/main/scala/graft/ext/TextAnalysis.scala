@@ -137,4 +137,31 @@ object TextAnalysis {
       .agg((sum(col("term")) % 1000000007L).as("roll_fp"),
         min(md5(col(textCol))).as("md5_fp"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-shingle, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM — the selected DISTINCT
+    * values are the document's fingerprint set. Guarantee: any shared run
+    * of ≥ w+k−1 tokens between two documents yields ≥1 shared fingerprint,
+    * at ~2/(w+1) the density of the full shingle set — sub-linear sketch
+    * size with a positional-match guarantee MinHash doesn't give.
+    * Value-based selection (not positional) keeps the definition
+    * tie-insensitive and thus exactly oracle-expressible: both engines
+    * compute `min over a w-row window` and dedup. One shuffle (window by
+    * doc); per-group state is one doc's shingles — bounded by document
+    * length. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(idCol),
+        posexplode(Dedup.shingleHashArray(col(textCol), k))
+          .as(Seq("pos", "h")))
+      .withColumn("wmin", min(col("h")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(-(w - 1), 0)))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col(idCol), col("wmin").as("fingerprint"))
+      .distinct()
+  }
 }

@@ -243,6 +243,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
+  test("winnowing: shared >=w+k-1 token run guarantees a shared fingerprint") {
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta" // w+k-1 = 6 tokens
+    val d = Seq(
+      (1L, s"one two three $shared seven eight nine ten eleven twelve"),
+      (2L, s"completely different prefix words here $shared and a suffix"),
+      (3L, "nothing in common with the others at all whatsoever today"),
+      (4L, "tiny doc") // < k tokens → no shingles → no fingerprints
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(d, "doc_id", "text", k, w)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the MOSS guarantee: docs 1 and 2 share the 6-token run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run missed")
+    assert((byDoc(1L) & byDoc.getOrElse(3L, Set.empty)).isEmpty,
+      "false positive fingerprint overlap")
+    assert(!byDoc.contains(4L), "sub-window doc must emit nothing")
+    // density: fingerprints per doc well under the full shingle count
+    val shingles1 = d.filter(col("doc_id") === 1L)
+      .select(explode(Dedup.shingles(col("text"), k))).count()
+    assert(byDoc(1L).size < shingles1,
+      s"winnow selected ${byDoc(1L).size} of $shingles1 shingles — no reduction")
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
