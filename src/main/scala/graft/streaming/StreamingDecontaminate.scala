@@ -31,18 +31,28 @@ object StreamingDecontaminate {
       .distinct().orderBy("h")
       .collect().map(_.getLong(0))
 
+  /** Contamination predicate: ≥ `minShared` DISTINCT shingles shared with
+    * the benchmark set. `minShared = 1` uses `arrays_overlap`
+    * (short-circuits on first hit); higher thresholds — the tolerance for
+    * incidental phrase overlap — count via `array_intersect`. Both are
+    * per-row expressions: stateless in a stream. */
+  private def isContaminated(textCol: String, benchHashes: Array[Long],
+      k: Int, minShared: Int) = {
+    val hs = Dedup.shingleHashArray(col(textCol), k)
+    val benchArr = typedLit(benchHashes.toSeq)
+    if (minShared <= 1) arrays_overlap(hs, benchArr)
+    else size(array_intersect(array_distinct(hs), benchArr)) >= minShared
+  }
+
   /** Filter a (streaming or batch — identical code path) document frame
-    * down to rows sharing NO shingle with the benchmark set. */
+    * down to rows sharing fewer than `minShared` distinct shingles with
+    * the benchmark set. */
   def clean(docs: DataFrame, textCol: String, benchHashes: Array[Long],
-      k: Int = 3): DataFrame =
-    docs.filter(!arrays_overlap(
-      Dedup.shingleHashArray(col(textCol), k),
-      typedLit(benchHashes.toSeq)))
+      k: Int = 3, minShared: Int = 1): DataFrame =
+    docs.filter(!isContaminated(textCol, benchHashes, k, minShared))
 
   /** Convenience: contaminated rows instead (for audit sinks). */
   def contaminated(docs: DataFrame, textCol: String,
-      benchHashes: Array[Long], k: Int = 3): DataFrame =
-    docs.filter(arrays_overlap(
-      Dedup.shingleHashArray(col(textCol), k),
-      typedLit(benchHashes.toSeq)))
+      benchHashes: Array[Long], k: Int = 3, minShared: Int = 1): DataFrame =
+    docs.filter(isContaminated(textCol, benchHashes, k, minShared))
 }

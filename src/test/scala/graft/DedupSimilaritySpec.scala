@@ -69,6 +69,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       "x" -> "x", "z" -> "x"))
   }
 
+  test("property: union-find path equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(20)
+      val edges = (1 to 45)
+        .map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }
+        .filter(p => p._1 != p._2).distinct
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedKeepers(df).as[(Long, Long)].collect().toMap
+      val loop = Dedup.connectedKeepers(df, smallGraphEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, s"trial $trial: paths disagree")
+    }
+  }
+
   test("union-find path handles a long chain and adversarial edge order") {
     // chain 1-2-…-30 fed in REVERSE order plus a disjoint 2-cycle: min-root
     // invariant must hold regardless of union order (diameter 29 would need

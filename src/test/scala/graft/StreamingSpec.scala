@@ -239,6 +239,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingDecontaminate.contaminated(
       corpus.toDF("doc_id", "text"), "text", hashes)
       .select("doc_id").as[Long].collect().toSet == Set(2L))
+    // threshold form: raising minShared above the max observed shared-
+    // shingle count must keep every doc (monotone tolerance)
+    val nShared = corpus.toDF("doc_id", "text")
+      .select(size(array_intersect(
+        array_distinct(graft.ext.Dedup.shingleHashArray(col("text"))),
+        typedLit(hashes.toSeq))).as("n"))
+      .collect().map(_.getInt(0)).max
+    assert(nShared >= 1)
+    // a threshold above the max shared count keeps everything
+    assert(StreamingDecontaminate.clean(
+      corpus.toDF("doc_id", "text"), "text", hashes,
+      minShared = nShared + 1).count() == 3)
     // identical code path on a stream: no aggregation, no state store
     val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
     corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/in")
