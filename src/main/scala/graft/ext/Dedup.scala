@@ -87,6 +87,23 @@ object Dedup {
       (1 until numHashes).map(i =>
         min((lit(aConst(i)) * col("h") + lit(bConst(i))) % P).as(s"m$i")): _*)
 
+  /** Per-ROW MinHash signature array — the streaming-friendly form of
+    * [[minhashSignatures]]: one `aggregate` pass over the row's shingle
+    * hashes folds all `numHashes` permutation minima at once (no explode,
+    * no shuffle, no duplicated hash subtree). Rows with NO shingles yield
+    * the neutral all-P array — filter on `size(shingleHashArray(...)) > 0`
+    * first (the batch agg simply has no row for such docs). Spec-pinned
+    * element-for-element equal to the oracle-checked batch aggregate. */
+  def signatureArray(text: Column, numHashes: Int = 16, k: Int = 3): Column = {
+    val aArr = typedLit((0 until numHashes).map(aConst))
+    val bArr = typedLit((0 until numHashes).map(bConst))
+    val init = typedLit(Seq.fill(numHashes)(P)) // P > every (a·h+b) mod P
+    aggregate(shingleHashArray(text, k), init,
+      (acc, h) => zip_with(acc,
+        zip_with(aArr, bArr, (a, b) => (a * h + b) % P),
+        (x, y) => least(x, y)))
+  }
+
   /** Default LSH band-bucket size cap (see [[lshCandidates]]); oracle SQL
     * is generated from this same constant so both engines drop identical
     * buckets. */

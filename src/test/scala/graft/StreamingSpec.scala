@@ -218,6 +218,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.groupBy("symbol", "ts").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("signatureArray equals the oracle-checked batch MinHash aggregate") {
+    import graft.ext.Dedup
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fromArray = docs
+      .filter(size(Dedup.shingleHashArray(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.signatureArray(col("text"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fromAgg = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(fromArray.keySet == fromAgg.keySet)
+    fromAgg.foreach { case (id, sig) =>
+      assert(fromArray(id) == sig, s"doc $id signature mismatch")
+    }
+  }
+
+  test("streaming near-dup detection finds cross-batch pairs; admission cap bounds state") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingNearDup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tomorrow")), // near-dup of 1
+      (3L, "completely different text about spark query engines and shuffles here now"),
+      (4L, base)) // exact dup of 1
+    // expected hits, simulated from the BATCH signature table (oracle-
+    // checked path): pairs that collide in >=1 band, scored by the
+    // MinHash agreement estimator
+    val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs.toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 16.0
+    def collide(a: Long, b: Long) = (0 until 4).exists(j =>
+      (j * 4 until j * 4 + 4).forall(i => sigs(a)(i) == sigs(b)(i)))
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      if collide(a, b) && est(a, b) >= 0.8
+    } yield (a, b, est(a, b))).toSet
+    assert(expected.exists(p => p._1 == 1L && p._2 == 4L), "sanity: exact dup")
+    // stream the corpus in two micro-batches splitting both dup pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    docs.take(2).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    docs.drop(2).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/in/p2")
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingNearDup.pairsStream(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = StreamingNearDup.distinctPairs(spark.table("neardup_out"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"stream hits $got != batch-simulated $expected")
+    // admission cap (batch execution of the same stateful operator):
+    // cap 1 admits only the first doc per bucket -> no pairs; cap 2 pairs
+    val twins = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    assert(StreamingNearDup.pairsStream(twins, "doc_id", "text",
+      maxBucket = 1).count() == 0)
+    assert(StreamingNearDup.distinctPairs(
+      StreamingNearDup.pairsStream(twins, "doc_id", "text", maxBucket = 2)
+        .toDF()).count() == 1)
+  }
+
   test("streaming decontamination filter equals the batch x49 verdicts, statelessly") {
     import graft.streaming.StreamingDecontaminate
     val docsSchema = StructType(Seq(
