@@ -46,6 +46,10 @@ object ProfileDedup {
     time("signatures (multiset)")(noop(
       Dedup.minhashSignatures(
         Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)))
+    time("signatures (per-row array)")(noop(
+      docs.filter(size(Dedup.shingleHashArray(col("text"))) > 0)
+        .select(col("doc_id"),
+          Dedup.signatureArray(col("text"), 16).as("sig"))))
     time("lsh candidates")(noop(
       Dedup.lshCandidates(
         Dedup.minhashSignatures(

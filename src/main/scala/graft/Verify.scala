@@ -17,8 +17,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // queries that cache intermediates (x31/x33/x44/x49/x52) must not
-      // accumulate memory pressure across the 67-query session
+      // accumulate memory pressure across the 77-query session; RDD-level
+      // blocks (localCheckpoints in the connected-components queries)
+      // survive clearCache and need the explicit unpersist
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -93,7 +93,12 @@ object Dedup {
     * no shuffle, no duplicated hash subtree). Rows with NO shingles yield
     * the neutral all-P array — filter on `size(shingleHashArray(...)) > 0`
     * first (the batch agg simply has no row for such docs). Spec-pinned
-    * element-for-element equal to the oracle-checked batch aggregate. */
+    * element-for-element equal to the oracle-checked batch aggregate.
+    * BATCH pipelines should keep [[minhashSignatures]]: higher-order
+    * functions evaluate interpreted, and the codegen'd explode+aggregate
+    * measures ~25% faster at sf0.1 (ProfileDedup) — this form exists for
+    * per-row contexts (streaming state, single-doc probes) where a
+    * shuffle is unavailable or unwanted. */
   def signatureArray(text: Column, numHashes: Int = 16, k: Int = 3): Column = {
     val aArr = typedLit((0 until numHashes).map(aConst))
     val bArr = typedLit((0 until numHashes).map(bConst))
@@ -165,7 +170,10 @@ object Dedup {
     * bucket state), so agg buffers stay small at any corpus scale.
     * Output columns and types match the classic join-form exactly
     * (`common`/`sz_a`/`sz_b` as BIGINT, `jaccard` the raw IEEE division of
-    * identical integers — oracle-parity). */
+    * identical integers — oracle-parity), with one intended difference:
+    * a candidate pair sharing NO shingle now appears with `common = 0`,
+    * `jaccard = 0.0` (the join form silently dropped it). Every caller
+    * thresholds `jaccard` above 0, so query results are unchanged. */
   def jaccardVerify(cands: DataFrame, hashedTbl: DataFrame,
       idCol: String): DataFrame = {
     val sets = hashedTbl.groupBy(col(idCol))
