@@ -1035,10 +1035,38 @@ object ExtQueries {
       FROM wm WHERE pos >= 3
       ORDER BY doc_id, fingerprint"""))
 
+  // ---------------------------------------------------------------- x62
+  /** Per-doc token accounting under BOTH tokenizations — whitespace and
+    * the BPE-style pretokenizer ([[TextAnalysis.BpeTokenPattern]]) — plus
+    * chars-per-BPE-token, the density signal sequence budgeting uses.
+    * Pure per-row expressions: zero shuffles before the final sort.
+    * `chars_per_tok` is a raw IEEE division of identical integers in both
+    * engines (never rounded — oracle-parity). */
+  val x62BpeTokens: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+          col("n_chars"))
+        .withColumn("chars_per_tok", col("n_chars") / col("n_bpe"))
+        .select("doc_id", "n_ws", "n_bpe", "chars_per_tok")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text,
+          '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT)
+          AS n_bpe,
+        n_chars / CAST(len(regexp_extract_all(text,
+          '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT)
+          AS chars_per_tok
+      FROM documents ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "x59_containment" -> x59Containment,
     "x60_redact" -> x60Redact,
     "x61_winnow" -> x61Winnow,
+    "x62_bpe_tokens" -> x62BpeTokens,
     "x58_chunk_documents" -> x58ChunkDocuments,
     "x56_unigram_score" -> x56UnigramScore,
     "x57_mixture_weights" -> x57MixtureWeights,

@@ -21,6 +21,20 @@ object TextAnalysis {
     "\\+?[0-9][0-9()\\[\\] .-]{6,}[0-9]"
   val DigitRunPattern: String = "[0-9]{4,}"
 
+  /** BPE-style pretokenizer regex (GPT-2 shape: contractions, letter
+    * runs, digit runs, symbol runs, each optionally space-prefixed; space
+    * runs) restricted to the lookahead-free Java∩RE2 subset so Spark and
+    * RE2-based engines tokenize identically. Token COUNTS under this
+    * pattern approximate BPE sequence length far better than whitespace
+    * splitting (digits/punctuation split off), which is what sequence
+    * budgeting needs. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Number of BPE-style pretokens in `text` (see [[BpeTokenPattern]]). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Replace every match of each pattern with its placeholder, left to
     * right, and append a `n_<name>` match-count column per pattern — a
     * pure per-row expression pipeline (codegen'd, zero shuffles): the

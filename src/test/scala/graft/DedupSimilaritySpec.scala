@@ -285,6 +285,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"winnow selected ${byDoc(1L).size} of $shingles1 shingles — no reduction")
   }
 
+  test("BPE-style pretokenizer splits digits/punct/contractions off words") {
+    // "value123 isn't x-y" pretokenizes to:
+    //   [value][123][ isn]['t][ x][-][y]  = 7 tokens (whitespace: 3)
+    val d = Seq((1L, "value123 isn't x-y")).toDF("doc_id", "text")
+    val r = d.select(
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpeTokenPattern), lit(0)).as("toks"),
+      size(split(col("text"), " ")).as("n_ws")).head
+    assert(r.getAs[Long]("n_bpe") == 7L)
+    assert(r.getSeq[String](1) ==
+      Seq("value", "123", " isn", "'t", " x", "-", "y"))
+    assert(r.getAs[Int]("n_ws") == 3)
+    // pure word soup degenerates to ~whitespace counts (leading-space runs)
+    val soup = Seq((1L, "key agg row scan")).toDF("doc_id", "text")
+    assert(soup.select(TextAnalysis.bpeTokenCount(col("text")))
+      .head.getLong(0) == 4L)
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
