@@ -1062,11 +1062,124 @@ object ExtQueries {
           AS chars_per_tok
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- x63
+  /** Token-budget corpus selection: within each source, take documents in
+    * quality order (longest-first here; any deterministic score works)
+    * until a cumulative token budget is hit — the data-budgeting step that
+    * turns "we can afford N tokens from this source" into a concrete doc
+    * list. One window pass per source (sum over a total order — n_tok
+    * desc, doc_id tiebreak — so the running total is reshuffle-stable).
+    * Scale: partition = source; a mega-source serializes its window task —
+    * the x48 distributed-prefix-sum pattern (`ext/Packing`) is the drop-in
+    * fix at that point, same semantics. */
+  val x63TokenBudget: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(
+          Window.partitionBy("source")
+            .orderBy(col("n_tok").desc, col("doc_id"))))
+        .filter(col("cum_tok") <= 800)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+        CAST(sum(n_tok) OVER (PARTITION BY source
+          ORDER BY n_tok DESC, doc_id) AS BIGINT) AS cum_tok FROM t)
+      SELECT doc_id, source, n_tok, cum_tok FROM c
+      WHERE cum_tok <= 800 ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x64
+  /** Quality-proportional deterministic sampling: bin documents by a
+    * quality proxy (token count, 5 bins) and keep each bin at a different
+    * rate — 20% for bin 0 up to 100% for bin 4 — via the same md5-bucket
+    * device as x47, so the sample is reshuffle-stable and reproducible
+    * (no RNG state, no seed coordination across executors). This is the
+    * "upsample high quality, downsample low" mixing step of a training
+    * pipeline expressed as a pure filter: zero shuffles before the
+    * final sort. */
+  val x64QualitySample: Q = Q(
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          bucket.as("bucket"))
+        .withColumn("bin", least((col("n_tok") / 20).cast("long"), lit(4L)))
+        .filter(col("bucket") < (col("bin") + 1) * 20)
+        .select("doc_id", "n_tok", "bin", "bucket")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+      FROM documents)
+      SELECT doc_id, n_tok, least(n_tok // 20, 4) AS bin, bucket FROM t
+      WHERE bucket < (least(n_tok // 20, 4) + 1) * 20 ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x65
+  /** Embedding outlier filtering: per-label centroid (element-wise mean),
+    * cosine of every vector to its label centroid, outlier = cos < 0.
+    * The embedding-space curation step that drops mislabeled / noise
+    * vectors before training.
+    *
+    * Shape: ONE posexplode pass builds the centroids (labels × dim rows —
+    * tiny), which broadcast back onto the un-exploded corpus; the per-row
+    * cosine runs on the native array (norm via the codegen'd
+    * [[graft.functions.DotF32]]; the centroid side is double, so its dot
+    * uses the HOF form — one 64-element lambda per row). The corpus is
+    * never exploded a second time and never shuffled: scan → broadcast
+    * join → expressions. Oracle computes the identical arithmetic in
+    * exploded space; cosine rounded at 6 digits in both engines (the
+    * float-accumulation precedent of x34/x35). */
+  val x65EmbedOutliers: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val ex = embs.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("xf").cast("double").as("x"))
+      val cent = ex.groupBy("label", "i").agg(avg(col("x")).as("c"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            s => s.getField("c")).as("cent"))
+      embs.join(broadcast(cent), "label")
+        .withColumn("cos_centroid", round(
+          Similarity.dotHof(col("embedding"), col("cent")) /
+            (Similarity.norm(col("embedding")) *
+              sqrt(Similarity.dotHof(col("cent"), col("cent")))), 6))
+        .withColumn("is_outlier", col("cos_centroid") < 0)
+        .select("vec_id", "label", "cos_centroid", "is_outlier")
+        .orderBy("vec_id")
+    },
+    Some("""WITH ex AS (SELECT vec_id, label,
+        CAST(unnest(embedding) AS DOUBLE) AS x,
+        generate_subscripts(embedding, 1) AS i FROM embeddings),
+      cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      nc AS (SELECT label, sqrt(sum(c*c)) AS nc FROM cent GROUP BY 1),
+      nv AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY 1),
+      dots AS (SELECT ex.vec_id, ex.label, sum(ex.x * cent.c) AS dp
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        GROUP BY 1, 2)
+      SELECT d.vec_id, d.label,
+        round(d.dp / (nv.nv * nc.nc), 6) AS cos_centroid,
+        round(d.dp / (nv.nv * nc.nc), 6) < 0 AS is_outlier
+      FROM dots d JOIN nv ON nv.vec_id = d.vec_id
+        JOIN nc ON nc.label = d.label
+      ORDER BY d.vec_id"""))
+
   val all: Map[String, Q] = Map(
     "x59_containment" -> x59Containment,
     "x60_redact" -> x60Redact,
     "x61_winnow" -> x61Winnow,
     "x62_bpe_tokens" -> x62BpeTokens,
+    "x63_token_budget" -> x63TokenBudget,
+    "x64_quality_sample" -> x64QualitySample,
+    "x65_embed_outliers" -> x65EmbedOutliers,
     "x58_chunk_documents" -> x58ChunkDocuments,
     "x56_unigram_score" -> x56UnigramScore,
     "x57_mixture_weights" -> x57MixtureWeights,

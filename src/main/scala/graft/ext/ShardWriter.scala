@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the sink side of the data pipeline — turn a
+  * curated corpus into numbered, size-balanced, reproducible shards that a
+  * training job streams independently (the standard final step after
+  * dedup → decontaminate → sample → pack).
+  *
+  * Design for 100 TB:
+  *  - shard assignment is a DETERMINISTIC pure expression (md5 of the id,
+  *    like x47's split buckets) — re-running the export yields
+  *    byte-identical shard membership regardless of partitioning, task
+  *    retries, or cluster size; no RNG, no zipWithIndex (whose values
+  *    depend on partition layout);
+  *  - `repartition(numShards, $"shard")` + `partitionBy("shard")` gives
+  *    exactly one file per shard directory with a single shuffle — the
+  *    writer never funnels data through fewer executors than shards;
+  *  - the manifest (per-shard doc/token counts) is aggregated from the
+  *    same frame in the same job graph — one extra tiny shuffle, no
+  *    post-hoc directory listing.
+  *
+  * md5-mod assignment balances shard sizes to within sampling noise
+  * (docs land i.i.d.); for strict token-equal shards, the x48 prefix-sum
+  * packing (`ext/Packing`) composes in front of this writer (pack to
+  * `bin_id`, shard on `bin_id`).
+  */
+object ShardWriter {
+
+  /** Deterministic shard id in [0, numShards). */
+  def shardId(id: org.apache.spark.sql.Column, numShards: Int)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % numShards
+
+  /** Write `docs` as `numShards` parquet shards under `outDir`
+    * (`shard=K/part-*.parquet`, one file each) and return the manifest:
+    * (shard, n_docs, n_tokens), one row per shard, suitable for a
+    * training job's sampler. */
+  def writeShards(docs: DataFrame, outDir: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sharded = docs.withColumn("shard", shardId(col(idCol), numShards))
+    sharded
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(idCol) // reproducible in-file order
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+    sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+  }
+
+  /** Read a shard set back as one frame (schema includes the `shard`
+    * partition column — a training job reads `outDir/shard=K` directly
+    * and never touches the rest). */
+  def readShards(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

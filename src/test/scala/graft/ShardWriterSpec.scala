@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.ShardWriter
+
+class ShardWriterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, Seq.fill(3 + i % 7)("w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+
+  test("writeShards: lossless, one file per shard, manifest matches") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = corpus(200)
+    val manifest = ShardWriter.writeShards(docs, dir, numShards = 8).cache()
+
+    // one parquet data file per shard directory
+    val shardDirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    shardDirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+
+    // round trip is lossless
+    val back = ShardWriter.readShards(spark, dir)
+    assert(back.count() == 200)
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+    assert(docs.select("doc_id").except(back.select("doc_id")).count() == 0)
+
+    // manifest counts equal what actually landed in each shard
+    val landed = back.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    assert(manifest.orderBy("shard").collect().toSeq ==
+      landed.orderBy("shard").collect().toSeq)
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == 200L)
+  }
+
+  test("shard assignment is deterministic and partitioning-independent") {
+    val docs = corpus(100)
+    val a = docs.select(col("doc_id"), ShardWriter.shardId(col("doc_id"), 8).as("s"))
+    val b = docs.repartition(7).select(col("doc_id"),
+      ShardWriter.shardId(col("doc_id"), 8).as("s"))
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    // every shard in range
+    assert(a.filter(col("s") < 0 || col("s") >= 8).count() == 0)
+  }
+
+  test("re-export yields identical shard membership (retry-safe)") {
+    val dir = java.nio.file.Files.createTempDirectory("shards2").toString
+    val docs = corpus(60)
+    ShardWriter.writeShards(docs, dir, numShards = 4)
+    val first = ShardWriter.readShards(spark, dir)
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+    ShardWriter.writeShards(docs, dir, numShards = 4) // overwrite in place
+    val second = ShardWriter.readShards(spark, dir)
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+    assert(first == second)
+  }
+}
