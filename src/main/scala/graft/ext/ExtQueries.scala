@@ -1172,7 +1172,44 @@ object ExtQueries {
         JOIN nc ON nc.label = d.label
       ORDER BY d.vec_id"""))
 
+  // ---------------------------------------------------------------- x66
+  /** Cross-document boilerplate removal ([[TextAnalysis.removeBoilerplate]]):
+    * 3-token spans opening a shingle in ≥5 distinct docs are boilerplate;
+    * covered tokens drop, the rest rejoin in order. Oracle reproduces the
+    * identical span arithmetic (1-based positions both sides). */
+  val x66Boilerplate: Q = Q(
+    (s, dir) =>
+      TextAnalysis.removeBoilerplate(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, minDf = 5)
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      st0 AS (SELECT doc_id, t,
+          unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      starts AS (SELECT doc_id, i,
+          array_to_string(t[i:i+2], ' ') AS shingle FROM st0),
+      boiler AS (SELECT shingle FROM
+          (SELECT DISTINCT doc_id, shingle FROM starts)
+        GROUP BY 1 HAVING count(*) >= 5),
+      cov AS (SELECT DISTINCT s.doc_id, s.i + off.o AS p
+        FROM starts s JOIN boiler b USING (shingle),
+          (VALUES (0), (1), (2)) AS off(o)),
+      tokp AS (SELECT doc_id, unnest(t) AS token,
+          generate_subscripts(t, 1) AS p FROM tok),
+      kept AS (SELECT tk.doc_id, tk.p, tk.token FROM tokp tk
+        LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+        WHERE cov.p IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(token, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY 1)
+      SELECT n.doc_id, CAST(len(n.t) AS BIGINT) AS n_tokens,
+        CAST(len(n.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(a.clean_text, '') AS clean_text
+      FROM tok n LEFT JOIN agg a USING (doc_id)
+      ORDER BY n.doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "x66_boilerplate" -> x66Boilerplate,
     "x59_containment" -> x59Containment,
     "x60_redact" -> x60Redact,
     "x61_winnow" -> x61Winnow,

@@ -35,6 +35,69 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
+  /** Cross-document boilerplate removal (the CCNet-shape curation step):
+    * a k-token span is boilerplate when the identical span opens a shingle
+    * in ≥ `minDf` DISTINCT documents (templated headers, license
+    * blurbs, navigation chrome); every token covered by at least one
+    * boilerplate shingle occurrence is dropped and the remaining tokens
+    * are rejoined in order. Returns (id, n_tokens, n_removed, clean_text);
+    * a fully-boilerplate document survives as `clean_text = ""` (the
+    * caller decides whether to drop empties).
+    *
+    * Shape, scan to result:
+    *  1. shingle starts with positions — same codegen explode +
+    *     `element_at` form as [[Dedup.hashedShingles]], fanned out to full
+    *     parallelism on narrow inputs;
+    *  2. boilerplate set = one distinct + one count aggregate over
+    *     (shingle → distinct-doc df); this is corpus-wide but tiny output
+    *     (the df distribution's tail), and BROADCASTS back onto the start
+    *     positions — the corpus-side frames are never shuffled for it;
+    *  3. covered positions = boilerplate starts × {0..k-1} offsets,
+    *     distinct per (doc, position);
+    *  4. kept tokens = position explode anti-joined against covered on
+    *     (doc, position) — an equi hash join, distributed at any scale;
+    *  5. reassembly = one aggregate per doc (`array_sort` of (pos, token)
+    *     structs → `concat_ws`), left-joined back so untouched and
+    *     emptied documents both appear.
+    * Tokens shuffle once (the anti-join) and aggregate once — no
+    * all-pairs stage anywhere; skew is bounded by document length, not
+    * corpus size. */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDf: Int = 5): DataFrame = {
+    val t = split(col(textCol), " ")
+    val base = Dedup.fanOut(docs.select(col(idCol), col(textCol)))
+    val starts = base
+      .select(col(idCol), t.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"))
+      .select(col(idCol), col("i"), concat_ws(" ",
+        (0 until k).map(o => element_at(col("t"), col("i") + o)): _*)
+        .as("shingle"))
+    val boiler = starts.select(col(idCol), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("shingle")
+    val covered = starts.join(broadcast(boiler), "shingle")
+      .select(col(idCol),
+        explode(array((0 until k).map(o => col("i") + o): _*)).as("p"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), t.as("t"))
+      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "token")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("token"))
+    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("token")))),
+          s => s.getField("token"))).as("clean_text"))
+    docs.select(col(idCol), size(t).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Replace every match of each pattern with its placeholder, left to
     * right, and append a `n_<name>` match-count column per pattern — a
     * pure per-row expression pipeline (codegen'd, zero shuffles): the

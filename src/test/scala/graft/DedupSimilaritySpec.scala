@@ -304,6 +304,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .head.getLong(0) == 4L)
   }
 
+  test("boilerplate removal drops covered spans, keeps unique text, survives empties") {
+    // "LIC A B" opens a shingle in 5 docs -> boilerplate; doc 6 is untouched;
+    // doc 7 is pure boilerplate and must survive as an empty clean_text row
+    val docs = ((1L to 5L).map(i => (i, s"LIC A B u$i v$i w$i")) :+
+      (6L, "alpha beta gamma delta") :+ (7L, "LIC A B"))
+      .toDF("doc_id", "text")
+    val r = ext.TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
+      k = 3, minDf = 5).orderBy("doc_id").collect()
+    assert(r.length == 7)
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 1-5: the 3 boilerplate-covered tokens drop, unique tail stays
+    (1L to 5L).foreach { i =>
+      assert(byId(i).getAs[String]("clean_text") == s"u$i v$i w$i")
+      assert(byId(i).getAs[Long]("n_removed") == 3L)
+    }
+    assert(byId(6L).getAs[String]("clean_text") == "alpha beta gamma delta")
+    assert(byId(6L).getAs[Long]("n_removed") == 0L)
+    assert(byId(7L).getAs[String]("clean_text") == "")
+    assert(byId(7L).getAs[Long]("n_removed") == 3L)
+    // overlapping boilerplate spans cover the union of their positions:
+    // "LIC A B x LIC A B" in 5 docs -> spans at 1 and 5 cover 1-3,5-7; x stays
+    val ov = (1L to 5L).map(i => (i, s"LIC A B x$i LIC A B"))
+      .toDF("doc_id", "text")
+    val ro = ext.TextAnalysis.removeBoilerplate(ov, "doc_id", "text",
+      k = 3, minDf = 5).orderBy("doc_id").collect()
+    ro.foreach { x =>
+      assert(x.getAs[String]("clean_text") == s"x${x.getAs[Long]("doc_id")}")
+      assert(x.getAs[Long]("n_removed") == 6L)
+    }
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
