@@ -24,10 +24,15 @@ import org.apache.spark.sql.SparkSession
   *    of every persistent RDD — `localCheckpoint` blocks (connected
   *    components) live at the RDD layer and survive clearCache, otherwise
   *    accumulating across reps until the ContextCleaner gets to them;
-  *  - a query whose rep exceeds `SPARK_GRAFT_REP_BUDGET_SEC` (default 30)
-  *    is not measured again — under heavy host contention the bench must
-  *    stay bounded rather than keep re-running a pathological measurement;
-  *    such a query is flagged by magnitude regardless;
+  *  - a query whose reps CUMULATIVELY exceed 2× `SPARK_GRAFT_REP_BUDGET_SEC`
+  *    (default 30) is not measured again — under heavy host contention the
+  *    bench must stay bounded rather than keep re-running a pathological
+  *    measurement. The budget is cumulative rather than per-rep so that a
+  *    single contention spike (rep 1 = 35s on a 3s query) does not become
+  *    the query's only — and therefore median — data point: the spiked
+  *    query gets one more rep (median-of-2 averages the spike away), while
+  *    a genuinely slow query still stops after two reps (bounded at ~4×
+  *    budget worst-case);
   *  - the sf dir's files are faulted into the OS page cache once before
   *    measuring (tens of MB), so the first measured query doesn't pay
   *    cold-read latency the later ones don't.
@@ -78,8 +83,8 @@ object Bench {
 
     /** Round-robin reps over `names`; per query: median/min/max/error.
       * A query that crashes on ANY rep reports -1 and its first error (a
-      * crashing query must not masquerade as a fast one); a rep over
-      * budget ends that query's reps. */
+      * crashing query must not masquerade as a fast one); a query whose
+      * reps cumulatively exceed 2× the rep budget gets no further reps. */
     def roundRobin(names: Seq[String])
         : Seq[(String, (Double, Double, Double, Option[String]))] = {
       val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -89,7 +94,7 @@ object Bench {
         measureOnce(n) match {
           case Right(sec) =>
             times(n) = times.getOrElse(n, Vector.empty) :+ sec
-            if (sec > repBudgetSec) stopped += n
+            if (times(n).sum > 2 * repBudgetSec) stopped += n
           case Left(e) => errs(n) = e
         }
       names.map { n =>
