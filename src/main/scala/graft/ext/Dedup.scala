@@ -192,6 +192,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-frame LSH banding: candidates between a NEW batch and an
+    * EXISTING corpus — the incremental form of [[lshCandidates]], and the
+    * only sane dedup shape at 100 TB: a daily ingest must never re-pair
+    * the historical corpus against itself (quadratic in history), only
+    * probe the new batch against it (linear in the batch). Returns
+    * distinct (id_new, id_old).
+    *
+    * The bucket-size cap applies to the EXISTING side — it plays the
+    * index role, and a boilerplate mega-bucket there is exactly the
+    * non-discriminative-band pathology the batch self-join cap guards
+    * against (same spill-safe window form). The new batch is typically
+    * orders of magnitude smaller, so its bucket sizes are bounded by the
+    * batch, not the corpus. */
+  def lshCandidatesAcross(newSigs: DataFrame, oldSigs: DataFrame,
+      idCol: String, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(sigs: DataFrame, as: String) = {
+      val bandCols = (0 until bands).map { j =>
+        concat_ws("|",
+          (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
+      }
+      sigs.select(col(idCol).as(as),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+    }
+    val nb = banded(newSigs, "id_new")
+    val ob = banded(oldSigs, "id_old")
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band_idx", "h")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    nb.join(ob, Seq("band_idx", "h"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
   /** Exact Jaccard over candidate pairs (verification stage): each doc's
     * distinct shingle-hash SET is assembled once (`collect_set` — one
     * shuffle; input may be the raw multiset, the set agg dedups), then each

@@ -1208,7 +1208,73 @@ object ExtQueries {
       FROM tok n LEFT JOIN agg a USING (doc_id)
       ORDER BY n.doc_id"""))
 
+  // ---------------------------------------------------------------- x67
+  /** Incremental (delta) dedup: a NEW ingest batch (doc_id % 5 = 0 here;
+    * any batch predicate works) probed against the EXISTING corpus via
+    * cross-frame LSH ([[Dedup.lshCandidatesAcross]]) — new×old bands
+    * only, never old×old — then exact-Jaccard verified; output is the
+    * actionable drop list: each duplicate new doc with its best existing
+    * match (max jaccard, min old id on ties). At 100 TB the old-side
+    * signatures are a stored table maintained by previous ingests — the
+    * per-batch cost is linear in the batch, constant in history. */
+  val x67DeltaDedup: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val cands = Dedup.lshCandidatesAcross(
+          sigs.filter(col("doc_id") % 5 === 0),
+          sigs.filter(col("doc_id") % 5 =!= 0), "doc_id")
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+        .cache()
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val shCand = Dedup.hashedShingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      val w = Window.partitionBy("id_a")
+        .orderBy(col("jaccard").desc, col("id_b"))
+      Dedup.jaccardVerify(cands, shCand, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+          col("common"), col("jaccard"))
+        .orderBy("id_new")
+    },
+    Some(s"""WITH $shingleCte,
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM sh GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      obK AS (SELECT band_idx, h FROM bands WHERE doc_id % 5 <> 0
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cands AS (SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+        FROM bands n
+        JOIN bands o ON n.band_idx = o.band_idx AND n.h = o.h
+          AND o.doc_id % 5 <> 0
+        JOIN obK k ON k.band_idx = o.band_idx AND k.h = o.h
+        WHERE n.doc_id % 5 = 0),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+        GROUP BY 1, 2),
+      v AS (SELECT cm.id_a, cm.id_b, cm.common,
+          cm.common / (za.sz + zb.sz - cm.common) AS jaccard
+        FROM cm JOIN sizes za ON za.doc_id = cm.id_a
+          JOIN sizes zb ON zb.doc_id = cm.id_b
+        WHERE cm.common / (za.sz + zb.sz - cm.common) >= 0.8)
+      SELECT id_a AS id_new, id_b AS id_old, common, jaccard FROM
+        (SELECT v.*, row_number() OVER (PARTITION BY id_a
+           ORDER BY jaccard DESC, id_b) AS rn FROM v)
+      WHERE rn = 1 ORDER BY id_new"""))
+
   val all: Map[String, Q] = Map(
+    "x67_delta_dedup" -> x67DeltaDedup,
     "x66_boilerplate" -> x66Boilerplate,
     "x59_containment" -> x59Containment,
     "x60_redact" -> x60Redact,

@@ -335,6 +335,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cross-frame LSH pairs new-vs-old only, finds the planted near-dup") {
+    // old corpus: docs 1-3; new batch: doc 10 near-dups doc 2, doc 11 unique
+    val mk = (id: Long, t: String) => (id, t)
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val old = Seq(mk(1, "one two three four five six seven eight"),
+      mk(2, dup), mk(3, "nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(mk(10, dup + " iota"), mk(11, "wholly novel words only here"))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      ext.Dedup.minhashSignatures(
+        ext.Dedup.hashedShingles(df, "doc_id", "text"), "doc_id", 16)
+    val cands = ext.Dedup.lshCandidatesAcross(sigs(fresh), sigs(old), "doc_id")
+      .collect()
+    // every candidate is (new, old) — never old-old or new-new
+    assert(cands.forall(r => r.getAs[Long]("id_new") >= 10L
+      && r.getAs[Long]("id_old") < 10L))
+    assert(cands.exists(r => r.getAs[Long]("id_new") == 10L
+      && r.getAs[Long]("id_old") == 2L), "planted near-dup not found")
+    assert(!cands.exists(r => r.getAs[Long]("id_new") == 11L),
+      "unique new doc should produce no candidates")
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
