@@ -141,6 +141,26 @@ object Store {
         col("ts").between(startTs, endTs))
       .orderBy("ts")
 
+  /** Bucketed co-located layout — the shuffle-free-join story at 100 TB.
+    * Two tables written with the SAME bucket count and key join (and
+    * aggregate on that key) with NO exchange on either side: each task
+    * reads matching bucket files directly, so the cluster's largest
+    * recurring shuffle (fact⋈fact on the join key) disappears from every
+    * downstream query, paid once at write time. `sortBy` keeps buckets
+    * ts-ordered so sort-merge reads skip the per-task sort too.
+    * Registered as an external table at `path` (bucket metadata lives in
+    * the session catalog — Spark's bucketing contract); pair with
+    * `spark.sql.sources.bucketing.enabled` (default on).
+    * BucketingSpec asserts the no-exchange plans. */
+  def saveBucketed(df: DataFrame, table: String, path: String,
+      numBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** S8 metadata derive (post-save refresh, database_handler.py:219-229). */
   def deriveMeta(df: DataFrame): DataFrame =
     df.groupBy("symbol", "timeframe")
