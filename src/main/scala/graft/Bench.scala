@@ -136,7 +136,8 @@ object Bench {
     // round-2+ operators, timed OUTSIDE the headline so "value"/"queries"
     // stay comparable to the recorded baseline across rounds
     val extraNames = Seq("q40_range_join", "q41_incremental_resample",
-      "x48_pack_sequences", "x50_embed_dedup")
+      "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
+      "x67_delta_dedup")
       .filter(SparkEntry.queries.contains)
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

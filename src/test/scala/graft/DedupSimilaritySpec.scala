@@ -335,6 +335,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("boilerplate removal property: distributed plan equals single-node reference") {
+    // random word-soup corpus from a tiny vocab forces genuine cross-doc
+    // boilerplate; the reference implementation recomputes the expected
+    // output per doc with plain Scala collections
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1L to 60L).map(id =>
+      id -> Vector.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val (k, minDf) = (3, 4)
+    val df = corpus.toMap
+    val shOf = (t: Vector[String]) =>
+      if (t.size < k) Vector.empty
+      else (0 to t.size - k).map(i => t.slice(i, i + k).mkString(" ")).toVector
+    val boiler = corpus.flatMap { case (id, t) => shOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size >= minDf).keySet
+    val expected = corpus.map { case (id, t) =>
+      val covered = shOf(t).zipWithIndex.collect {
+        case (s, i) if boiler(s) => Seq(i, i + 1, i + 2)
+      }.flatten.toSet
+      val keptToks = t.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      (id, t.size.toLong, (t.size - keptToks.size).toLong, keptToks.mkString(" "))
+    }.sortBy(_._1)
+    val actual = ext.TextAnalysis.removeBoilerplate(
+        corpus.map { case (id, t) => (id, t.mkString(" ")) }
+          .toDF("doc_id", "text"), "doc_id", "text", k, minDf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected.count(_._3 > 0) > 5, "fixture too tame — no boilerplate hit")
+    assert(actual == expected)
+  }
+
   test("cross-frame LSH pairs new-vs-old only, finds the planted near-dup") {
     // old corpus: docs 1-3; new batch: doc 10 near-dups doc 2, doc 11 unique
     val mk = (id: Long, t: String) => (id, t)
