@@ -1273,7 +1273,68 @@ object ExtQueries {
            ORDER BY jaccard DESC, id_b) AS rn FROM v)
       WHERE rn = 1 ORDER BY id_new"""))
 
+  // ---------------------------------------------------------------- x68
+  /** Mixture REALIZATION: turn uniformizing mixture weights (x57's
+    * formula over `lang` — the skewed dimension in this corpus; `source`
+    * is uniform) into a concrete deterministic training set.
+    * Downsampling (weight < 1) is an
+    * md5-bucket keep filter at probability `weight`; upsampling
+    * (weight > 1) emits `n_copies = floor(weight)` plus one more with
+    * probability `frac(weight)` — deterministic stochastic rounding via a
+    * second, differently-salted md5 draw, so E[copies] = weight exactly
+    * and a re-run (any partitioning, any cluster) reproduces the same
+    * sample byte-for-byte. Weights broadcast (one row per lang); the
+    * corpus is filtered map-side — zero corpus shuffles. */
+  val x68MixtureRealize: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val totals = perLang.agg(sum(col("n_docs")).as("total_docs"),
+        count(lit(1)).as("n_langs"))
+      val rates = perLang.crossJoin(broadcast(totals))
+        .select(col("lang"),
+          least(col("total_docs") / (col("n_langs") * col("n_docs")),
+            lit(4.0d)).as("weight"))
+      def draw(salt: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 15), 16, 10).cast("long") % 10000
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), "lang")
+        .filter(draw(":keep") < least(col("weight"), lit(1.0d)) * 10000.0)
+        .withColumn("n_copies",
+          when(col("weight") <= 1.0, lit(1L)).otherwise(
+            floor(col("weight")) +
+              when(draw(":copy") <
+                (col("weight") - floor(col("weight"))) * 10000.0, lit(1L))
+                .otherwise(lit(0L))))
+        .select("doc_id", "lang", "weight", "n_copies")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ps AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+          CAST(count(*) AS BIGINT) AS n_langs FROM ps),
+      r AS (SELECT lang,
+          least(total_docs / (CAST(n_langs AS DOUBLE) * n_docs), 4.0)
+            AS weight FROM ps, t),
+      d AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(doc_id || ':keep'), 1, 15))::BIGINT % 10000
+            AS kb,
+          ('0x' || substr(md5(doc_id || ':copy'), 1, 15))::BIGINT % 10000
+            AS cb
+        FROM documents)
+      SELECT doc_id, d.lang, weight,
+        CASE WHEN weight <= 1.0 THEN CAST(1 AS BIGINT)
+             ELSE CAST(floor(weight) AS BIGINT) +
+               CASE WHEN cb < (weight - floor(weight)) * 10000.0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        END AS n_copies
+      FROM d JOIN r ON r.lang = d.lang
+      WHERE kb < least(weight, 1.0) * 10000.0
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "x68_mixture_realize" -> x68MixtureRealize,
     "x67_delta_dedup" -> x67DeltaDedup,
     "x66_boilerplate" -> x66Boilerplate,
     "x59_containment" -> x59Containment,
