@@ -1333,7 +1333,58 @@ object ExtQueries {
       WHERE kb < least(weight, 1.0) * 10000.0
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- x69
+  /** Corpus drift monitor: Jensen–Shannon divergence of each language
+    * subcorpus's unigram distribution against the global one — the
+    * distribution-shift check a pipeline runs after every
+    * mixing/filtering step (a lang whose JS jumps after a filter change
+    * was disproportionately affected). Exact JS over the full vocabulary:
+    * the (lang × vocab) grid makes the p=0 terms explicit (absent tokens
+    * still contribute 0.5·q·ln 2 to KL(Q‖M)). Shape: one token explode →
+    * two hash aggs (per-lang, global) → a langs×vocab grid join — grid
+    * size is vocab-bounded, never corpus-bounded; sums rounded at 6 both
+    * engines (x56's float-accumulation precedent). */
+  val x69LangDrift: Q = Q(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      val pl = toks.groupBy("lang", "token").agg(count(lit(1)).as("n")).cache()
+      val lt = pl.groupBy("lang").agg(sum(col("n")).as("tot"))
+      val g = pl.groupBy("token").agg(sum(col("n")).as("gn"))
+      val gt = g.agg(sum(col("gn"))).head.getLong(0).toDouble
+      val grid = lt.crossJoin(g) // langs × vocab — vocab-bounded, tiny
+        .join(pl, Seq("lang", "token"), "left")
+        .withColumn("p", coalesce(col("n"), lit(0L)) / col("tot"))
+        .withColumn("q", col("gn") / gt)
+        .withColumn("m", (col("p") + col("q")) / 2)
+      grid.groupBy("lang")
+        .agg(max(col("tot")).as("n_tokens"),
+          round(sum(
+            when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2)
+              .otherwise(0d) +
+            col("q") * log(col("q") / col("m")) / 2), 6).as("js_div"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      pl AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2),
+      lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM pl GROUP BY 1),
+      g AS (SELECT token, CAST(sum(n) AS BIGINT) AS gn FROM pl GROUP BY 1),
+      gt AS (SELECT CAST(sum(gn) AS DOUBLE) AS total FROM g),
+      grid AS (SELECT lt.lang, lt.tot, g.token, g.gn,
+          coalesce(pl.n, 0) / CAST(lt.tot AS DOUBLE) AS p,
+          g.gn / (SELECT total FROM gt) AS q
+        FROM lt CROSS JOIN g
+        LEFT JOIN pl ON pl.lang = lt.lang AND pl.token = g.token)
+      SELECT lang, max(tot) AS n_tokens,
+        round(sum(
+          CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END +
+          q * ln(q / ((p + q) / 2)) / 2), 6) AS js_div
+      FROM grid GROUP BY 1 ORDER BY 1"""))
+
   val all: Map[String, Q] = Map(
+    "x69_lang_drift" -> x69LangDrift,
     "x68_mixture_realize" -> x68MixtureRealize,
     "x67_delta_dedup" -> x67DeltaDedup,
     "x66_boilerplate" -> x66Boilerplate,
