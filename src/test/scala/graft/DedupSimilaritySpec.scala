@@ -366,6 +366,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(actual == expected)
   }
 
+  test("embedding outlier filter flags the planted anti-centroid vector") {
+    // label 0: vectors near +e1; label 1: near +e2; plant a -e1 vector in
+    // label 0 — its cosine to the label-0 centroid must be negative
+    val dim = 8
+    def v(main: Int, eps: Double, planted: Boolean = false) =
+      Array.tabulate(dim)(i =>
+        (if (i == main) (if (planted) -1.0f else 1.0f) else eps.toFloat))
+    val rows = Seq(
+      (1L, v(0, 0.01), 0), (2L, v(0, 0.02), 0), (3L, v(0, 0.03), 0),
+      (4L, v(0, 0.0, planted = true), 0),
+      (5L, v(1, 0.01), 1), (6L, v(1, 0.02), 1))
+      .toDF("vec_id", "embedding", "label")
+    val ex = rows.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("label"), col("i"),
+        col("xf").cast("double").as("x"))
+    val cent = ex.groupBy("label", "i").agg(avg(col("x")).as("c"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cent"))
+    val scored = rows.join(broadcast(cent), "label")
+      .withColumn("cos", ext.Similarity.dotHof(col("embedding"), col("cent")) /
+        (ext.Similarity.norm(col("embedding")) *
+          sqrt(ext.Similarity.dotHof(col("cent"), col("cent")))))
+      .select(col("vec_id"), (col("cos") < 0).as("out")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(scored(4L), "planted anti-centroid vector not flagged")
+    assert(Seq(1L, 2L, 3L, 5L, 6L).forall(!scored(_)),
+      "inlier falsely flagged")
+  }
+
   test("cross-frame LSH pairs new-vs-old only, finds the planted near-dup") {
     // old corpus: docs 1-3; new batch: doc 10 near-dups doc 2, doc 11 unique
     val mk = (id: Long, t: String) => (id, t)
