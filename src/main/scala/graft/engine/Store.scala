@@ -155,7 +155,15 @@ object Store {
   def saveBucketed(df: DataFrame, table: String, path: String,
       numBuckets: Int, bucketCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").option("path", path)
+    // co-locate each bucket into one task first: repartition's
+    // HashPartitioning uses the same murmur3 hash as the bucket-id
+    // assignment, so with numPartitions == numBuckets every task holds
+    // exactly one bucket ⇒ exactly one file per bucket. Without this,
+    // every input partition writes its own file into every bucket —
+    // P×buckets small files, and Spark only reports the bucket SORT
+    // order (what makes sortBy useful) for single-file buckets.
+    val prepared = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val w = prepared.write.mode("overwrite").option("path", path)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)

@@ -1143,7 +1143,11 @@ object ExtQueries {
           posexplode(col("embedding")).as(Seq("i", "xf")))
         .select(col("vec_id"), col("label"), col("i"),
           col("xf").cast("double").as("x"))
-      val cent = ex.groupBy("label", "i").agg(avg(col("x")).as("c"))
+      // centroid mean written as explicit sum/count in BOTH engines —
+      // never avg(): engine-internal AVG accumulation is the one ulp-level
+      // divergence source the oracle-parity rules ban
+      val cent = ex.groupBy("label", "i")
+        .agg((sum(col("x")) / count(lit(1))).as("c"))
         .groupBy("label").agg(
           transform(array_sort(collect_list(struct(col("i"), col("c")))),
             s => s.getField("c")).as("cent"))
@@ -1159,7 +1163,7 @@ object ExtQueries {
     Some("""WITH ex AS (SELECT vec_id, label,
         CAST(unnest(embedding) AS DOUBLE) AS x,
         generate_subscripts(embedding, 1) AS i FROM embeddings),
-      cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, i, sum(x) / count(*) AS c FROM ex GROUP BY 1, 2),
       nc AS (SELECT label, sqrt(sum(c*c)) AS nc FROM cent GROUP BY 1),
       nv AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY 1),
       dots AS (SELECT ex.vec_id, ex.label, sum(ex.x * cent.c) AS dp
@@ -1351,11 +1355,14 @@ object ExtQueries {
       val pl = toks.groupBy("lang", "token").agg(count(lit(1)).as("n")).cache()
       val lt = pl.groupBy("lang").agg(sum(col("n")).as("tot"))
       val g = pl.groupBy("token").agg(sum(col("n")).as("gn"))
-      val gt = g.agg(sum(col("gn"))).head.getLong(0).toDouble
+      // corpus total as a lazy broadcast scalar (x68's device) — an eager
+      // .head here would run a full corpus job at plan-CONSTRUCTION time
+      val gt = g.agg(sum(col("gn")).cast("double").as("gtot"))
       val grid = lt.crossJoin(g) // langs × vocab — vocab-bounded, tiny
+        .crossJoin(broadcast(gt))
         .join(pl, Seq("lang", "token"), "left")
         .withColumn("p", coalesce(col("n"), lit(0L)) / col("tot"))
-        .withColumn("q", col("gn") / gt)
+        .withColumn("q", col("gn") / col("gtot"))
         .withColumn("m", (col("p") + col("q")) / 2)
       grid.groupBy("lang")
         .agg(max(col("tot")).as("n_tokens"),

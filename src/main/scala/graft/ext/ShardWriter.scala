@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *    exactly one file per shard directory with a single shuffle — the
   *    writer never funnels data through fewer executors than shards;
   *  - the manifest (per-shard doc/token counts) is aggregated from the
-  *    same frame in the same job graph — one extra tiny shuffle, no
-  *    post-hoc directory listing.
+  *    WRITTEN files, not from the input frame: re-aggregating the input
+  *    would re-execute the caller's whole upstream pipeline (dedup →
+  *    decontaminate → … is exactly what gets passed in), while the
+  *    written shards are compact columnar output — and the manifest then
+  *    provably describes the files on disk, even under a
+  *    nondeterministic upstream.
   *
   * md5-mod assignment balances shard sizes to within sampling noise
   * (docs land i.i.d.); for strict token-equal shards, the x48 prefix-sum
@@ -40,14 +44,13 @@ object ShardWriter {
     * training job's sampler. */
   def writeShards(docs: DataFrame, outDir: String, numShards: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sharded = docs.withColumn("shard", shardId(col(idCol), numShards))
-    sharded
+    docs.withColumn("shard", shardId(col(idCol), numShards))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(idCol) // reproducible in-file order
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(outDir)
-    sharded.groupBy("shard").agg(
+    readShards(docs.sparkSession, outDir).groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
   }

@@ -49,9 +49,14 @@ object TextAnalysis {
     *     `element_at` form as [[Dedup.hashedShingles]], fanned out to full
     *     parallelism on narrow inputs;
     *  2. boilerplate set = one distinct + one count aggregate over
-    *     (shingle → distinct-doc df); this is corpus-wide but tiny output
-    *     (the df distribution's tail), and BROADCASTS back onto the start
-    *     positions — the corpus-side frames are never shuffled for it;
+    *     (shingle → distinct-doc df), joined back onto the start
+    *     positions. The join strategy is deliberately left to the
+    *     planner: on a small corpus the set broadcasts for free (AQE
+    *     sizes it at runtime), while at web scale the ≥minDf trigram set
+    *     is NOT small — common natural-language trigrams alone make it
+    *     corpus-shaped — and a forced broadcast would OOM the driver; a
+    *     shuffle hash join on the shingle key is the correct plan there
+    *     (the x56 lesson: never force-broadcast an unbounded side);
     *  3. covered positions = boilerplate starts × {0..k-1} offsets,
     *     distinct per (doc, position);
     *  4. kept tokens = position explode anti-joined against covered on
@@ -77,7 +82,7 @@ object TextAnalysis {
     val boiler = starts.select(col(idCol), col("shingle")).distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("shingle")
-    val covered = starts.join(broadcast(boiler), "shingle")
+    val covered = starts.join(boiler, "shingle")
       .select(col(idCol),
         explode(array((0 until k).map(o => col("i") + o): _*)).as("p"))
       .distinct()

@@ -15,8 +15,12 @@ import graft.engine.Store
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  /** Count shuffle exchanges in the compile-time physical plan. Exchange
+    * insertion for bucketed scans is decided statically (the scan's
+    * output partitioning either satisfies the required distribution or
+    * it doesn't), so the initial plan is the right thing to assert on —
+    * no execution needed. */
   private def shuffles(df: DataFrame): Int = {
-    df.write.mode("overwrite").format("noop").save() // finalize AQE
     def count(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => count(a.executedPlan)
       case s: ShuffleExchangeLike => 1 + s.children.map(count).sum
@@ -44,6 +48,11 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     Store.saveBucketed(facts, "b_facts", s"$dir/facts", 8, Seq("symbol"),
       Seq("symbol", "ts"))
     Store.saveBucketed(dims, "b_dims", s"$dir/dims", 8, Seq("symbol"))
+    // the pre-write repartition co-locates each bucket into one task ⇒
+    // at most one data file per bucket (what makes sortBy reads sorted)
+    val dataFiles = new java.io.File(s"$dir/facts").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles <= 8, s"$dataFiles files for 8 buckets")
     try withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
