@@ -101,8 +101,26 @@ object Dedup {
     * building block for stateless set-overlap checks such as the streaming
     * decontamination filter, where per-doc shingle sets must be computed
     * inside one row to avoid streaming aggregation state. Same hash family
-    * as [[hashedShingles]], so results are interchangeable. */
+    * as [[hashedShingles]], so results are interchangeable.
+    *
+    * Computed by the native codegen'd [[graft.functions.ShingleHashF]]
+    * expression (one reused MessageDigest, a primitive loop per shingle)
+    * rather than the interpreted `transform(shingles(...), baseHash)`
+    * chain — byte-identical output (spec-pinned against
+    * [[shingleHashArrayHof]] and the oracle-checked batch path). The
+    * `when` wrapper preserves the HOF form's null contract: null text →
+    * empty array, not null. */
   def shingleHashArray(text: Column, k: Int = 3): Column =
+    when(text.isNotNull, org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ShingleHashF(
+          org.apache.spark.sql.GraftBridge.expression(split(text, " ")), k, P)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Higher-order-function formulation of [[shingleHashArray]]
+    * (interpreted lambdas) — kept as the cross-check reference
+    * implementation; [[signatureArrayHof]] builds on it so the reference
+    * signature chain stays fully independent of the native expressions. */
+  def shingleHashArrayHof(text: Column, k: Int = 3): Column =
     transform(shingles(text, k), s => baseHash(s))
 
   /** MinHash signatures over a hashed-shingle frame (column `h`):
@@ -119,22 +137,35 @@ object Dedup {
         min((lit(aConst(i)) * col("h") + lit(bConst(i))) % P).as(s"m$i")): _*)
 
   /** Per-ROW MinHash signature array — the streaming-friendly form of
-    * [[minhashSignatures]]: one `aggregate` pass over the row's shingle
-    * hashes folds all `numHashes` permutation minima at once (no explode,
-    * no shuffle, no duplicated hash subtree). Rows with NO shingles yield
-    * the neutral all-P array — filter on `size(shingleHashArray(...)) > 0`
-    * first (the batch agg simply has no row for such docs). Spec-pinned
-    * element-for-element equal to the oracle-checked batch aggregate.
-    * BATCH pipelines should keep [[minhashSignatures]]: higher-order
-    * functions evaluate interpreted, and the codegen'd explode+aggregate
-    * measures ~25% faster at sf0.1 (ProfileDedup) — this form exists for
-    * per-row contexts (streaming state, single-doc probes) where a
-    * shuffle is unavailable or unwanted. */
-  def signatureArray(text: Column, numHashes: Int = 16, k: Int = 3): Column = {
+    * [[minhashSignatures]]: all `numHashes` permutation minima in one
+    * pass over the row's shingle hashes (no explode, no shuffle, no
+    * duplicated hash subtree), computed by the native codegen'd
+    * [[graft.functions.MinHashSigF]] expression (a tight two-level
+    * primitive loop; the HOF fold it replaces evaluated interpreted per
+    * element × per permutation — kept below as the cross-check
+    * reference). Rows with NO shingles yield the neutral all-P array —
+    * filter on `size(shingleHashArray(...)) > 0` first (the batch agg
+    * simply has no row for such docs). Spec-pinned element-for-element
+    * equal to the HOF form AND the oracle-checked batch aggregate.
+    * BATCH pipelines should keep [[minhashSignatures]] (one shuffle,
+    * whole-stage codegen end to end); this form exists for per-row
+    * contexts (streaming state, single-doc probes) where a shuffle is
+    * unavailable or unwanted. */
+  def signatureArray(text: Column, numHashes: Int = 16, k: Int = 3): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSigF(
+        org.apache.spark.sql.GraftBridge.expression(
+          shingleHashArray(text, k)),
+        (0 until numHashes).map(aConst), (0 until numHashes).map(bConst), P))
+
+  /** Higher-order-function formulation of [[signatureArray]] (interpreted
+    * lambdas) — kept as the cross-check reference implementation, same
+    * pattern as `Similarity.dotHof`. */
+  def signatureArrayHof(text: Column, numHashes: Int = 16, k: Int = 3): Column = {
     val aArr = typedLit((0 until numHashes).map(aConst))
     val bArr = typedLit((0 until numHashes).map(bConst))
     val init = typedLit(Seq.fill(numHashes)(P)) // P > every (a·h+b) mod P
-    aggregate(shingleHashArray(text, k), init,
+    aggregate(shingleHashArrayHof(text, k), init,
       (acc, h) => zip_with(acc,
         zip_with(aArr, bArr, (a, b) => (a * h + b) % P),
         (x, y) => least(x, y)))

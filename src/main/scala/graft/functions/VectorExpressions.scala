@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Native Catalyst expression for the embedding hot path (SURVEY §2.10's
   * "custom Expression beats UDF" ladder): dot product of two
@@ -67,6 +67,151 @@ case class DotF32(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Native MinHash signature fold: all `as.length` permutation minima of
+  * `(as(j)·h + bs(j)) mod p` over an `ARRAY<BIGINT>` of shingle hashes,
+  * in ONE pass — the codegen replacement for the
+  * `aggregate(zip_with(...))` higher-order fold on the per-row signature
+  * path (streaming near-dup state, single-doc probes), where every HOF
+  * lambda step evaluates interpreted per element × per permutation.
+  * Identical semantics: empty array → all-`p` neutral signature; null
+  * input → null; `a·h` ≤ (2³¹)² < 2⁶³ so the arithmetic never overflows
+  * (the same bound the column/oracle formulations rely on).
+  * Constants are injected by the caller ([[graft.ext.Dedup]] owns the
+  * hash family) so this expression stays family-agnostic. */
+case class MinHashSigF(child: Expression, as: Seq[Long], bs: Seq[Long],
+    p: Long) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = as.length
+    val mins = Array.fill(n)(p)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < n) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("mhA", as.toArray, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs.toArray, "long[]")
+      val (mins, i, j, h, v) = (ctx.freshName("mins"), ctx.freshName("i"),
+        ctx.freshName("j"), ctx.freshName("h"), ctx.freshName("v"))
+      s"""
+         |long[] $mins = new long[${as.length}];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < ${as.length}; $j++) {
+         |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native k-shingle hasher: word k-shingles of a token array, each
+  * hashed to `first-60-bits-of-md5 mod p` — byte-identical to the column
+  * formulation `conv(substring(md5(concat_ws(" ", slice(...))), 1, 15),
+  * 16, 10) % p` (15 hex chars = the digest's first 60 bits; md5 runs
+  * over the same UTF-8 bytes the string concat would produce, built
+  * separator-interleaved without materializing the shingle string).
+  * Fewer than k tokens → empty array (the `shingles()` contract); null
+  * input → null. One reused MessageDigest per task, a primitive loop per
+  * shingle — this is what makes the per-row signature path (streaming
+  * near-dup state) codegen-fast end to end; the interpreted HOF chain it
+  * replaces paid a lambda per element at every step. */
+case class ShingleHashF(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashF.hashAll(toks, k, p))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHashF.hashAll($a, $k, ${p}L));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashF {
+  private val SPACE = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val digestTL =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared by interpreted eval and codegen (the loop is data-bound, not
+    * expression-bound, so a plain static method keeps both paths
+    * one implementation). */
+  def hashAll(toks: ArrayData, k: Int, p: Long): Array[Long] = {
+    val n = toks.numElements()
+    if (n < k) return Array.emptyLongArray
+    val md = digestTL.get()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(SPACE)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars = first 60 bits: 8 bytes as unsigned >> 4
+      var h = 0L
+      j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = (h >>> 4) % p
+      i += 1
+    }
+    out
+  }
 }
 
 object VectorExpressions {

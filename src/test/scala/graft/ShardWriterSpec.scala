@@ -50,6 +50,26 @@ class ShardWriterSpec extends AnyFunSuite with SparkTestBase {
     assert(a.filter(col("s") < 0 || col("s") >= 8).count() == 0)
   }
 
+  test("pack → shard composition: every packed bin lands in exactly one shard") {
+    // the scaladoc's "for strict token-equal shards, compose Packing in
+    // front" claim, executed: bins become the shard unit
+    val dir = java.nio.file.Files.createTempDirectory("shards3").toString
+    val docs = (1L to 120L).map(i =>
+        (i, if (i % 3 == 0) "de" else "en", Seq.fill(5 + (i % 9).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val packed = ext.Packing.packDocs(docs, "doc_id", "lang", "n_tok",
+        budget = 40)
+      .withColumn("bin_key", concat_ws("#", col("lang"), col("bin")))
+    ShardWriter.writeShards(packed, dir, numShards = 4, idCol = "bin_key")
+    val back = ShardWriter.readShards(spark, dir)
+    assert(back.count() == 120)
+    val split_bins = back.groupBy("bin_key")
+      .agg(countDistinct(col("shard")).as("s"))
+      .filter(col("s") =!= 1).count()
+    assert(split_bins == 0, "a packed bin was split across shards")
+  }
+
   test("re-export yields identical shard membership (retry-safe)") {
     val dir = java.nio.file.Files.createTempDirectory("shards2").toString
     val docs = corpus(60)

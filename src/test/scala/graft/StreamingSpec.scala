@@ -233,6 +233,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     fromAgg.foreach { case (id, sig) =>
       assert(fromArray(id) == sig, s"doc $id signature mismatch")
     }
+    // native ShingleHashF ≡ the interpreted transform/md5 reference chain
+    val shingleDiff = docs.filter(col("text").isNotNull)
+      .select(Dedup.shingleHashArray(col("text")).as("nat"),
+        Dedup.shingleHashArrayHof(col("text")).as("ref"))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(shingleDiff == 0, "native shingle hashes diverge from reference")
+    // the native MinHashSigF expression ≡ its HOF reference formulation
+    val fromHof = docs
+      .filter(size(Dedup.shingleHashArray(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.signatureArrayHof(col("text"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fromHof == fromArray)
+    // neutral all-P signature for a shingle-less (short) doc, both forms
+    import spark.implicits._
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    val neutral = Seq.fill(16)(Dedup.P)
+    assert(short.select(Dedup.signatureArray(col("text"), 16))
+      .head.getSeq[Long](0) == neutral)
+    assert(short.select(Dedup.signatureArrayHof(col("text"), 16))
+      .head.getSeq[Long](0) == neutral)
   }
 
   test("streaming near-dup detection finds cross-batch pairs; admission cap bounds state") {
