@@ -1390,7 +1390,38 @@ object ExtQueries {
           q * ln(q / ((p + q) / 2)) / 2), 6) AS js_div
       FROM grid GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x70
+  /** Hashed linear-classifier inference
+    * ([[TextAnalysis.hashedLinearScore]]): fastText-style quality scoring
+    * as a zero-shuffle map-side scan — unigram+bigram hashing trick
+    * (native `ShingleHashF`), weight-array-literal lookup ("broadcast the
+    * model into the expression"), integer fold, threshold. The oracle
+    * rebuilds the identical weight table from the shared constants;
+    * integer sums and the final integer-ratio division are exact in both
+    * engines (no rounding anywhere). */
+  val x70LinearClassifier: Q = Q(
+    (s, dir) => TextAnalysis.hashedLinearScore(
+      Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+    Some {
+      import TextAnalysis.{LmA, LmB, LmDim, LmMod}
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT doc_id, unnest(t) AS g FROM tok),
+      big AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(t), 1)),
+            i -> array_to_string(t[i:i+1], ' '))) AS g FROM tok),
+      feats AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM big),
+      w AS (SELECT doc_id,
+          ((((('0x' || substr(md5(g),1,15))::BIGINT % ${Dedup.P}) % $LmDim)
+            * $LmA + $LmB) % $LmMod) - ${LmMod / 2} AS wt
+        FROM feats)
+      SELECT doc_id, count(*) AS n_feat, CAST(sum(wt) AS BIGINT) AS score_sum,
+        CAST(sum(wt) AS BIGINT) / count(*) AS score,
+        CAST(sum(wt) AS BIGINT) / count(*) > 0.0 AS keep
+      FROM w GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Map[String, Q] = Map(
+    "x70_linear_classifier" -> x70LinearClassifier,
     "x69_lang_drift" -> x69LangDrift,
     "x68_mixture_realize" -> x68MixtureRealize,
     "x67_delta_dedup" -> x67DeltaDedup,

@@ -149,6 +149,54 @@ object TextAnalysis {
     "fr" -> Seq("les", "ent", "de ", "ion", "que"),
     "zh" -> Seq("shi", "zhi", "ang", "eng", "ong"))
 
+  /** Hashed linear-model dimensions — shared with the oracle SQL
+    * generation (x70) so both engines score with the identical table. */
+  val LmDim: Int = 4096
+  val LmMod: Int = 2001 // odd → weights symmetric in [-1000, 1000]
+  val LmA: Long = 40503L
+  val LmB: Long = 12345L
+
+  /** Weight of feature bucket `b` — a fixed full-rank affine scramble
+    * standing in for a TRAINED model's weight vector (deterministic, so
+    * the query is oracle-checkable; integer-valued, so cross-engine sums
+    * are exact). Production swaps this generated array for real fastText /
+    * logistic-regression weights — every other part of the shape
+    * (hashing, lookup, fold, threshold) is unchanged. */
+  def lmWeight(b: Int): Int = ((b.toLong * LmA + LmB) % LmMod).toInt - LmMod / 2
+
+  /** Hashed linear-classifier inference (the fastText-style quality
+    * filter of CCNet/RefinedWeb-shape corpus pipelines) applied as a pure
+    * MAP-SIDE scan: word unigram + bigram features via the hashing trick
+    * (the same md5 60-bit family as [[Dedup.shingleHashArray]], computed
+    * by the native codegen'd `ShingleHashF` with k=1 / k=2), each feature
+    * indexed into a `LmDim`-entry weight-array LITERAL — the "broadcast
+    * the model into the expression" deployment shape — and folded to a
+    * per-document integer sum. `score` = score_sum / n_feat (IEEE
+    * division of identical integers — oracle-exact), `keep` thresholds
+    * it.
+    *
+    * Scale: zero shuffles, zero joins — the plan is scan → expressions,
+    * one whole-stage-codegen span (the hash and the weight fold are both
+    * native expressions: `ShingleHashF`, `WeightSumF`). Scoring 100 TB is
+    * embarrassingly parallel, and the weight array rides inside the task
+    * binary (a few KB), not a join side. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    val weights = (0 until LmDim).map(lmWeight).toArray
+    val feats = concat(Dedup.shingleHashArray(col(textCol), 1),
+      Dedup.shingleHashArray(col(textCol), 2))
+    docs.select(col(idCol), feats.as("_f"))
+      .withColumn("n_feat", size(col("_f")).cast("long"))
+      .filter(col("n_feat") > 0)
+      .withColumn("score_sum", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WeightSumF(
+          org.apache.spark.sql.GraftBridge.expression(col("_f")), weights)))
+      .withColumn("score", col("score_sum") / col("n_feat"))
+      .withColumn("keep", col("score") > threshold)
+      .select(col(idCol), col("n_feat"), col("score_sum"), col("score"),
+        col("keep"))
+  }
+
   /** Count of tokens present in `words` (with repeats — frequency, not
     * set membership). */
   def stopwordScore(tokens: Column, words: Seq[String]): Column =

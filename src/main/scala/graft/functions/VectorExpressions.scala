@@ -174,6 +174,56 @@ case class ShingleHashF(child: Expression, k: Int, p: Long)
     copy(child = newChild)
 }
 
+/** Native hashed-linear-model fold: Σ `weights[(h mod weights.length)]`
+  * over an `ARRAY<BIGINT>` of feature hashes — the codegen replacement
+  * for the `aggregate(..., element_at(...))` higher-order fold in
+  * [[graft.ext.TextAnalysis.hashedLinearScore]], keeping classifier
+  * inference inside one whole-stage-codegen span (scan → score, no
+  * interpreted lambda per feature). The weight table rides in the
+  * expression as a reference object (a few KB — "broadcast the model
+  * into the task binary"). Hashes are non-negative by construction
+  * (md5-60-bit mod P), so `%` needs no floor adjustment — the same
+  * contract the column/oracle formulations rely on. Null input → null;
+  * empty array → 0. */
+case class WeightSumF(child: Expression, weights: Array[Int])
+    extends UnaryExpression {
+  require(weights.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_weight_sum expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      acc += weights((arr.getLong(i) % weights.length).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("lmW", weights, "int[]")
+      val (acc, i) = (ctx.freshName("acc"), ctx.freshName("i"))
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $acc += $wRef[(int) ($a.getLong($i) % ${weights.length})];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashF {
   private val SPACE = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val digestTL =

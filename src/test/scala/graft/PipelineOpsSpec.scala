@@ -139,4 +139,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(dupIds.forall(flagged.contains), "exact cross-split dup not flagged")
     }
   }
+
+  test("x70 linear classifier: score matches a hand-rolled reference; keep thresholds it") {
+    import spark.implicits._
+    import graft.ext.{Dedup, TextAnalysis}
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "one"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // reference scorer: same md5-60-bit hash, same weight formula, in JVM
+    def base(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (h >>> 4) % Dedup.P
+    }
+    def score(text: String): (Long, Long) = {
+      val t = text.split(" ", -1)
+      val feats = t.toSeq ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val s = feats.map(g =>
+        TextAnalysis.lmWeight((base(g) % TextAnalysis.LmDim).toInt).toLong).sum
+      (feats.size.toLong, s)
+    }
+    Seq(1L -> "alpha beta gamma", 2L -> "one", 3L -> "a b c d e").foreach {
+      case (id, text) =>
+        val (nf, ss) = score(text)
+        assert(out(id).getAs[Long]("n_feat") == nf, s"doc $id n_feat")
+        assert(out(id).getAs[Long]("score_sum") == ss, s"doc $id score_sum")
+        assert(out(id).getAs[Double]("score") == ss.toDouble / nf)
+        assert(out(id).getAs[Boolean]("keep") == (ss.toDouble / nf > 0.0))
+    }
+    // weight table is the documented stand-in: bounded and symmetric-ish
+    val ws = (0 until TextAnalysis.LmDim).map(TextAnalysis.lmWeight)
+    assert(ws.min >= -1000 && ws.max <= 1000)
+  }
 }
