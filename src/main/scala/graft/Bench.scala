@@ -137,7 +137,8 @@ object Bench {
     // stay comparable to the recorded baseline across rounds
     val extraNames = Seq("q40_range_join", "q41_incremental_resample",
       "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
-      "x67_delta_dedup")
+      "x67_delta_dedup", "q50_bollinger", "x71_bm25", "x72_dsir",
+      "x73_semantic_dedup")
       .filter(SparkEntry.queries.contains)
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.Queries
-import graft.ext.ExtQueries
+import graft.engine.{IndicatorQueries, Queries}
+import graft.ext.{CurationQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  private def registry: Map[String, Queries.Q] = Queries.all ++ ExtQueries.all
+  private def registry: Map[String, Queries.Q] =
+    Queries.all ++ ExtQueries.all ++ IndicatorQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,219 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.engine.Queries.Q
+
+/** Indicator queries (q48–q51) — the [[Indicators]] layer exercised over
+  * the events tick proxy (FIXTURES.md mapping: user_id→symbol, value→price,
+  * props.k→trade size). Shared oracle machinery: the hourly close series is
+  * the q01 candle aggregate with the close quantized to an exact
+  * DECIMAL(18,4), so every rolling sum downstream is order-independent in
+  * both engines. */
+object IndicatorQueries {
+
+  /** Hourly close series as exact decimal — shared CTE of q49–q51. */
+  private val closeCte = """
+    c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+        CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+      FROM events GROUP BY 1, 2)"""
+
+  private def hourlyCloses(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Ohlcv.resampleTicks(Tables.events(s, dir), "1h",
+      symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+
+  // ---------------------------------------------------------------- q48
+  /** VWAP per (symbol, hour) — [[Indicators.vwap]]. Trade size comes from
+    * the props JSON (`k + 1`, so no zero-size trades); the Σ(p·q)
+    * numerator accumulates in exact decimal. Same single-hash-agg shape
+    * and cost as the q01 resample. */
+  val q48Vwap: Q = Q(
+    (s, dir) => {
+      val ticks = Tables.events(s, dir)
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long") + 1)
+      Indicators.vwap(ticks, "1h", symbolCol = "user_id", tsCol = "ts",
+          priceCol = "value", qtyCol = "qty")
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("vwap"), col("qty"), col("n_trades"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Some("""SELECT user_id, epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS bucket_ms,
+      round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))
+          * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS DECIMAL(9,0))) AS DOUBLE)
+        / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) AS BIGINT), 6) AS vwap,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) AS BIGINT) AS qty,
+      count(*) AS n_trades
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q49
+  /** Realized volatility per symbol — [[Indicators.volatility]]: sample
+    * stddev of 8-decimal log returns, assembled from exact decimal Σx/Σx²
+    * (never an engine-internal STDDEV — float accumulation order differs
+    * between engines; the two exact sums make the distributed agg
+    * deterministic and the variance a single fixed double expression). */
+  val q49Volatility: Q = Q(
+    (s, dir) =>
+      Indicators.volatility(hourlyCloses(s, dir), "user_id")
+        .orderBy("user_id"),
+    Some(s"""WITH $closeCte,
+      r AS (SELECT user_id, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM c),
+      rr AS (SELECT user_id,
+          CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
+            AS DECIMAL(20,8)) AS ret
+        FROM r WHERE prev IS NOT NULL AND prev > 0),
+      x AS (SELECT user_id, ret,
+          CAST(round(CAST(ret AS DOUBLE) * CAST(ret AS DOUBLE), 12)
+            AS DECIMAL(24,12)) AS x2
+        FROM rr)
+      SELECT user_id, count(*) AS n_ret,
+        round(sqrt(greatest(
+          (CAST(sum(x2) AS DOUBLE)
+            - CAST(sum(ret) AS DOUBLE) * CAST(sum(ret) AS DOUBLE) / count(*))
+          / (count(*) - 1), 0.0)), 6) AS vol
+      FROM x GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q50
+  /** Bollinger bands — [[Indicators.bollinger]]: 20-bucket rolling
+    * mean ± 2σ from exact decimal window sums; only full windows emit. */
+  val q50Bollinger: Q = Q(
+    (s, dir) =>
+      Indicators.bollinger(hourlyCloses(s, dir), "user_id", n = 20, k = 2.0)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          round(col("close"), 4).as("close"), col("mid"), col("upper"),
+          col("lower"))
+        .orderBy("user_id", "bucket_ms"),
+    Some(s"""WITH $closeCte,
+      w AS (SELECT user_id, bucket, close,
+          row_number() OVER wo AS rn,
+          sum(close) OVER w20 AS s1,
+          sum(CAST(round(CAST(close AS DOUBLE) * CAST(close AS DOUBLE), 8)
+            AS DECIMAL(28,8))) OVER w20 AS s2
+        FROM c
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          w20 AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(close AS DOUBLE) AS close,
+        round(CAST(s1 AS DOUBLE) / 20, 6) AS mid,
+        round(CAST(s1 AS DOUBLE) / 20 + sqrt(greatest(
+          (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 20) / 20, 0.0)) * 2.0, 6) AS upper,
+        round(CAST(s1 AS DOUBLE) / 20 - sqrt(greatest(
+          (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 20) / 20, 0.0)) * 2.0, 6) AS lower
+      FROM w WHERE rn >= 20 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q51
+  /** Cutler's RSI(14) — [[Indicators.rsi]]: SMA of exact decimal
+    * gains/losses over 14 deltas; the loss=0 limit pins RSI to 100 before
+    * any float division. */
+  val q51Rsi: Q = Q(
+    (s, dir) =>
+      Indicators.rsi(hourlyCloses(s, dir), "user_id", n = 14)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          round(col("close"), 4).as("close"), col("rsi"))
+        .orderBy("user_id", "bucket_ms"),
+    Some(s"""WITH $closeCte,
+      d AS (SELECT user_id, bucket, close,
+          CAST(close - lag(close) OVER (PARTITION BY user_id ORDER BY bucket)
+            AS DECIMAL(19,4)) AS delta
+        FROM c),
+      dd AS (SELECT * FROM d WHERE delta IS NOT NULL),
+      w AS (SELECT user_id, bucket, close,
+          row_number() OVER wo AS rn,
+          sum(greatest(delta, CAST(0 AS DECIMAL(19,4)))) OVER w14 AS sg,
+          sum(greatest(-delta, CAST(0 AS DECIMAL(19,4)))) OVER w14 AS sl
+        FROM dd
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          w14 AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(close AS DOUBLE) AS close,
+        CASE WHEN sl = 0 THEN 100.0
+          ELSE round(100.0 - 100.0 /
+            (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)), 6) END AS rsi
+      FROM w WHERE rn >= 14 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q52
+  /** Cross-symbol correlation matrix — [[Indicators.correlationMatrix]]
+    * over DAILY log returns (daily aligns sparse tick activity; hourly
+    * buckets rarely co-occur on this corpus). All five moment sums exact
+    * decimal; correlation assembles in one fixed double expression;
+    * pairs below 10 common days drop. */
+  val q52Correlation: Q = Q(
+    (s, dir) => {
+      val daily = Ohlcv.resampleTicks(Tables.events(s, dir), "1d",
+        symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      Indicators.correlationMatrix(daily, "user_id", minObs = 10)
+        .orderBy("sym_a", "sym_b")
+    },
+    Some("""WITH c AS (SELECT user_id,
+        time_bucket(INTERVAL '1 day', ts) AS bucket,
+        CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+      FROM events GROUP BY 1, 2),
+      r0 AS (SELECT user_id, bucket, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM c),
+      r AS (SELECT user_id, bucket,
+          CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
+            AS DECIMAL(20,8)) AS ret
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0),
+      j AS (SELECT a.user_id AS sym_a, b.user_id AS sym_b,
+          a.ret AS x, b.ret AS y
+        FROM r a JOIN r b ON b.bucket = a.bucket AND a.user_id < b.user_id),
+      p AS (SELECT sym_a, sym_b, x, y,
+          CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS xy,
+          CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS x2,
+          CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS y2
+        FROM j),
+      s AS (SELECT sym_a, sym_b, count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy,
+          sum(x2) AS sx2, sum(y2) AS sy2
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 10)
+      SELECT sym_a, sym_b, n,
+        CASE WHEN n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+              OR n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+          THEN NULL
+          ELSE round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        END AS corr
+      FROM s ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q53
+  /** Maximum drawdown per symbol — [[Indicators.maxDrawdown]]: cumulative
+    * exact-decimal peak, deterministic earliest-trough tie-break. */
+  val q53Drawdown: Q = Q(
+    (s, dir) =>
+      Indicators.maxDrawdown(hourlyCloses(s, dir), "user_id")
+        .select(col("user_id"), unix_millis(col("trough_bucket")).as("trough_ms"),
+          col("peak"), col("trough"), col("max_drawdown"))
+        .orderBy("user_id"),
+    Some(s"""WITH $closeCte,
+      w AS (SELECT user_id, bucket, close,
+          max(close) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS peak
+        FROM c),
+      d AS (SELECT user_id, bucket, close, peak,
+          round(CAST(close AS DOUBLE) / CAST(peak AS DOUBLE) - 1, 6) AS dd
+        FROM w),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY dd, bucket) AS rn FROM d)
+      SELECT user_id, epoch_ms(bucket) AS trough_ms,
+        CAST(peak AS DOUBLE) AS peak, CAST(close AS DOUBLE) AS trough,
+        dd AS max_drawdown
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  val all: Map[String, Q] = Map(
+    "q48_vwap" -> q48Vwap,
+    "q49_volatility" -> q49Volatility,
+    "q50_bollinger" -> q50Bollinger,
+    "q51_rsi" -> q51Rsi,
+    "q52_correlation" -> q52Correlation,
+    "q53_drawdown" -> q53Drawdown)
+}

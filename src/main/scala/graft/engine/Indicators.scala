@@ -1,0 +1,215 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Technical-indicator layer over candle series — the analytics a user of
+  * the reference framework computes downstream of its OHLCV loads
+  * (reference: binance_data_framework/colab_interface.py:467-499 plots the
+  * loaded candles; everything a plot overlay needs — VWAP, volatility,
+  * Bollinger bands, RSI — starts from the same frame).
+  *
+  * All indicators are a SINGLE window pass per symbol: hash-partition on
+  * the symbol column, sort within partition by bucket. At 100 TB the
+  * candle store is bucketed on symbol ([[Store.saveBucketed]]), so the
+  * exchange disappears entirely and the window runs straight off the scan.
+  * Nothing here shuffles twice and nothing is driver-side.
+  *
+  * Oracle-parity arithmetic (see [[Queries]] header): every rolling sum
+  * runs over DECIMAL-cast prices — exact and order-independent — and the
+  * few genuinely-float steps (ln, sqrt, final ratios) are computed by the
+  * IDENTICAL expression on identical inputs in both engines, then rounded.
+  */
+object Indicators {
+
+  /** Price quantized to 4 decimals as an exact decimal — the shared
+    * currency of every rolling sum below. */
+  private def dec4(c: Column): Column = round(c, 4).cast("decimal(18,4)")
+
+  /** Volume-weighted average price per (symbol, bucket): Σ(p·q)/Σq with
+    * the numerator accumulated in exact decimal. One partial-aggregated
+    * hash agg — the same shape (and cost) as the plain resample. */
+  def vwap(ticks: DataFrame, timeframe: String, symbolCol: String,
+      tsCol: String, priceCol: String, qtyCol: String): DataFrame =
+    ticks
+      .groupBy(col(symbolCol), Ohlcv.bucket(col(tsCol), timeframe).as("bucket"))
+      .agg(
+        // qty as DECIMAL(9,0): keeps the product inside exact decimal in
+        // BOTH engines (a raw BIGINT multiplicand would push DuckDB's
+        // result type past width 38 and silently degrade it to DOUBLE)
+        sum(dec4(col(priceCol)) * col(qtyCol).cast("decimal(9,0)")).as("pq"),
+        sum(col(qtyCol)).as("qty"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap",
+        round(col("pq").cast("double") / col("qty"), 6))
+      .select(col(symbolCol), col("bucket"), col("vwap"), col("qty"),
+        col("n_trades"))
+
+  /** Per-symbol close-to-close log returns, quantized to 8 decimals
+    * (absorbs the ulp-level `ln` difference between engines). Adds `ret`
+    * (DECIMAL(20,8)); the first bucket of each symbol drops. */
+  def logReturns(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    candles
+      .withColumn("_c", dec4(col(closeCol)))
+      .withColumn("_prev", lag(col("_c"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") > 0)
+      .withColumn("ret",
+        round(log(col("_c").cast("double") / col("_prev").cast("double")), 8)
+          .cast("decimal(20,8)"))
+  }
+
+  /** Realized volatility per symbol: sample stddev of 8-decimal log
+    * returns. The two accumulations (Σx, Σx²) are exact decimal sums —
+    * order-independent, so the distributed agg is deterministic — and the
+    * variance assembles from them in one fixed double expression.
+    * Symbols with fewer than `minReturns` returns drop. */
+  def volatility(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close",
+      minReturns: Int = 2): DataFrame = {
+    val r = logReturns(candles, symbolCol, bucketCol, closeCol)
+      .withColumn("_x2",
+        round(col("ret").cast("double") * col("ret").cast("double"), 12)
+          .cast("decimal(24,12)"))
+    r.groupBy(col(symbolCol))
+      .agg(count(lit(1)).as("n_ret"), sum(col("ret")).as("_sx"),
+        sum(col("_x2")).as("_sx2"))
+      .filter(col("n_ret") >= minReturns)
+      .withColumn("vol", round(sqrt(greatest(
+        (col("_sx2").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double") / col("n_ret")) /
+          (col("n_ret") - 1), lit(0.0))), 6))
+      .select(col(symbolCol), col("n_ret"), col("vol"))
+  }
+
+  /** Bollinger bands: n-bucket rolling mean ± k·σ (population σ over the
+    * window, the standard Bollinger definition). Rolling Σ and Σx² are
+    * exact decimal window sums; only full windows emit. */
+  def bollinger(candles: DataFrame, symbolCol: String, n: Int = 20,
+      k: Double = 2.0, bucketCol: String = "bucket",
+      closeCol: String = "close"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val win = order.rowsBetween(-(n - 1), 0)
+    val withSums = candles
+      .withColumn("_c", dec4(col(closeCol)))
+      .withColumn("_c2",
+        round(col("_c").cast("double") * col("_c").cast("double"), 8)
+          .cast("decimal(28,8)"))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_s1", sum(col("_c")).over(win))
+      .withColumn("_s2", sum(col("_c2")).over(win))
+      .filter(col("_rn") >= n)
+    val mean = col("_s1").cast("double") / n
+    val varPop = greatest(
+      (col("_s2").cast("double") -
+        col("_s1").cast("double") * col("_s1").cast("double") / n) / n,
+      lit(0.0))
+    withSums
+      .withColumn("mid", round(mean, 6))
+      .withColumn("band", round(sqrt(varPop) * k, 6))
+      .withColumn("upper", round(mean + sqrt(varPop) * k, 6))
+      .withColumn("lower", round(mean - sqrt(varPop) * k, 6))
+      .select(col(symbolCol), col(bucketCol), col(closeCol), col("mid"),
+        col("upper"), col("lower"))
+  }
+
+  /** Maximum drawdown per symbol: running peak via cumulative max (exact
+    * decimal — no float comparison ambiguity), drawdown = close/peak − 1,
+    * the minimum selected by a deterministic (drawdown, bucket) rank so
+    * ties resolve to the earliest trough. One window pass per symbol plus
+    * the rank — both on the same symbol partitioning, one exchange
+    * total. */
+  def maxDrawdown(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    val dd = candles
+      .withColumn("_c", dec4(col(closeCol)))
+      .withColumn("_peak", max(col("_c")).over(cum))
+      .withColumn("max_drawdown",
+        round(col("_c").cast("double") / col("_peak").cast("double") - 1, 6))
+    val best = Window.partitionBy(symbolCol)
+      .orderBy(col("max_drawdown"), col(bucketCol))
+    dd.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col(symbolCol), col(bucketCol).as("trough_bucket"),
+        col("_peak").cast("double").as("peak"),
+        col("_c").cast("double").as("trough"), col("max_drawdown"))
+  }
+
+  /** Pairwise Pearson correlation of per-symbol log returns — the
+    * cross-asset risk matrix every portfolio pipeline derives from the
+    * candle store. Returns align on the shared bucket; all five moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in exact decimal
+    * (per-term products quantized to 12 decimals), so the distributed agg
+    * is order-independent; the correlation assembles from them in one
+    * fixed double expression, zero-variance pairs → NULL.
+    *
+    * Scale: the bucket-aligned self-join produces Σ_b s_b² rows where
+    * s_b = symbols active in bucket b — bounded by the (small, universe-
+    * sized) symbol count per bucket, never by history length. Pairs with
+    * fewer than `minObs` common buckets drop. */
+  def correlationMatrix(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close",
+      minObs: Int = 10): DataFrame = {
+    val r = logReturns(candles, symbolCol, bucketCol, closeCol)
+      .select(col(symbolCol), col(bucketCol), col("ret"))
+    val a = r.select(col(symbolCol).as("sym_a"), col(bucketCol).as("bucket"),
+      col("ret").as("x"))
+    val b = r.select(col(symbolCol).as("sym_b"), col(bucketCol).as("bucket"),
+      col("ret").as("y"))
+    def prod(p: Column, q: Column): Column =
+      round(p.cast("double") * q.cast("double"), 12).cast("decimal(26,12)")
+    val sums = a.join(b, "bucket").filter(col("sym_a") < col("sym_b"))
+      .withColumn("xy", prod(col("x"), col("y")))
+      .withColumn("x2", prod(col("x"), col("x")))
+      .withColumn("y2", prod(col("y"), col("y")))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+        sum(col("x2")).as("sx2"), sum(col("y2")).as("sy2"))
+      .filter(col("n") >= minObs)
+    def d(c: String): Column = col(c).cast("double")
+    val va = col("n") * d("sx2") - d("sx") * d("sx")
+    val vb = col("n") * d("sy2") - d("sy") * d("sy")
+    sums
+      .withColumn("corr",
+        when(va <= 0 || vb <= 0, lit(null).cast("double"))
+          .otherwise(round((col("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(va) * sqrt(vb)), 6)))
+      .select(col("sym_a"), col("sym_b"), col("n"), col("corr"))
+  }
+
+  /** Cutler's RSI over `n` deltas: 100 − 100/(1 + SMA(gain)/SMA(loss)),
+    * the simple-moving-average variant (Wilder's EMA smoothing is
+    * recursive — not expressible as a frame aggregate; Cutler's is the
+    * standard window-friendly form). Gains/losses are exact decimal
+    * deltas; the `loss = 0` limit pins RSI to 100 in both engines before
+    * any float division can produce ∞. Only full windows emit. */
+  def rsi(candles: DataFrame, symbolCol: String, n: Int = 14,
+      bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val win = order.rowsBetween(-(n - 1), 0)
+    val zero = lit(0).cast("decimal(19,4)")
+    val withSums = candles
+      .withColumn("_c", dec4(col(closeCol)))
+      .withColumn("_d", (col("_c") - lag(col("_c"), 1).over(order))
+        .cast("decimal(19,4)"))
+      .filter(col("_d").isNotNull)
+      .withColumn("_gain", greatest(col("_d"), zero))
+      .withColumn("_loss", greatest(-col("_d"), zero))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_sg", sum(col("_gain")).over(win))
+      .withColumn("_sl", sum(col("_loss")).over(win))
+      .filter(col("_rn") >= n)
+    withSums
+      .withColumn("rsi",
+        when(col("_sl") === zero, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("_sg").cast("double") / col("_sl").cast("double")),
+            6)))
+      .select(col(symbolCol), col(bucketCol), col(closeCol), col("rsi"))
+  }
+}

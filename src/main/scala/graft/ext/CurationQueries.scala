@@ -1,0 +1,278 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Queries, Tables}
+import graft.engine.Queries.Q
+
+/** Round-4 curation/retrieval queries (x71–x75): lexical retrieval (BM25),
+  * distribution-matched selection (DSIR), semantic dedup (SemDeDup shape),
+  * the cross-source contamination matrix, and the Gopher quality-rule
+  * bundle. Oracle-parity conventions as in [[ExtQueries]]; float
+  * accumulations quantize per-term to 8 decimals and sum in exact decimal
+  * (order-independent), final outputs round at 6. */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- x71
+  /** BM25 top-k retrieval ([[Retrieval.bm25TopK]]) for a literal query.
+    * Scan keeps only term-matching rows (isin prunes at the scan); corpus
+    * stats and df are broadcast scalars. */
+  private val QueryTerms = Seq("spark", "join", "window")
+
+  val x71Bm25: Q = Q(
+    (s, dir) => Retrieval.bm25TopK(Tables.documents(s, dir), QueryTerms,
+      "doc_id", "text", k = 10),
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE tok IN ($termList) GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      ctr AS (SELECT tf.doc_id,
+          CAST(round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)
+            AS DECIMAL(24,8)) AS c
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, count(*) AS n_terms,
+        round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+      FROM ctr GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"""
+    })
+
+  // ---------------------------------------------------------------- x72
+  /** DSIR importance weights ([[Retrieval.dsirWeights]]): target = the
+    * `lang = 'en'` slice, source = full corpus; hashed unigram+bigram
+    * features (dim 4096). The oracle rebuilds the identical hashed
+    * distributions from the shared md5→P→dim reduction. */
+  val x72Dsir: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text").orderBy("doc_id")
+    },
+    Some {
+      val dim = Retrieval.DsirDim
+      val hash = s"((('0x' || substr(md5(g), 1, 15))::BIGINT % ${Dedup.P}) % $dim)"
+      s"""WITH tokA AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(t) AS g FROM tokA),
+      big AS (SELECT doc_id, lang,
+          unnest(list_transform(range(1, greatest(len(t), 1)),
+            i -> array_to_string(t[i:i+1], ' '))) AS g FROM tokA),
+      feats AS (SELECT doc_id, lang, g FROM uni
+        UNION ALL SELECT doc_id, lang, g FROM big),
+      fb AS (SELECT doc_id, lang, $hash AS b FROM feats),
+      tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM fb
+        WHERE lang = 'en' GROUP BY 1),
+      sc AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM fb GROUP BY 1),
+      tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tc),
+      stt AS (SELECT CAST(sum(sc) AS DOUBLE) AS st FROM sc),
+      ctr AS (SELECT fb.doc_id,
+          CAST(round(ln(
+              ((coalesce(tc.tc, 0) + 0.5) / (tt.tt + ${0.5 * dim}))
+              / ((sc.sc + 0.5) / (stt.st + ${0.5 * dim}))), 8)
+            AS DECIMAL(24,8)) AS c
+        FROM fb LEFT JOIN tc USING (b) JOIN sc USING (b)
+          CROSS JOIN tt CROSS JOIN stt)
+      SELECT doc_id, count(*) AS n_feat,
+        round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS dsir_weight
+      FROM ctr GROUP BY 1 ORDER BY 1"""
+    })
+
+  // ---------------------------------------------------------------- x73
+  /** SemDeDup-shaped semantic dedup ([[Similarity.semanticDedup]]):
+    * LSH-bucket clusters, per-cluster centroid, keep the most central
+    * vector, drop the near-redundant core (cos ≥ τ), keep the diverse
+    * tail. Plane constants are generated into the oracle (x36 technique). */
+  private val SemPlanes = 4
+  private val SemTau = 0.35
+
+  val x73SemanticDedup: Q = Q(
+    (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+      numPlanes = SemPlanes, tau = SemTau).orderBy("vec_id"),
+    Some {
+      val planeRows = Similarity.hyperplanes(SemPlanes, 64).zipWithIndex
+        .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
+          s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")
+      s"""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+      planes(p, i, w) AS (VALUES $planeRows),
+      pd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
+        FROM ex JOIN planes pl ON pl.i = ex.i GROUP BY 1, 2),
+      bkt AS (SELECT vec_id,
+          CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS bucket
+        FROM pd GROUP BY 1),
+      cent AS (SELECT b.bucket, ex.i, sum(ex.x) / count(*) AS c
+        FROM ex JOIN bkt b USING (vec_id) GROUP BY 1, 2),
+      nc AS (SELECT bucket, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1),
+      dots AS (SELECT b.vec_id, b.bucket, sum(ex.x * cent.c) AS dp
+        FROM ex JOIN bkt b USING (vec_id)
+          JOIN cent ON cent.bucket = b.bucket AND cent.i = ex.i
+        GROUP BY 1, 2),
+      cosv AS (SELECT d.vec_id, d.bucket,
+          round(d.dp / (nv.nrm * nc.nc), 6) AS cos_centroid
+        FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id
+          JOIN nc ON nc.bucket = d.bucket),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+          ORDER BY cos_centroid DESC, vec_id) AS rn FROM cosv)
+      SELECT vec_id, bucket, cos_centroid, rn = 1 AS is_keeper,
+        CASE WHEN rn = 1 OR cos_centroid < $SemTau THEN 'keep'
+          ELSE 'drop' END AS action
+      FROM rk ORDER BY vec_id"""
+    })
+
+  // ---------------------------------------------------------------- x74
+  /** Cross-source contamination matrix ([[Dedup.sourceOverlap]]):
+    * pairwise Jaccard over each source's distinct 3-shingle set — the
+    * provenance report run before mixing sources into one training
+    * corpus. Inverted-index join: per-shingle work bounded by C(S,2). */
+  val x74SourceOverlap: Q = Q(
+    (s, dir) => Dedup.sourceOverlap(Tables.documents(s, dir))
+      .orderBy("src_a", "src_b"),
+    Some(s"""WITH tok AS (SELECT source, string_split(text, ' ') AS t
+        FROM documents),
+      shRaw AS (SELECT source,
+          unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+            i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM tok),
+      sh AS (SELECT DISTINCT source,
+          (('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P}) AS h
+        FROM shRaw),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+        FROM sh GROUP BY 1),
+      cm AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, common,
+        common / (za.sz + zb.sz - common) AS jaccard
+      FROM cm JOIN sizes za ON za.source = src_a
+        JOIN sizes zb ON zb.source = src_b
+      ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- x75
+  /** Gopher quality-rule bundle ([[TextAnalysis.gopherRules]]): five
+    * boolean gates + conjunction, every signal a per-row token-array fold
+    * — zero shuffles. The oracle computes max word multiplicity by
+    * explode+group (same integer as the sorted-run fold). */
+  val x75GopherRules: Q = Q(
+    (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("n_words", col("n_words").cast("long"))
+      .withColumn("stop_cnt", col("stop_cnt").cast("long"))
+      .orderBy("doc_id"),
+    Some {
+      val stopPred = TextAnalysis.GopherStops
+        .map(w => s"w = '$w'").mkString(" OR ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS sum_wl,
+          CAST(len(list_filter(t, w -> $stopPred)) AS BIGINT) AS stop_cnt,
+          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        FROM tok),
+      wc AS (SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+      rep AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_rep
+        FROM wc GROUP BY 1),
+      m AS (SELECT b.doc_id, b.n_words,
+          b.sum_wl / b.n_words AS mean_wl, b.stop_cnt,
+          r.max_rep / b.n_words AS top_frac,
+          b.n_distinct / b.n_words AS distinct_ratio
+        FROM base b JOIN rep r USING (doc_id))
+      SELECT doc_id, n_words, mean_wl, stop_cnt, top_frac, distinct_ratio,
+        n_words >= 20 AND n_words <= 1000 AS size_ok,
+        mean_wl >= 2.0 AND mean_wl <= 12.0 AS wl_ok,
+        stop_cnt >= 2 AS stop_ok,
+        top_frac <= 0.2 AS rep_ok,
+        distinct_ratio >= 0.3 AS diversity_ok,
+        (n_words >= 20 AND n_words <= 1000)
+          AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+          AND stop_cnt >= 2 AND top_frac <= 0.2
+          AND distinct_ratio >= 0.3 AS pass
+      FROM m ORDER BY 1"""
+    })
+
+  // ---------------------------------------------------------------- x76
+  /** Bigram-LM cross-entropy scoring ([[TextAnalysis.bigramXent]]): the
+    * CCNet perplexity-filter shape one order above x56's unigram scorer
+    * — capped vocab (top-40, lexicographic tie-break), `<unk>` tail,
+    * add-half smoothing, per-doc mean −ln p(w|prev). Vocab and count
+    * tables are (K+1)²-bounded broadcasts. */
+  val x76BigramLm: Q = Q(
+    (s, dir) => TextAnalysis.bigramXent(Tables.documents(s, dir),
+      "doc_id", "text", vocabK = 40).orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      tp AS (SELECT doc_id, unnest(t) AS w,
+          generate_subscripts(t, 1) AS pos FROM tok),
+      vc AS (SELECT w, count(*) AS c FROM tp GROUP BY 1),
+      vocab AS (SELECT w FROM vc ORDER BY c DESC, w LIMIT 40),
+      mapped AS (SELECT tp.doc_id, tp.pos,
+          CASE WHEN v.w IS NOT NULL THEN tp.w ELSE '<unk>' END AS m
+        FROM tp LEFT JOIN vocab v ON v.w = tp.w),
+      big AS (SELECT a.doc_id, a.m AS prev, b.m AS m
+        FROM mapped a JOIN mapped b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      c2 AS (SELECT prev, m, CAST(count(*) AS BIGINT) AS c2
+        FROM big GROUP BY 1, 2),
+      c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1
+        FROM big GROUP BY 1),
+      ctr AS (SELECT big.doc_id,
+          CAST(round(-ln((c2.c2 + 0.5) / (c1.c1 + 20.5)), 8)
+            AS DECIMAL(24,8)) AS c
+        FROM big JOIN c2 USING (prev, m) JOIN c1 USING (prev))
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS xent
+      FROM ctr GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- x77
+  /** Contamination-span localization ([[Dedup.contaminationSpans]]):
+    * x49/x59 decide WHETHER a training doc leaks a benchmark item; this
+    * reports WHERE — longest run of consecutive shingle positions shared
+    * with each benchmark doc (gaps-and-islands), as token count + start
+    * offset. Benchmark = doc_id < 25 (the x49/x59 convention). */
+  val x77ContaminationSpans: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationSpans(docs.filter(col("doc_id") >= 25),
+          docs.filter(col("doc_id") < 25), "doc_id", "text",
+          k = 3, minRunShingles = 2)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      spos AS (SELECT doc_id, i - 1 AS pos,
+          (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+            % ${Dedup.P}) AS h
+        FROM (SELECT doc_id, t,
+            unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok)),
+      bset AS (SELECT DISTINCT doc_id AS bench_id, h FROM spos
+        WHERE doc_id < 25),
+      sh AS (SELECT s.doc_id, b.bench_id, s.pos
+        FROM spos s JOIN bset b USING (h) WHERE s.doc_id >= 25),
+      isl AS (SELECT doc_id, bench_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id, bench_id
+            ORDER BY pos) AS grp
+        FROM sh),
+      runs AS (SELECT doc_id, bench_id, grp,
+          CAST(count(*) AS BIGINT) AS run, min(pos) AS start_pos
+        FROM isl GROUP BY 1, 2, 3),
+      best AS (SELECT *, row_number() OVER (PARTITION BY doc_id, bench_id
+          ORDER BY run DESC, start_pos) AS rn FROM runs)
+      SELECT doc_id, bench_id, run + 2 AS match_tokens, start_pos
+      FROM best WHERE rn = 1 AND run >= 2 ORDER BY 1, 2"""))
+
+  val all: Map[String, Q] = Map(
+    "x71_bm25" -> x71Bm25,
+    "x72_dsir" -> x72Dsir,
+    "x73_semantic_dedup" -> x73SemanticDedup,
+    "x74_source_overlap" -> x74SourceOverlap,
+    "x75_gopher_rules" -> x75GopherRules,
+    "x76_bigram_lm" -> x76BigramLm,
+    "x77_contamination_spans" -> x77ContaminationSpans)
+}

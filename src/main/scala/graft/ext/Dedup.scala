@@ -452,4 +452,71 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Contamination-span LOCALIZATION: x49/x59 decide WHETHER a training
+    * doc leaks a benchmark item; this reports WHERE — per (train, bench)
+    * pair, the longest run of consecutive training-doc shingle positions
+    * whose hashes appear in the benchmark doc's shingle set, as a token
+    * count and start offset. The gaps-and-islands form (position −
+    * row_number is constant within a consecutive run) localizes every
+    * island in one window pass; the longest is chosen by a deterministic
+    * (length desc, start asc) rank.
+    *
+    * Scale: the benchmark side is a small static suite — its distinct
+    * (bench, hash) table broadcasts; the corpus pays one positional
+    * shingle explode + one window partitioned by (doc, bench) — state
+    * bounded by a single document's matched positions. Only pairs with a
+    * run of ≥ `minRunShingles` emit. */
+  def contaminationSpans(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, minRunShingles: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tpos = fanOut(train).select(col(idCol).as("doc_id"),
+      posexplode(shingleHashArray(col(textCol), k)).as(Seq("pos", "h")))
+    val bset = bench.select(col(idCol).as("bench_id"),
+      explode(shingleHashArray(col(textCol), k)).as("h")).distinct()
+    val byPos = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+    val islands = tpos.join(broadcast(bset), "h")
+      .select("doc_id", "bench_id", "pos")
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy("doc_id", "bench_id", "grp")
+      .agg(count(lit(1)).as("run"), min(col("pos")).as("start_pos"))
+    val best = Window.partitionBy("doc_id", "bench_id")
+      .orderBy(col("run").desc, col("start_pos"))
+    islands
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("run") >= minRunShingles)
+      .select(col("doc_id"), col("bench_id"),
+        (col("run") + lit(k - 1)).as("match_tokens"),
+        col("start_pos"))
+  }
+
+  /** Pairwise shingle-set overlap between corpus partitions (sources):
+    * the contamination / provenance matrix — which sources share content,
+    * and how much. Jaccard over each source's DISTINCT hashed-shingle set.
+    *
+    * Shape: one distinct over (source, shingle-hash) — the same shuffle
+    * the per-doc dedup paths pay — then an inverted-index self-join on the
+    * hash. A shingle present in s sources contributes C(s,2) ≤ C(S,2)
+    * pairs, and S (number of sources) is a small constant at any corpus
+    * size, so the join output is linear in distinct shingles — never
+    * quadratic in docs. Jaccard is a raw IEEE division of exact integers
+    * (the repo-wide integer-ratio rule: bit-identical, never rounded). */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val sh = fanOut(docs)
+      .select(col(groupCol), explode(shingleHashArray(col(textCol), k)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(groupCol).as("src_a"), col("h"))
+    val b = sh.select(col(groupCol).as("src_b"), col("h"))
+    a.join(b, "h").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col(groupCol).as("src_a"),
+        col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col(groupCol).as("src_b"),
+        col("sz").as("sz_b"))), "src_b")
+      .withColumn("jaccard",
+        col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("src_a"), col("src_b"), col("common"), col("jaccard"))
+  }
 }

@@ -42,6 +42,24 @@ object ExtQueries {
              (('0x' || substr(md5(shingle),1,15))::BIGINT % ${Dedup.P}) AS h
            FROM shRaw)"""
 
+  // sigs → bands → bucket-capped banded self-join → candidate pairs: the
+  // x31 LSH pipeline as a reusable oracle fragment (generated from the
+  // same constants as the engine path; shared by x31/x44/x78)
+  private val lshCandsCte = s"""
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM sh GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      keptBuckets AS (SELECT band_idx, h FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      bandsKept AS (SELECT b.doc_id, b.band_idx, b.h FROM bands b
+        JOIN keptBuckets k ON b.band_idx = k.band_idx AND b.h = k.h),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandsKept a JOIN bandsKept b
+          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id)"""
+
   // ---------------------------------------------------------------- x31
   /** MinHash + LSH near-dup detection: 16 md5-minhashes, 4 bands × 4 rows,
     * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
@@ -71,19 +89,7 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH $shingleCte,
-      sigs AS (SELECT doc_id,
-        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
-        FROM sh GROUP BY 1),
-      bands AS (
-        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
-          .mkString(" UNION ALL ")}),
-      keptBuckets AS (SELECT band_idx, h FROM bands
-        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
-      bandsKept AS (SELECT b.doc_id, b.band_idx, b.h FROM bands b
-        JOIN keptBuckets k ON b.band_idx = k.band_idx AND b.h = k.h),
-      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bandsKept a JOIN bandsKept b
-          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+      $lshCandsCte,
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
@@ -123,19 +129,7 @@ object ExtQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shingleCte,
-      sigs AS (SELECT doc_id,
-        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
-        FROM sh GROUP BY 1),
-      bands AS (
-        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
-          .mkString(" UNION ALL ")}),
-      keptBuckets AS (SELECT band_idx, h FROM bands
-        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
-      bandsKept AS (SELECT b.doc_id, b.band_idx, b.h FROM bands b
-        JOIN keptBuckets k ON b.band_idx = k.band_idx AND b.h = k.h),
-      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bandsKept a JOIN bandsKept b
-          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+      $lshCandsCte,
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
@@ -1420,7 +1414,63 @@ object ExtQueries {
       FROM w GROUP BY 1 ORDER BY 1"""
     })
 
+  // ---------------------------------------------------------------- x78
+  /** LSH estimator quality report: recall/precision of the PRODUCTION
+    * x31 candidate pipeline (16 minhashes, 4×4 bands, bucket cap) against
+    * exact ground truth (all-pairs Jaccard ≥ 0.5 via the uncapped
+    * inverted index). The parameter-validation run every dedup pipeline
+    * owes its operators: "what does the banding miss at this threshold?".
+    *
+    * Scale: this is an EVALUATION query — ground truth is quadratic in
+    * matching pairs by nature, so it runs on a bounded sample (here the
+    * corpus; in production a sampled slice), while the estimator under
+    * test is the scale path itself. Ratios are raw IEEE divisions of
+    * exact BIGINTs (never rounded). */
+  val x78LshQuality: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shTbl = Dedup.hashedShingleTable(docs, "doc_id", "text")
+      val truth = Dedup.ngramJaccardPairs(shTbl, "doc_id",
+          maxDf = Int.MaxValue)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_t"))
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_c"))
+      truth.join(cands, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_t"), lit(0))).as("n_truth"),
+          sum(coalesce(col("in_c"), lit(0))).as("n_cands"),
+          sum(when(col("in_t") === 1 && col("in_c") === 1, 1).otherwise(0))
+            .as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_truth"))
+        .withColumn("precision", col("n_hits") / col("n_cands"))
+    },
+    Some(s"""WITH $shingleCte,
+      $lshCandsCte,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      tcm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b FROM tcm
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE common / (za.sz + zb.sz - common) >= 0.5),
+      j AS (SELECT t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+        FROM truth t FULL OUTER JOIN cands c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b),
+      agg AS (SELECT
+          CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+          CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cands,
+          CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM j)
+      SELECT n_truth, n_cands, n_hits,
+        n_hits / n_truth AS recall, n_hits / n_cands AS precision
+      FROM agg"""))
+
   val all: Map[String, Q] = Map(
+    "x78_lsh_quality" -> x78LshQuality,
     "x70_linear_classifier" -> x70LinearClassifier,
     "x69_lang_drift" -> x69LangDrift,
     "x68_mixture_realize" -> x68MixtureRealize,

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + distribution-matching selection over a document
+  * corpus — the query side of a training-data pipeline (find the docs
+  * that look like X) and its data-selection twin (weight the corpus
+  * toward a target distribution, DSIR-style).
+  *
+  * Scale shapes:
+  *  - [[bm25TopK]]: the query's term list is a literal `isin` filter, so
+  *    the corpus scan keeps only rows containing a query term (predicate
+  *    prunes at the scan); doc stats are one scalar-aggregate broadcast;
+  *    per-term df is a ≤|q|-row broadcast. Nothing corpus-sized shuffles
+  *    except the (doc, term)→tf partial agg over the MATCHING docs only.
+  *  - [[dsirWeights]]: both feature distributions are bounded by the
+  *    hashed dimension (`dim` rows), so they broadcast; scoring is a
+  *    map-side join — per-doc cost linear in its features, corpus never
+  *    shuffled (the feature-count aggs shuffle `dim`-bounded frames).
+  */
+object Retrieval {
+
+  /** BM25 parameters (Robertson k1/b defaults). `K1Plus1` is its own
+    * literal — computing 1.2+1.0 in doubles lands on a round-to-even tie
+    * that need not equal the parsed literal `2.2` the oracle uses. */
+  val K1: Double = 1.2
+  val K1Plus1: Double = 2.2
+  val B: Double = 0.75
+
+  /** BM25 top-k document retrieval for a literal term query.
+    *
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene's non-negative
+    * variant); per-(doc, term) contribution quantized to 8 decimals and
+    * summed in exact decimal, so the per-doc score is order-independent
+    * and cross-engine deterministic. Output: (idCol, n_terms, bm25),
+    * score-descending, id tie-break. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], idCol: String,
+      textCol: String = "text", k: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dl = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(K1) *
+      (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))
+    val contrib = round(idf * (col("tf") * lit(K1Plus1)) / denom, 8)
+      .cast("decimal(24,8)")
+    tf.join(broadcast(df), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", contrib)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("_c")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Hashed feature dimension shared with the oracle SQL generation. */
+  val DsirDim: Int = 4096
+
+  /** Word unigram+bigram features hashed into [0, dim) — the same md5
+    * 60-bit family as [[Dedup.shingleHashArray]] (native codegen'd
+    * expression), reduced mod the feature dimension. */
+  def hashedFeatures(text: Column, dim: Int = DsirDim): Column =
+    transform(
+      concat(Dedup.shingleHashArray(text, 1), Dedup.shingleHashArray(text, 2)),
+      h => h % dim)
+
+  /** DSIR-style importance weights (Xie et al. 2023 shape): per-doc mean
+    * log-ratio of a TARGET hashed-n-gram distribution to the SOURCE (full
+    * corpus) distribution, both add-half smoothed over `dim` buckets.
+    * Positive weight ⇒ doc looks more like the target than the average
+    * corpus doc; feeding the weights to [[ExtQueries]]' x64/x68 samplers
+    * realizes the importance resampling.
+    *
+    * Per-feature log-ratio contributions are quantized to 8 decimals and
+    * summed in exact decimal (order-independence, the x71 convention).
+    * Output: (idCol, n_feat, dsir_weight) per source doc. */
+  def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
+      textCol: String = "text", dim: Int = DsirDim): DataFrame = {
+    def featTable(docs: DataFrame) = docs.select(col(idCol),
+      explode(hashedFeatures(col(textCol), dim)).as("b"))
+    val srcFeats = featTable(source)
+    val tCnt = featTable(target).groupBy("b").agg(count(lit(1)).as("tc"))
+    val sCnt = srcFeats.groupBy("b").agg(count(lit(1)).as("sc"))
+    val tTot = tCnt.agg(sum(col("tc")).cast("double").as("tt"))
+    val sTot = sCnt.agg(sum(col("sc")).cast("double").as("st"))
+    val half = lit(0.5)
+    val smooth = lit(0.5 * dim)
+    val ratio = ((coalesce(col("tc"), lit(0L)) + half) / (col("tt") + smooth)) /
+      ((col("sc") + half) / (col("st") + smooth))
+    srcFeats
+      .join(broadcast(tCnt), Seq("b"), "left")
+      .join(broadcast(sCnt), Seq("b"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .withColumn("_c", round(log(ratio), 8).cast("decimal(24,8)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("_c")).cast("double") / count(lit(1)), 6)
+          .as("dsir_weight"))
+  }
+}

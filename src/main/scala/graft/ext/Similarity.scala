@@ -120,6 +120,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
+    * corpus (here: deterministic random-hyperplane LSH buckets — at scale
+    * the bucket is the storage partition key, and an IVF/KMeans cell works
+    * identically), compute each cluster's centroid, keep the vector most
+    * aligned with the centroid, and drop the rest of the cluster's
+    * near-redundant core (`cos_centroid ≥ tau`). Low-alignment vectors
+    * survive — they carry the cluster's diversity.
+    *
+    * Shape: one posexplode pass builds the (buckets × dim) centroid frame
+    * — tiny — which broadcasts back; the corpus itself is never exploded
+    * again. The only corpus-sized movement is the per-bucket window for
+    * the keeper rank (single hash partition by bucket; at 100 TB the
+    * bucket count scales with corpus size, so no hot partition).
+    * Cosines are rounded at 6 digits BEFORE ranking, so the keeper choice
+    * is deterministic cross-engine (ties break on id). */
+  def semanticDedup(embs: DataFrame, idCol: String,
+      embCol: String = "embedding", numPlanes: Int = 4, dim: Int = 64,
+      tau: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = embs.withColumn("bucket",
+      lshBucket(col(embCol), hyperplanes(numPlanes, dim)))
+    val ex = b.select(col("bucket"),
+        posexplode(d(col(embCol))).as(Seq("i", "x")))
+    // centroid mean as explicit sum/count (never AVG — the x65 parity rule)
+    val cent = ex.groupBy("bucket", "i")
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy("bucket").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cent"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("cos_centroid").desc, col(idCol))
+    b.join(broadcast(cent), "bucket")
+      .withColumn("cos_centroid", round(
+        dotHof(col(embCol), col("cent")) /
+          (norm(col(embCol)) * sqrt(dotHof(col("cent"), col("cent")))), 6))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .withColumn("action",
+        when(col("is_keeper") || col("cos_centroid") < tau, lit("keep"))
+          .otherwise(lit("drop")))
+      .select(col(idCol), col("bucket"), col("cos_centroid"),
+        col("is_keeper"), col("action"))
+  }
+
   /** All-pairs cosine within a blocking column (IVF-style: the block is the
     * coarse cell; here the `labelCol`). Join is equi on the block — never a
     * full cartesian.

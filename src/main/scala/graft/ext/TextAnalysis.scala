@@ -294,4 +294,102 @@ object TextAnalysis {
       .select(col(idCol), col("wmin").as("fingerprint"))
       .distinct()
   }
+
+  /** Bigram-LM cross-entropy scoring (the CCNet perplexity-filter shape,
+    * one order up from [[ExtQueries]]' x56 unigram scorer): cap the
+    * vocabulary at the corpus's `vocabK` most frequent words (ties break
+    * lexicographically — deterministic), map the tail to `<unk>`, train
+    * add-half-smoothed bigram counts on the mapped corpus, and score each
+    * document by its mean −ln p(w|prev). High xent = the document's word
+    * transitions look nothing like the corpus — the noise/boilerplate
+    * signal perplexity filters threshold on. (Production swaps the
+    * corpus-trained table for a held-out LM's; every other part of the
+    * shape is unchanged.)
+    *
+    * Scale: the vocab is a top-K broadcast; bigram/context count tables
+    * are bounded by (K+1)² — broadcast joins, never corpus-sized; the
+    * only corpus-wide movement is the per-doc window for bigram pairing
+    * (partition = doc, state bounded by doc length). Per-bigram
+    * contributions quantize to 8 decimals and sum in exact decimal. */
+  def bigramXent(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Dedup.fanOut(docs).select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(true).as("in_v"))
+    val mapped = tok.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("m", when(col("in_v"), col("w")).otherwise(lit("<unk>")))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val big = mapped.withColumn("prev", lag(col("m"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .select(col(idCol), col("prev"), col("m"))
+    val c2 = big.groupBy("prev", "m").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val smooth = lit(0.5 * (vocabK + 1))
+    big.join(broadcast(c2), Seq("prev", "m")).join(broadcast(c1), "prev")
+      .withColumn("_c",
+        round(-log((col("c2") + lit(0.5)) / (col("c1") + smooth)), 8)
+          .cast("decimal(24,8)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_c")).cast("double") / count(lit(1)), 6).as("xent"))
+  }
+
+  /** Stopword set of the Gopher rule bundle — shared with the oracle SQL
+    * generation (x75). */
+  val GopherStops: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "with", "that")
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021 §A1.1, adapted to a
+    * whitespace-token corpus): per-document boolean gates on word count,
+    * mean word length, stopword presence, single-word repetition, and
+    * vocabulary diversity, plus the conjunction (`pass`).
+    *
+    * Every signal — including the max single-word multiplicity — is a
+    * per-row fold over the token array (the repetition count runs over the
+    * SORTED array, where multiplicity = longest equal run): zero shuffles,
+    * zero joins, one whole-stage-codegen scan. Ratios are raw IEEE
+    * divisions of exact integers (bit-identical cross-engine, never
+    * rounded). The thresholds are constructor-visible so a real pipeline
+    * tunes them per corpus. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 1000,
+      minMeanWl: Double = 2.0, maxMeanWl: Double = 12.0,
+      minStops: Int = 2, maxTopFrac: Double = 0.2,
+      minDistinctRatio: Double = 0.3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // longest equal run in the sorted token array = max word multiplicity;
+    // fold state: (previous token, current run, best run)
+    val maxRep = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_wl",
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)) / size(toks))
+      .withColumn("stop_cnt", stopwordScore(toks, GopherStops))
+      .withColumn("top_frac", maxRep / size(toks))
+      .withColumn("distinct_ratio", size(array_distinct(toks)) / size(toks))
+      .withColumn("size_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("wl_ok",
+        col("mean_wl") >= minMeanWl && col("mean_wl") <= maxMeanWl)
+      .withColumn("stop_ok", col("stop_cnt") >= minStops)
+      .withColumn("rep_ok", col("top_frac") <= maxTopFrac)
+      .withColumn("diversity_ok", col("distinct_ratio") >= minDistinctRatio)
+      .withColumn("pass", col("size_ok") && col("wl_ok") && col("stop_ok") &&
+        col("rep_ok") && col("diversity_ok"))
+      .select(col(idCol), col("n_words"), col("mean_wl"), col("stop_cnt"),
+        col("top_frac"), col("distinct_ratio"), col("size_ok"), col("wl_ok"),
+        col("stop_ok"), col("rep_ok"), col("diversity_ok"), col("pass"))
+  }
 }

@@ -37,6 +37,28 @@ object StreamingResample {
       .select(col(keyCol), col("window.start").as("bucket"), col("open"),
         col("high"), col("low"), col("close"), col("volume"), col("n"))
 
+  /** Streaming VWAP-enriched buckets: the q48 aggregate
+    * ([[graft.engine.Indicators.vwap]]) as an append-safe tumbling-window
+    * stream — numerator accumulated in exact decimal, so the streamed
+    * result is bit-identical to the batch indicator (the equivalence the
+    * spec asserts; no float accumulation order to diverge). Buckets
+    * finalize once the watermark passes bucket end, like
+    * [[resampleStream]]. */
+  def vwapStream(ticks: DataFrame, keyCol: String, tsCol: String,
+      priceCol: String, qtyCol: String, duration: String,
+      delay: String): DataFrame =
+    ticks
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), window(col(tsCol), duration))
+      .agg(
+        sum(round(col(priceCol), 4).cast("decimal(18,4)") *
+          col(qtyCol).cast("decimal(9,0)")).as("pq"),
+        sum(col(qtyCol)).as("qty"),
+        count(lit(1)).as("n_trades"))
+      .select(col(keyCol), col("window.start").as("bucket"),
+        round(col("pq").cast("double") / col("qty"), 6).as("vwap"),
+        col("qty"), col("n_trades"))
+
   /** ST4: watermark-bounded PK dedup (first-arrival-wins within the state
     * horizon — overlapping re-fetches collapse exactly like the
     * reference's PK upsert). */

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Retrieval, Similarity, TextAnalysis}
+
+/** Behavioral invariants for the x71–x75 curation operators (the driver's
+  * oracle gate pins exact values; these pin the semantics on constructed
+  * corpora where the right answer is obvious). */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("bm25: term-rich short doc outranks term-poor long doc") {
+    val docs = Seq(
+      (1L, "spark join window spark join window spark"),
+      (2L, "spark " + Seq.fill(200)("filler").mkString(" ")),
+      (3L, Seq.fill(50)("noise").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq("spark", "join", "window"),
+      "doc_id", "text", k = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      "doc 3 matches nothing; doc 1 must outrank doc 2")
+    assert(out(0).getAs[Double]("bm25") > out(1).getAs[Double]("bm25"))
+    assert(out(0).getAs[Long]("n_terms") == 3L)
+    assert(out(1).getAs[Long]("n_terms") == 1L)
+  }
+
+  test("dsir: on-target docs weigh above off-target docs") {
+    val target = Seq((100L, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "omega psi chi omega psi"),
+      (3L, "alpha omega beta psi"))
+      .toDF("doc_id", "text")
+    val w = Retrieval.dsirWeights(source, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dsir_weight")).toMap
+    // the ORDERING is the invariant; absolute sign is smoothing-dominated
+    // at toy corpus size (add-half over 4096 buckets)
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected on-target > mixed > off-target, got $w")
+  }
+
+  test("semantic dedup: identical vectors collapse to one keeper") {
+    val v = Array.fill(64)(0.5f)
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val embs = Seq((1L, v), (2L, v), (3L, v), (4L, other))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(embs, "vec_id", tau = 0.99)
+      .collect()
+    val dupRows = out.filter(r => Seq(1L, 2L, 3L).contains(
+      r.getAs[Long]("vec_id")))
+    // identical vectors share a bucket; centroid == the vector → cos 1
+    assert(dupRows.map(_.getAs[Long]("bucket")).distinct.length == 1)
+    assert(dupRows.count(_.getAs[Boolean]("is_keeper")) == 1)
+    assert(dupRows.count(_.getAs[String]("action") == "drop") == 2)
+    // the lone distinct vector keeps (keeper of its own bucket, or diverse)
+    val loner = out.find(_.getAs[Long]("vec_id") == 4L).get
+    assert(loner.getAs[String]("action") == "keep")
+  }
+
+  test("source overlap: identical sources J=1, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h"),
+      (2L, "srcB", "a b c d e f g h"),
+      (3L, "srcC", "q r s t u v w x"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs).collect()
+    assert(out.length == 1, "only the overlapping pair appears")
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "srcA" &&
+      r.getAs[String]("src_b") == "srcB")
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("bigram LM: corpus-typical transitions score below unseen ones") {
+    val typical = Seq.fill(30)("alpha beta").mkString(" ")
+    val docs = Seq(
+      (1L, typical), (2L, typical), (3L, typical),
+      (4L, "alpha beta " * 5 + "alpha beta"),
+      (5L, "zeta eta theta iota kappa " * 3 + "zeta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramXent(docs, "doc_id", "text", vocabK = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("xent")).toMap
+    // docs 1-4 are made of the dominant alpha→beta / beta→alpha loop;
+    // doc 5's tokens fall outside the top-4 vocab and its <unk> runs are
+    // its own rare transitions
+    assert(out(1L) < out(5L), s"typical ${out(1L)} !< atypical ${out(5L)}")
+    assert(out(4L) < out(5L))
+  }
+
+  test("contamination spans: a planted benchmark passage is localized") {
+    val bench = "copy this exact benchmark passage of twelve particular" +
+      " tokens here now"
+    val prefix = Seq.tabulate(10)(i => s"lead$i").mkString(" ")
+    val suffix = Seq.tabulate(10)(i => s"tail$i").mkString(" ")
+    val train = Seq(
+      (100L, s"$prefix $bench $suffix"),
+      (101L, Seq.tabulate(40)(i => s"clean$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchDf = Seq((0L, bench)).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(train, benchDf, "doc_id", "text",
+      k = 3, minRunShingles = 3).collect()
+    assert(out.length == 1, s"expected exactly the planted pair, got ${out.length}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 100L)
+    assert(r.getAs[Long]("bench_id") == 0L)
+    // the benchmark is 11 tokens → 9 shingles, all shared, one island
+    // starting right after the 10-token prefix
+    assert(r.getAs[Long]("match_tokens") == 11L)
+    assert(r.getAs[Int]("start_pos") == 10)
+  }
+
+  test("gopher rules: each gate isolates its own failure mode") {
+    val good = ("good", (Seq.tabulate(40)(i => s"word$i") ++
+      Seq("the", "of", "the", "of")).mkString(" "))
+    val tooShort = ("short", "the of tiny")
+    val repetitive = ("rep", ("the of " +
+      Seq.fill(60)("spam").mkString(" ")))
+    val docs = Seq(good, tooShort, repetitive).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(out("good").getAs[Boolean]("pass"))
+    assert(!out("short").getAs[Boolean]("size_ok"))
+    assert(!out("rep").getAs[Boolean]("rep_ok"))
+    assert(!out("rep").getAs[Boolean]("diversity_ok"))
+    assert(!out("short").getAs[Boolean]("pass"))
+    assert(!out("rep").getAs[Boolean]("pass"))
+  }
+}

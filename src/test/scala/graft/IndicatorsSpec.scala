@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Indicators
+
+/** Indicator-math invariants beyond the driver's oracle equality:
+  * closed-form limits (constant / monotone series) and definition
+  * cross-checks on synthetic candles. */
+class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def candles(prices: Seq[Double]) =
+    prices.zipWithIndex
+      .map { case (p, i) => ("S", msTs(i * 60000L), p) }
+      .toDF("symbol", "bucket", "close")
+
+  test("vwap: unit quantities degenerate to the plain mean") {
+    val ticks = Seq(
+      ("S", ts("2024-01-01 10:00:05"), 10.0, 1L),
+      ("S", ts("2024-01-01 10:20:00"), 20.0, 1L),
+      ("S", ts("2024-01-01 10:59:59"), 30.0, 1L),
+      ("S", ts("2024-01-01 11:00:00"), 99.0, 5L))
+      .toDF("symbol", "ts", "price", "qty")
+    val out = Indicators.vwap(ticks, "1h", "symbol", "ts", "price", "qty")
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("vwap") == 20.0) // (10+20+30)/3
+    assert(out(0).getAs[Long]("n_trades") == 3L)
+    assert(out(1).getAs[Double]("vwap") == 99.0)
+    assert(out(1).getAs[Long]("qty") == 5L)
+  }
+
+  test("vwap: weights shift the mean toward the heavy trade") {
+    val ticks = Seq(
+      ("S", ts("2024-01-01 10:00:00"), 10.0, 1L),
+      ("S", ts("2024-01-01 10:30:00"), 20.0, 3L))
+      .toDF("symbol", "ts", "price", "qty")
+    val out = Indicators.vwap(ticks, "1h", "symbol", "ts", "price", "qty")
+      .collect()
+    assert(out.head.getAs[Double]("vwap") == 17.5) // (10 + 60) / 4
+  }
+
+  test("volatility: constant series has zero volatility") {
+    val out = Indicators.volatility(candles(Seq.fill(50)(42.0)), "symbol")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("vol") == 0.0)
+    assert(out.head.getAs[Long]("n_ret") == 49L)
+  }
+
+  test("volatility: alternating series matches the closed form") {
+    // returns alternate ±ln(2) (rounded to 8 dp); sample stddev of a
+    // balanced ±x sequence is sqrt(n/(n-1))·x
+    val prices = Seq.tabulate(11)(i => if (i % 2 == 0) 100.0 else 200.0)
+    val out = Indicators.volatility(candles(prices), "symbol").collect()
+    val x = BigDecimal(math.log(2.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 10.0
+    val expected = math.sqrt(n / (n - 1.0)) * x
+    val got = out.head.getAs[Double]("vol")
+    assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected")
+  }
+
+  test("bollinger: constant series collapses the band to the price") {
+    val out = Indicators.bollinger(candles(Seq.fill(30)(7.5)), "symbol")
+      .orderBy("bucket").collect()
+    assert(out.length == 11) // 30 - 19 full windows
+    out.foreach { r =>
+      assert(r.getAs[Double]("mid") == 7.5)
+      assert(r.getAs[Double]("upper") == 7.5)
+      assert(r.getAs[Double]("lower") == 7.5)
+    }
+  }
+
+  test("bollinger: mid equals the independent rolling mean") {
+    val rnd = new scala.util.Random(7)
+    val prices = Seq.fill(60)(50.0 + rnd.nextDouble() * 10)
+    val out = Indicators.bollinger(candles(prices), "symbol", n = 20)
+      .orderBy("bucket").collect()
+    val rounded = prices.map(p => BigDecimal(p)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    out.zipWithIndex.foreach { case (r, j) =>
+      val w = rounded.slice(j, j + 20)
+      val mean = (w.sum / 20).toDouble
+      assert(math.abs(r.getAs[Double]("mid") - mean) < 1e-6)
+      assert(r.getAs[Double]("upper") >= r.getAs[Double]("mid"))
+      assert(r.getAs[Double]("lower") <= r.getAs[Double]("mid"))
+    }
+  }
+
+  test("rsi: monotone rise pins to 100, monotone fall to 0, range holds") {
+    val up = Indicators.rsi(candles((1 to 30).map(_.toDouble)), "symbol")
+      .collect()
+    assert(up.nonEmpty)
+    up.foreach(r => assert(r.getAs[Double]("rsi") == 100.0))
+    val down = Indicators.rsi(candles((1 to 30).reverse.map(_.toDouble)),
+      "symbol").collect()
+    down.foreach(r => assert(r.getAs[Double]("rsi") == 0.0))
+    val rnd = new scala.util.Random(11)
+    val mixed = Indicators.rsi(
+      candles(Seq.fill(60)(100.0 + rnd.nextDouble() * 20)), "symbol").collect()
+    assert(mixed.nonEmpty)
+    mixed.foreach { r =>
+      val v = r.getAs[Double]("rsi")
+      assert(v >= 0.0 && v <= 100.0)
+    }
+  }
+
+  test("correlation: co-moving pairs hit +1, opposing pairs hit -1") {
+    // A and B double together; C moves exactly opposite (halves when they
+    // double) — log returns are ±ln2 aligned/anti-aligned
+    val series = (0 until 30).flatMap { i =>
+      val up = if (i % 2 == 0) 100.0 else 200.0
+      val dn = if (i % 2 == 0) 200.0 else 100.0
+      Seq(("A", msTs(i * 60000L), up), ("B", msTs(i * 60000L), up),
+        ("C", msTs(i * 60000L), dn))
+    }.toDF("symbol", "bucket", "close")
+    val out = Indicators.correlationMatrix(series, "symbol", minObs = 10)
+      .collect().map(r => (r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b")) -> r.getAs[Double]("corr")).toMap
+    assert(out(("A", "B")) == 1.0)
+    assert(out(("A", "C")) == -1.0)
+    assert(out(("B", "C")) == -1.0)
+    assert(out.size == 3, "exactly the 3 unordered pairs, no self-pairs")
+  }
+
+  test("correlation: constant series yields NULL, minObs filters") {
+    val series = ((0 until 30).map(i => ("X", msTs(i * 60000L), 100.0)) ++
+      (0 until 30).map(i => ("Y", msTs(i * 60000L),
+        if (i % 2 == 0) 10.0 else 20.0)) ++
+      (0 until 3).map(i => ("Z", msTs(i * 60000L),
+        if (i % 2 == 0) 10.0 else 20.0)))
+      .toDF("symbol", "bucket", "close")
+    val rows = Indicators.correlationMatrix(series, "symbol", minObs = 10)
+      .collect()
+    // X is constant → zero variance → NULL corr for (X, Y)
+    val xy = rows.find(r => r.getAs[String]("sym_a") == "X" &&
+      r.getAs[String]("sym_b") == "Y").get
+    assert(xy.isNullAt(xy.fieldIndex("corr")))
+    // Z has only 2 returns → below minObs → absent entirely
+    assert(!rows.exists(r => r.getAs[String]("sym_a") == "Z" ||
+      r.getAs[String]("sym_b") == "Z"))
+  }
+
+  test("max drawdown: localizes the trough and pins the closed form") {
+    // rise to 200, crash to 80 (dd = -0.6), partial recovery
+    val prices = Seq(100.0, 150.0, 200.0, 120.0, 80.0, 140.0)
+    val out = Indicators.maxDrawdown(candles(prices), "symbol").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("max_drawdown") == -0.6)
+    assert(r.getAs[Double]("peak") == 200.0)
+    assert(r.getAs[Double]("trough") == 80.0)
+    assert(r.getAs[java.sql.Timestamp]("trough_bucket").getTime == 4 * 60000L)
+    // monotone rise: dd stays 0; earliest bucket wins the tie
+    val up = Indicators.maxDrawdown(
+      candles((1 to 10).map(_.toDouble)), "symbol").collect().head
+    assert(up.getAs[Double]("max_drawdown") == 0.0)
+    assert(up.getAs[java.sql.Timestamp]("trough_bucket").getTime == 0L)
+  }
+
+  test("indicators are symbol-local: two symbols never mix") {
+    val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
+      Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))
+      .toDF("symbol", "bucket", "close")
+    val rsi = Indicators.rsi(two, "symbol").collect()
+    assert(rsi.filter(_.getAs[String]("symbol") == "A")
+      .forall(_.getAs[Double]("rsi") == 100.0))
+    assert(rsi.filter(_.getAs[String]("symbol") == "B")
+      .forall(_.getAs[Double]("rsi") == 0.0))
+  }
+}

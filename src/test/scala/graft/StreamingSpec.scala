@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming VWAP equals the batch indicator bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_svwap").toString
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 300).map { _ =>
+      ("S" + rnd.nextInt(2),
+        msTs(1704067200000L + rnd.nextInt(6 * 3600) * 1000L),
+        rnd.nextDouble() * 50 + 1, rnd.nextInt(20) + 1L)
+    }
+    rows.toDF("symbol", "ts", "price", "qty").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val qschema = schema.add(StructField("qty", LongType))
+    val stream = spark.readStream.schema(qschema).parquet(s"$dir/in")
+    val q = StreamingResample.vwapStream(stream, "symbol", "ts", "price",
+        "qty", "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("svwap_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("svwap_out").orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "vwap", "qty", "n_trades").collect().toSeq
+    val want = graft.engine.Indicators.vwap(
+        spark.read.parquet(s"$dir/in"), "1h", "symbol", "ts", "price", "qty")
+      .orderBy("symbol", "bucket")
+      .select("symbol", "bucket", "vwap", "qty", "n_trades").collect().toSeq
+    assert(got == want)
+  }
+
   test("ST3 restart: window-agg state survives a checkpoint restart (append mode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_st3_restart").toString
     val t0 = 1704067200000L
