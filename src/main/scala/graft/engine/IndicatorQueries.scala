@@ -139,20 +139,31 @@ object IndicatorQueries {
   // ---------------------------------------------------------------- q52
   /** Cross-symbol correlation matrix — [[Indicators.correlationMatrix]]
     * over DAILY log returns (daily aligns sparse tick activity; hourly
-    * buckets rarely co-occur on this corpus). All five moment sums exact
-    * decimal; correlation assembles in one fixed double expression;
-    * pairs below 10 common days drop. */
+    * buckets rarely co-occur on this corpus), over a BOUNDED universe:
+    * the 100 most-active symbols (count desc, id tie-break). The bound is
+    * the scale practice, not a shortcut — an S-symbol matrix is S² pairs
+    * by definition, so production correlates a chosen portfolio universe,
+    * never every instrument; the top-N semi-join also prunes the scan.
+    * All five moment sums exact decimal; correlation assembles in one
+    * fixed double expression; pairs below 10 common days drop. */
   val q52Correlation: Q = Q(
     (s, dir) => {
-      val daily = Ohlcv.resampleTicks(Tables.events(s, dir), "1d",
-        symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      val ev = Tables.events(s, dir)
+      val topSyms = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(100)
+        .select("user_id")
+      val daily = Ohlcv.resampleTicks(ev.join(broadcast(topSyms), "user_id"),
+        "1d", symbolCol = "user_id", tsCol = "ts", priceCol = "value")
       Indicators.correlationMatrix(daily, "user_id", minObs = 10)
         .orderBy("sym_a", "sym_b")
     },
-    Some("""WITH c AS (SELECT user_id,
+    Some("""WITH top AS (SELECT user_id FROM
+        (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        ORDER BY c DESC, user_id LIMIT 100),
+      c AS (SELECT user_id,
         time_bucket(INTERVAL '1 day', ts) AS bucket,
         CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
-      FROM events GROUP BY 1, 2),
+      FROM events JOIN top USING (user_id) GROUP BY 1, 2),
       r0 AS (SELECT user_id, bucket, close,
           lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
         FROM c),
