@@ -108,7 +108,6 @@ object Indicators {
       lit(0.0))
     withSums
       .withColumn("mid", round(mean, 6))
-      .withColumn("band", round(sqrt(varPop) * k, 6))
       .withColumn("upper", round(mean + sqrt(varPop) * k, 6))
       .withColumn("lower", round(mean - sqrt(varPop) * k, 6))
       .select(col(symbolCol), col(bucketCol), col(closeCol), col("mid"),

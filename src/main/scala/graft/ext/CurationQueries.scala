@@ -107,7 +107,9 @@ object CurationQueries {
           CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
             AS BIGINT) AS bucket
         FROM pd GROUP BY 1),
-      cent AS (SELECT b.bucket, ex.i, sum(ex.x) / count(*) AS c
+      cent AS (SELECT b.bucket, ex.i,
+          CAST(sum(CAST(round(ex.x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+            / count(*) AS c
         FROM ex JOIN bkt b USING (vec_id) GROUP BY 1, 2),
       nc AS (SELECT bucket, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1),
       dots AS (SELECT b.vec_id, b.bucket, sum(ex.x * cent.c) AS dp

@@ -503,9 +503,12 @@ object Dedup {
     * (the repo-wide integer-ratio rule: bit-identical, never rounded). */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text", k: Int = 3): DataFrame = {
+    // cache: the distinct (source, shingle) table — bounded by distinct
+    // shingles, the same frame the per-doc dedup paths cache — feeds the
+    // size agg and BOTH self-join sides
     val sh = fanOut(docs)
       .select(col(groupCol), explode(shingleHashArray(col(textCol), k)).as("h"))
-      .distinct()
+      .distinct().cache()
     val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(groupCol).as("src_a"), col("h"))
     val b = sh.select(col(groupCol).as("src_b"), col("h"))

@@ -1466,7 +1466,8 @@ object ExtQueries {
           CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
         FROM j)
       SELECT n_truth, n_cands, n_hits,
-        n_hits / n_truth AS recall, n_hits / n_cands AS precision
+        n_hits / nullif(n_truth, 0) AS recall,
+        n_hits / nullif(n_cands, 0) AS precision
       FROM agg"""))
 
   val all: Map[String, Q] = Map(

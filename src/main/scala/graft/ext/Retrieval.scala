@@ -37,9 +37,10 @@ object Retrieval {
     * score-descending, id tie-break. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], idCol: String,
       textCol: String = "text", k: Int = 10): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val fd = Dedup.fanOut(docs) // single-file scans must not serialize the explode
+    val toks = fd.select(col(idCol),
       explode(split(col(textCol), " ")).as("tok"))
-    val dl = docs.select(col(idCol),
+    val dl = fd.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -87,7 +88,7 @@ object Retrieval {
     * Output: (idCol, n_feat, dsir_weight) per source doc. */
   def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
       textCol: String = "text", dim: Int = DsirDim): DataFrame = {
-    def featTable(docs: DataFrame) = docs.select(col(idCol),
+    def featTable(docs: DataFrame) = Dedup.fanOut(docs).select(col(idCol),
       explode(hashedFeatures(col(textCol), dim)).as("b"))
     val srcFeats = featTable(source)
     val tCnt = featTable(target).groupBy("b").agg(count(lit(1)).as("tc"))

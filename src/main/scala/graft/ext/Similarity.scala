@@ -143,9 +143,15 @@ object Similarity {
       lshBucket(col(embCol), hyperplanes(numPlanes, dim)))
     val ex = b.select(col("bucket"),
         posexplode(d(col(embCol))).as(Seq("i", "x")))
-    // centroid mean as explicit sum/count (never AVG — the x65 parity rule)
+    // centroid sums quantize each float32 element to an exact DECIMAL
+    // first (7 decimals ≥ float32 precision): the corpus-wide group sum
+    // becomes order-independent — deterministic under any partitioning
+    // in BOTH engines — and the mean is one fixed double division.
+    // (The per-row cosine fold downstream keeps the x34/x65 precedent:
+    // rounded at 6, identical inputs.)
     val cent = ex.groupBy("bucket", "i")
-      .agg((sum(col("x")) / count(lit(1))).as("c"))
+      .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+        count(lit(1))).as("c"))
       .groupBy("bucket").agg(
         transform(array_sort(collect_list(struct(col("i"), col("c")))),
           s => s.getField("c")).as("cent"))

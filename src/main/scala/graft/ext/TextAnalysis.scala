@@ -326,7 +326,9 @@ object TextAnalysis {
       .filter(col("prev").isNotNull)
       .select(col(idCol), col("prev"), col("m"))
     val c2 = big.groupBy("prev", "m").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
+    // context counts are the bigram counts rolled up over `m` — a
+    // (K+1)²-row aggregation, NOT a second corpus-wide pass over `big`
+    val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
     val smooth = lit(0.5 * (vocabK + 1))
     big.join(broadcast(c2), Seq("prev", "m")).join(broadcast(c1), "prev")
       .withColumn("_c",
