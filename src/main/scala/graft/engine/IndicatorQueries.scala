@@ -220,7 +220,67 @@ object IndicatorQueries {
         dd AS max_drawdown
       FROM r WHERE rn = 1 ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q54
+  /** Rolling 15-day beta vs the equal-weight index —
+    * [[Indicators.rollingBeta]] over the same bounded daily-return
+    * universe as q52. */
+  val q54Beta: Q = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val topSyms = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(100)
+        .select("user_id")
+      val daily = Ohlcv.resampleTicks(ev.join(broadcast(topSyms), "user_id"),
+        "1d", symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      Indicators.rollingBeta(daily, "user_id", n = 15)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("beta"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Some("""WITH top AS (SELECT user_id FROM
+        (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        ORDER BY c DESC, user_id LIMIT 100),
+      c AS (SELECT user_id,
+        time_bucket(INTERVAL '1 day', ts) AS bucket,
+        CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+      FROM events JOIN top USING (user_id) GROUP BY 1, 2),
+      r0 AS (SELECT user_id, bucket, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM c),
+      r AS (SELECT user_id, bucket,
+          CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
+            AS DECIMAL(20,8)) AS ret
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0),
+      mkt AS (SELECT bucket,
+          CAST(round(CAST(sum(ret) AS DOUBLE) / count(*), 8)
+            AS DECIMAL(20,8)) AS mret
+        FROM r GROUP BY 1),
+      j AS (SELECT r.user_id, r.bucket, r.ret, m.mret,
+          CAST(round(CAST(r.ret AS DOUBLE) * CAST(m.mret AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS xm,
+          CAST(round(CAST(m.mret AS DOUBLE) * CAST(m.mret AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS m2
+        FROM r JOIN mkt m USING (bucket)),
+      w AS (SELECT user_id, bucket,
+          row_number() OVER wo AS rn,
+          sum(ret) OVER wn AS sx, sum(mret) OVER wn AS sm,
+          sum(xm) OVER wn AS sxm, sum(m2) OVER wn AS sm2
+        FROM j
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          wn AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CASE WHEN 15 * CAST(sm2 AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <= 0 THEN NULL
+          ELSE round((15 * CAST(sxm AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+            / (15 * CAST(sm2 AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6)
+        END AS beta
+      FROM w WHERE rn >= 15 ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
+    "q54_beta" -> q54Beta,
     "q48_vwap" -> q48Vwap,
     "q49_volatility" -> q49Volatility,
     "q50_bollinger" -> q50Bollinger,

@@ -181,6 +181,44 @@ object Indicators {
       .select(col("sym_a"), col("sym_b"), col("n"), col("corr"))
   }
 
+  /** Rolling beta of each symbol against the EQUAL-WEIGHT market index
+    * (cross-sectional mean return per bucket) over an `n`-bucket trailing
+    * window: β = (nΣxm − ΣxΣm)/(nΣm² − (Σm)²). The index needs no
+    * benchmark choice, and its per-bucket frame is one row per bucket —
+    * a forced broadcast back onto the returns, never a shuffle of them.
+    * All window sums exact decimal (per-term products quantized to 12
+    * decimals); market return re-quantized to 8 decimals so the join key
+    * arithmetic stays exact. Zero-variance windows → NULL; only full
+    * windows emit. */
+  def rollingBeta(candles: DataFrame, symbolCol: String, n: Int = 15,
+      bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
+    val r = logReturns(candles, symbolCol, bucketCol, closeCol)
+      .select(col(symbolCol), col(bucketCol), col("ret"))
+    val mkt = r.groupBy(col(bucketCol)).agg(
+      round(sum(col("ret")).cast("double") / count(lit(1)), 8)
+        .cast("decimal(20,8)").as("mret"))
+    def prod(p: Column, q: Column): Column =
+      round(p.cast("double") * q.cast("double"), 12).cast("decimal(26,12)")
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val win = order.rowsBetween(-(n - 1), 0)
+    def d(c: String): Column = col(c).cast("double")
+    val joined = r.join(broadcast(mkt), bucketCol)
+      .withColumn("xm", prod(col("ret"), col("mret")))
+      .withColumn("m2", prod(col("mret"), col("mret")))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("sx", sum(col("ret")).over(win))
+      .withColumn("sm", sum(col("mret")).over(win))
+      .withColumn("sxm", sum(col("xm")).over(win))
+      .withColumn("sm2", sum(col("m2")).over(win))
+      .filter(col("_rn") >= n)
+    val denom = lit(n) * d("sm2") - d("sm") * d("sm")
+    joined
+      .withColumn("beta", when(denom <= 0, lit(null).cast("double"))
+        .otherwise(round(
+          (lit(n) * d("sxm") - d("sx") * d("sm")) / denom, 6)))
+      .select(col(symbolCol), col(bucketCol), col("beta"))
+  }
+
   /** Cutler's RSI over `n` deltas: 100 − 100/(1 + SMA(gain)/SMA(loss)),
     * the simple-moving-average variant (Wilder's EMA smoothing is
     * recursive — not expressible as a frame aggregate; Cutler's is the

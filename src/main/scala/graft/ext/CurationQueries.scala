@@ -269,7 +269,73 @@ object CurationQueries {
       SELECT doc_id, bench_id, run + 2 AS match_tokens, start_pos
       FROM best WHERE rn = 1 AND run >= 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- x79
+  /** Hybrid retrieval ([[Retrieval.rrfFuse]]): BM25 lexical ranking (x71,
+    * top-50) fused with embedding-cosine semantic ranking (x35's
+    * brute-force against vec 0, top-50) by reciprocal-rank fusion — only
+    * RANKS cross the fusion boundary, so the incomparable score scales
+    * never meet and the fused score is a sum of exact-integer reciprocals
+    * (no rounding anywhere). doc_id ≡ vec_id (FIXTURES.md: documents and
+    * embeddings are row-aligned). */
+  val x79HybridRetrieval: Q = Q(
+    (s, dir) => {
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), QueryTerms,
+        "doc_id", "text", k = 50)
+      val embs = Tables.embeddings(s, dir)
+      val qv = embs.filter(col("vec_id") === 0).select(col("embedding"))
+      val sem = Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
+          qv, "vec_id", "embedding", k = 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rrfFuse(lex, sem, "doc_id", "bm25", "cos", k = 15)
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      st AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE tok IN ($termList) GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      ctr AS (SELECT tf.doc_id,
+          CAST(round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)
+            AS DECIMAL(24,8)) AS c
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+      lex AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        FROM ctr GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50),
+      lexr AS (SELECT doc_id,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex),
+      ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      dots AS (SELECT e.vec_id, sum(e.x * q.qx) AS dp
+        FROM ex e JOIN qx q ON e.i = q.i WHERE e.vec_id <> 0 GROUP BY 1),
+      sem AS (SELECT d.vec_id AS doc_id,
+          round(dp / (nm.nrm * qn.n), 6) AS cos
+        FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+        ORDER BY cos DESC, d.vec_id LIMIT 50),
+      semr AS (SELECT doc_id,
+          row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        FROM sem),
+      f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+          l.lex_rank, s.sem_rank,
+          coalesce(1.0 / (60 + l.lex_rank), 0.0)
+            + coalesce(1.0 / (60 + s.sem_rank), 0.0) AS rrf
+        FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id)
+      SELECT doc_id, lex_rank, sem_rank, rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 15"""
+    })
+
   val all: Map[String, Q] = Map(
+    "x79_hybrid_retrieval" -> x79HybridRetrieval,
     "x71_bm25" -> x71Bm25,
     "x72_dsir" -> x72Dsir,
     "x73_semantic_dedup" -> x73SemanticDedup,

@@ -65,6 +65,41 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank-fusion constant (the standard k=60 of Cormack et
+    * al.'s RRF). */
+  val RrfK: Int = 60
+
+  /** Hybrid retrieval: fuse a lexical ranking and a semantic ranking by
+    * reciprocal-rank fusion — RRF(d) = Σ_sources 1/(k + rank_source(d)),
+    * absent-from-a-source contributing nothing. The standard production
+    * retrieval shape (BM25 recall + embedding precision) with no score
+    * normalization problem: only RANKS cross the fusion boundary, so the
+    * two sources' incomparable score scales never meet, and the fused
+    * score is a sum of exact-integer reciprocals — deterministic
+    * cross-engine with no rounding.
+    *
+    * Inputs are any two frames carrying (idCol, a score column) — ranks
+    * are derived here with a deterministic (score desc, id) order. Both
+    * candidate lists are top-N bounded by construction, so the fusion
+    * full-outer join is candidate-sized — never corpus-sized. */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, idCol: String,
+      lexScore: String, semScore: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, score: String, rank: String) =
+      df.withColumn(rank, row_number().over(
+        Window.orderBy(col(score).desc, col(idCol))))
+        .select(col(idCol), col(rank))
+    val l = ranked(lexical, lexScore, "lex_rank")
+    val s = ranked(semantic, semScore, "sem_rank")
+    l.join(s, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col(idCol))
+      .select(col(idCol), col("lex_rank"), col("sem_rank"), col("rrf"))
+      .limit(k)
+  }
+
   /** Hashed feature dimension shared with the oracle SQL generation. */
   val DsirDim: Int = 4096
 

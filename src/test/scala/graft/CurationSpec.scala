@@ -43,6 +43,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"expected on-target > mixed > off-target, got $w")
   }
 
+  test("rrf fusion: both-source docs outrank single-source docs, values exact") {
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "s1")
+    val sem = Seq((1L, 0.9), (4L, 0.8), (5L, 0.7)).toDF("doc_id", "s2")
+    val out = Retrieval.rrfFuse(lex, sem, "doc_id", "s1", "s2", k = 10)
+      .collect()
+    assert(out.head.getAs[Long]("doc_id") == 1L) // rank 1 in BOTH sources
+    assert(out.head.getAs[Double]("rrf") == 2.0 / 61)
+    // a doc present in one source only contributes one reciprocal
+    val d2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(d2.getAs[Double]("rrf") == 1.0 / 62)
+    assert(d2.isNullAt(d2.fieldIndex("sem_rank")))
+    // every two-source doc outranks every equal-or-worse single-source doc
+    assert(out.map(_.getAs[Long]("doc_id")).take(1).toSeq == Seq(1L))
+  }
+
   test("semantic dedup: identical vectors collapse to one keeper") {
     val v = Array.fill(64)(0.5f)
     val other = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
@@ -112,6 +127,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     // starting right after the 10-token prefix
     assert(r.getAs[Long]("match_tokens") == 11L)
     assert(r.getAs[Int]("start_pos") == 10)
+  }
+
+  test("gopher rules are stream-composable: streamed verdicts equal batch") {
+    // the bundle is pure per-row expressions (zero shuffles), so it
+    // applies to a stream unchanged — the stateless ingest-filter shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstream").toString
+    val docs = Seq(
+      (1L, Seq.tabulate(40)(i => s"tok$i").mkString(" ") + " the of"),
+      (2L, "the of tiny"),
+      (3L, "the of " + Seq.fill(50)("dup").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = TextAnalysis.gopherRules(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("gopher_stream").orderBy("doc_id").collect().toSeq
+    val want = TextAnalysis.gopherRules(spark.read.parquet(s"$dir/in"),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(got == want)
   }
 
   test("gopher rules: each gate isolates its own failure mode") {

@@ -144,6 +144,28 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[String]("sym_b") == "Z"))
   }
 
+  test("rolling beta: clones of the index have beta 1; zero-variance index is NULL") {
+    // three identical symbols → each IS the equal-weight index → β = 1
+    val rnd = new scala.util.Random(3)
+    val path = Seq.iterate(100.0, 40)(p => p * (0.9 + rnd.nextDouble() * 0.2))
+    val clones = Seq("A", "B", "C").flatMap(sym =>
+      path.zipWithIndex.map { case (p, i) => (sym, msTs(i * 86400000L), p) })
+      .toDF("symbol", "bucket", "close")
+    val b1 = Indicators.rollingBeta(clones, "symbol", n = 15).collect()
+    assert(b1.nonEmpty)
+    b1.foreach(r => assert(r.getAs[Double]("beta") == 1.0,
+      s"clone beta ${r.getAs[Double]("beta")} != 1"))
+    // two mirror symbols: returns cancel → market return 0 → var_m = 0 → NULL
+    val mirror = (path.zipWithIndex.map { case (p, i) =>
+        ("U", msTs(i * 86400000L), p) } ++
+      path.zipWithIndex.map { case (p, i) =>
+        ("D", msTs(i * 86400000L), 10000.0 / p) })
+      .toDF("symbol", "bucket", "close")
+    val b2 = Indicators.rollingBeta(mirror, "symbol", n = 15).collect()
+    assert(b2.nonEmpty)
+    b2.foreach(r => assert(r.isNullAt(r.fieldIndex("beta"))))
+  }
+
   test("max drawdown: localizes the trough and pins the closed form") {
     // rise to 200, crash to 80 (dd = -0.6), partial recovery
     val prices = Seq(100.0, 150.0, 200.0, 120.0, 80.0, 140.0)
