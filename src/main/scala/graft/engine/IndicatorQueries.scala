@@ -279,7 +279,40 @@ object IndicatorQueries {
         END AS beta
       FROM w WHERE rn >= 15 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q55
+  /** Incremental volatility maintenance — the q41 pattern applied to
+    * second moments ([[Indicators.volatilityPartial]] /
+    * [[Indicators.mergeVolatility]]): history split at an hour-aligned
+    * cutoff, each side reduced to a 3-number (n, Σx, Σx²) state per
+    * symbol, states merged by plain addition. The boundary return is
+    * carried by prepending the last OLD candle per symbol to the new
+    * slice (the carry-in protocol; an hour-aligned cutoff means no candle
+    * straddles). Because the sums are exact decimal, merged ≡ full
+    * recompute bit for bit — the oracle IS q49's full-recompute SQL. */
+  val q55IncrementalVol: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cutTs = lit("2024-01-20 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+      def hourly(df: org.apache.spark.sql.DataFrame) =
+        Ohlcv.resampleTicks(df, "1h", symbolCol = "user_id", tsCol = "ts",
+          priceCol = "value")
+      val oldC = hourly(ev.filter(col("ts") < cutTs))
+      val newC = hourly(ev.filter(col("ts") >= cutTs))
+      val lastOld = oldC.withColumn("_rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("bucket").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val oldPart = Indicators.volatilityPartial(oldC, "user_id")
+      val newPart = Indicators.volatilityPartial(
+        lastOld.unionByName(newC), "user_id")
+      Indicators.mergeVolatility(oldPart.unionByName(newPart), "user_id")
+        .orderBy("user_id")
+    },
+    // full-recompute oracle — identical to q49's
+    q49Volatility.oracle)
+
   val all: Map[String, Q] = Map(
+    "q55_incremental_vol" -> q55IncrementalVol,
     "q54_beta" -> q54Beta,
     "q48_vwap" -> q48Vwap,
     "q49_volatility" -> q49Volatility,

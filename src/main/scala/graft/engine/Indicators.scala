@@ -114,6 +114,39 @@ object Indicators {
         col("upper"), col("lower"))
   }
 
+  /** Mergeable volatility state per symbol: (n, Σx, Σx²) over 8-decimal
+    * log returns — the second-moment analogue of the mergeable candle
+    * partial (`Ohlcv.resampleTicksPartial`). Because the sums are exact
+    * DECIMAL, merging partial states is plain addition with NO
+    * approximation: vol(old ⊎ new) ≡ vol(full recompute), bit for bit.
+    * This is what makes risk metrics maintainable incrementally — a new
+    * day of ticks updates a 3-number state per symbol instead of
+    * re-reading history. */
+  def volatilityPartial(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close"): DataFrame =
+    logReturns(candles, symbolCol, bucketCol, closeCol)
+      .withColumn("_x2",
+        round(col("ret").cast("double") * col("ret").cast("double"), 12)
+          .cast("decimal(24,12)"))
+      .groupBy(col(symbolCol))
+      .agg(count(lit(1)).as("n_ret"), sum(col("ret")).as("sx"),
+        sum(col("_x2")).as("sx2"))
+
+  /** Merge per-symbol moment states (union of partials → one state per
+    * symbol) and derive the sample stddev — the finalize step shared
+    * with [[volatility]]. */
+  def mergeVolatility(partials: DataFrame, symbolCol: String,
+      minReturns: Int = 2): DataFrame =
+    partials.groupBy(col(symbolCol))
+      .agg(sum(col("n_ret")).as("n_ret"), sum(col("sx")).as("sx"),
+        sum(col("sx2")).as("sx2"))
+      .filter(col("n_ret") >= minReturns)
+      .withColumn("vol", round(sqrt(greatest(
+        (col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n_ret")) /
+          (col("n_ret") - 1), lit(0.0))), 6))
+      .select(col(symbolCol), col("n_ret"), col("vol"))
+
   /** Maximum drawdown per symbol: running peak via cumulative max (exact
     * decimal — no float comparison ambiguity), drawdown = close/peak − 1,
     * the minimum selected by a deterministic (drawdown, bucket) rank so

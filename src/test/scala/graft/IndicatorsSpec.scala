@@ -183,6 +183,31 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(up.getAs[java.sql.Timestamp]("trough_bucket").getTime == 0L)
   }
 
+  test("volatility partials: merged state equals full recompute at any split") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    val series = (for {
+      sym <- Seq("A", "B", "C")
+      i <- 0 until 80
+    } yield (sym, msTs(i * 3600000L), 50.0 + rnd.nextDouble() * 30))
+      .toDF("symbol", "bucket", "close")
+    val full = Indicators.volatility(series, "symbol")
+      .orderBy("symbol").collect().toSeq
+    for (cutHour <- Seq(1, 7, 40, 79)) {
+      val cut = msTs(cutHour * 3600000L)
+      val oldC = series.filter(col("bucket") < lit(cut))
+      val newC = series.filter(col("bucket") >= lit(cut))
+      val lastOld = oldC.withColumn("_rn", row_number().over(
+          Window.partitionBy("symbol").orderBy(col("bucket").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val merged = Indicators.mergeVolatility(
+        Indicators.volatilityPartial(oldC, "symbol").unionByName(
+          Indicators.volatilityPartial(lastOld.unionByName(newC), "symbol")),
+        "symbol").orderBy("symbol").collect().toSeq
+      assert(merged == full, s"split at hour $cutHour diverged")
+    }
+  }
+
   test("indicators are symbol-local: two symbols never mix") {
     val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
       Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))
