@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Recursive indicators as streaming state — EMA and MACD.
+  *
+  * Wilder/standard EMA (`ema_t = α·x_t + (1−α)·ema_{t−1}`) is RECURSIVE:
+  * it is not expressible as a window-frame aggregate, which is why the
+  * batch [[graft.engine.Indicators]] layer deliberately carries Cutler's
+  * SMA-based RSI and Bollinger instead (see q51's scaladoc). But a
+  * recursion over time IS a keyed streaming fold — one O(1) state row per
+  * symbol — so the streaming layer is where EMA/MACD belong natively:
+  * exactly the [[LiveCandles]] shape with a 4-number state instead of a
+  * candle buffer.
+  *
+  * Ordering contract: input is a FINALIZED-candle stream (e.g.
+  * [[StreamingResample.resampleStream]] in append mode), so per symbol the
+  * buckets arrive batch-monotonically; within a micro-batch the group's
+  * rows are sorted by bucket before folding, and any candle at-or-before
+  * the last folded bucket is dropped (the monotone guard — a recursion
+  * cannot re-order the past; late data past the upstream watermark has no
+  * guarantees, the [[LiveCandles.streamEvicting]] contract).
+  *
+  * State is O(symbols) rows × O(1) size — no timeout needed; at 100 TB
+  * scale the state store holds one 4-double row per instrument. */
+object StreamingIndicators {
+
+  final case class CandleIn(symbol: String, bucketMs: Long, close: Double)
+  final case class EmaState(lastMs: Long, e12: Double, e26: Double,
+      sig: Double, n: Long)
+  final case class MacdOut(symbol: String, bucket: Timestamp, close: Double,
+      emaFast: Double, emaSlow: Double, macd: Double, signal: Double,
+      hist: Double)
+
+  implicit private val stEnc: Encoder[EmaState] = Encoders.product[EmaState]
+  implicit private val outEnc: Encoder[MacdOut] = Encoders.product[MacdOut]
+  implicit private val keyEnc: Encoder[String] = Encoders.STRING
+
+  def alpha(n: Int): Double = 2.0 / (n + 1)
+
+  /** The per-symbol fold, shared verbatim by the stream and the spec's
+    * reference implementation: seed every EMA with its first input
+    * (the standard convention), then recurse. Returns the updated state
+    * and the emitted row. */
+  def step(symbol: String, st: EmaState, bucketMs: Long, close: Double,
+      fast: Int, slow: Int, signalN: Int): (EmaState, MacdOut) = {
+    val (aF, aS, aG) = (alpha(fast), alpha(slow), alpha(signalN))
+    val (e12, e26) =
+      if (st.n == 0L) (close, close)
+      else (aF * close + (1 - aF) * st.e12, aS * close + (1 - aS) * st.e26)
+    val macd = e12 - e26
+    val sig = if (st.n == 0L) macd else aG * macd + (1 - aG) * st.sig
+    (EmaState(bucketMs, e12, e26, sig, st.n + 1),
+      MacdOut(symbol, new Timestamp(bucketMs), close, e12, e26, macd, sig,
+        macd - sig))
+  }
+
+  /** EMA(fast/slow) + MACD + signal line over a finalized-candle stream.
+    * Use with `outputMode("update")` (one output row per input candle). */
+  def macdStream(candles: Dataset[CandleIn], fast: Int = 12, slow: Int = 26,
+      signalN: Int = 9): Dataset[MacdOut] =
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[EmaState, MacdOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (symbol, batch, state: GroupState[EmaState]) =>
+          var st = state.getOption.getOrElse(
+            EmaState(Long.MinValue, 0d, 0d, 0d, 0L))
+          val out = Vector.newBuilder[MacdOut]
+          // sort within the micro-batch; drop anything the recursion has
+          // already passed (monotone guard)
+          batch.toVector.sortBy(_.bucketMs).foreach { c =>
+            if (c.bucketMs > st.lastMs) {
+              val (st2, row) = step(symbol, st, c.bucketMs, c.close,
+                fast, slow, signalN)
+              st = st2
+              out += row
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingIndicators
+import graft.streaming.StreamingIndicators.{CandleIn, EmaState, MacdOut}
+
+/** The streaming MACD fold must equal the sequential reference recursion
+  * regardless of micro-batch boundaries or within-batch arrival order,
+  * and must drop non-monotone stragglers. */
+class StreamingIndicatorsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def reference(symbol: String,
+      rows: Seq[(Long, Double)]): Seq[MacdOut] =
+    rows.sortBy(_._1).foldLeft(
+      (EmaState(Long.MinValue, 0d, 0d, 0d, 0L), Vector.empty[MacdOut])) {
+      case ((st, acc), (ms, close)) =>
+        val (st2, row) = StreamingIndicators.step(symbol, st, ms, close,
+          12, 26, 9)
+        (st2, acc :+ row)
+    }._2
+
+  test("streaming MACD equals the reference recursion across micro-batches") {
+    val rnd = new scala.util.Random(31)
+    val series = Map(
+      "A" -> (0 until 60).map(i => (i * 3600000L, 100 + rnd.nextDouble() * 10)),
+      "B" -> (0 until 60).map(i => (i * 3600000L, 500 - i * 2.5)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[CandleIn]
+    val q = StreamingIndicators.macdStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("macd_out").start()
+    try {
+      // three micro-batches, shuffled WITHIN each batch (the fold sorts),
+      // monotone ACROSS batches (the finalized-candle contract)
+      for (chunk <- 0 until 3) {
+        val rows = series.toSeq.flatMap { case (sym, s) =>
+          s.slice(chunk * 20, chunk * 20 + 20).map { case (ms, c) =>
+            CandleIn(sym, ms, c) }
+        }
+        mem.addData(rnd.shuffle(rows))
+        q.processAllAvailable()
+      }
+      // a straggler at-or-before the last folded bucket must be dropped
+      mem.addData(Seq(CandleIn("A", 10 * 3600000L, 9999.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("macd_out").as[MacdOut].collect()
+      .groupBy(_.symbol).map { case (s, rows) =>
+        s -> rows.sortBy(_.bucket.getTime).toSeq }
+    series.foreach { case (sym, s) =>
+      val want = reference(sym, s)
+      assert(got(sym).size == want.size, s"$sym: straggler not dropped?")
+      got(sym).zip(want).foreach { case (g, w) =>
+        assert(g == w, s"$sym diverged at ${w.bucket}: $g vs $w") }
+    }
+  }
+}
