@@ -138,7 +138,7 @@ object Bench {
     val extraNames = Seq("q40_range_join", "q41_incremental_resample",
       "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
       "x67_delta_dedup", "q50_bollinger", "x71_bm25", "x72_dsir",
-      "x73_semantic_dedup")
+      "x73_semantic_dedup", "x80_dup_spans", "q56_atr")
       .filter(SparkEntry.queries.contains)
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

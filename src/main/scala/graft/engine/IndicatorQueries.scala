@@ -311,7 +311,126 @@ object IndicatorQueries {
     // full-recompute oracle — identical to q49's
     q49Volatility.oracle)
 
+  // ---------------------------------------------------------------- q56
+  /** ATR(14) — [[Indicators.atr]]: true range against the previous close
+    * over hourly candles (hourly OHLC from the same resample as q48–q51,
+    * high/low/close all quantized to exact decimal), 14-bucket SMA from an
+    * exact decimal window sum. */
+  val q56Atr: Q = Q(
+    (s, dir) =>
+      Indicators.atr(hourlyCloses(s, dir), "user_id", n = 14)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("tr"), col("atr"))
+        .orderBy("user_id", "bucket_ms"),
+    Some("""WITH o AS (SELECT user_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket,
+          CAST(round(max(value), 4) AS DECIMAL(18,4)) AS high,
+          CAST(round(min(value), 4) AS DECIMAL(18,4)) AS low,
+          CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+        FROM events GROUP BY 1, 2),
+      d AS (SELECT user_id, bucket, high, low,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS pc
+        FROM o),
+      t AS (SELECT user_id, bucket,
+          CAST(greatest(high - low, abs(high - pc), abs(low - pc))
+            AS DECIMAL(19,4)) AS tr
+        FROM d WHERE pc IS NOT NULL),
+      w AS (SELECT user_id, bucket, tr,
+          row_number() OVER wo AS rn,
+          sum(tr) OVER w14 AS st
+        FROM t
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          w14 AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(tr AS DOUBLE) AS tr,
+        round(CAST(st AS DOUBLE) / 14, 6) AS atr
+      FROM w WHERE rn >= 14 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q57
+  /** On-balance volume — [[Indicators.obv]] over hourly candles with the
+    * q48 trade-size convention (props.k + 1). sign() on exact decimal
+    * deltas, volume integral: the cumulative sum is exact integer
+    * arithmetic end to end. */
+  val q57Obv: Q = Q(
+    (s, dir) => {
+      val ticks = Tables.events(s, dir)
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long") + 1)
+      val candles = Ohlcv.resampleTicks(ticks, "1h", symbolCol = "user_id",
+        tsCol = "ts", priceCol = "value", volumeCol = Some("qty"))
+      Indicators.obv(candles, "user_id")
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("obv"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Some("""WITH c AS (SELECT user_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket,
+          CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+            AS BIGINT) AS volume
+        FROM events GROUP BY 1, 2),
+      d AS (SELECT user_id, bucket, volume,
+          close - lag(close) OVER (PARTITION BY user_id ORDER BY bucket)
+            AS dlt
+        FROM c),
+      s AS (SELECT user_id, bucket,
+          CASE WHEN dlt IS NULL OR dlt = 0 THEN 0
+               WHEN dlt > 0 THEN volume ELSE -volume END AS step
+        FROM d)
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(sum(step) OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS obv
+      FROM s ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q58
+  /** Stochastic oscillator %K(14)/%D(3) — [[Indicators.stochastic]]:
+    * exact-decimal channel extrema, flat channel pins %K to 50, %K
+    * re-quantized to 8 decimals so the %D average is an exact decimal
+    * sum. Partial-channel rows are filtered BEFORE the %D window. */
+  val q58Stochastic: Q = Q(
+    (s, dir) =>
+      Indicators.stochastic(hourlyCloses(s, dir), "user_id", n = 14, d = 3)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("pct_k"), col("pct_d"))
+        .orderBy("user_id", "bucket_ms"),
+    Some("""WITH o AS (SELECT user_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket,
+          CAST(round(max(value), 4) AS DECIMAL(18,4)) AS high,
+          CAST(round(min(value), 4) AS DECIMAL(18,4)) AS low,
+          CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT user_id, bucket, close,
+          row_number() OVER wo AS rn,
+          max(high) OVER wn AS hh, min(low) OVER wn AS ll
+        FROM o
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          wn AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      k AS (SELECT user_id, bucket,
+          CASE WHEN hh = ll THEN 50.0
+            ELSE CAST(close - ll AS DOUBLE) * 100.0
+              / CAST(hh - ll AS DOUBLE) END AS k_raw
+        FROM w WHERE rn >= 14),
+      k8 AS (SELECT user_id, bucket, k_raw,
+          CAST(round(k_raw, 8) AS DECIMAL(20,8)) AS kq FROM k),
+      w2 AS (SELECT user_id, bucket, k_raw,
+          row_number() OVER wo AS rn2,
+          sum(kq) OVER wd AS sd
+        FROM k8
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          wd AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        k_raw AS pct_k,
+        CAST(sd AS DOUBLE) / 3 AS pct_d
+      FROM w2 WHERE rn2 >= 3 ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
+    "q57_obv" -> q57Obv,
+    "q58_stochastic" -> q58Stochastic,
+    "q56_atr" -> q56Atr,
     "q55_incremental_vol" -> q55IncrementalVol,
     "q54_beta" -> q54Beta,
     "q48_vwap" -> q48Vwap,

@@ -252,6 +252,104 @@ object Indicators {
       .select(col(symbolCol), col(bucketCol), col("beta"))
   }
 
+  /** Average True Range over `n` buckets (SMA variant, the same
+    * window-friendly choice as Cutler's RSI): the true range compares the
+    * bucket's high/low against the PREVIOUS close — TR =
+    * max(high−low, |high−prevClose|, |low−prevClose|) — so gaps between
+    * buckets count toward range. All comparisons run on 4-decimal exact
+    * prices (max/abs of decimals are unambiguous), the rolling Σ is an
+    * exact decimal window sum, and ATR assembles in one fixed double
+    * division. The first bucket per symbol drops (no previous close);
+    * only full windows emit. Same single-window-pass shape as [[rsi]]. */
+  def atr(candles: DataFrame, symbolCol: String, n: Int = 14,
+      bucketCol: String = "bucket"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val win = order.rowsBetween(-(n - 1), 0)
+    val withTr = candles
+      .withColumn("_h", dec4(col("high")))
+      .withColumn("_l", dec4(col("low")))
+      .withColumn("_c", dec4(col("close")))
+      .withColumn("_pc", lag(col("_c"), 1).over(order))
+      .filter(col("_pc").isNotNull)
+      .withColumn("tr", greatest(
+        col("_h") - col("_l"),
+        abs(col("_h") - col("_pc")),
+        abs(col("_l") - col("_pc"))).cast("decimal(19,4)"))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_st", sum(col("tr")).over(win))
+      .filter(col("_rn") >= n)
+    withTr
+      .withColumn("atr", round(col("_st").cast("double") / n, 6))
+      .select(col(symbolCol), col(bucketCol),
+        col("tr").cast("double").as("tr"), col("atr"))
+  }
+
+  /** On-balance volume: cumulative Σ sign(Δclose)·volume per symbol —
+    * the classic volume-flow confirmation signal. sign() compares exact
+    * decimals (no float tie ambiguity) and volume is integral, so the
+    * running sum is an exact integer-weighted cumulative — fully
+    * order-deterministic. The first bucket contributes 0 (no Δ), matching
+    * the standard definition. One cumulative window per symbol. */
+  def obv(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close",
+      volumeCol: String = "volume"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    candles
+      .withColumn("_c", dec4(col(closeCol)))
+      .withColumn("_d", col("_c") - lag(col("_c"), 1).over(order))
+      .withColumn("_step",
+        when(col("_d").isNull || col("_d") === 0, lit(0L))
+          .when(col("_d") > 0, col(volumeCol).cast("long"))
+          .otherwise(-col(volumeCol).cast("long")))
+      .withColumn("obv", sum(col("_step")).over(cum))
+      .select(col(symbolCol), col(bucketCol), col("obv"))
+  }
+
+  /** Stochastic oscillator: %K = 100·(close − LL_n)/(HH_n − LL_n) over
+    * the n-bucket high/low channel, %D = d-bucket SMA of %K. Channel
+    * extrema are exact decimal window min/max; %K is one fixed double
+    * expression, then re-quantized to 8 decimals so the %D sum is an
+    * exact decimal accumulation. A flat channel (HH = LL) pins %K to 50
+    * by convention BEFORE the division. Only rows with full %K AND full
+    * %D windows emit. */
+  def stochastic(candles: DataFrame, symbolCol: String, n: Int = 14,
+      d: Int = 3, bucketCol: String = "bucket"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val chan = order.rowsBetween(-(n - 1), 0)
+    val dwin = order.rowsBetween(-(d - 1), 0)
+    // stage 1: %K on full channels only (partial-channel rows must not
+    // leak into %D, so the filter comes BEFORE the %D window)
+    val withK = candles
+      .withColumn("_h", dec4(col("high")))
+      .withColumn("_l", dec4(col("low")))
+      .withColumn("_c", dec4(col("close")))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_hh", max(col("_h")).over(chan))
+      .withColumn("_ll", min(col("_l")).over(chan))
+      .filter(col("_rn") >= n)
+      .withColumn("k_raw",
+        when(col("_hh") === col("_ll"), lit(50.0))
+          .otherwise((col("_c") - col("_ll")).cast("double") * 100.0 /
+            (col("_hh") - col("_ll")).cast("double")))
+      .withColumn("_k8", round(col("k_raw"), 8).cast("decimal(20,8)"))
+    // stage 2: %D over the surviving %K rows (same symbol partitioning —
+    // one exchange feeds both window stages)
+    // %K/%D emit UNROUNDED: both are deterministic IEEE expressions over
+    // exact decimals (k_raw a fixed ratio, %D an exact-decimal sum / d),
+    // identical bit-for-bit in both engines — while round(·,6) itself
+    // diverges cross-engine when ·/d lands exactly on a half boundary
+    // (d=3 turns 8-decimal sums into repeating decimals, hitting
+    // x.xxxxxx5 routinely; measured 1/7317 rows at sf0.01)
+    withK
+      .withColumn("_rn2", row_number().over(order))
+      .withColumn("_sd", sum(col("_k8")).over(dwin))
+      .filter(col("_rn2") >= d)
+      .withColumn("pct_k", col("k_raw"))
+      .withColumn("pct_d", col("_sd").cast("double") / d)
+      .select(col(symbolCol), col(bucketCol), col("pct_k"), col("pct_d"))
+  }
+
   /** Cutler's RSI over `n` deltas: 100 − 100/(1 + SMA(gain)/SMA(loss)),
     * the simple-moving-average variant (Wilder's EMA smoothing is
     * recursive — not expressible as a frame aggregate; Cutler's is the

@@ -334,7 +334,136 @@ object CurationQueries {
       FROM f ORDER BY rrf DESC, doc_id LIMIT 15"""
     })
 
+  // ---------------------------------------------------------------- x80
+  /** Intra-corpus duplicate-span coverage ([[Dedup.duplicateSpans]]):
+    * the exact-substring dedup signal — per doc, how many tokens sit in a
+    * span shared verbatim with ANY other document. Pair-free plan (hash
+    * agg + equi-join on the shingle hash), linear in corpus shingles. */
+  val x80DupSpans: Q = Q(
+    (s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minSpanTokens = 4)
+        .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      spos AS (SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
+          (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+            % ${Dedup.P}) AS h
+        FROM (SELECT doc_id, t,
+            unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok)),
+      dup AS (SELECT h FROM spos GROUP BY h
+        HAVING min(doc_id) <> max(doc_id)),
+      dp AS (SELECT doc_id, n_tokens, pos FROM spos JOIN dup USING (h)),
+      m AS (SELECT doc_id, n_tokens, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+            <= 2 THEN 0 ELSE 1 END AS brk
+        FROM dp),
+      isl AS (SELECT doc_id, n_tokens, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM m),
+      sp AS (SELECT doc_id, n_tokens, grp,
+          CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY 1, 2, 3),
+      q AS (SELECT * FROM sp WHERE span_tokens >= 4)
+      SELECT doc_id, n_tokens,
+        CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+        CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(max(span_tokens) AS BIGINT) AS longest_span,
+        CAST(sum(span_tokens) AS BIGINT) / CAST(n_tokens AS DOUBLE)
+          AS dup_ratio
+      FROM q GROUP BY 1, 2 ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- x81
+  /** Temperature-based mixture weights (the multilingual-sampling rule of
+    * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
+    * upweights tail languages without flattening to uniform (x57 is the
+    * capped-uniform alternative over `source`). The only float
+    * accumulation — Σ p_l^α — quantizes each term to 12 decimals and sums
+    * in exact decimal, so the normalizer is order-independent; p_raw and
+    * the final ratios are single fixed float expressions. One hash agg +
+    * two broadcast scalar joins; nothing scales with corpus size except
+    * the first count. */
+  val x81TemperatureMix: Q = Q(
+    (s, dir) => {
+      val perLang = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = perLang.agg(sum(col("n_docs")).as("total"))
+      val pa = perLang.crossJoin(broadcast(tot))
+        .withColumn("p_raw", col("n_docs") / col("total"))
+        .withColumn("_a",
+          round(pow(col("p_raw"), 0.3), 12).cast("decimal(24,12)"))
+        .cache() // langs-cardinality frame; feeds the normalizer AND the output
+      val z = pa.agg(sum(col("_a")).as("z"))
+      pa.crossJoin(broadcast(z))
+        .withColumn("p_temp",
+          round(col("_a").cast("double") / col("z").cast("double"), 6))
+        .withColumn("boost",
+          round(col("_a").cast("double") / col("z").cast("double")
+            / col("p_raw"), 6))
+        .select("lang", "n_docs", "p_raw", "p_temp", "boost")
+        .orderBy("lang")
+    },
+    Some("""WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM pl),
+      pa AS (SELECT lang, n_docs, n_docs / CAST(total AS DOUBLE) AS p_raw,
+          CAST(round(pow(n_docs / CAST(total AS DOUBLE), 0.3), 12)
+            AS DECIMAL(24,12)) AS a
+        FROM pl, t),
+      z AS (SELECT sum(a) AS z FROM pa)
+      SELECT lang, n_docs, p_raw,
+        round(CAST(a AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p_temp,
+        round(CAST(a AS DOUBLE) / CAST(z AS DOUBLE) / p_raw, 6) AS boost
+      FROM pa, z ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- x82
+  /** Per-source quality-percentile gating: keep each source's top quartile
+    * by repetition ratio (ascending — the Gopher-style repetition gate;
+    * x54's zero-shuffle per-row score), deterministic doc_id tie-break.
+    * A RELATIVE threshold per source — unlike x75's absolute gates — so
+    * no source is wiped out by a corpus-wide cutoff. percent_rank is a
+    * ratio of exact integers; one window per source (mega-source skew:
+    * the x63 note applies). Unscorable docs (no trigrams) drop first. */
+  val x82QualityGate: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Dedup.shingles(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(sh).cast("long").as("n_grams"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .withColumn("rep_ratio",
+          lit(1.0d) - col("n_distinct") / col("n_grams"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("rep_ratio"), col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.25)
+        .select("doc_id", "source", "rep_ratio", "pr")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+      g AS (SELECT doc_id, source,
+          CASE WHEN len(t) >= 3 THEN
+            list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))
+          ELSE [] END AS grams
+        FROM tok),
+      sc AS (SELECT doc_id, source,
+          1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            AS rep_ratio
+        FROM g WHERE len(grams) > 0),
+      r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+          ORDER BY rep_ratio, doc_id) AS pr FROM sc)
+      SELECT doc_id, source, rep_ratio, pr
+      FROM r WHERE pr <= 0.25 ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "x80_dup_spans" -> x80DupSpans,
+    "x81_temperature_mix" -> x81TemperatureMix,
+    "x82_quality_gate" -> x82QualityGate,
     "x79_hybrid_retrieval" -> x79HybridRetrieval,
     "x71_bm25" -> x71Bm25,
     "x72_dsir" -> x72Dsir,

@@ -522,4 +522,59 @@ object Dedup {
         col("common") / (col("sz_a") + col("sz_b") - col("common")))
       .select(col("src_a"), col("src_b"), col("common"), col("jaccard"))
   }
+
+  /** Intra-corpus duplicate-span coverage — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a k-token shingle occurring in ≥2 DISTINCT documents
+    * marks every token it covers as duplicated; maximal unions of
+    * overlapping duplicated-shingle intervals (a new span starts when the
+    * position gap exceeds k−1) are the removable spans. Per doc: total
+    * duplicated-token coverage, span count, longest span, coverage ratio
+    * (raw integer-ratio division). Only docs with a span of
+    * ≥ `minSpanTokens` tokens emit.
+    *
+    * Differs from [[removeBoilerplate]] (x66: spans common to ≥5 docs =
+    * template text) and [[contaminationSpans]] (x77: per-PAIR localization
+    * against a small benchmark side): this is the ANY-other-doc
+    * within-corpus form at pair-free cost. The duplicated-shingle set is
+    * one hash agg — `min(doc) ≠ max(doc)` over each shingle's doc ids
+    * detects "≥2 distinct docs" with no countDistinct expansion — and the
+    * per-position verdict is an equi-join back on the shingle hash, so the
+    * whole plan is linear in corpus shingles: two shuffles on the hashed
+    * shingle (agg + join; partial aggregation absorbs hot shingles on the
+    * agg, AQE skew-split handles them on the join — the reason this is a
+    * join and not a per-hash window, which a hot stopword shingle could
+    * not split), then one window per doc. A chimera span (consecutive
+    * shingles matching DIFFERENT partner docs) counts as duplicated — the
+    * standard over-approximation for a scrub signal; exact pairwise
+    * localization is [[contaminationSpans]]' job. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minSpanTokens: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spos = fanOut(docs).select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      posexplode(shingleHashArray(col(textCol), k)).as(Seq("pos", "h")))
+    val dupH = spos.groupBy("h")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = spos.join(dupH, "h")
+      .select("doc_id", "n_tokens", "pos")
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k - 1, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n_tokens", "_grp")
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long")
+        .as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(sum(col("span_tokens")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("longest_span"))
+      .withColumn("dup_ratio", col("dup_tokens") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("n_spans"), col("longest_span"), col("dup_ratio"))
+  }
 }

@@ -155,6 +155,98 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("duplicate spans: a shared passage localizes in both docs") {
+    // 6 shared tokens → 4 shared trigram positions → span = 6 tokens
+    val docs = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 s5 s6 a3 a4"),            // 10 tokens
+      (2L, "b1 b2 b3 s1 s2 s3 s4 s5 s6 b4 b5 b6"),      // 12 tokens
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))           // nothing shared
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3,
+      minSpanTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "doc 3 shares nothing")
+    for ((id, nTok) <- Seq(1L -> 10L, 2L -> 12L)) {
+      assert(out(id).getAs[Long]("dup_tokens") == 6L)
+      assert(out(id).getAs[Long]("n_spans") == 1L)
+      assert(out(id).getAs[Long]("longest_span") == 6L)
+      assert(out(id).getAs[Long]("n_tokens") == nTok)
+      assert(out(id).getAs[Double]("dup_ratio") == 6.0 / nTok)
+    }
+  }
+
+  test("duplicate spans: distant shared passages stay separate spans") {
+    val p1 = "s1 s2 s3 s4 s5 s6"
+    val p2 = "t1 t2 t3 t4 t5 t6"
+    val docs = Seq(
+      (1L, s"f1 f2 $p1 g1 g2 g3 g4 $p2 h1 h2"),
+      (2L, s"$p2 z1 z2 z3 z4 z5 z6 z7 $p1"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3,
+      minSpanTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_spans") == 2L)
+    assert(out(1L).getAs[Long]("dup_tokens") == 12L)
+    assert(out(1L).getAs[Long]("longest_span") == 6L)
+    assert(out(2L).getAs[Long]("n_spans") == 2L)
+    assert(out(2L).getAs[Long]("dup_tokens") == 12L)
+  }
+
+  test("duplicate spans: sub-threshold and within-doc-only repeats drop") {
+    val docs = Seq(
+      (1L, "a1 a2 w1 w2 w3 a3 a4 a5"),       // shares exactly one trigram
+      (2L, "b1 b2 b3 w1 w2 w3 b4 b5"),       // (3 tokens < minSpanTokens=4)
+      (3L, "r1 r2 r3 r1 r2 r3 r1 r2 r3"))    // self-repeat, no partner doc
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3,
+      minSpanTokens = 4).collect()
+    assert(out.isEmpty,
+      "3-token overlap is sub-threshold; within-doc repeats need no scrub")
+  }
+
+  test("x81 temperature mix: tail languages boost, head languages damp") {
+    val out = graft.ext.CurationQueries.x81TemperatureMix
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length >= 2)
+    // renormalized temperature distribution sums to 1 (mod round(6))
+    val pSum = out.map(_.getAs[Double]("p_temp")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_temp sums to $pSum")
+    // α<1 ⇒ boost = p^(α−1)/Z strictly decreases in share: every pair
+    // ordered by n_docs must order opposite by boost
+    for {
+      a <- out; b <- out
+      if a.getAs[Long]("n_docs") < b.getAs[Long]("n_docs")
+    } assert(a.getAs[Double]("boost") > b.getAs[Double]("boost"))
+    // boosts straddle 1: a proper reweighting, not a uniform scale
+    assert(out.map(_.getAs[Double]("boost")).max > 1.0)
+    assert(out.map(_.getAs[Double]("boost")).min < 1.0)
+  }
+
+  test("x82 quality gate: keeps exactly the per-source low-repetition quartile") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.ext.CurationQueries.x82QualityGate.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    // independent driver-side reference: same score, same rank rule
+    val scored = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val t = r.getAs[String]("text").split(" ", -1)
+        val grams = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+                    else Seq.empty
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          grams.size.toLong, grams.distinct.size.toLong)
+      }
+      .filter(_._3 > 0)
+    val want = scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val ranked = rows
+        .map { case (id, _, n, d) => (id, 1.0d - d.toDouble / n) }
+        .sortBy { case (id, ratio) => (ratio, id) }
+      val nKeep = (0.25 * (ranked.length - 1)).floor.toInt + 1
+      ranked.take(nKeep).map(_._1).toSeq
+    }.toSet
+    assert(kept == want)
+  }
+
   test("gopher rules: each gate isolates its own failure mode") {
     val good = ("good", (Seq.tabulate(40)(i => s"word$i") ++
       Seq("the", "of", "the", "of")).mkString(" "))

@@ -208,6 +208,79 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def ohlc(rows: Seq[(Double, Double, Double)]) =
+    rows.zipWithIndex
+      .map { case ((h, l, c), i) => ("S", msTs(i * 60000L), h, l, c) }
+      .toDF("symbol", "bucket", "high", "low", "close")
+
+  test("atr: flat series has zero true range") {
+    val out = Indicators.atr(
+      ohlc(Seq.fill(20)((42.0, 42.0, 42.0))), "symbol", n = 14).collect()
+    // first bucket drops (no prev close), then only full windows emit
+    assert(out.length == 20 - 1 - 13)
+    assert(out.forall(_.getAs[Double]("atr") == 0.0))
+  }
+
+  test("atr: close-to-close gaps dominate when buckets have no range") {
+    // degenerate candles (h=l=c) alternating 100/200: TR = |Δclose| = 100
+    val prices = Seq.tabulate(20)(i => if (i % 2 == 0) 100.0 else 200.0)
+    val out = Indicators.atr(ohlc(prices.map(p => (p, p, p))), "symbol",
+      n = 14).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("tr") == 100.0))
+    assert(out.forall(_.getAs[Double]("atr") == 100.0))
+  }
+
+  test("atr: intra-bucket range dominates when closes are flat") {
+    // high = c+2, low = c−1, close flat: TR = max(3, 2, 1) = 3
+    val out = Indicators.atr(
+      ohlc(Seq.fill(16)((102.0, 99.0, 100.0))), "symbol", n = 14).collect()
+    assert(out.forall(_.getAs[Double]("tr") == 3.0))
+    assert(out.forall(_.getAs[Double]("atr") == 3.0))
+  }
+
+  test("atr: short windows emit nothing until n true ranges exist") {
+    val out = Indicators.atr(
+      ohlc(Seq.fill(6)((10.0, 9.0, 9.5))), "symbol", n = 3).collect()
+    assert(out.length == 6 - 1 - 2)
+  }
+
+  test("obv: signed volume accumulates, flat deltas contribute nothing") {
+    val rows = Seq(
+      // (close, volume): up +10, down -5, flat 0, up +7
+      (100.0, 3L), (101.0, 10L), (100.5, 5L), (100.5, 99L), (101.0, 7L))
+      .zipWithIndex.map { case ((c, v), i) => ("S", msTs(i * 60000L), c, v) }
+      .toDF("symbol", "bucket", "close", "volume")
+    val out = Indicators.obv(rows, "symbol").orderBy("bucket").collect()
+      .map(_.getAs[Long]("obv")).toSeq
+    assert(out == Seq(0L, 10L, 5L, 5L, 12L))
+  }
+
+  test("stochastic: close at channel extremes pins %K to 100/0, flat to 50") {
+    // monotone rise: close == rolling high → %K = 100 everywhere
+    val rise = ohlc(Seq.tabulate(20)(i => (100.0 + i, 99.0 + i, 100.0 + i)))
+    val kUp = Indicators.stochastic(rise, "symbol", n = 5, d = 3).collect()
+    assert(kUp.nonEmpty)
+    assert(kUp.forall(_.getAs[Double]("pct_k") == 100.0))
+    assert(kUp.forall(_.getAs[Double]("pct_d") == 100.0))
+    // flat channel: hh == ll → pinned to 50 before any division
+    val flat = ohlc(Seq.fill(10)((7.0, 7.0, 7.0)))
+    val kFlat = Indicators.stochastic(flat, "symbol", n = 5, d = 3).collect()
+    assert(kFlat.forall(_.getAs[Double]("pct_k") == 50.0))
+    assert(kFlat.forall(_.getAs[Double]("pct_d") == 50.0))
+  }
+
+  test("stochastic: mid-channel close computes the exact ratio") {
+    // channel [90, 110], close 95 → %K = 25; constant series → %D = 25
+    val out = Indicators.stochastic(
+      ohlc(Seq.fill(10)((110.0, 90.0, 95.0))), "symbol", n = 5, d = 3)
+      .collect()
+    assert(out.forall(_.getAs[Double]("pct_k") == 25.0))
+    assert(out.forall(_.getAs[Double]("pct_d") == 25.0))
+    // warm-up: n−1 channel rows + d−1 %D rows never emit
+    assert(out.length == 10 - 4 - 2)
+  }
+
   test("indicators are symbol-local: two symbols never mix") {
     val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
       Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))
