@@ -82,4 +82,60 @@ object StreamingIndicators {
           state.update(st)
           out.result().iterator
       }
+
+  // ------------------------------------------------------------------ OBV
+
+  final case class VolCandleIn(symbol: String, bucketMs: Long, close: Double,
+      volume: Long)
+  final case class ObvState(lastMs: Long, lastClose: Double, obv: Long,
+      n: Long)
+  final case class ObvOut(symbol: String, bucket: Timestamp, obv: Long)
+
+  implicit private val obvStEnc: Encoder[ObvState] = Encoders.product[ObvState]
+  implicit private val obvOutEnc: Encoder[ObvOut] = Encoders.product[ObvOut]
+
+  /** 4-decimal quantization matching the batch layer's `dec4` (Spark SQL
+    * `round` = HALF_UP on the double's shortest decimal representation),
+    * so the stream's up/down/flat verdicts agree with
+    * [[graft.engine.Indicators.obv]] bit for bit. */
+  private def q4(c: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(c).setScale(4, java.math.RoundingMode.HALF_UP)
+
+  /** The per-symbol OBV fold (shared by stream and specs): first candle
+    * contributes 0; then ±volume by the sign of the quantized delta. */
+  def obvStep(st: ObvState, bucketMs: Long, close: Double, volume: Long)
+      : (ObvState, Long) = {
+    val qc = q4(close)
+    val step =
+      if (st.n == 0L) 0L
+      else {
+        val cmp = qc.compareTo(q4(st.lastClose))
+        if (cmp > 0) volume else if (cmp < 0) -volume else 0L
+      }
+    val obv = st.obv + step
+    (ObvState(bucketMs, qc.doubleValue, obv, st.n + 1), obv)
+  }
+
+  /** On-balance volume over a finalized-candle stream — the cumulative
+    * analogue of [[macdStream]]: an O(1) (lastClose, obv) state per
+    * symbol, exact integer accumulation, same monotone-straggler guard.
+    * Use with `outputMode("update")`. */
+  def obvStream(candles: Dataset[VolCandleIn]): Dataset[ObvOut] =
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[ObvState, ObvOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (symbol, batch, state: GroupState[ObvState]) =>
+          var st = state.getOption.getOrElse(
+            ObvState(Long.MinValue, 0d, 0L, 0L))
+          val out = Vector.newBuilder[ObvOut]
+          batch.toVector.sortBy(_.bucketMs).foreach { c =>
+            if (c.bucketMs > st.lastMs) {
+              val (st2, obv) = obvStep(st, c.bucketMs, c.close, c.volume)
+              st = st2
+              out += ObvOut(symbol, new Timestamp(c.bucketMs), obv)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
 }

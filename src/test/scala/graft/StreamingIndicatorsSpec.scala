@@ -57,4 +57,46 @@ class StreamingIndicatorsSpec extends AnyFunSuite with SparkTestBase {
         assert(g == w, s"$sym diverged at ${w.bucket}: $g vs $w") }
     }
   }
+
+  test("streaming OBV equals the batch indicator across micro-batches") {
+    import graft.streaming.StreamingIndicators.{ObvOut, VolCandleIn}
+    val rnd = new scala.util.Random(47)
+    // arbitrary doubles (quantization parity is part of the contract) and
+    // deliberate consecutive repeats to exercise the flat-delta branch
+    val series = Map(
+      "A" -> (0 until 60).map { i =>
+        val c = if (i % 7 == 3) 100.0 else 100 + rnd.nextDouble() * 10
+        (i * 3600000L, c, 1L + rnd.nextInt(50)) },
+      "B" -> (0 until 60).map(i =>
+        (i * 3600000L, 500 - i * 2.5, 5L)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[VolCandleIn]
+    val q = graft.streaming.StreamingIndicators.obvStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("obv_out").start()
+    try {
+      for (chunk <- 0 until 3) {
+        val rows = series.toSeq.flatMap { case (sym, s) =>
+          s.slice(chunk * 20, chunk * 20 + 20).map { case (ms, c, v) =>
+            VolCandleIn(sym, ms, c, v) }
+        }
+        mem.addData(rnd.shuffle(rows))
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(VolCandleIn("A", 10 * 3600000L, 9999.0, 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("obv_out").as[ObvOut].collect()
+      .map(r => (r.symbol, r.bucket.getTime) -> r.obv).toMap
+    val batchDf = series.toSeq.flatMap { case (sym, s) =>
+      s.map { case (ms, c, v) => (sym, msTs(ms), c, v) } }
+      .toDF("symbol", "bucket", "close", "volume")
+    val want = graft.engine.Indicators.obv(batchDf, "symbol").collect()
+      .map(r => (r.getAs[String]("symbol"),
+        r.getAs[java.sql.Timestamp]("bucket").getTime) ->
+        r.getAs[Long]("obv")).toMap
+    assert(got.size == want.size, "straggler not dropped or rows missing")
+    assert(got == want, "streamed OBV diverged from the batch indicator")
+  }
 }
