@@ -356,7 +356,7 @@ object CurationQueries {
       dp AS (SELECT doc_id, n_tokens, pos FROM spos JOIN dup USING (h)),
       m AS (SELECT doc_id, n_tokens, pos,
           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-            <= 2 THEN 0 ELSE 1 END AS brk
+            <= 3 THEN 0 ELSE 1 END AS brk
         FROM dp),
       isl AS (SELECT doc_id, n_tokens, pos,
           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
@@ -386,20 +386,24 @@ object CurationQueries {
     * the first count. */
   val x81TemperatureMix: Q = Q(
     (s, dir) => {
-      val perLang = Tables.documents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // total and normalizer as GLOBAL windows over the aggregated frame:
+      // after the lang hash-agg the frame is langs-cardinality, so the
+      // all-rows window is a single tiny task — and the corpus is scanned
+      // exactly once (an agg + crossJoin normalizer would either re-scan
+      // or need a cache this DataFrame-returning API couldn't unpersist)
+      val all = Window.partitionBy()
+      Tables.documents(s, dir)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val tot = perLang.agg(sum(col("n_docs")).as("total"))
-      val pa = perLang.crossJoin(broadcast(tot))
-        .withColumn("p_raw", col("n_docs") / col("total"))
+        .withColumn("_total", sum(col("n_docs")).over(all))
+        .withColumn("p_raw", col("n_docs") / col("_total"))
         .withColumn("_a",
           round(pow(col("p_raw"), 0.3), 12).cast("decimal(24,12)"))
-        .cache() // langs-cardinality frame; feeds the normalizer AND the output
-      val z = pa.agg(sum(col("_a")).as("z"))
-      pa.crossJoin(broadcast(z))
+        .withColumn("_z", sum(col("_a")).over(all))
         .withColumn("p_temp",
-          round(col("_a").cast("double") / col("z").cast("double"), 6))
+          round(col("_a").cast("double") / col("_z").cast("double"), 6))
         .withColumn("boost",
-          round(col("_a").cast("double") / col("z").cast("double")
+          round(col("_a").cast("double") / col("_z").cast("double")
             / col("p_raw"), 6))
         .select("lang", "n_docs", "p_raw", "p_temp", "boost")
         .orderBy("lang")

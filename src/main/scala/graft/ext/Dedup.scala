@@ -527,8 +527,10 @@ object Dedup {
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): a k-token shingle occurring in ≥2 DISTINCT documents
     * marks every token it covers as duplicated; maximal unions of
-    * overlapping duplicated-shingle intervals (a new span starts when the
-    * position gap exceeds k−1) are the removable spans. Per doc: total
+    * overlapping-or-adjacent duplicated-shingle intervals are the
+    * removable spans (positions p and q cover contiguous tokens iff
+    * q − p ≤ k — intervals [p, p+k−1] and [q, q+k−1] touch — so a new
+    * span starts only when the gap exceeds k). Per doc: total
     * duplicated-token coverage, span count, longest span, coverage ratio
     * (raw integer-ratio division). Only docs with a span of
     * ≥ `minSpanTokens` tokens emit.
@@ -561,7 +563,7 @@ object Dedup {
     val spans = spos.join(dupH, "h")
       .select("doc_id", "n_tokens", "pos")
       .withColumn("_brk",
-        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k - 1, lit(0))
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0))
           .otherwise(lit(1)))
       .withColumn("_grp", sum(col("_brk"))
         .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))

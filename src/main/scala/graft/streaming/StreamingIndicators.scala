@@ -58,30 +58,38 @@ object StreamingIndicators {
         macd - sig))
   }
 
+  /** The micro-batch fold shell every recursive indicator shares: restore
+    * state, sort the group's rows by bucket, fold each row STRICTLY after
+    * the last folded bucket (the monotone guard), persist the final
+    * state. Ordering/guard fixes land here exactly once. */
+  private def keyedMonotoneFold[I, S, O](init: S, lastMs: S => Long,
+      bucketMs: I => Long, step: (String, S, I) => (S, O))(
+      symbol: String, batch: Iterator[I], state: GroupState[S])
+      : Iterator[O] = {
+    var st = state.getOption.getOrElse(init)
+    val out = Vector.newBuilder[O]
+    batch.toVector.sortBy(bucketMs).foreach { c =>
+      if (bucketMs(c) > lastMs(st)) {
+        val (st2, row) = step(symbol, st, c)
+        st = st2
+        out += row
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   /** EMA(fast/slow) + MACD + signal line over a finalized-candle stream.
     * Use with `outputMode("update")` (one output row per input candle). */
   def macdStream(candles: Dataset[CandleIn], fast: Int = 12, slow: Int = 26,
       signalN: Int = 9): Dataset[MacdOut] =
     candles.groupByKey(_.symbol)
       .flatMapGroupsWithState[EmaState, MacdOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (symbol, batch, state: GroupState[EmaState]) =>
-          var st = state.getOption.getOrElse(
-            EmaState(Long.MinValue, 0d, 0d, 0d, 0L))
-          val out = Vector.newBuilder[MacdOut]
-          // sort within the micro-batch; drop anything the recursion has
-          // already passed (monotone guard)
-          batch.toVector.sortBy(_.bucketMs).foreach { c =>
-            if (c.bucketMs > st.lastMs) {
-              val (st2, row) = step(symbol, st, c.bucketMs, c.close,
-                fast, slow, signalN)
-              st = st2
-              out += row
-            }
-          }
-          state.update(st)
-          out.result().iterator
-      }
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        keyedMonotoneFold[CandleIn, EmaState, MacdOut](
+          EmaState(Long.MinValue, 0d, 0d, 0d, 0L), _.lastMs, _.bucketMs,
+          (sym, st, c) => step(sym, st, c.bucketMs, c.close,
+            fast, slow, signalN)))
 
   // ------------------------------------------------------------------ OBV
 
@@ -123,19 +131,11 @@ object StreamingIndicators {
   def obvStream(candles: Dataset[VolCandleIn]): Dataset[ObvOut] =
     candles.groupByKey(_.symbol)
       .flatMapGroupsWithState[ObvState, ObvOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (symbol, batch, state: GroupState[ObvState]) =>
-          var st = state.getOption.getOrElse(
-            ObvState(Long.MinValue, 0d, 0L, 0L))
-          val out = Vector.newBuilder[ObvOut]
-          batch.toVector.sortBy(_.bucketMs).foreach { c =>
-            if (c.bucketMs > st.lastMs) {
-              val (st2, obv) = obvStep(st, c.bucketMs, c.close, c.volume)
-              st = st2
-              out += ObvOut(symbol, new Timestamp(c.bucketMs), obv)
-            }
-          }
-          state.update(st)
-          out.result().iterator
-      }
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        keyedMonotoneFold[VolCandleIn, ObvState, ObvOut](
+          ObvState(Long.MinValue, 0d, 0L, 0L), _.lastMs, _.bucketMs,
+          (sym, st, c) => {
+            val (st2, obv) = obvStep(st, c.bucketMs, c.close, c.volume)
+            (st2, ObvOut(sym, new Timestamp(c.bucketMs), obv))
+          }))
 }
