@@ -374,6 +374,78 @@ object CurationQueries {
           AS dup_ratio
       FROM q GROUP BY 1, 2 ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- x83
+  /** Duplication pressure BY SOURCE — the ops rollup of x80: which corpus
+    * source the duplicated text concentrates in. Flagged docs re-attach
+    * their `source` via a doc-keyed equi-join (the span frame is already
+    * doc-granular and strictly smaller than the corpus), per-source doc
+    * totals come from one count agg, and `flagged_share`/`dup_token_share`
+    * are raw integer ratios. Complements x74 (which pairs sources by
+    * SHARED content; this charges each source its own duplicated
+    * volume). */
+  val x83SourceDupPressure: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 3, minSpanTokens = 4)
+      val perSource = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("src_tokens"))
+      spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("flagged_docs"),
+          sum(col("dup_tokens")).as("dup_tokens"),
+          sum(col("n_spans")).as("n_spans"),
+          max(col("longest_span")).as("longest_span"))
+        .join(broadcast(perSource), "source")
+        .withColumn("flagged_share", col("flagged_docs") / col("n_docs"))
+        .withColumn("dup_token_share", col("dup_tokens") / col("src_tokens"))
+        .select("source", "n_docs", "flagged_docs", "flagged_share",
+          "dup_tokens", "n_spans", "longest_span", "dup_token_share")
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      spos AS (SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
+          (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+            % ${Dedup.P}) AS h
+        FROM (SELECT doc_id, t,
+            unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok)),
+      dup AS (SELECT h FROM spos GROUP BY h
+        HAVING min(doc_id) <> max(doc_id)),
+      dp AS (SELECT doc_id, n_tokens, pos FROM spos JOIN dup USING (h)),
+      m AS (SELECT doc_id, n_tokens, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+            <= 3 THEN 0 ELSE 1 END AS brk
+        FROM dp),
+      isl AS (SELECT doc_id, n_tokens, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM m),
+      sp AS (SELECT doc_id, n_tokens, grp,
+          CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY 1, 2, 3),
+      q AS (SELECT * FROM sp WHERE span_tokens >= 4),
+      perdoc AS (SELECT doc_id,
+          CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+          CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(max(span_tokens) AS BIGINT) AS longest_span
+        FROM q GROUP BY 1),
+      ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY 1),
+      fl AS (SELECT d.source,
+          CAST(count(*) AS BIGINT) AS flagged_docs,
+          CAST(sum(p.dup_tokens) AS BIGINT) AS dup_tokens,
+          CAST(sum(p.n_spans) AS BIGINT) AS n_spans,
+          CAST(max(p.longest_span) AS BIGINT) AS longest_span
+        FROM perdoc p JOIN documents d USING (doc_id) GROUP BY 1)
+      SELECT fl.source, ps.n_docs, fl.flagged_docs,
+        fl.flagged_docs / CAST(ps.n_docs AS DOUBLE) AS flagged_share,
+        fl.dup_tokens, fl.n_spans, fl.longest_span,
+        fl.dup_tokens / CAST(ps.src_tokens AS DOUBLE) AS dup_token_share
+      FROM fl JOIN ps USING (source) ORDER BY source"""))
+
   // ---------------------------------------------------------------- x81
   /** Temperature-based mixture weights (the multilingual-sampling rule of
     * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
@@ -465,6 +537,7 @@ object CurationQueries {
       FROM r WHERE pr <= 0.25 ORDER BY doc_id"""))
 
   val all: Map[String, Q] = Map(
+    "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,
     "x81_temperature_mix" -> x81TemperatureMix,
     "x82_quality_gate" -> x82QualityGate,

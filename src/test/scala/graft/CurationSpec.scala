@@ -274,6 +274,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == want)
   }
 
+  test("duplicate spans property: any planted shared passage is recovered exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      l <- Gen.choose(4, 12)   // passage length ≥ minSpanTokens
+      a1 <- Gen.choose(0, 6); b1 <- Gen.choose(0, 6)
+      a2 <- Gen.choose(0, 6); b2 <- Gen.choose(0, 6)
+    } yield (l, a1, b1, a2, b2)
+    val p = Prop.forAll(gen) { case (l, a1, b1, a2, b2) =>
+      val passage = (0 until l).map(i => s"sh$i")
+      def doc(pre: Int, suf: Int, tag: String) =
+        ((0 until pre).map(i => s"${tag}p$i") ++ passage ++
+          (0 until suf).map(i => s"${tag}s$i")).mkString(" ")
+      val docs = Seq(
+        (1L, doc(a1, b1, "a")), (2L, doc(a2, b2, "b")),
+        (3L, (0 until 30).map(i => s"u$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3,
+        minSpanTokens = 4).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      out.keySet == Set(1L, 2L) &&
+        Seq(1L, 2L).forall { id =>
+          out(id).getAs[Long]("dup_tokens") == l.toLong &&
+          out(id).getAs[Long]("n_spans") == 1L &&
+          out(id).getAs[Long]("longest_span") == l.toLong
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, s"planted-passage recovery: $res")
+  }
+
   test("gopher rules: each gate isolates its own failure mode") {
     val good = ("good", (Seq.tabulate(40)(i => s"word$i") ++
       Seq("the", "of", "the", "of")).mkString(" "))
