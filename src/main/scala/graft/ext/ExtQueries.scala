@@ -151,6 +151,78 @@ object ExtQueries {
       FROM reach GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  // ---------------------------------------------------------------- x84
+  /** Leakage-safe train/val/test split: x47's deterministic md5-bucket
+    * split keyed by the NEAR-DUP GROUP, not the document — two
+    * near-duplicate documents must never straddle a split boundary (a
+    * test doc with a train-side near-twin is silent eval leakage; the
+    * split-time complement of x49/x59's benchmark decontamination).
+    * Groups come from the x44 cluster pipeline (LSH candidates →
+    * Jaccard ≥ 0.8 verify → connected components); unclustered docs are
+    * their own group. The split hash reads ONLY the group id, so any
+    * future member of an existing cluster deterministically lands in the
+    * cluster's split. Scale: the keeper frame is bounded by clustered
+    * docs (≪ corpus), the join is doc-keyed, and the split itself is a
+    * zero-shuffle map-side hash — x47's shape plus one join. */
+  val x84LeakSafeSplit: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
+        .cache()
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val shCand = Dedup.hashedShingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      val pairs = Dedup.jaccardVerify(cands, shCand, "doc_id")
+        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val keepers = Dedup.connectedKeepers(pairs)
+        .select(col("id").as("doc_id"), col("keeper"))
+      val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      docs.select("doc_id")
+        .join(keepers, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("keeper"), col("doc_id")))
+        .select(col("doc_id"), col("group_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") % 10 < 8, lit("train"))
+            .when(col("bucket") % 10 === 8, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      $lshCandsCte,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+        GROUP BY 1,2),
+      pairs AS (SELECT id_a, id_b FROM cm
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE common / (za.sz + zb.sz - common) >= 0.8),
+      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges2),
+      reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id),
+      keepers AS (SELECT id, min(root) AS keeper FROM reach GROUP BY 1),
+      g AS (SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN keepers k ON k.id = d.doc_id),
+      b AS (SELECT doc_id, group_id,
+          ('0x' || substr(md5(CAST(group_id AS VARCHAR)),1,15))::BIGINT % 100
+            AS bucket
+        FROM g)
+      SELECT doc_id, group_id, bucket,
+        CASE WHEN bucket % 10 < 8 THEN 'train'
+             WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- x32
   /** SimHash document fingerprints (48-bit majority-vote over md5 token
     * hashes). */
@@ -1512,5 +1584,6 @@ object ExtQueries {
     "x43_tfidf" -> x43Tfidf,
     "x44_dedup_clusters" -> x44DedupClusters,
     "x45_array_stats" -> x45ArrayStats,
-    "x46_udaf_candle" -> x46UdafCandle)
+    "x46_udaf_candle" -> x46UdafCandle,
+    "x84_leak_safe_split" -> x84LeakSafeSplit)
 }

@@ -26,6 +26,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"en keep-rate ${enKept / enAll} not ~0.8")
   }
 
+  test("x84 leak-safe split: near-dup groups never straddle a split boundary") {
+    val out = ExtQueries.x84LeakSafeSplit.fn(spark, dir).collect()
+    assert(out.length ==
+      spark.read.parquet(s"$dir/documents.parquet").count(),
+      "every doc must be assigned a split")
+    val byGroup = out.groupBy(_.getAs[Long]("group_id"))
+    // the test corpus has planted near-dups — the invariant must be
+    // exercised, not vacuous
+    val multi = byGroup.filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "no multi-doc group at sf0.001 — vacuous test")
+    multi.foreach { case (g, rows) =>
+      assert(rows.map(_.getAs[String]("split")).distinct.length == 1,
+        s"group $g straddles splits")
+    }
+    // the group key must really be doing work: some clustered member's
+    // OWN md5 bucket would have put it in a different split than its
+    // group's (otherwise doc-keyed hashing would accidentally pass)
+    def bucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def splitOf(b: Long): String =
+      if (b % 10 < 8) "train" else if (b % 10 == 8) "val" else "test"
+    val rescued = multi.values.flatten.exists { r =>
+      r.getAs[Long]("doc_id") != r.getAs[Long]("group_id") &&
+        splitOf(bucketOf(r.getAs[Long]("doc_id"))) !=
+          r.getAs[String]("split")
+    }
+    assert(rescued,
+      "no member whose own hash disagrees with its group split — weak corpus")
+  }
+
   test("x48 packing: bins are contiguous per lang and conserve tokens") {
     val out = ExtQueries.x48PackSequences.fn(spark, dir).collect()
     out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
