@@ -61,9 +61,10 @@ object StreamingIndicators {
   /** The micro-batch fold shell every recursive indicator shares: restore
     * state, sort the group's rows by bucket, fold each row STRICTLY after
     * the last folded bucket (the monotone guard), persist the final
-    * state. Ordering/guard fixes land here exactly once. */
+    * state. `step` may emit nothing for a row (seed candles). Ordering/
+    * guard fixes land here exactly once. */
   private def keyedMonotoneFold[I, S, O](init: S, lastMs: S => Long,
-      bucketMs: I => Long, step: (String, S, I) => (S, O))(
+      bucketMs: I => Long, step: (String, S, I) => (S, Option[O]))(
       symbol: String, batch: Iterator[I], state: GroupState[S])
       : Iterator[O] = {
     var st = state.getOption.getOrElse(init)
@@ -72,7 +73,7 @@ object StreamingIndicators {
       if (bucketMs(c) > lastMs(st)) {
         val (st2, row) = step(symbol, st, c)
         st = st2
-        out += row
+        row.foreach(out += _)
       }
     }
     state.update(st)
@@ -88,8 +89,11 @@ object StreamingIndicators {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(
         keyedMonotoneFold[CandleIn, EmaState, MacdOut](
           EmaState(Long.MinValue, 0d, 0d, 0d, 0L), _.lastMs, _.bucketMs,
-          (sym, st, c) => step(sym, st, c.bucketMs, c.close,
-            fast, slow, signalN)))
+          (sym, st, c) => {
+            val (st2, row) = step(sym, st, c.bucketMs, c.close,
+              fast, slow, signalN)
+            (st2, Some(row))
+          }))
 
   // ------------------------------------------------------------------ OBV
 
@@ -124,6 +128,57 @@ object StreamingIndicators {
     (ObvState(bucketMs, qc.doubleValue, obv, st.n + 1), obv)
   }
 
+  // ------------------------------------------------------- Wilder ATR
+
+  final case class OhlcIn(symbol: String, bucketMs: Long, high: Double,
+      low: Double, close: Double)
+  final case class AtrState(lastMs: Long, lastClose: Double, atr: Double,
+      n: Long)
+  final case class AtrOut(symbol: String, bucket: Timestamp, tr: Double,
+      atr: Double)
+
+  implicit private val atrStEnc: Encoder[AtrState] = Encoders.product[AtrState]
+  implicit private val atrOutEnc: Encoder[AtrOut] = Encoders.product[AtrOut]
+
+  /** Per-symbol Wilder ATR step (shared by stream and spec reference):
+    * TR as in the batch indicator (max(h−l, |h−pc|, |l−pc|) on 4-decimal-
+    * quantized prices), smoothed recursively — atr_t =
+    * (atr_{t−1}·(n−1) + TR_t)/n, seeded with the first TR. The batch
+    * layer ([[graft.engine.Indicators.atr]]) deliberately carries the
+    * SMA variant (a frame aggregate); Wilder's original smoothing is a
+    * recursion, so — like EMA/MACD — its native home is this keyed
+    * streaming fold. Returns the updated state and the emitted
+    * (tr, atr), or None for the seed candle (no previous close). */
+  def wilderStep(st: AtrState, high: Double, low: Double, close: Double,
+      n: Int): (AtrState, Option[(Double, Double)]) = {
+    val (h, l, c) = (q4(high), q4(low), q4(close))
+    val cd = c.doubleValue
+    if (st.n == 0L)
+      (AtrState(st.lastMs, cd, 0d, 1L), None)
+    else {
+      val pc = q4(st.lastClose)
+      val tr = Seq(h.subtract(l), h.subtract(pc).abs, l.subtract(pc).abs)
+        .max.doubleValue
+      val atr = if (st.n == 1L) tr else (st.atr * (n - 1) + tr) / n
+      (AtrState(st.lastMs, cd, atr, st.n + 1), Some((tr, atr)))
+    }
+  }
+
+  /** Wilder ATR(n) over a finalized-candle stream. Use with
+    * `outputMode("update")`; one output row per candle after the seed. */
+  def atrStream(candles: Dataset[OhlcIn], n: Int = 14): Dataset[AtrOut] =
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[AtrState, AtrOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        keyedMonotoneFold[OhlcIn, AtrState, AtrOut](
+          AtrState(Long.MinValue, 0d, 0d, 0L), _.lastMs, _.bucketMs,
+          (sym, st, c) => {
+            val (st2, row) = wilderStep(st, c.high, c.low, c.close, n)
+            (st2.copy(lastMs = c.bucketMs),
+              row.map { case (tr, atr) =>
+                AtrOut(sym, new Timestamp(c.bucketMs), tr, atr) })
+          }))
+
   /** On-balance volume over a finalized-candle stream — the cumulative
     * analogue of [[macdStream]]: an O(1) (lastClose, obv) state per
     * symbol, exact integer accumulation, same monotone-straggler guard.
@@ -136,6 +191,6 @@ object StreamingIndicators {
           ObvState(Long.MinValue, 0d, 0L, 0L), _.lastMs, _.bucketMs,
           (sym, st, c) => {
             val (st2, obv) = obvStep(st, c.bucketMs, c.close, c.volume)
-            (st2, ObvOut(sym, new Timestamp(c.bucketMs), obv))
+            (st2, Some(ObvOut(sym, new Timestamp(c.bucketMs), obv)))
           }))
 }

@@ -58,6 +58,51 @@ class StreamingIndicatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming Wilder ATR equals the reference recursion, converges to TR on flat range") {
+    import graft.streaming.StreamingIndicators.{AtrOut, AtrState, OhlcIn}
+    val rnd = new scala.util.Random(53)
+    val series = Map(
+      "A" -> (0 until 50).map { i =>
+        val base = 100 + rnd.nextDouble() * 10
+        (i * 3600000L, base + 2, base - 1, base + rnd.nextDouble()) },
+      // constant candles with fixed range: TR = 3 always ⇒ ATR → 3
+      "B" -> (0 until 50).map(i => (i * 3600000L, 102.0, 99.0, 100.0)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[OhlcIn]
+    val q = graft.streaming.StreamingIndicators.atrStream(mem.toDS(), n = 14)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("atr_out").start()
+    try {
+      for (chunk <- 0 until 3) {
+        val rows = series.toSeq.flatMap { case (sym, s) =>
+          s.slice(chunk * 17, chunk * 17 + 17).map { case (ms, h, l, c) =>
+            OhlcIn(sym, ms, h, l, c) }
+        }
+        mem.addData(rnd.shuffle(rows))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("atr_out").as[AtrOut].collect()
+      .groupBy(_.symbol).map { case (s, rows) =>
+        s -> rows.sortBy(_.bucket.getTime).toSeq }
+    // sequential reference recursion over the same step function
+    series.foreach { case (sym, s) =>
+      val want = s.sortBy(_._1).foldLeft(
+        (AtrState(Long.MinValue, 0d, 0d, 0L), Vector.empty[(Double, Double)])) {
+        case ((st, acc), (ms, h, l, c)) =>
+          val (st2, row) = graft.streaming.StreamingIndicators
+            .wilderStep(st, h, l, c, 14)
+          (st2.copy(lastMs = ms), row.fold(acc)(acc :+ _))
+      }._2
+      assert(got(sym).size == want.size)
+      got(sym).zip(want).foreach { case (g, (tr, atr)) =>
+        assert(g.tr == tr && g.atr == atr, s"$sym diverged at ${g.bucket}") }
+    }
+    // symbol B: flat-range fixed point — every TR is 3, so ATR is exactly 3
+    assert(got("B").forall(r => r.tr == 3.0 && r.atr == 3.0))
+  }
+
   test("streaming OBV equals the batch indicator across micro-batches") {
     import graft.streaming.StreamingIndicators.{ObvOut, VolCandleIn}
     val rnd = new scala.util.Random(47)
