@@ -427,7 +427,42 @@ object IndicatorQueries {
         CAST(sd AS DOUBLE) / 3 AS pct_d
       FROM w2 WHERE rn2 >= 3 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q59
+  /** Candlestick pattern flags — [[Indicators.candlePatterns]]: doji /
+    * hammer / engulfing as pure exact-decimal comparisons (no float op
+    * anywhere — the flags are bit-identical across engines by
+    * construction, no rounding convention needed at all). */
+  val q59Patterns: Q = Q(
+    (s, dir) =>
+      Indicators.candlePatterns(hourlyCloses(s, dir), "user_id")
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("doji"), col("hammer"), col("bull_engulf"), col("bear_engulf"))
+        .orderBy("user_id", "bucket_ms"),
+    Some("""WITH o AS (SELECT user_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket,
+          CAST(round(min_by(value, ts), 4) AS DECIMAL(18,4)) AS open,
+          CAST(round(max(value), 4) AS DECIMAL(18,4)) AS high,
+          CAST(round(min(value), 4) AS DECIMAL(18,4)) AS low,
+          CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT user_id, bucket, open, high, low, close,
+          lag(open) OVER w AS po, lag(close) OVER w AS pc
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+        CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
+        abs(close - open) * 10 <= (high - low) AS doji,
+        (least(open, close) - low) >= abs(close - open) * 2
+          AND (high - greatest(open, close)) <= abs(close - open) AS hammer,
+        pc IS NOT NULL AND pc < po AND close > open
+          AND close >= po AND open <= pc AS bull_engulf,
+        pc IS NOT NULL AND pc > po AND close < open
+          AND close <= po AND open >= pc AS bear_engulf
+      FROM p ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
+    "q59_patterns" -> q59Patterns,
     "q57_obv" -> q57Obv,
     "q58_stochastic" -> q58Stochastic,
     "q56_atr" -> q56Atr,

@@ -350,6 +350,49 @@ object Indicators {
       .select(col(symbolCol), col(bucketCol), col("pct_k"), col("pct_d"))
   }
 
+  /** Candlestick pattern flags — doji, hammer, bullish/bearish engulfing
+    * — the discrete signals charting users read off the candles the
+    * reference plots. Every comparison is between exact 4-decimal
+    * decimals (scaled by small integer literals), so there is not a
+    * single float operation anywhere: flags are bit-identical across
+    * engines and partitionings by construction. One lag per symbol
+    * (engulfing needs the previous body); the first candle's engulfing
+    * flags are false (no predecessor). */
+  def candlePatterns(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val (o, h, l, c) = (dec4(col("open")), dec4(col("high")),
+      dec4(col("low")), dec4(col("close")))
+    val withPrev = candles
+      .withColumn("_o", o).withColumn("_h", h)
+      .withColumn("_l", l).withColumn("_c", c)
+      .withColumn("_po", lag(col("_o"), 1).over(order))
+      .withColumn("_pc", lag(col("_c"), 1).over(order))
+    val body = abs(col("_c") - col("_o"))
+    val range = col("_h") - col("_l")
+    val lowerShadow = least(col("_o"), col("_c")) - col("_l")
+    val upperShadow = col("_h") - greatest(col("_o"), col("_c"))
+    val hasPrev = col("_pc").isNotNull
+    withPrev
+      // body ≤ 10% of range (degenerate zero-range candle counts: 0 ≤ 0)
+      .withColumn("doji", body * lit(10) <= range)
+      // long lower shadow, short upper shadow
+      .withColumn("hammer",
+        lowerShadow >= body * lit(2) && upperShadow <= body)
+      .withColumn("bull_engulf", hasPrev &&
+        col("_pc") < col("_po") && col("_c") > col("_o") &&
+        col("_c") >= col("_po") && col("_o") <= col("_pc"))
+      .withColumn("bear_engulf", hasPrev &&
+        col("_pc") > col("_po") && col("_c") < col("_o") &&
+        col("_c") <= col("_po") && col("_o") >= col("_pc"))
+      .select(col(symbolCol), col(bucketCol),
+        col("_o").cast("double").as("open"),
+        col("_h").cast("double").as("high"),
+        col("_l").cast("double").as("low"),
+        col("_c").cast("double").as("close"),
+        col("doji"), col("hammer"), col("bull_engulf"), col("bear_engulf"))
+  }
+
   /** Cutler's RSI over `n` deltas: 100 − 100/(1 + SMA(gain)/SMA(loss)),
     * the simple-moving-average variant (Wilder's EMA smoothing is
     * recursive — not expressible as a frame aggregate; Cutler's is the

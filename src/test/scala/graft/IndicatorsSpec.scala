@@ -281,6 +281,29 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 10 - 4 - 2)
   }
 
+  test("candle patterns: each flag fires on its textbook shape only") {
+    // (open, high, low, close) per bucket, one symbol
+    val rows = Seq(
+      (100.0, 110.0, 90.0, 100.2),   // doji: body 0.2 ≤ 10% of range 20
+      (100.0, 101.2, 95.0, 101.0),   // hammer: shadow 5 ≥ 2·body(1), upper 0.2 ≤ body
+      (105.0, 105.5, 102.8, 103.0),  // plain bearish candle (none fire)
+      (102.5, 106.0, 102.0, 105.5),  // bull engulf: wraps prior 105→103 body
+      (106.0, 106.5, 101.5, 102.0))  // bear engulf: wraps prior 102.5→105.5 body
+      .zipWithIndex.map { case ((o, h, l, c), i) =>
+        ("S", msTs(i * 60000L), o, h, l, c) }
+      .toDF("symbol", "bucket", "open", "high", "low", "close")
+    val out = Indicators.candlePatterns(rows, "symbol")
+      .orderBy("bucket").collect()
+    def flags(i: Int) = (out(i).getAs[Boolean]("doji"),
+      out(i).getAs[Boolean]("hammer"), out(i).getAs[Boolean]("bull_engulf"),
+      out(i).getAs[Boolean]("bear_engulf"))
+    assert(flags(0) == ((true, false, false, false)))
+    assert(flags(1) == ((false, true, false, false)))
+    assert(flags(2) == ((false, false, false, false)))
+    assert(flags(3) == ((false, false, true, false)))
+    assert(flags(4) == ((false, false, false, true)))
+  }
+
   test("indicators are symbol-local: two symbols never mix") {
     val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
       Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))
