@@ -453,7 +453,8 @@ object IndicatorQueries {
         CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
         CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
         abs(close - open) * 10 <= (high - low) AS doji,
-        (least(open, close) - low) >= abs(close - open) * 2
+        (least(open, close) - low) > 0
+          AND (least(open, close) - low) >= abs(close - open) * 2
           AND (high - greatest(open, close)) <= abs(close - open) AS hammer,
         pc IS NOT NULL AND pc < po AND close > open
           AND close >= po AND open <= pc AS bull_engulf,

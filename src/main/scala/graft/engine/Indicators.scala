@@ -376,9 +376,12 @@ object Indicators {
     withPrev
       // body ≤ 10% of range (degenerate zero-range candle counts: 0 ≤ 0)
       .withColumn("doji", body * lit(10) <= range)
-      // long lower shadow, short upper shadow
+      // long lower shadow, short upper shadow; the shadow must EXIST —
+      // without the > 0 guard a zero-range single-tick candle (o=h=l=c)
+      // satisfies 0 ≥ 0 ∧ 0 ≤ 0 and fakes a reversal signal
       .withColumn("hammer",
-        lowerShadow >= body * lit(2) && upperShadow <= body)
+        lowerShadow > lit(0) &&
+          lowerShadow >= body * lit(2) && upperShadow <= body)
       .withColumn("bull_engulf", hasPrev &&
         col("_pc") < col("_po") && col("_c") > col("_o") &&
         col("_c") >= col("_po") && col("_o") <= col("_pc"))

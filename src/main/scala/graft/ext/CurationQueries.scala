@@ -335,16 +335,11 @@ object CurationQueries {
     })
 
   // ---------------------------------------------------------------- x80
-  /** Intra-corpus duplicate-span coverage ([[Dedup.duplicateSpans]]):
-    * the exact-substring dedup signal — per doc, how many tokens sit in a
-    * span shared verbatim with ANY other document. Pair-free plan (hash
-    * agg + equi-join on the shingle hash), linear in corpus shingles. */
-  val x80DupSpans: Q = Q(
-    (s, dir) =>
-      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, minSpanTokens = 4)
-        .orderBy("doc_id"),
-    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+  // tok→spos→dup→dp→m→isl→sp→q: x80's duplicated-shingle span detection
+  // (k=3, minSpanTokens=4, gap > k breaks a span) as a shared oracle
+  // fragment — x83's per-source rollup reads the same `q` spans, so the
+  // two queries cannot drift (the x80 adjacency fix applied here once)
+  private val dupSpanCte = s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t
         FROM documents),
       spos AS (SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
           (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
@@ -365,7 +360,18 @@ object CurationQueries {
       sp AS (SELECT doc_id, n_tokens, grp,
           CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
         FROM isl GROUP BY 1, 2, 3),
-      q AS (SELECT * FROM sp WHERE span_tokens >= 4)
+      q AS (SELECT * FROM sp WHERE span_tokens >= 4)"""
+
+  /** Intra-corpus duplicate-span coverage ([[Dedup.duplicateSpans]]):
+    * the exact-substring dedup signal — per doc, how many tokens sit in a
+    * span shared verbatim with ANY other document. Pair-free plan (hash
+    * agg + equi-join on the shingle hash), linear in corpus shingles. */
+  val x80DupSpans: Q = Q(
+    (s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minSpanTokens = 4)
+        .orderBy("doc_id"),
+    Some(s"""WITH $dupSpanCte
       SELECT doc_id, n_tokens,
         CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
         CAST(count(*) AS BIGINT) AS n_spans,
@@ -404,28 +410,7 @@ object CurationQueries {
           "dup_tokens", "n_spans", "longest_span", "dup_token_share")
         .orderBy("source")
     },
-    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-        FROM documents),
-      spos AS (SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
-          (('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
-            % ${Dedup.P}) AS h
-        FROM (SELECT doc_id, t,
-            unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok)),
-      dup AS (SELECT h FROM spos GROUP BY h
-        HAVING min(doc_id) <> max(doc_id)),
-      dp AS (SELECT doc_id, n_tokens, pos FROM spos JOIN dup USING (h)),
-      m AS (SELECT doc_id, n_tokens, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-            <= 3 THEN 0 ELSE 1 END AS brk
-        FROM dp),
-      isl AS (SELECT doc_id, n_tokens, pos,
-          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        FROM m),
-      sp AS (SELECT doc_id, n_tokens, grp,
-          CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
-        FROM isl GROUP BY 1, 2, 3),
-      q AS (SELECT * FROM sp WHERE span_tokens >= 4),
+    Some(s"""WITH $dupSpanCte,
       perdoc AS (SELECT doc_id,
           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
           CAST(count(*) AS BIGINT) AS n_spans,

@@ -60,42 +60,74 @@ object ExtQueries {
         FROM bandsKept a JOIN bandsKept b
           ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id)"""
 
-  // ---------------------------------------------------------------- x31
-  /** MinHash + LSH near-dup detection: 16 md5-minhashes, 4 bands × 4 rows,
-    * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
-  val x31MinhashLsh: Q = Q(
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // signature path reads the raw shingle MULTISET: min is duplicate-
-      // insensitive, so the corpus-wide distinct shuffle is skipped entirely
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
-      // cache: cands is tiny (surviving LSH pairs) and feeds both the
-      // verify join and the candidate-id semi-join below
-      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
-        .cache()
-      val candIds = cands
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .distinct()
-      // verification needs shingle SETS only for candidate docs — semi-join
-      // BEFORE the explode, so the verify joins scale with |candidates|,
-      // not the corpus (result-identical: jaccardVerify inner-joins on
-      // candidate ids anyway)
-      val shCand = Dedup.hashedShingles(
-        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
-      Dedup.jaccardVerify(cands, shCand, "doc_id")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b", "common", "jaccard")
-        .orderBy("id_a", "id_b")
-    },
-    Some(s"""WITH $shingleCte,
-      $lshCandsCte,
+  // sizes/cm: per-candidate-pair common-shingle counts (the exact-Jaccard
+  // verify numerator; follows shingleCte + lshCandsCte)
+  private val jaccardCmCte = """
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       cm AS (SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-        GROUP BY 1,2)
+        GROUP BY 1,2)"""
+
+  // pairs: candidates surviving exact Jaccard ≥ 0.8 (follows jaccardCmCte)
+  private val verifiedPairsCte = """
+      pairs AS (SELECT id_a, id_b FROM cm
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE common / (za.sz + zb.sz - common) >= 0.8)"""
+
+  // edges2/nodes/reach/keepers: undirected connected components with
+  // min-id roots over a `pairs` CTE (requires WITH RECURSIVE)
+  private val componentsCte = """
+      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges2),
+      reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id),
+      keepers AS (SELECT id, min(root) AS keeper FROM reach GROUP BY 1)"""
+
+  /** The shared near-dup verification pipeline (x31's shape, reused by
+    * x44 keepers and x84's leak-safe split): multiset MinHash signatures
+    * → capped LSH candidates (cached: tiny, feeds two consumers) →
+    * candidate-only shingle sets → exact-Jaccard verify ≥ 0.8. Single
+    * engine-side source of the 16-hash / 4×4-band / 0.8 constants; the
+    * oracle-side single source is lshCandsCte + jaccardCmCte +
+    * verifiedPairsCte. Returns (id_a, id_b, common, jaccard). */
+  private def verifiedNearDupPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs = Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
+      .cache()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    // verification needs shingle SETS only for candidate docs — semi-join
+    // BEFORE the explode, so the verify joins scale with |candidates|,
+    // not the corpus
+    val shCand = Dedup.hashedShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    Dedup.jaccardVerify(cands, shCand, "doc_id")
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  // ---------------------------------------------------------------- x31
+  /** MinHash + LSH near-dup detection: 16 md5-minhashes, 4 bands × 4 rows,
+    * banded self-join for candidates, exact-Jaccard verification ≥ 0.8. */
+  val x31MinhashLsh: Q = Q(
+    (s, dir) =>
+      // signature path reads the raw shingle MULTISET: min is duplicate-
+      // insensitive, so the corpus-wide distinct shuffle is skipped
+      // entirely (inside verifiedNearDupPairs)
+      verifiedNearDupPairs(Tables.documents(s, dir))
+        .select("id_a", "id_b", "common", "jaccard")
+        .orderBy("id_a", "id_b"),
+    Some(s"""WITH $shingleCte,
+      $lshCandsCte,
+      $jaccardCmCte
       SELECT id_a, id_b, common,
         common / (za.sz + zb.sz - common) AS jaccard
       FROM cm JOIN sizes za ON za.doc_id = id_a
@@ -111,44 +143,19 @@ object ExtQueries {
     * CTE computing min reachable id. */
   val x44DedupClusters: Q = Q(
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
       // same multiset-signature + candidate-filtered-verify shape as x31
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
-      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
-        .cache()
-      val candIds = cands
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .distinct()
-      val shCand = Dedup.hashedShingles(
-        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
-      val pairs = Dedup.jaccardVerify(cands, shCand, "doc_id")
-        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val pairs = verifiedNearDupPairs(Tables.documents(s, dir))
+        .select("id_a", "id_b")
       Dedup.connectedKeepers(pairs)
         .select(col("id").as("doc_id"), col("keeper"))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shingleCte,
       $lshCandsCte,
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
-        FROM cands c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-        GROUP BY 1,2),
-      pairs AS (SELECT id_a, id_b FROM cm
-        JOIN sizes za ON za.doc_id = id_a
-        JOIN sizes zb ON zb.doc_id = id_b
-        WHERE common / (za.sz + zb.sz - common) >= 0.8),
-      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      nodes AS (SELECT DISTINCT s AS id FROM edges2),
-      reach AS (
-        SELECT id, id AS root FROM nodes
-        UNION
-        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id)
-      SELECT id AS doc_id, min(root) AS keeper
-      FROM reach GROUP BY 1 ORDER BY 1"""),
+      $jaccardCmCte,
+      $verifiedPairsCte,
+      $componentsCte
+      SELECT id AS doc_id, keeper FROM keepers ORDER BY 1"""),
     bench = true)
 
   // ---------------------------------------------------------------- x84
@@ -167,17 +174,7 @@ object ExtQueries {
   val x84LeakSafeSplit: Q = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
-      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
-        .cache()
-      val candIds = cands
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .distinct()
-      val shCand = Dedup.hashedShingles(
-        docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
-      val pairs = Dedup.jaccardVerify(cands, shCand, "doc_id")
-        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val pairs = verifiedNearDupPairs(docs).select("id_a", "id_b")
       val keepers = Dedup.connectedKeepers(pairs)
         .select(col("id").as("doc_id"), col("keeper"))
       val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 15),
@@ -194,24 +191,9 @@ object ExtQueries {
     },
     Some(s"""WITH RECURSIVE $shingleCte,
       $lshCandsCte,
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      cm AS (SELECT c.id_a, c.id_b, count(*) AS common
-        FROM cands c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-        GROUP BY 1,2),
-      pairs AS (SELECT id_a, id_b FROM cm
-        JOIN sizes za ON za.doc_id = id_a
-        JOIN sizes zb ON zb.doc_id = id_b
-        WHERE common / (za.sz + zb.sz - common) >= 0.8),
-      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      nodes AS (SELECT DISTINCT s AS id FROM edges2),
-      reach AS (
-        SELECT id, id AS root FROM nodes
-        UNION
-        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id),
-      keepers AS (SELECT id, min(root) AS keeper FROM reach GROUP BY 1),
+      $jaccardCmCte,
+      $verifiedPairsCte,
+      $componentsCte,
       g AS (SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS group_id
         FROM documents d LEFT JOIN keepers k ON k.id = d.doc_id),
       b AS (SELECT doc_id, group_id,
@@ -701,15 +683,8 @@ object ExtQueries {
         FROM dots JOIN norms na ON na.vec_id = id_a
           JOIN norms nb ON nb.vec_id = id_b
         WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4),
-      edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      nodes AS (SELECT DISTINCT s AS id FROM edges2),
-      reach AS (
-        SELECT id, id AS root FROM nodes
-        UNION
-        SELECT e.d AS id, r.root FROM reach r JOIN edges2 e ON e.s = r.id)
-      SELECT id AS vec_id, min(root) AS keeper
-      FROM reach GROUP BY 1 ORDER BY 1"""))
+      $componentsCte
+      SELECT id AS vec_id, keeper FROM keepers ORDER BY 1"""))
 
   // ---------------------------------------------------------------- x52
   /** End-to-end training-data pipeline: exact-dedup keepers (x30) →

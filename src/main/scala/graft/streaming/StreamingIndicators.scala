@@ -148,19 +148,21 @@ object StreamingIndicators {
     * SMA variant (a frame aggregate); Wilder's original smoothing is a
     * recursion, so — like EMA/MACD — its native home is this keyed
     * streaming fold. Returns the updated state and the emitted
-    * (tr, atr), or None for the seed candle (no previous close). */
-  def wilderStep(st: AtrState, high: Double, low: Double, close: Double,
-      n: Int): (AtrState, Option[(Double, Double)]) = {
+    * (tr, atr), or None for the seed candle (no previous close). Like
+    * [[step]]/[[obvStep]], it advances `lastMs` ITSELF — the monotone
+    * guard's invariant must not depend on callers remembering a copy. */
+  def wilderStep(st: AtrState, bucketMs: Long, high: Double, low: Double,
+      close: Double, n: Int): (AtrState, Option[(Double, Double)]) = {
     val (h, l, c) = (q4(high), q4(low), q4(close))
     val cd = c.doubleValue
     if (st.n == 0L)
-      (AtrState(st.lastMs, cd, 0d, 1L), None)
+      (AtrState(bucketMs, cd, 0d, 1L), None)
     else {
       val pc = q4(st.lastClose)
       val tr = Seq(h.subtract(l), h.subtract(pc).abs, l.subtract(pc).abs)
         .max.doubleValue
       val atr = if (st.n == 1L) tr else (st.atr * (n - 1) + tr) / n
-      (AtrState(st.lastMs, cd, atr, st.n + 1), Some((tr, atr)))
+      (AtrState(bucketMs, cd, atr, st.n + 1), Some((tr, atr)))
     }
   }
 
@@ -173,10 +175,10 @@ object StreamingIndicators {
         keyedMonotoneFold[OhlcIn, AtrState, AtrOut](
           AtrState(Long.MinValue, 0d, 0d, 0L), _.lastMs, _.bucketMs,
           (sym, st, c) => {
-            val (st2, row) = wilderStep(st, c.high, c.low, c.close, n)
-            (st2.copy(lastMs = c.bucketMs),
-              row.map { case (tr, atr) =>
-                AtrOut(sym, new Timestamp(c.bucketMs), tr, atr) })
+            val (st2, row) =
+              wilderStep(st, c.bucketMs, c.high, c.low, c.close, n)
+            (st2, row.map { case (tr, atr) =>
+              AtrOut(sym, new Timestamp(c.bucketMs), tr, atr) })
           }))
 
   /** On-balance volume over a finalized-candle stream — the cumulative

@@ -288,7 +288,8 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
       (100.0, 101.2, 95.0, 101.0),   // hammer: shadow 5 ≥ 2·body(1), upper 0.2 ≤ body
       (105.0, 105.5, 102.8, 103.0),  // plain bearish candle (none fire)
       (102.5, 106.0, 102.0, 105.5),  // bull engulf: wraps prior 105→103 body
-      (106.0, 106.5, 101.5, 102.0))  // bear engulf: wraps prior 102.5→105.5 body
+      (106.0, 106.5, 101.5, 102.0),  // bear engulf: wraps prior 102.5→105.5 body
+      (102.0, 102.0, 102.0, 102.0))  // single-tick: doji yes, hammer MUST NOT fire
       .zipWithIndex.map { case ((o, h, l, c), i) =>
         ("S", msTs(i * 60000L), o, h, l, c) }
       .toDF("symbol", "bucket", "open", "high", "low", "close")
@@ -302,6 +303,8 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(flags(2) == ((false, false, false, false)))
     assert(flags(3) == ((false, false, true, false)))
     assert(flags(4) == ((false, false, false, true)))
+    assert(flags(5) == ((true, false, false, false)),
+      "zero-range candle is a doji but must never fake a hammer")
   }
 
   test("indicators are symbol-local: two symbols never mix") {

@@ -92,8 +92,8 @@ class StreamingIndicatorsSpec extends AnyFunSuite with SparkTestBase {
         (AtrState(Long.MinValue, 0d, 0d, 0L), Vector.empty[(Double, Double)])) {
         case ((st, acc), (ms, h, l, c)) =>
           val (st2, row) = graft.streaming.StreamingIndicators
-            .wilderStep(st, h, l, c, 14)
-          (st2.copy(lastMs = ms), row.fold(acc)(acc :+ _))
+            .wilderStep(st, ms, h, l, c, 14)
+          (st2, row.fold(acc)(acc :+ _))
       }._2
       assert(got(sym).size == want.size)
       got(sym).zip(want).foreach { case (g, (tr, atr)) =>
