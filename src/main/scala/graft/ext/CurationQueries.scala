@@ -431,6 +431,45 @@ object CurationQueries {
         fl.dup_tokens / CAST(ps.src_tokens AS DOUBLE) AS dup_token_share
       FROM fl JOIN ps USING (source) ORDER BY source"""))
 
+  // ---------------------------------------------------------------- x85
+  /** Oracle-checked IVF ANN ([[Similarity.ivfDeterministicTopK]]): the
+    * x42 search shape (centroids → cell ranking → probe top-nProbe →
+    * in-cell brute force) with a deterministic label quantizer and
+    * exact-decimal centroids, so the whole sublinear path hash-matches
+    * DuckDB — closing the gap x42's trained-KMeans state forces to a
+    * rows-only check. Query = vec 0 (the x35/x79 convention). */
+  val x85AnnIvfDet: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfDeterministicTopK(embs.filter(col("vec_id") =!= 0),
+        embs.filter(col("vec_id") === 0), "vec_id", "label",
+        nProbe = 2, k = 10)
+    },
+    Some("""WITH ex AS (SELECT label, vec_id,
+          CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0),
+      cent AS (SELECT label, i,
+          CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*)
+            AS c
+        FROM ex GROUP BY 1, 2),
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      cj AS (SELECT label, sum(c * qx) AS dp, sqrt(sum(c * c)) AS cn
+        FROM cent JOIN qx USING (i) GROUP BY 1),
+      probe AS (SELECT label FROM cj, qn
+        ORDER BY round(dp / (cn * qn.n), 6) DESC, label LIMIT 2),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        FROM ex JOIN probe USING (label) GROUP BY 1),
+      dots AS (SELECT ex.vec_id, ex.label, sum(ex.x * q.qx) AS dp
+        FROM ex JOIN probe USING (label) JOIN qx q ON q.i = ex.i
+        GROUP BY 1, 2)
+      SELECT d.vec_id, d.label, round(d.dp / (nm.nrm * qn.n), 6) AS cos
+      FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+      ORDER BY cos DESC, d.vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- x81
   /** Temperature-based mixture weights (the multilingual-sampling rule of
     * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
@@ -522,6 +561,7 @@ object CurationQueries {
       FROM r WHERE pr <= 0.25 ORDER BY doc_id"""))
 
   val all: Map[String, Q] = Map(
+    "x85_ann_ivf_det" -> x85AnnIvfDet,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,
     "x81_temperature_mix" -> x81TemperatureMix,

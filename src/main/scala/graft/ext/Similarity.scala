@@ -169,6 +169,46 @@ object Similarity {
         col("is_keeper"), col("action"))
   }
 
+  /** IVF top-k with a DETERMINISTIC coarse quantizer: cells are an
+    * existing partition column (here a label), centroids are
+    * exact-decimal element means (the x73 centroid convention — the
+    * corpus-wide sums are order-independent). Unlike the trained-KMeans
+    * IVF ([[ivfTopK]], whose model state makes it rows-only at the
+    * correctness gate), every step here is oracle-expressible, so the
+    * ENTIRE sublinear search path — centroid build, cell ranking, probe
+    * pruning, in-cell top-k — is hash-checked cross-engine.
+    *
+    * Shape at scale: the centroid frame is (cells × dim) — broadcast;
+    * cell ranking touches only that frame; the probe join prunes the
+    * corpus scan to `nProbe` cells BEFORE any per-vector distance math;
+    * the in-cell search is [[bruteForceTopK]]'s shuffle-free scan +
+    * TakeOrdered. */
+  def ivfDeterministicTopK(embs: DataFrame, query: DataFrame, idCol: String,
+      labelCol: String, embCol: String = "embedding", nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(query.select(col(embCol).as("q_emb")))
+    val ex = embs.select(col(labelCol),
+      posexplode(d(col(embCol))).as(Seq("i", "x")))
+    val cent = ex.groupBy(col(labelCol), col("i"))
+      .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col(labelCol)).agg(
+        transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cent"))
+    val probed = cent.crossJoin(q)
+      .withColumn("cell_cos", round(
+        dotHof(col("cent"), col("q_emb")) /
+          (sqrt(dotHof(col("cent"), col("cent"))) * norm(col("q_emb"))), 6))
+      .orderBy(col("cell_cos").desc, col(labelCol)).limit(nProbe)
+      .select(col(labelCol))
+    embs.join(broadcast(probed), labelCol)
+      .crossJoin(q)
+      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), col(labelCol), col("cos"))
+      .limit(k)
+  }
+
   /** All-pairs cosine within a blocking column (IVF-style: the block is the
     * coarse cell; here the `labelCol`). Join is equi on the block — never a
     * full cartesian.

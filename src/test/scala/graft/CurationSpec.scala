@@ -305,6 +305,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(res.passed, s"planted-passage recovery: $res")
   }
 
+
+  test("x85 deterministic IVF: in-cell search is exact, probe recall holds") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.engine.Tables.embeddings(spark, dir)
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val q = embs.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfDeterministicTopK(corpus, q, "vec_id", "label",
+      nProbe = 2, k = 10).collect()
+    assert(ivf.length == 10)
+    // within the probed cells the search is EXACT: restricting brute
+    // force to those labels must reproduce the IVF result identically
+    val probedLabels = ivf.map(_.getAs[Int]("label")).toSet
+    val inCell = Similarity.bruteForceTopK(
+      corpus.filter(col("label").isin(probedLabels.toSeq: _*)), q,
+      "vec_id", k = 10).collect()
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSeq ==
+      inCell.map(_.getAs[Long]("vec_id")).toSeq)
+    // against the GLOBAL exact top-10 the 2-of-10-cell probe keeps
+    // useful recall (printed for the record; bound generous)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = ivf.map(_.getAs[Long]("vec_id")).count(exact.contains) / 10.0
+    info(s"x85 recall@10 vs exact: $recall")
+    assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
   test("gopher rules: each gate isolates its own failure mode") {
     val good = ("good", (Seq.tabulate(40)(i => s"word$i") ++
       Seq("the", "of", "the", "of")).mkString(" "))
