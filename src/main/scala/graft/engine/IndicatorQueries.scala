@@ -462,7 +462,49 @@ object IndicatorQueries {
           AND close <= po AND open >= pc AS bear_engulf
       FROM p ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q60
+  /** Keltner channels — [[Indicators.keltner]]: SMA(20) midline ±
+    * 1.5 × ATR(14) over hourly OHLC. Raw IEEE outputs (the q58
+    * half-boundary lesson applies to BOTH the ÷n and the ×1.5 steps). */
+  val q60Keltner: Q = Q(
+    (s, dir) =>
+      Indicators.keltner(hourlyCloses(s, dir), "user_id", n = 20, m = 14,
+          k = 1.5)
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("close"), col("mid"), col("upper"), col("lower"))
+        .orderBy("user_id", "bucket_ms"),
+    Some("""WITH o AS (SELECT user_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket,
+          CAST(round(max(value), 4) AS DECIMAL(18,4)) AS high,
+          CAST(round(min(value), 4) AS DECIMAL(18,4)) AS low,
+          CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+        FROM events GROUP BY 1, 2),
+      d AS (SELECT user_id, bucket, high, low, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS pc
+        FROM o),
+      t AS (SELECT user_id, bucket, close,
+          CAST(greatest(high - low, abs(high - pc), abs(low - pc))
+            AS DECIMAL(19,4)) AS tr
+        FROM d WHERE pc IS NOT NULL),
+      w AS (SELECT user_id, bucket, close,
+          row_number() OVER wo AS rn,
+          sum(close) OVER w20 AS sc,
+          sum(tr) OVER w14 AS st
+        FROM t
+        WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+          w20 AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+          w14 AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_ms(bucket) AS bucket_ms,
+        CAST(close AS DOUBLE) AS close,
+        CAST(sc AS DOUBLE) / 20 AS mid,
+        CAST(sc AS DOUBLE) / 20 + CAST(st AS DOUBLE) / 14 * 1.5 AS upper,
+        CAST(sc AS DOUBLE) / 20 - CAST(st AS DOUBLE) / 14 * 1.5 AS lower
+      FROM w WHERE rn >= 20 ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
+    "q60_keltner" -> q60Keltner,
     "q59_patterns" -> q59Patterns,
     "q57_obv" -> q57Obv,
     "q58_stochastic" -> q58Stochastic,

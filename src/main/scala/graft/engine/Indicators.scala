@@ -350,6 +350,46 @@ object Indicators {
       .select(col(symbolCol), col(bucketCol), col("pct_k"), col("pct_d"))
   }
 
+  /** Keltner channels: SMA midline ± k × ATR — the volatility envelope
+    * that composes the [[atr]] true-range machinery with a [[bollinger]]-
+    * style band. SMA variant throughout (the EMA original is recursive —
+    * the streaming layer's territory, like Wilder ATR). Both window sums
+    * are exact decimal; mid/upper/lower emit as RAW IEEE expressions
+    * (the q58 lesson: the ÷n and ×k steps produce repeating decimals
+    * whose round(·,6) halves diverge cross-engine; the unrounded doubles
+    * are bit-identical). All rows align on the TR frame (first candle
+    * drops — no previous close), so mid is the SMA over TR-bearing rows;
+    * emit once BOTH windows are full. One window pass per symbol. */
+  def keltner(candles: DataFrame, symbolCol: String, n: Int = 20,
+      m: Int = 14, k: Double = 1.5, bucketCol: String = "bucket"): DataFrame = {
+    val order = Window.partitionBy(symbolCol).orderBy(bucketCol)
+    val nWin = order.rowsBetween(-(n - 1), 0)
+    val mWin = order.rowsBetween(-(m - 1), 0)
+    val withTr = candles
+      .withColumn("_h", dec4(col("high")))
+      .withColumn("_l", dec4(col("low")))
+      .withColumn("_c", dec4(col("close")))
+      .withColumn("_pc", lag(col("_c"), 1).over(order))
+      .filter(col("_pc").isNotNull)
+      .withColumn("_tr", greatest(
+        col("_h") - col("_l"),
+        abs(col("_h") - col("_pc")),
+        abs(col("_l") - col("_pc"))).cast("decimal(19,4)"))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_sc", sum(col("_c")).over(nWin))
+      .withColumn("_st", sum(col("_tr")).over(mWin))
+      .filter(col("_rn") >= math.max(n, m))
+    val mid = col("_sc").cast("double") / n
+    val band = col("_st").cast("double") / m * k
+    withTr
+      .withColumn("mid", mid)
+      .withColumn("upper", mid + band)
+      .withColumn("lower", mid - band)
+      .select(col(symbolCol), col(bucketCol),
+        col("_c").cast("double").as("close"),
+        col("mid"), col("upper"), col("lower"))
+  }
+
   /** Candlestick pattern flags — doji, hammer, bullish/bearish engulfing
     * — the discrete signals charting users read off the candles the
     * reference plots. Every comparison is between exact 4-decimal

@@ -307,6 +307,30 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
       "zero-range candle is a doji but must never fake a hammer")
   }
 
+  test("keltner: flat series collapses the channel onto the close") {
+    val out = Indicators.keltner(
+      ohlc(Seq.fill(30)((42.0, 42.0, 42.0))), "symbol", n = 20, m = 14)
+      .collect()
+    assert(out.length == 30 - 1 - 19)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mid") == 42.0)
+      assert(r.getAs[Double]("upper") == 42.0)
+      assert(r.getAs[Double]("lower") == 42.0)
+    }
+  }
+
+  test("keltner: constant range widens the band by exactly k·ATR") {
+    // h=c+2, l=c−1, flat close: TR = 3 ⇒ band = 1.5·3 = 4.5 around mid=100
+    val out = Indicators.keltner(
+      ohlc(Seq.fill(30)((102.0, 99.0, 100.0))), "symbol", n = 20, m = 14,
+      k = 1.5).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("mid") == 100.0)
+      assert(r.getAs[Double]("upper") == 104.5)
+      assert(r.getAs[Double]("lower") == 95.5)
+    }
+  }
+
   test("indicators are symbol-local: two symbols never mix") {
     val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
       Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))
