@@ -62,7 +62,7 @@ object IndicatorQueries {
       rr AS (SELECT user_id,
           CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
             AS DECIMAL(20,8)) AS ret
-        FROM r WHERE prev IS NOT NULL AND prev > 0),
+        FROM r WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
       x AS (SELECT user_id, ret,
           CAST(round(CAST(ret AS DOUBLE) * CAST(ret AS DOUBLE), 12)
             AS DECIMAL(24,12)) AS x2
@@ -170,7 +170,7 @@ object IndicatorQueries {
       r AS (SELECT user_id, bucket,
           CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
             AS DECIMAL(20,8)) AS ret
-        FROM r0 WHERE prev IS NOT NULL AND prev > 0),
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
       j AS (SELECT a.user_id AS sym_a, b.user_id AS sym_b,
           a.ret AS x, b.ret AS y
         FROM r a JOIN r b ON b.bucket = a.bucket AND a.user_id < b.user_id),
@@ -250,7 +250,7 @@ object IndicatorQueries {
       r AS (SELECT user_id, bucket,
           CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
             AS DECIMAL(20,8)) AS ret
-        FROM r0 WHERE prev IS NOT NULL AND prev > 0),
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
       mkt AS (SELECT bucket,
           CAST(round(CAST(sum(ret) AS DOUBLE) / count(*), 8)
             AS DECIMAL(20,8)) AS mret

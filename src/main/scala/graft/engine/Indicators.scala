@@ -48,14 +48,19 @@ object Indicators {
 
   /** Per-symbol close-to-close log returns, quantized to 8 decimals
     * (absorbs the ulp-level `ln` difference between engines). Adds `ret`
-    * (DECIMAL(20,8)); the first bucket of each symbol drops. */
+    * (DECIMAL(20,8)); the first bucket of each symbol drops — and so
+    * does any bucket whose own close quantizes to ≤ 0 (a zero price has
+    * no log-return; without the `_c > 0` guard Spark silently nulls
+    * `ln(0)` while a SQL oracle hard-errors — found by the sf0.1 sweep,
+    * where one tick rounds to 0.0000). The lag is computed BEFORE the
+    * filter, so a dropped bucket also never serves as `prev`. */
   def logReturns(candles: DataFrame, symbolCol: String,
       bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
     val w = Window.partitionBy(symbolCol).orderBy(bucketCol)
     candles
       .withColumn("_c", dec4(col(closeCol)))
       .withColumn("_prev", lag(col("_c"), 1).over(w))
-      .filter(col("_prev").isNotNull && col("_prev") > 0)
+      .filter(col("_prev").isNotNull && col("_prev") > 0 && col("_c") > 0)
       .withColumn("ret",
         round(log(col("_c").cast("double") / col("_prev").cast("double")), 8)
           .cast("decimal(20,8)"))
