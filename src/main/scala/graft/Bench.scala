@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * `count()`), after a warm-up pass at sf0.001 that JITs the common
   * codepaths out of the measurement.
   *
-  * Methodology (round 4):
-  *  - each query is measured `SPARK_GRAFT_REPS` times (default 3) and the
+  * Methodology (round 4, hardened round 5):
+  *  - each query is measured `SPARK_GRAFT_REPS` times (default 5) and the
   *    MEDIAN is reported (true median: mean of the middle two when the rep
   *    count is even), with min/max recorded in `"spread"`;
   *  - reps are interleaved ROUND-ROBIN (q1 rep1, q2 rep1, …, q1 rep2, …)
@@ -27,12 +27,18 @@ import org.apache.spark.sql.SparkSession
   *  - a query whose reps CUMULATIVELY exceed 2× `SPARK_GRAFT_REP_BUDGET_SEC`
   *    (default 30) is not measured again — under heavy host contention the
   *    bench must stay bounded rather than keep re-running a pathological
-  *    measurement. The budget is cumulative rather than per-rep so that a
-  *    single contention spike (rep 1 = 35s on a 3s query) does not become
-  *    the query's only — and therefore median — data point: the spiked
-  *    query gets one more rep (median-of-2 averages the spike away), while
-  *    a genuinely slow query still stops after two reps (bounded at ~4×
+  *    measurement. The budget never stops a query before its SECOND rep:
+  *    in the r4 driver run a single contention spike (q50 rep 1 = 97.2s vs
+  *    1.6s local) blew the cumulative budget on rep 1 and became the
+  *    query's only — and therefore median — data point. With the two-rep
+  *    floor the spiked query gets one clean rep to average against
+  *    (median-of-2 halves the spike; more reps usually bury it), while a
+  *    genuinely slow query still stops after two reps (bounded at ~4×
   *    budget worst-case);
+  *  - ALL sections — headline and `extra` — run under this same loop and
+  *    report median + min/max spread + first error, so a contention window
+  *    is visible as spread in the artifact instead of masquerading as a
+  *    regression;
   *  - the sf dir's files are faulted into the OS page cache once before
   *    measuring (tens of MB), so the first measured query doesn't pay
   *    cold-read latency the later ones don't.
@@ -42,7 +48,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val repBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_REP_BUDGET_SEC", "30").toDouble
     val spark = SparkSession.builder()
@@ -84,7 +90,10 @@ object Bench {
     /** Round-robin reps over `names`; per query: median/min/max/error.
       * A query that crashes on ANY rep reports -1 and its first error (a
       * crashing query must not masquerade as a fast one); a query whose
-      * reps cumulatively exceed 2× the rep budget gets no further reps. */
+      * reps cumulatively exceed 2× the rep budget gets no further reps —
+      * but never fewer than two reps total, so a single contention spike
+      * cannot be a query's only data point (r4: q50 97.2s driver vs 1.6s
+      * local, single-rep median). */
     def roundRobin(names: Seq[String])
         : Seq[(String, (Double, Double, Double, Option[String]))] = {
       val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -94,7 +103,8 @@ object Bench {
         measureOnce(n) match {
           case Right(sec) =>
             times(n) = times.getOrElse(n, Vector.empty) :+ sec
-            if (times(n).sum > 2 * repBudgetSec) stopped += n
+            if (times(n).length >= 2 && times(n).sum > 2 * repBudgetSec)
+              stopped += n
           case Left(e) => errs(n) = e
         }
       names.map { n =>
@@ -120,34 +130,46 @@ object Bench {
     }
     val results = roundRobin(names)
 
-    val qs = results.map { case (k, (med, _, _, e)) =>
-        "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
-      .mkString("{", ",", "}")
-    val spread = results.collect { case (k, (_, lo, hi, None)) =>
-        "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
-      .mkString("{", ",", "}")
-    val errsJson = results.collect { case (k, (_, _, _, Some(e))) =>
-        // strip everything JSON strings can't carry raw (quotes,
-        // backslashes, ALL control chars), not just newlines
-        "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
-      .mkString("{", ",", "}")
+    def mediansJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
+      rs.map { case (k, (med, _, _, e)) =>
+          "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
+        .mkString("{", ",", "}")
+    def spreadJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
+      rs.collect { case (k, (_, lo, hi, None)) =>
+          "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
+        .mkString("{", ",", "}")
+    def errorsJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
+      rs.collect { case (k, (_, _, _, Some(e))) =>
+          // strip everything JSON strings can't carry raw (quotes,
+          // backslashes, ALL control chars), not just newlines
+          "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
+        .mkString("{", ",", "}")
+
+    val qs = mediansJson(results)
+    val spread = spreadJson(results)
+    val errsJson = errorsJson(results)
     val total = results.collect { case (_, (med, _, _, None)) => med }.sum
 
     // round-2+ operators, timed OUTSIDE the headline so "value"/"queries"
-    // stay comparable to the recorded baseline across rounds
+    // stay comparable to the recorded baseline across rounds — but under
+    // the SAME round-robin/median/budget loop, with spread + errors in the
+    // artifact (r4 lesson: a single-rep extra reading is indistinguishable
+    // from a regression in a perf audit)
     val extraNames = Seq("q40_range_join", "q41_incremental_resample",
       "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
       "x67_delta_dedup", "q50_bollinger", "x71_bm25", "x72_dsir",
-      "x73_semantic_dedup", "x80_dup_spans", "q56_atr")
+      "x73_semantic_dedup", "x80_dup_spans", "q56_atr",
+      "q62_correlation_full")
       .filter(SparkEntry.queries.contains)
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
-    val extra = roundRobin(extraNames).map { case (name, (med, _, _, e)) =>
-      "\"" + name + "\":" + (if (e.isDefined) "-1" else med.toString)
-    }.mkString("{", ",", "}")
+    val extraResults = roundRobin(extraNames)
+    val extra = mediansJson(extraResults)
+    val extraSpread = spreadJson(extraResults)
+    val extraErrs = errorsJson(extraResults)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"errors":$errsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"extra_spread":$extraSpread,"extra_errors":$extraErrs,"errors":$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -196,6 +196,60 @@ object IndicatorQueries {
         END AS corr
       FROM s ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q62
+  /** q52's correlation matrix over the UNBOUNDED symbol universe —
+    * [[Indicators.correlationMatrixBlocked]]: the grid-blocked self-join
+    * spreads each bucket's s_b² pair fan-out over nBlocks² shuffle cells
+    * instead of one bucket key, so the full S-symbol matrix is tractable
+    * without the top-100 gate (which q52 keeps — bounding the universe
+    * remains the production practice; this is the escape hatch when the
+    * portfolio IS the whole exchange). Bit-identical to the plain form
+    * (exact-decimal moment sums; IndicatorsSpec asserts equality), and
+    * the oracle is q52's SQL with the top-100 CTE removed. */
+  val q62CorrelationFull: Q = Q(
+    (s, dir) => {
+      val daily = Ohlcv.resampleTicks(Tables.events(s, dir), "1d",
+        symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      Indicators.correlationMatrixBlocked(daily, "user_id", minObs = 10,
+          nBlocks = 8)
+        .orderBy("sym_a", "sym_b")
+    },
+    Some("""WITH c AS (SELECT user_id,
+        time_bucket(INTERVAL '1 day', ts) AS bucket,
+        CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+      FROM events GROUP BY 1, 2),
+      r0 AS (SELECT user_id, bucket, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM c),
+      r AS (SELECT user_id, bucket,
+          CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
+            AS DECIMAL(20,8)) AS ret
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
+      j AS (SELECT a.user_id AS sym_a, b.user_id AS sym_b,
+          a.ret AS x, b.ret AS y
+        FROM r a JOIN r b ON b.bucket = a.bucket AND a.user_id < b.user_id),
+      p AS (SELECT sym_a, sym_b, x, y,
+          CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS xy,
+          CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS x2,
+          CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS y2
+        FROM j),
+      s AS (SELECT sym_a, sym_b, count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy,
+          sum(x2) AS sx2, sum(y2) AS sy2
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 10)
+      SELECT sym_a, sym_b, n,
+        CASE WHEN n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+              OR n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+          THEN NULL
+          ELSE round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        END AS corr
+      FROM s ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------- q53
   /** Maximum drawdown per symbol — [[Indicators.maxDrawdown]]: cumulative
     * exact-decimal peak, deterministic earliest-trough tie-break. */
@@ -516,5 +570,6 @@ object IndicatorQueries {
     "q50_bollinger" -> q50Bollinger,
     "q51_rsi" -> q51Rsi,
     "q52_correlation" -> q52Correlation,
+    "q62_correlation_full" -> q62CorrelationFull,
     "q53_drawdown" -> q53Drawdown)
 }

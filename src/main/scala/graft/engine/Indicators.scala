@@ -27,18 +27,30 @@ object Indicators {
     * currency of every rolling sum below. */
   private def dec4(c: Column): Column = round(c, 4).cast("decimal(18,4)")
 
+  /** A qty that survives the exact-decimal product below. DECIMAL(9,0)
+    * keeps the product inside exact decimal in BOTH engines (a raw BIGINT
+    * multiplicand would push DuckDB's result type past width 38 and
+    * silently degrade it to DOUBLE) — but in non-ANSI Spark a qty ≥ 1e9
+    * would cast to NULL and silently VANISH from the pq numerator while
+    * still counting in qty/n_trades, skewing the VWAP with no error. The
+    * guard turns that silent corruption into a loud failure. */
+  private[graft] def qtyDec9(q: Column): Column =
+    when(abs(q) < lit(1000000000L), q.cast("decimal(9,0)"))
+      .otherwise(raise_error(concat(
+        lit("vwap: qty magnitude >= 1e9 overflows exact decimal(9,0) "
+          + "accumulation; pre-aggregate or rescale qty first (got "),
+        q.cast("string"), lit(")"))).cast("decimal(9,0)"))
+
   /** Volume-weighted average price per (symbol, bucket): Σ(p·q)/Σq with
     * the numerator accumulated in exact decimal. One partial-aggregated
-    * hash agg — the same shape (and cost) as the plain resample. */
+    * hash agg — the same shape (and cost) as the plain resample.
+    * Trades with qty ≥ 1e9 fail loudly (see [[qtyDec9]]). */
   def vwap(ticks: DataFrame, timeframe: String, symbolCol: String,
       tsCol: String, priceCol: String, qtyCol: String): DataFrame =
     ticks
       .groupBy(col(symbolCol), Ohlcv.bucket(col(tsCol), timeframe).as("bucket"))
       .agg(
-        // qty as DECIMAL(9,0): keeps the product inside exact decimal in
-        // BOTH engines (a raw BIGINT multiplicand would push DuckDB's
-        // result type past width 38 and silently degrade it to DOUBLE)
-        sum(dec4(col(priceCol)) * col(qtyCol).cast("decimal(9,0)")).as("pq"),
+        sum(dec4(col(priceCol)) * qtyDec9(col(qtyCol))).as("pq"),
         sum(col(qtyCol)).as("qty"),
         count(lit(1)).as("n_trades"))
       .withColumn("vwap",
@@ -52,8 +64,10 @@ object Indicators {
     * does any bucket whose own close quantizes to ≤ 0 (a zero price has
     * no log-return; without the `_c > 0` guard Spark silently nulls
     * `ln(0)` while a SQL oracle hard-errors — found by the sf0.1 sweep,
-    * where one tick rounds to 0.0000). The lag is computed BEFORE the
-    * filter, so a dropped bucket also never serves as `prev`. */
+    * where one tick rounds to 0.0000). A zero-quantized bucket does
+    * appear as `_prev` for its successor row — it is the `_prev > 0`
+    * guard that then drops that successor, so no return is ever computed
+    * against a zero-quantized close. */
   def logReturns(candles: DataFrame, symbolCol: String,
       bucketCol: String = "bucket", closeCol: String = "close"): DataFrame = {
     val w = Window.partitionBy(symbolCol).orderBy(bucketCol)
@@ -197,9 +211,58 @@ object Indicators {
       col("ret").as("x"))
     val b = r.select(col(symbolCol).as("sym_b"), col(bucketCol).as("bucket"),
       col("ret").as("y"))
+    val aligned = a.join(b, "bucket").filter(col("sym_a") < col("sym_b"))
+    pearsonFromAligned(aligned, minObs)
+  }
+
+  /** [[correlationMatrix]] for an UNBOUNDED symbol universe — the grid-
+    * blocked form of the same bucket-aligned self-join. The plain join's
+    * key is the bucket alone: with S symbols per bucket each bucket key
+    * carries an s_b × s_b fan-out through ONE shuffle key, so a daily
+    * matrix over years has only a few hundred distinct keys — a handful
+    * of giant tasks no matter how many executors exist ([[Skew]]'s
+    * problem, solved the same way). Here each side is replicated across
+    * `nBlocks` deterministic (md5) symbol blocks and the join key becomes
+    * (bucket, blk_a, blk_b): every symbol pair still meets EXACTLY once —
+    * in the one cell (its a-block, its b-block) — but the work spreads
+    * over buckets × nBlocks² keys, each cell (s_b/n)² pairs. Total pair
+    * count is unchanged (S² pairs IS the matrix); what changes is that no
+    * single task owns a whole bucket. Replication multiplies shuffle
+    * input by nBlocks — size it ~√(desired tasks per bucket).
+    *
+    * The moment sums are the same exact-decimal terms in both forms, so
+    * blocked and plain results are BIT-IDENTICAL (IndicatorsSpec asserts
+    * equality; q62 hash-checks this path against the SQL oracle). */
+  def correlationMatrixBlocked(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close",
+      minObs: Int = 10, nBlocks: Int = 16): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be positive")
+    val r = logReturns(candles, symbolCol, bucketCol, closeCol)
+      .select(col(symbolCol), col(bucketCol), col("ret"))
+      // md5-deterministic block id (repo convention — stable across
+      // engines/versions, unlike murmur3)
+      .withColumn("_blk",
+        pmod(conv(substring(md5(col(symbolCol).cast("string")), 1, 15),
+          16, 10).cast("long"), lit(nBlocks)).cast("int"))
+    val cells = explode(sequence(lit(0), lit(nBlocks - 1)))
+    val a = r.select(col(symbolCol).as("sym_a"), col(bucketCol).as("bucket"),
+      col("ret").as("x"), col("_blk").as("blk_a"))
+      .withColumn("blk_b", cells)
+    val b = r.select(col(symbolCol).as("sym_b"), col(bucketCol).as("bucket"),
+      col("ret").as("y"), col("_blk").as("blk_b"))
+      .withColumn("blk_a", cells)
+    val aligned = a.join(b, Seq("bucket", "blk_a", "blk_b"))
+      .filter(col("sym_a") < col("sym_b"))
+    pearsonFromAligned(aligned, minObs)
+  }
+
+  /** Shared moment-sum assembly: `aligned` rows are (sym_a, sym_b, x, y)
+    * per common bucket; all five sums exact decimal, correlation in one
+    * fixed double expression, zero-variance pairs → NULL. */
+  private def pearsonFromAligned(aligned: DataFrame, minObs: Int): DataFrame = {
     def prod(p: Column, q: Column): Column =
       round(p.cast("double") * q.cast("double"), 12).cast("decimal(26,12)")
-    val sums = a.join(b, "bucket").filter(col("sym_a") < col("sym_b"))
+    val sums = aligned
       .withColumn("xy", prod(col("x"), col("y")))
       .withColumn("x2", prod(col("x"), col("x")))
       .withColumn("y2", prod(col("y"), col("y")))

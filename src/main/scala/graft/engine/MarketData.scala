@@ -51,9 +51,14 @@ class MarketData(spark: SparkSession, basePath: String,
 
   private def factExists: Boolean = pathExists(factPath)
 
-  /** Full fact table (empty frame with canonical schema when absent). */
+  /** Full fact table (empty frame with canonical schema when absent).
+    * The schema is supplied explicitly: deleting the last stored series
+    * leaves a valid-but-empty table directory, which schema INFERENCE
+    * rejects (UNABLE_TO_INFER_SCHEMA) — and skipping inference also
+    * avoids the footer read on every open. */
   def facts(): DataFrame =
-    if (factExists) spark.read.parquet(factPath)
+    if (factExists) spark.read.schema(graft.sources.KlineSource.schema)
+      .parquet(factPath)
       .select("ts", "symbol", "timeframe", "open", "high", "low", "close", "volume")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -84,7 +89,18 @@ class MarketData(spark: SparkSession, basePath: String,
   def checkDataExists(symbol: String, timeframe: String, fromMs: Long,
       toMs: Long, nowMs: Long): (Boolean, Boolean) = {
     if (!pathExists(metaPath)) return (false, false)
-    val meta = spark.read.parquet(metaPath)
+    // explicit schema for the same reason as facts(): an emptied store's
+    // metadata table has no files to infer from
+    val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("symbol",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("timeframe",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("start_ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("end_ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val meta = spark.read.schema(metaSchema).parquet(metaPath)
       .filter(col("symbol") === symbol && col("timeframe") === timeframe)
       .select(col("symbol"), col("timeframe"),
         unix_millis(col("start_ts")).as("cov_start_ms"),
@@ -120,7 +136,8 @@ class MarketData(spark: SparkSession, basePath: String,
     * refetches the ENTIRE requested range (colab_interface.py:343-372 →
     * api_connector fetch of [start, end]). Here the missing buckets are
     * computed distributed ([[Coverage.gaps]] anti-join against the stored
-    * series), coalesced into contiguous runs (gaps-and-islands window),
+    * series), coalesced into contiguous runs (gaps-and-islands via
+    * boundary anti-joins — no global-sort window, no single task),
     * and ONLY those runs are fetched and upserted — a 10-year backfill
     * that is 99% cached fetches 1%. The run list is driver-collected by
     * necessity (each run becomes one source fetch, exactly like the
@@ -144,20 +161,29 @@ class MarketData(spark: SparkSession, basePath: String,
           unix_millis(col("ts")).between(first, toMs - 1))
         .select(unix_millis(col("ts")).as("bucket_ms"))
       val missing = Coverage.gaps(requested, covered, "bucket_ms")
-      // gaps-and-islands: consecutive buckets share (bucket - rank·dur).
-      // The unpartitioned window is bounded by ONE REQUEST's bucket count
-      // (a decade of minutes ≈ 5M longs on a single task), never by the
-      // stored table — acceptable for a driver-facing load call.
-      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_ms")
-      val runs = missing
-        .withColumn("_run", col("bucket_ms") - row_number().over(w) * dur)
-        .groupBy("_run")
-        .agg(min(col("bucket_ms")).as("run_start"),
-          max(col("bucket_ms")).as("run_end"))
-        .select("run_start", "run_end")
+      // gaps-and-islands WITHOUT a global-sort window (the r4 review
+      // flagged the old `Window.orderBy` single-task sort): a missing
+      // bucket STARTS a run iff its predecessor bucket is not missing,
+      // and ENDS one iff its successor is not — two hash anti-joins,
+      // fully distributed, no total ordering anywhere on the cluster.
+      // Boundary buckets sorted ascending pair 1:1 (k-th start with k-th
+      // end), so only the run boundaries — not the buckets — reach the
+      // driver, and those were always collected (each run = one fetch).
+      def shifted(by: Long) =
+        missing.select((col("bucket_ms") + lit(by)).as("bucket_ms"))
+      val boundaries = missing
+        .join(shifted(dur), Seq("bucket_ms"), "left_anti")
+        .select(col("bucket_ms"), lit(true).as("is_start"))
+        .unionByName(missing
+          .join(shifted(-dur), Seq("bucket_ms"), "left_anti")
+          .select(col("bucket_ms"), lit(false).as("is_start")))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1) + dur)) // end exclusive
-        .sortBy(_._1)
+      val runStarts =
+        boundaries.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
+      val runEnds =
+        boundaries.filterNot(_.getBoolean(1)).map(_.getLong(0)).sorted
+      val runs = runStarts.zip(runEnds)
+        .map { case (a, b) => (a, b + dur) } // end exclusive
       val spans =
         if (runs.length > maxRuns) Array((runs.head._1, runs.last._2))
         else runs
@@ -234,4 +260,22 @@ class MarketData(spark: SparkSession, basePath: String,
     Store.storedInfo(Store.deriveMeta(f),
       f.groupBy("symbol", "timeframe").agg(count(lit(1)).as("n")))
   }
+}
+
+object MarketData {
+  /** Facade wired to a REAL REST endpoint (the reference's live mode,
+    * api_connector.py:208-314) via [[graft.sources.HttpKlineTransport]] —
+    * same DSv2 source, same pagination/cursor/backoff machinery, only the
+    * transport differs. Never the default: the sandbox has zero egress,
+    * and KlineSourceSpec drives this path against a local stub server.
+    * `endpoint` is e.g. `"https://api.binance.com"`. */
+  def overHttp(spark: SparkSession, basePath: String,
+      endpoint: String): MarketData =
+    new MarketData(spark, basePath,
+      (symbol, timeframe, fromMs, toMs) =>
+        spark.read.format("graft.sources.KlineSource")
+          .option("symbols", symbol).option("timeframe", timeframe)
+          .option("startMs", fromMs.toString).option("endMs", toMs.toString)
+          .option("endpoint", endpoint)
+          .load())
 }

@@ -56,10 +56,25 @@ object Store {
       .parquet(path)
 
   /** Partition-scoped upsert — the 100 TB form of S7: merge `incoming`
-    * only with the (symbol, timeframe) partitions it touches, then rewrite
-    * JUST those partitions via dynamic partition overwrite. Untouched
-    * partitions are never read or written, so cost scales with the batch,
-    * not the table. */
+    * only with the (symbol, timeframe) partitions it touches, then swap
+    * JUST those partitions in. Untouched partitions are never read or
+    * written, so cost scales with the batch, not the table.
+    *
+    * Crash consistency (compact's two-rename discipline, per partition):
+    * the merged data lands in a sibling `__upserting` directory first —
+    * the live table is not touched until every byte is written — then
+    * each touched partition directory swaps in via two renames
+    * (live → `__old` backup tree, tmp → live). Dynamic partition
+    * overwrite, used before round 5, deletes the matched partition at
+    * job-commit time before the staged files move in — a crash in that
+    * window loses the partition. Here every individual partition is
+    * atomically old or new at all times, a mid-sequence crash leaves
+    * already-swapped partitions new and the rest old (each internally
+    * consistent, old bytes recoverable from the backup tree), and a
+    * rename failure rolls the already-swapped partitions back before
+    * surfacing. The touched-partition list is driver-collected — bounded
+    * by the batch's distinct series, the same cardinality the broadcast
+    * semi-join already assumes small. */
   def upsertSave(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String] = pk): Unit = {
     val touched = incoming.select("symbol", "timeframe").distinct()
@@ -67,20 +82,86 @@ object Store {
       .join(broadcast(touched), Seq("symbol", "timeframe"), "left_semi")
       .select(incoming.columns.map(col).toIndexedSeq: _*)
     val merged = upsert(existing, incoming, keys)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      merged.repartition(col("symbol"), col("timeframe"))
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .partitionBy("symbol", "timeframe")
-        .parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val tmp = path + "__upserting"
+    // materializes `merged` (which READS the live table) before any
+    // mutation of the live table — the read/overwrite hazard compact
+    // also avoids
+    merged.repartition(col("symbol"), col("timeframe"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .partitionBy("symbol", "timeframe")
+      .parquet(tmp)
+    val parts = touched.collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[String]("timeframe")))
+      .sortBy(identity)
+    swapPartitions(spark, path, tmp, parts)
+  }
+
+  /** Swap `parts` partition directories from `tmp` into the live table at
+    * `path`, backing up each displaced live directory under
+    * `path + "__old"`; rolls back completed swaps and throws on any
+    * failed rename. `failAfter` injects a rename failure after N
+    * successful swaps — test-only, exercised by StoreSpec's
+    * crash-consistency case. */
+  private[graft] def swapPartitions(spark: SparkSession, path: String,
+      tmp: String, parts: Seq[(String, String)],
+      failAfter: Int = Int.MaxValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path)
+    val fs = live.getFileSystem(conf)
+    val bakRoot = new Path(path + "__old")
+    if (fs.exists(bakRoot) && !fs.delete(bakRoot, true))
+      throw new java.io.IOException(
+        s"upsertSave: cannot clear stale backup $bakRoot")
+    def rel(sym: String, tf: String) = s"symbol=$sym/timeframe=$tf"
+    // (partition, hadBackup) completed swaps, for rollback
+    val done = scala.collection.mutable.ArrayBuffer.empty[((String, String), Boolean)]
+    def rollback(): Unit = {
+      done.reverseIterator.foreach { case ((s, t), hadBak) =>
+        val dst = new Path(s"$path/${rel(s, t)}")
+        // return the merged bytes to tmp (NOT delete — tmp stays a
+        // complete retry artifact), then restore the displaced live data
+        fs.rename(dst, new Path(s"$tmp/${rel(s, t)}"))
+        if (hadBak) fs.rename(new Path(s"${bakRoot.toString}/${rel(s, t)}"), dst)
       }
+      fs.delete(bakRoot, true) // only the emptied skeleton remains
+      // tmp is deliberately KEPT on failure — the merged bytes are intact
+      // there, so a retry (or manual recovery) needs no recompute
     }
+    try {
+      parts.zipWithIndex.foreach { case ((sym, tf), i) =>
+        val src = new Path(s"$tmp/${rel(sym, tf)}")
+        val dst = new Path(s"$path/${rel(sym, tf)}")
+        val bak = new Path(s"${bakRoot.toString}/${rel(sym, tf)}")
+        val hadBak = fs.exists(dst)
+        if (hadBak) {
+          if (!fs.mkdirs(bak.getParent))
+            throw new java.io.IOException(s"upsertSave: mkdirs ${bak.getParent} failed")
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(s"upsertSave: rename $dst -> $bak failed")
+        }
+        if (!fs.mkdirs(dst.getParent))
+          throw new java.io.IOException(s"upsertSave: mkdirs ${dst.getParent} failed")
+        if (i >= failAfter || !fs.rename(src, dst)) {
+          // un-displace this partition's live data before rolling back
+          if (hadBak) fs.rename(bak, dst)
+          throw new java.io.IOException(s"upsertSave: rename $src -> $dst failed")
+        }
+        done += (((sym, tf), hadBak))
+      }
+    } catch {
+      case e: Throwable => rollback(); throw e
+    }
+    // success: drop the backup tree and the tmp remainder (_SUCCESS etc.)
+    if (fs.exists(bakRoot) && !fs.delete(bakRoot, true))
+      throw new java.io.IOException(s"upsertSave: cannot delete backup $bakRoot")
+    fs.delete(new Path(tmp), true)
+    // the renames happened OUTSIDE Spark's write path, so the session's
+    // FileStatusCache still lists the displaced files — Spark's own
+    // overwrite commands invalidate it internally; a manual swap must too,
+    // or the next read of `path` fails with FAILED_READ_FILE
+    spark.catalog.refreshByPath(path)
   }
 
   /** Small-files compaction — the storage-maintenance op incremental

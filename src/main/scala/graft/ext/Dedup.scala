@@ -500,7 +500,13 @@ object Dedup {
     * pairs, and S (number of sources) is a small constant at any corpus
     * size, so the join output is linear in distinct shingles — never
     * quadratic in docs. Jaccard is a raw IEEE division of exact integers
-    * (the repo-wide integer-ratio rule: bit-identical, never rounded). */
+    * (the repo-wide integer-ratio rule: bit-identical, never rounded).
+    *
+    * Caching contract: the distinct (source, shingle) frame is `.cache()`d
+    * and feeds the LAZY result, so this method cannot unpersist it itself.
+    * Long-lived sessions should drop it after consuming the result
+    * (`spark.catalog.clearCache()`, as Verify/Bench do between queries) or
+    * the cached blocks accumulate until the ContextCleaner reclaims them. */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text", k: Int = 3): DataFrame = {
     // cache: the distinct (source, shingle) table — bounded by distinct

@@ -96,6 +96,10 @@ object ExtQueries {
     * engine-side source of the 16-hash / 4×4-band / 0.8 constants; the
     * oracle-side single source is lshCandsCte + jaccardCmCte +
     * verifiedPairsCte. Returns (id_a, id_b, common, jaccard). */
+  /** Caching contract: the LSH candidate frame is `.cache()`d and feeds
+    * the LAZY result, so callers in long-lived sessions must drop it after
+    * consuming the result (`spark.catalog.clearCache()`, as Verify/Bench
+    * do between queries) — this method cannot unpersist it itself. */
   private def verifiedNearDupPairs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sigs = Dedup.minhashSignatures(
@@ -362,19 +366,13 @@ object ExtQueries {
       WHERE k.vec_id != 0
       ORDER BY cos DESC, k.vec_id LIMIT 10"""))
 
-  // ---------------------------------------------------------------- x42
-  /** IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — like x36 not
-    * SQL-oracle-expressible (model state); rows-only driver check,
-    * recall-vs-exact asserted in scalatest. */
-  val x42AnnIvf: Q = Q(
-    (s, dir) => {
-      val embs = Tables.embeddings(s, dir)
-      val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
-      Similarity.ivfTopK(embs.filter(col("vec_id") =!= 0), q, "vec_id",
-          "embedding", nCells = 16, nProbe = 4, k = 10)
-        .orderBy(col("cos").desc, col("vec_id"))
-    },
-    None)
+  // x42 (IVF ANN with a TRAINED KMeans coarse quantizer) is spec-only:
+  // its model state is inherently not SQL-oracle-expressible, and its
+  // gate-grade twin x85_ann_ivf_det (deterministic grid quantizer, same
+  // probe/prune path, CurationQueries.x85AnnIvfDet) IS fully
+  // hash-checked — so the trained variant adds no oracle surface, only a
+  // second no_oracle row. Recall-vs-exact and cell-pruning are asserted
+  // directly on Similarity.ivfTopK in DedupSimilaritySpec.
 
   // ---------------------------------------------------------------- x37
   /** Heuristic language ID (stopword-frequency + char-trigram argmax,
@@ -1550,7 +1548,6 @@ object ExtQueries {
     "x34_cosine_pairs" -> x34CosinePairs,
     "x35_ann_topk" -> x35AnnTopK,
     "x36_ann_lsh" -> x36AnnLsh,
-    "x42_ann_ivf" -> x42AnnIvf,
     "x37_langid" -> x37LangId,
     "x38_quality" -> x38Quality,
     "x39_token_count" -> x39TokenCount,

@@ -147,9 +147,15 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
   /** ms per partition slice: one day's worth of buckets by default. */
   private val sliceMs =
     opts.get("sliceMs").map(_.toLong).getOrElse(math.max(durMs * 1440, durMs))
-  // S2 policy knobs. paceMs defaults to 0 for the offline generator; a real
-  // REST transport sets 100 (the reference's 0.1 s inter-request delay).
-  private val paceMs = opts.get("paceMs").map(_.toLong).getOrElse(0L)
+  /** Real-network endpoint (e.g. `https://api.binance.com`): switches the
+    * page transport from the offline generator to [[HttpKlineTransport]].
+    * Absent by default — the sandbox has zero egress. */
+  private val endpoint = opts.get("endpoint")
+  // S2 policy knobs. paceMs defaults to 0 for the offline generator and to
+  // the reference's 0.1 s inter-request delay when a real endpoint is set
+  // (api_connector.py:270) — N parallel tasks each pace themselves.
+  private val paceMs = opts.get("paceMs").map(_.toLong)
+    .getOrElse(if (endpoint.isDefined) 100L else 0L)
   private val backoffMs = opts.get("rateLimitBackoffMs").map(_.toLong)
     .getOrElse(60000L)
   private val maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(10)
@@ -168,14 +174,14 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
     * endMs)] — an incremental fetch of exactly the missing tail. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KlineMicroBatchStream(symbols, timeframe, durMs, startMs, endMs,
-      opts.get("batchMs").map(_.toLong).getOrElse(sliceMs))
+      opts.get("batchMs").map(_.toLong).getOrElse(sliceMs), endpoint)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val slices = (startMs until endMs by sliceMs).map(s =>
       (s, math.min(s + sliceMs, endMs)))
     (for (sym <- symbols; (a, b) <- slices)
       yield KlinePartition(sym, timeframe, durMs, a, b,
-        paceMs, backoffMs, maxRetries, simRateLimitPages)).toArray
+        paceMs, backoffMs, maxRetries, simRateLimitPages, endpoint)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new KlineReaderFactory
@@ -187,7 +193,8 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
   * offline exchange simulation (page indexes are per-partition). */
 case class KlinePartition(symbol: String, timeframe: String, durMs: Long,
     fromMs: Long, toMs: Long, paceMs: Long = 0L, backoffMs: Long = 60000L,
-    maxRetries: Int = 10, simRateLimitPages: Seq[Int] = Nil)
+    maxRetries: Int = 10, simRateLimitPages: Seq[Int] = Nil,
+    endpoint: Option[String] = None)
     extends InputPartition
 
 /** Cursor position in epoch-ms — the streaming offset. */
@@ -203,7 +210,8 @@ case class KlineOffset(ms: Long) extends Offset {
   * reference's `last_ts + 1` resume rule, api_connector.py:268) and can
   * never regress or re-emit committed ranges. */
 class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
-    durMs: Long, startMs: Long, endMs: Long, batchMs: Long)
+    durMs: Long, startMs: Long, endMs: Long, batchMs: Long,
+    endpoint: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = KlineOffset(startMs)
@@ -223,7 +231,8 @@ class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[KlineOffset].ms,
       end.asInstanceOf[KlineOffset].ms)
-    symbols.map(s => KlinePartition(s, timeframe, durMs, a, b): InputPartition)
+    symbols.map(s => KlinePartition(s, timeframe, durMs, a, b,
+        endpoint = endpoint): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -242,13 +251,19 @@ class KlineReaderFactory extends PartitionReaderFactory {
   * api_connector.py:268). Every page fetch runs under the partition's
   * [[PagePolicy]] — paced, rate-limit-retried, abort-on-other (S2). The
   * cursor only advances on a SUCCESSFUL fetch, so a retried page re-reads
-  * the same range and results are retry-invariant. */
+  * the same range and results are retry-invariant. The bytes come from
+  * the partition's [[KlineTransport]] — the offline generator by default,
+  * [[HttpKlineTransport]] when an `endpoint` is configured — and every
+  * cursor/pacing/backoff rule above is transport-agnostic. */
 class KlineReader(p: KlinePartition) extends PartitionReader[InternalRow] {
   private var cursorMs: Long = // align cursor up to the first bucket start
     ((p.fromMs + p.durMs - 1) / p.durMs) * p.durMs
   private var page: Iterator[InternalRow] = Iterator.empty
   private val policy = new PagePolicy(p.paceMs, p.backoffMs, p.maxRetries,
     KlineSource.sleepHook.getOrElse((ms: Long) => Thread.sleep(ms)))
+  private val transport: KlineTransport =
+    p.endpoint.map(new HttpKlineTransport(_))
+      .getOrElse(new SimulatedTransport(p.durMs))
   private var pageIdx = -1
   private val pendingSimFails =
     scala.collection.mutable.Set(p.simRateLimitPages: _*)
@@ -261,18 +276,17 @@ class KlineReader(p: KlinePartition) extends PartitionReader[InternalRow] {
       if (pendingSimFails.remove(pageIdx))
         throw new RateLimitException(
           s"simulated: Too much request weight (page $pageIdx)")
-      val buckets = (0 until KlineSource.pageSize).iterator
-        .map(i => cursorMs + i * p.durMs)
-        .takeWhile(_ < p.toMs)
-        .toVector
-      if (buckets.isEmpty) Iterator.empty
-      else {
-        cursorMs = buckets.last + p.durMs // cursor = last_ts + 1 bucket
-        buckets.iterator.map { ts =>
-          val (o, h, l, c, v) = KlineSource.candle(p.symbol, ts)
-          InternalRow(ts * 1000L, // TimestampType carries epoch-µs
+      val klines = transport.fetchPage(p.symbol, p.timeframe, cursorMs,
+        p.toMs, KlineSource.pageSize)
+      if (klines.isEmpty) {
+        cursorMs = p.toMs // exhausted range: no (more) data before toMs
+        Iterator.empty
+      } else {
+        cursorMs = klines.last.tsMs + p.durMs // cursor = last_ts + 1 bucket
+        klines.iterator.map { k =>
+          InternalRow(k.tsMs * 1000L, // TimestampType carries epoch-µs
             UTF8String.fromString(p.symbol), UTF8String.fromString(p.timeframe),
-            o, h, l, c, v)
+            k.open, k.high, k.low, k.close, k.volume)
         }
       }
     }

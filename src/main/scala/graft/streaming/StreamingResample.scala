@@ -51,8 +51,10 @@ object StreamingResample {
       .withWatermark(tsCol, delay)
       .groupBy(col(keyCol), window(col(tsCol), duration))
       .agg(
+        // qtyDec9: same loud overflow guard as the batch indicator — a
+        // qty >= 1e9 must fail, not silently null out of the numerator
         sum(round(col(priceCol), 4).cast("decimal(18,4)") *
-          col(qtyCol).cast("decimal(9,0)")).as("pq"),
+          graft.engine.Indicators.qtyDec9(col(qtyCol))).as("pq"),
         sum(col(qtyCol)).as("qty"),
         count(lit(1)).as("n_trades"))
       .select(col(keyCol), col("window.start").as("bucket"),

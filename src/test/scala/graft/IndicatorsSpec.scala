@@ -42,6 +42,28 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Double]("vwap") == 17.5) // (10 + 60) / 4
   }
 
+  test("vwap: qty >= 1e9 fails loudly instead of silently skewing") {
+    // decimal(9,0) caps exact accumulation at |qty| < 1e9; in non-ANSI
+    // Spark the overflow would cast to NULL and vanish from pq while
+    // still counting in qty — the guard must raise instead
+    val ticks = Seq(
+      ("S", ts("2024-01-01 10:00:00"), 10.0, 1_000_000_000L),
+      ("S", ts("2024-01-01 10:30:00"), 20.0, 3L))
+      .toDF("symbol", "ts", "price", "qty")
+    val e = intercept[Exception] {
+      Indicators.vwap(ticks, "1h", "symbol", "ts", "price", "qty").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows exact decimal")))
+    // just under the bound still computes exactly
+    val ok = Seq(("S", ts("2024-01-01 10:00:00"), 10.0, 999_999_999L))
+      .toDF("symbol", "ts", "price", "qty")
+    assert(Indicators.vwap(ok, "1h", "symbol", "ts", "price", "qty")
+      .collect().head.getAs[Double]("vwap") == 10.0)
+  }
+
   test("volatility: constant series has zero volatility") {
     val out = Indicators.volatility(candles(Seq.fill(50)(42.0)), "symbol")
       .collect()
@@ -329,6 +351,27 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Double]("upper") == 104.5)
       assert(r.getAs[Double]("lower") == 95.5)
     }
+  }
+
+  test("blocked correlation matrix is bit-identical to the plain form") {
+    // 12 symbols × 40 daily buckets with per-symbol drift/phase so
+    // correlations are non-trivial; nBlocks chosen to NOT divide the
+    // symbol count (uneven cells) and exceed it in one case (empty cells)
+    val candles = (for {
+      s <- 0 until 12
+      i <- 0 until 40
+    } yield (s"SYM$s", msTs(i * 86400000L),
+      100.0 + 5 * math.sin(0.3 * i + s) + 0.5 * s * i % 7))
+      .toDF("symbol", "bucket", "close")
+    val plain = Indicators.correlationMatrix(candles, "symbol", minObs = 10)
+      .orderBy("sym_a", "sym_b").collect().toSeq
+    for (nBlocks <- Seq(1, 5, 16)) {
+      val blocked = Indicators.correlationMatrixBlocked(candles, "symbol",
+        minObs = 10, nBlocks = nBlocks)
+        .orderBy("sym_a", "sym_b").collect().toSeq
+      assert(blocked == plain, s"divergence at nBlocks=$nBlocks")
+    }
+    assert(plain.size == 12 * 11 / 2, "matrix not complete")
   }
 
   test("indicators are symbol-local: two symbols never mix") {

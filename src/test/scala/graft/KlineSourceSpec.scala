@@ -102,6 +102,77 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally KlineSource.sleepHook = None
   }
 
+  test("HTTP transport: local stub server serves the Binance klines shape; result equals the simulated read") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // the stub answers /api/v3/klines from the SAME deterministic candle
+    // generator the offline transport uses, in the public array-of-arrays
+    // payload shape (numerics as quoted decimal strings); first request
+    // per (symbol,startTime) optionally rejected with 429 to drive the
+    // PagePolicy backoff path end-to-end over real HTTP
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val reject429 = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    @volatile var sawRetryAfter429 = false
+    server.createContext("/api/v3/klines", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val params = ex.getRequestURI.getQuery.split("&")
+          .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        val key = params("symbol") + "@" + params("startTime")
+        if (reject429.remove(key) == java.lang.Boolean.TRUE) {
+          ex.sendResponseHeaders(429, -1); ex.close(); return
+        }
+        if (reject429.isEmpty && key.endsWith("@" + t0)) sawRetryAfter429 = true
+        val durMs = 60000L
+        val from = params("startTime").toLong
+        val endIncl = params("endTime").toLong
+        val limit = params("limit").toInt
+        val rows = (0 until limit).iterator.map(i => from + i * durMs)
+          .takeWhile(_ <= endIncl).map { ts =>
+            val (o, h, l, c, v) =
+              graft.sources.KlineSource.candle(params("symbol"), ts)
+            s"""[$ts,"$o","$h","$l","$c","$v",${ts + durMs - 1},"0",1,"0","0","0"]"""
+          }.mkString("[", ",", "]")
+        val bytes = rows.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // reject the first attempt at each symbol's opening page
+      reject429.put("BTCUSDT@" + t0, true)
+      reject429.put("ETHUSDT@" + t0, true)
+      var sleeps = Vector.empty[Long]
+      graft.sources.KlineSource.sleepHook = Some(ms =>
+        synchronized { sleeps :+= ms })
+      val http =
+        try read("endpoint" -> endpoint, "rateLimitBackoffMs" -> "60000")
+          .orderBy("symbol", "ts").collect().toSeq
+        finally graft.sources.KlineSource.sleepHook = None
+      val sim = read().orderBy("symbol", "ts").collect().toSeq
+      assert(http == sim,
+        "HTTP-transport read diverges from the simulated-transport read")
+      // both opening pages backed off 60s exactly once, then succeeded
+      assert(sleeps.count(_ == 60000L) == 2, s"backoffs in $sleeps")
+      assert(sawRetryAfter429, "429'd page was never retried")
+    } finally server.stop(0)
+  }
+
+  test("HTTP transport: klines payload parser handles empty ranges and error payloads") {
+    import graft.sources.HttpKlineTransport.parseKlines
+    assert(parseKlines("[]").isEmpty)
+    assert(parseKlines(" [ ] ").isEmpty)
+    val one = parseKlines(
+      """[[1704067200000,"42.1","43.0","41.5","42.7","99.25",1704067259999,"0",7,"0","0","0"]]""")
+    assert(one == Vector(graft.sources.Kline(
+      1704067200000L, 42.1, 43.0, 41.5, 42.7, 99.25)))
+    val e = intercept[java.io.IOException] {
+      parseKlines("""{"code":-1121,"msg":"Invalid symbol."}""")
+    }
+    assert(e.getMessage.contains("error payload"))
+  }
+
   test("source composes with resampleCandles (ingest → 1h pyramid)") {
     val hourly = Ohlcv.resampleCandles(read(), "1h")
     assert(hourly.count() == 2 * 48) // 2 symbols × 48 hours

@@ -69,7 +69,7 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("ETH"))
   }
 
-  test("upsertSave rewrites only touched partitions (dynamic overwrite)") {
+  test("upsertSave rewrites only touched partitions (rename swap)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     val path = s"$dir/ohlcv"
     Store.save(mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0)), path)
@@ -88,6 +88,57 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(all.count() == 3)
     assert(all.filter(col("symbol") === "BTC" && col("close") === 9.0).count() == 1)
     assert(all.filter(col("symbol") === "ETH").count() == 1)
+  }
+
+  test("upsertSave leaves no scratch dirs and survives a stale backup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    val path = s"$dir/ohlcv"
+    Store.save(mk((1000L, "BTC", "1m", 1.0)), path)
+    // a crash between backup-rename and cleanup leaves __old populated;
+    // the next upsertSave must clear it, not fail or resurrect it
+    val stale = new java.io.File(s"${path}__old/symbol=BTC/timeframe=1m")
+    assert(stale.mkdirs())
+    Store.upsertSave(spark, path, mk((2000L, "BTC", "1m", 2.0)))
+    assert(spark.read.parquet(path).count() == 2)
+    val siblings = new java.io.File(dir).list().toSeq
+    assert(siblings == Seq("ohlcv"),
+      s"upsertSave left scratch dirs: $siblings")
+  }
+
+  test("upsertSave crash mid-swap rolls back to the pre-call table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val path = s"$dir/ohlcv"
+    val original = mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0))
+    Store.save(original, path)
+    // stage a merged rewrite of BOTH partitions plus a NEW one (SOL),
+    // exactly as upsertSave's tmp write would
+    val tmp = s"${path}__upserting"
+    mk((1000L, "BTC", "1m", 9.0), (2000L, "ETH", "1m", 8.0),
+      (3000L, "SOL", "1m", 7.0))
+      .write.mode("overwrite").partitionBy("symbol", "timeframe").parquet(tmp)
+    val parts = Seq(("BTC", "1m"), ("ETH", "1m"), ("SOL", "1m"))
+    // injected rename failure after 2 successful swaps (BTC, ETH done,
+    // SOL fails) — the completed swaps must roll back
+    val e = intercept[java.io.IOException] {
+      Store.swapPartitions(spark, path, tmp, parts, failAfter = 2)
+    }
+    assert(e.getMessage.contains("rename"))
+    val after = spark.read.parquet(path)
+      .select("ts", "symbol", "timeframe", "close")
+      .collect().map(_.toSeq).toSet
+    val expect = original.select("ts", "symbol", "timeframe", "close")
+      .collect().map(_.toSeq).toSet
+    assert(after == expect, "rollback did not restore the pre-call table")
+    // no backup skeleton left; tmp KEPT for retry (merged bytes intact)
+    val siblings = new java.io.File(dir).list().toSeq.sorted
+    assert(siblings == Seq("ohlcv", "ohlcv__upserting"),
+      s"unexpected siblings after rollback: $siblings")
+    // and the retry path completes from the kept tmp
+    Store.swapPartitions(spark, path, tmp, parts)
+    val retried = spark.read.parquet(path)
+    assert(retried.count() == 3)
+    assert(retried.filter(col("close") === 9.0).count() == 1)
+    assert(new java.io.File(dir).list().toSeq == Seq("ohlcv"))
   }
 
   test("compact merges small files without changing data (storage maintenance)") {
