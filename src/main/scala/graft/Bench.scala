@@ -155,11 +155,16 @@ object Bench {
     // the SAME round-robin/median/budget loop, with spread + errors in the
     // artifact (r4 lesson: a single-rep extra reading is indistinguishable
     // from a regression in a perf audit)
-    val extraNames = Seq("q40_range_join", "q41_incremental_resample",
+    // SPARK_GRAFT_SKIP_EXTRAS=1 → headline only (the scaling-curve runs
+    // at sf1 use this: q62's full-universe correlation is S²-by-
+    // definition — ~112M symbol pairs at sf1 — and would own the pass)
+    val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
+    val extraNames = (if (skipExtras) Seq.empty[String]
+    else Seq("q40_range_join", "q41_incremental_resample",
       "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
       "x67_delta_dedup", "q50_bollinger", "x71_bm25", "x72_dsir",
       "x73_semantic_dedup", "x80_dup_spans", "q56_atr",
-      "q62_correlation_full")
+      "q62_correlation_full"))
       .filter(SparkEntry.queries.contains)
     extraNames.foreach { n =>
       try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

@@ -78,8 +78,13 @@ object Walkthrough {
     // 8. notebook preview + plot-ready candles (head/tail bind, chart)
     val (head, tail) = md.preview("BTCUSDT", "1m", n = 5)
     steps += "preview_rows" -> (head.length + tail.length).toLong
-    steps += "plot_candles" ->
-      md.plotCandles("BTCUSDT", "1m", t0, twoDayEnd, nowMs).count()
+    val plotFrame = md.plotCandles("BTCUSDT", "1m", t0, twoDayEnd, nowMs)
+    steps += "plot_candles" -> plotFrame.count()
+    // the chart itself (the reference's matplotlib candlesticks,
+    // colab_interface.py:467-499) — rendered as text
+    val chart = CandlePlot.renderAscii(plotFrame, height = 12)
+    println(chart)
+    steps += "plot_render_lines" -> chart.split("\n").length.toLong
 
     // 9. export (the Export CSV / Parquet buttons, filename template)
     val csv = Store.exportCsv(twoDays, s"$baseDir/exports", "BTCUSDT", "1m",

@@ -21,6 +21,7 @@ class WalkthroughSpec extends AnyFunSuite with SparkTestBase {
     assert(steps("sma_non_null") == 12L - 19L.min(12L)) // pandas NaN prefix < n
     assert(steps("preview_rows") == 10L) // head 5 + tail 5
     assert(steps("plot_candles") <= 500L && steps("plot_candles") > 0L)
+    assert(steps("plot_render_lines") == 12L, "chart render height")
     assert(steps("export_csv") == 2880L)
     assert(steps("export_parquet") == 2880L)
     assert(steps("stored_info_after_delete") == 0L, "delete left residue")

@@ -121,9 +121,13 @@ def gen(sf: float, outdir: str) -> None:
         "l_shipdate": sdate.astype("datetime64[us]")}))
 
     ts = np.sort(rng.uniform(0, 30 * 86400, n_ev))
+    # the driver's events.ts is physically INT64 TIMESTAMP(NANOS) — the
+    # graft.engine.Tables nanosAsLong read path depends on it, so the
+    # generated decade must match
     write(outdir, "events", pa.table({
         "event_id": np.arange(n_ev),
-        "ts": (T0 + (ts * 1e6).astype("timedelta64[us]")),
+        "ts": pa.array((T0 + (ts * 1e9).astype("timedelta64[ns]")),
+                       type=pa.timestamp("ns")),
         "user_id": rng.integers(0, max(n_users, 1), n_ev),
         "event_type": rng.choice(
             ["signup", "click", "error", "view", "purchase"], n_ev),
@@ -132,10 +136,20 @@ def gen(sf: float, outdir: str) -> None:
 
     lens = rng.integers(10, 101, n_docs)
     texts = [" ".join(rng.choice(VOCAB, ln)) for ln in lens]
-    # ~0.2% exact duplicates of an earlier doc (the x30 signal)
+    # planted duplication mirroring the driver corpus's signal density
+    # (~5% verified near-dup pairs per 1k docs at sf0.1):
+    # ~0.2% exact duplicates (the x30 signal) ...
     for i in rng.choice(np.arange(1, max(n_docs, 2)),
                         max(int(n_docs * 0.002), 1), replace=False):
         texts[i] = texts[rng.integers(0, i)]
+    # ... and ~0.5% near-duplicates: copy an earlier doc and flip ONE
+    # word — a k=3 shingle set of a 50-word doc changes by ~3 of ~48
+    # shingles, Jaccard ≈ 0.88 > the 0.8 verify threshold (x31/x44)
+    for i in rng.choice(np.arange(1, max(n_docs, 2)),
+                        max(int(n_docs * 0.005), 1), replace=False):
+        words = texts[rng.integers(0, i)].split(" ")
+        words[rng.integers(0, len(words))] = str(rng.choice(VOCAB))
+        texts[i] = " ".join(words)
     write(outdir, "documents", pa.table({
         "doc_id": np.arange(n_docs),
         "text": texts,
