@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star extension, SURVEY §7.4).
   *
   * Media is carried as an opaque `BINARY` column plus typed metadata —
-  * the schema/partitioning/batching layer is real; the actual codec is
-  * STUBBED with a deterministic fake (this container ships no image/audio
-  * libraries), clearly marked below. At scale the pattern is: media bytes
-  * stay in parquet binary columns, partitioned by a content-addressed
-  * prefix; decode/feature-extract runs per-partition so codec state is
-  * reused across rows of a task (mapPartitions, not per-row UDF).
+  * the schema/partitioning/batching layer is real. Codec status per
+  * modality (round 5): **images decode for real** via `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — part of the JDK, no external library), see
+  * [[decodeImages]]; audio/video remain STUBBED with a deterministic
+  * fake (no JDK codec exists for them), clearly marked below. At scale
+  * the pattern is: media bytes stay in parquet binary columns,
+  * partitioned by a content-addressed prefix; decode/feature-extract
+  * runs per-partition so codec state is reused across rows of a task
+  * (mapPartitions, not per-row UDF).
   */
 object Multimodal {
 
@@ -51,6 +54,52 @@ object Multimodal {
         val firstByte = if (nBytes > 0) r.media(0) & 0xff else -1
         val nFrames = nBytes % 7 + 1 // deterministic fake "decode"
         MediaFeatures(r.doc_id, nBytes, firstByte, nFrames)
+      }
+    }
+  }
+
+  /** Decoded image features: dimensions, band count, BT.601 mean luma. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, mean_luma: Double)
+
+  /** REAL image decode — the image modality needs no external codec:
+    * `javax.imageio.ImageIO` ships in the JDK and reads PNG/JPEG/GIF/BMP
+    * payloads from the binary column. Per-partition iteration (codec
+    * registry lookups and buffers amortize across a task's rows);
+    * non-image / undecodable payloads are DROPPED, not errored — a 100 TB
+    * media corpus always contains corrupt blobs, and a poison row must
+    * not kill the stage. Mean luma (BT.601 Y = .299R+.587G+.114B,
+    * rounded at 3) walks a deterministic pixel grid with a stride that
+    * caps sampled pixels at ~64k per image, so giant images cost O(64k)
+    * not O(pixels) — same answer every run, bounded work per row. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: java.io.IOException => null }
+        Option(img).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val stride = math.max(1,
+            math.sqrt(w.toLong * h / 65536.0).ceil.toInt)
+          var (sum, n) = (0.0, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1
+              x += stride
+            }
+            y += stride
+          }
+          ImageFeatures(r.doc_id, w, h, im.getRaster.getNumBands,
+            math.rint(sum / n * 1000) / 1000)
+        }
       }
     }
   }

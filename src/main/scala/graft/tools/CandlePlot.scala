@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * The input frame is already scale-safe (plotCandles auto-coarsens to
   * ≤ maxPoints buckets), so the single `collect()` here is bounded by
   * construction — the same sanctioned-collection contract as `preview`.
-  * One column per candle: `|` spans high→low (the wick), `█` spans
-  * open→close body on up-candles, `░` on down-candles. Deterministic:
+  * One column per candle: `|` spans high→low (the wick), `#` spans
+  * open→close body on up-candles, `:` on down-candles — ASCII only, so
+  * the chart survives any terminal/JVM default charset. Deterministic:
   * same frame → same string (CandlePlotSpec pins a fixture). */
 object CandlePlot {
 
@@ -39,7 +40,7 @@ object CandlePlot {
       for (r <- wickTop to wickBot) grid(r)(i) = '|'
       val (bodyTop, bodyBot) =
         (level(math.max(o(i), c(i))), level(math.min(o(i), c(i))))
-      val glyph = if (c(i) >= o(i)) '█' else '░'
+      val glyph = if (c(i) >= o(i)) '#' else ':'
       for (r <- bodyTop to bodyBot) grid(r)(i) = glyph
     }
     val labelWidth = 12
@@ -48,8 +49,8 @@ object CandlePlot {
       val price = hi - r * span / (height - 1)
       val label =
         if (r == 0 || r == height - 1 || r == (height - 1) / 2)
-          f"$price%10.2f ┤"
-        else " " * (labelWidth - 1) + "│"
+          f"$price%10.2f +"
+        else " " * (labelWidth - 1) + "|"
       label + line.mkString
     }.mkString("\n")
   }

@@ -23,9 +23,10 @@ class CandlePlotSpec extends AnyFunSuite with SparkTestBase {
     val lines = out.split("\n")
     assert(lines.length == 8)
     assert(lines.forall(_.length == lines.head.length), "ragged grid")
-    assert(out.count(_ == '█') > 0 && out.count(_ == '░') > 0,
+    assert(out.count(_ == '#') > 0 && out.count(_ == ':') > 0,
       "missing up/down bodies")
-    assert(out.contains("|"), "missing wick")
+    // a wick char in the CHART area (right of the 12-char label gutter)
+    assert(lines.exists(_.drop(12).contains('|')), "missing wick")
     // price labels on top and bottom lines span the full range
     assert(lines.head.contains("20.00") && lines.last.contains("5.00"))
   }
@@ -34,7 +35,7 @@ class CandlePlotSpec extends AnyFunSuite with SparkTestBase {
     val df = frame((0L, 1.0, 2.0, 0.5, 1.5), (60000L, 1.5, 2.5, 1.0, 2.0),
       (120000L, 2.0, 3.0, 1.5, 2.5))
     val lines = CandlePlot.renderAscii(df, height = 4).split("\n")
-    val label = lines.head.indexOf('┤') + 1
+    val label = lines.head.indexOf('+') + 1
     assert(lines.forall(_.length - label == 3), "one column per candle")
     assert(CandlePlot.renderAscii(frame(), height = 4) == "")
   }
@@ -42,6 +43,6 @@ class CandlePlotSpec extends AnyFunSuite with SparkTestBase {
   test("flat series does not divide by zero") {
     val out = CandlePlot.renderAscii(
       frame((0L, 5.0, 5.0, 5.0, 5.0)), height = 4)
-    assert(out.nonEmpty && out.contains("█"))
+    assert(out.nonEmpty && out.contains("#"))
   }
 }

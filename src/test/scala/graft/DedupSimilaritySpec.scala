@@ -231,6 +231,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(frames == Set((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L), (2L, 2L)))
   }
 
+  test("multimodal images: real PNG decode (JDK ImageIO) — dims, bands, exact luma; corrupt rows drop") {
+    import graft.ext.Multimodal
+    // synthesize two known PNGs in-memory: 4×2 solid gray(100) and
+    // 3×3 solid white — luma of a solid image is exact
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val gray = 100 << 16 | 100 << 8 | 100
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(4, 2, gray), "png"),
+      Multimodal.MediaRow(2L, png(3, 3, 0xffffff), "png"),
+      Multimodal.MediaRow(3L, "not an image".getBytes("UTF-8"), "png"))
+    val media = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.decodeImages(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet == Set(1L, 2L), "corrupt payload must drop, not fail")
+    assert(out(1L).width == 4 && out(1L).height == 2 && out(1L).n_channels == 3)
+    assert(out(1L).mean_luma == 100.0) // solid gray: Y = 100 exactly
+    assert(out(2L).mean_luma == 255.0) // solid white
+  }
+
   test("langid picks the max-stopword language with deterministic tie-break") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),

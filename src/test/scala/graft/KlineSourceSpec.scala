@@ -159,6 +159,38 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("HTTP transport: non-200/non-429 aborts the read instead of retrying") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/api/v3/klines", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        ex.sendResponseHeaders(500, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      graft.sources.KlineSource.sleepHook = Some(_ => ())
+      val e = intercept[Exception] {
+        try spark.read.format("graft.sources.KlineSource")
+          .option("symbols", "BTCUSDT").option("timeframe", "1m")
+          .option("startMs", t0.toString)
+          .option("endMs", (t0 + 3600000L).toString)
+          .option("endpoint", s"http://127.0.0.1:${server.getAddress.getPort}")
+          .load().collect()
+        finally graft.sources.KlineSource.sleepHook = None
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("HTTP 500")))
+      // only Spark's own task retries (4 attempts in local mode) hit the
+      // server — the PagePolicy must NOT have added backoff retries
+      assert(hits.get() <= 4, s"page-level retries on a non-rate-limit: ${hits.get()}")
+    } finally server.stop(0)
+  }
+
   test("HTTP transport: klines payload parser handles empty ranges and error payloads") {
     import graft.sources.HttpKlineTransport.parseKlines
     assert(parseKlines("[]").isEmpty)
