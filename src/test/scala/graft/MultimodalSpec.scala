@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaRow
+
+/** Round-5 multimodal codecs: the REAL paths — WAV/RIFF audio parsing
+  * (pure byte-layout, no codec library) and perceptual image dHash
+  * near-dup dedup over the JDK ImageIO decode. Complements the plumbing
+  * tests in DedupSimilaritySpec (binary wrap / fake features / PNG luma).
+  */
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+
+  // ---- helpers: synthesize WAV and PNG payloads in-memory -------------
+
+  /** Minimal PCM WAV writer (little-endian RIFF): frames(i)(ch) holds the
+    * raw sample value — signed for 16-bit, offset-binary 0..255 for 8-bit. */
+  private def wav(rate: Int, channels: Int, bits: Int,
+      frames: Array[Array[Int]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bytesPerFrame = channels * (bits / 8)
+    val dataLen = frames.length * bytesPerFrame
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * bytesPerFrame).putShort(bytesPerFrame.toShort)
+      .putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(f => f.foreach(s =>
+      if (bits == 16) buf.putShort(s.toShort) else buf.put(s.toByte)))
+    buf.array()
+  }
+
+  /** PNG of a gray image with per-pixel luma given by f(x, y) in 0..255. */
+  private def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      im.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def media(rows: MediaRow*) = spark.createDataset(rows)(enc)
+
+  // ---- audio ----------------------------------------------------------
+
+  test("decodeAudio: 16-bit PCM sine + silence — rate, frames, exact-ish RMS, silence ratio") {
+    // 1 s of 440 Hz at amplitude 0.5, then 1 s of silence, 8 kHz mono.
+    // 440 full cycles in 8000 samples → Σ sin² = N/2 exactly, so
+    // rms = 0.5/√2 over the sine half → 0.25 over the whole clip.
+    val sine = Array.tabulate(8000)(k =>
+      Array((16384 * math.sin(2 * math.Pi * 440 * k / 8000)).round.toInt))
+    val silence = Array.fill(8000)(Array(0))
+    val out = Multimodal.decodeAudio(
+        media(MediaRow(1L, wav(8000, 1, 16, sine ++ silence), "wav")))
+      .collect()
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.sample_rate == 8000 && a.n_channels == 1 && a.bits_per_sample == 16)
+    assert(a.n_frames == 16000L && a.duration_ms == 2000.0)
+    assert(math.abs(a.rms - 0.25) < 1e-3, s"rms=${a.rms}")
+    // silence half + the sine's own near-zero crossings (|0.5·sin| < 0.01
+    // ⇔ |sin| < 0.02 → ~1.3% of sine frames)
+    assert(a.silence_ratio > 0.49 && a.silence_ratio < 0.52,
+      s"silence=${a.silence_ratio}")
+  }
+
+  test("decodeAudio: stereo channels mix to mono; 8-bit offset-binary decodes") {
+    // L = +0.25, R = −0.25 constant → mono mix ≡ 0 → rms 0, all silent
+    val stereo = wav(44100, 2, 16, Array.fill(100)(Array(8192, -8192)))
+    // 8-bit: constant 228 → (228−128)/128 = 0.78125 exactly
+    val eight = wav(11025, 1, 8, Array.fill(50)(Array(228)))
+    val out = Multimodal.decodeAudio(
+        media(MediaRow(1L, stereo, "wav"), MediaRow(2L, eight, "wav")))
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(out(1L).n_channels == 2 && out(1L).n_frames == 100L)
+    assert(out(1L).rms == 0.0 && out(1L).silence_ratio == 1.0)
+    assert(out(2L).bits_per_sample == 8 && out(2L).sample_rate == 11025)
+    assert(out(2L).rms == 0.78125 && out(2L).silence_ratio == 0.0)
+  }
+
+  test("decodeAudio: corrupt, truncated, and non-PCM payloads drop, never throw") {
+    val good = wav(8000, 1, 16, Array.fill(10)(Array(1000)))
+    val truncated = good.take(30)
+    val lyingLen = good.clone() // declare a data chunk bigger than the bytes
+    // data length field sits at offset 40 in this fixed-layout writer
+    lyingLen(40) = 0x7f.toByte; lyingLen(41) = 0x7f.toByte
+    lyingLen(42) = 0x7f.toByte; lyingLen(43) = 0x7f.toByte
+    val floatFmt = good.clone() // audioFormat=3 (IEEE float) at offset 20
+    floatFmt(20) = 3
+    // valid file ending in an odd-length chunk WITHOUT its pad byte —
+    // must still decode (the alignment skip clamps at the buffer end)
+    val oddTail = {
+      val extra = java.nio.ByteBuffer.allocate(11)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+        .put(Array[Byte](1, 2, 3))
+      good ++ extra.array()
+    }
+    val out = Multimodal.decodeAudio(media(
+        MediaRow(1L, "RIFFnope".getBytes("US-ASCII"), "wav"),
+        MediaRow(2L, truncated, "wav"),
+        MediaRow(3L, lyingLen, "wav"),
+        MediaRow(4L, floatFmt, "wav"),
+        MediaRow(5L, Array[Byte](), "wav"),
+        MediaRow(6L, good, "wav"),
+        MediaRow(7L, oddTail, "wav")))
+      .collect()
+    assert(out.map(_.doc_id).toSet == Set(6L, 7L),
+      "clean WAV and odd-tail WAV survive; every corruption drops")
+  }
+
+  // ---- image dHash ----------------------------------------------------
+
+  test("imageDHash: scale- and brightness-invariant; distinct structure far apart") {
+    val base = png(64, 64, (x, _) => x * 4)          // horizontal ramp
+    val rescaled = png(128, 128, (x, _) => x * 2)    // same picture, 2× size
+    val brighter = png(64, 64, (x, _) => x * 4 + 20) // +20 luma, clamped
+    val noisy = png(64, 64, (x, y) =>                // ±3 luma salt
+      x * 4 + (if ((x * 31 + y * 17) % 97 == 0) 3 else 0))
+    val vert = png(64, 64, (_, y) => y * 4)          // vertical ramp
+    val hs = Multimodal.imageDHash(media(
+        MediaRow(1L, base, "png"), MediaRow(2L, rescaled, "png"),
+        MediaRow(3L, brighter, "png"), MediaRow(4L, noisy, "png"),
+        MediaRow(5L, vert, "png"),
+        MediaRow(6L, "junk".getBytes("US-ASCII"), "png")))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L, 4L, 5L), "undecodable drops")
+    assert(hs(1L) == -1L, "strict horizontal ramp sets all 64 gradient bits")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) == 0, "resize must not move the hash")
+    assert(ham(hs(1L), hs(3L)) <= 3, "brightness shift stays within near-dup range")
+    assert(ham(hs(1L), hs(4L)) <= 3, "sparse ±3 noise stays within near-dup range")
+    assert(hs(5L) == 0L && ham(hs(1L), hs(5L)) == 64,
+      "orthogonal structure is maximally far")
+  }
+
+  test("imageNearDupPairs: copies cluster, distinct image stays out") {
+    val rows = media(
+      MediaRow(1L, png(64, 64, (x, _) => x * 4), "png"),
+      MediaRow(2L, png(96, 48, (x, _) => x * 8 / 3), "png"),
+      MediaRow(3L, png(64, 64, (x, _) => x * 4 + 20), "png"),
+      MediaRow(5L, png(64, 64, (_, y) => y * 4), "png"))
+    val pairs = Multimodal.imageNearDupPairs(rows, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs — near-dup trio only, vertical ramp excluded")
+  }
+
+  test("hammingNearDupPairs64: pigeonhole recall at ≤3, verify rejects shared-band far pairs, negatives band correctly") {
+    val df = Seq(
+      (1L, 0L),                      // origin
+      (2L, 7L),                      // hamming 3 from origin → must surface
+      (3L, 0x000000000001000fL),     // hamming 5 from origin, shares 2 bands → candidate, verify rejects; hamming 2 from id 2 → real pair
+      (4L, 0x1111111111111111L),     // hamming 16, no shared band → never a candidate
+      (5L, -1L),                     // all bits — sign-extension trap
+      (6L, -2L))                     // hamming 1 from id 5
+      .toDF("vid", "fp64")
+    val got = Multimodal.hammingNearDupPairs64(df, "vid", "fp64", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3), (2L, 3L, 2), (5L, 6L, 1)), s"got $got")
+  }
+}
