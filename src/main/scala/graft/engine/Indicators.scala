@@ -33,9 +33,16 @@ object Indicators {
     * silently degrade it to DOUBLE) — but in non-ANSI Spark a qty ≥ 1e9
     * would cast to NULL and silently VANISH from the pq numerator while
     * still counting in qty/n_trades, skewing the VWAP with no error. The
-    * guard turns that silent corruption into a loud failure. */
+    * guard turns that silent corruption into a loud failure.
+    *
+    * NULL qty is NOT an overflow: it passes through as NULL (the decimal
+    * sum skips it — the pre-guard semantics). Without the explicit arm,
+    * `abs(null) < 1e9` is NULL, the `otherwise` branch fires, and a
+    * nullable qty column aborts the whole vwap with a misleading
+    * overflow message. */
   private[graft] def qtyDec9(q: Column): Column =
-    when(abs(q) < lit(1000000000L), q.cast("decimal(9,0)"))
+    when(q.isNull, lit(null).cast("decimal(9,0)"))
+      .when(abs(q) < lit(1000000000L), q.cast("decimal(9,0)"))
       .otherwise(raise_error(concat(
         lit("vwap: qty magnitude >= 1e9 overflows exact decimal(9,0) "
           + "accumulation; pre-aggregate or rescale qty first (got "),
@@ -232,11 +239,29 @@ object Indicators {
     *
     * The moment sums are the same exact-decimal terms in both forms, so
     * blocked and plain results are BIT-IDENTICAL (IndicatorsSpec asserts
-    * equality; q62 hash-checks this path against the SQL oracle). */
+    * equality; q62 hash-checks this path against the SQL oracle).
+    *
+    * GUARD: the matrix is S²-by-contract — 15k symbols is 112M pairs, a
+    * job no one should launch by accident (at sf0.1 this query is already
+    * ~150s; the round-5 driver bench died to it). Unless `unbounded =
+    * true`, the symbol universe is counted first (one cheap
+    * column-pruned pass) and S(S−1)/2 > `maxPairs` REFUSES with the
+    * bounded alternatives named. The default 1M admits any reasonable
+    * portfolio (1,414 symbols) and refuses exchange-wide universes. */
   def correlationMatrixBlocked(candles: DataFrame, symbolCol: String,
       bucketCol: String = "bucket", closeCol: String = "close",
-      minObs: Int = 10, nBlocks: Int = 16): DataFrame = {
+      minObs: Int = 10, nBlocks: Int = 16, maxPairs: Long = 1000000L,
+      unbounded: Boolean = false): DataFrame = {
     require(nBlocks > 0, "nBlocks must be positive")
+    if (!unbounded) {
+      val s = candles.select(col(symbolCol)).distinct().count()
+      val pairs = s * (s - 1) / 2
+      require(pairs <= maxPairs,
+        s"correlationMatrixBlocked: $s symbols = $pairs pairs exceeds " +
+          s"maxPairs=$maxPairs. The full matrix is S^2 by definition - " +
+          "bound the universe first (q52-style top-k gate), raise " +
+          "maxPairs, or pass unbounded=true to launch it deliberately.")
+    }
     val r = logReturns(candles, symbolCol, bucketCol, closeCol)
       .select(col(symbolCol), col(bucketCol), col("ret"))
       // md5-deterministic block id (repo convention — stable across

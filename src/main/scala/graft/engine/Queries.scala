@@ -762,19 +762,38 @@ object Queries {
       FROM events GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q35
-  /** approx_count_distinct extension (SURVEY §2.4): HLL sketches aren't
-    * oracle-reproducible (different algorithms) → rows-only check here;
-    * the ±5% accuracy bound vs exact is asserted in EntrySpec. The exact
-    * countDistinct rides along for that comparison. */
+  /** approx_count_distinct extension (SURVEY §2.4). The raw HLL estimates
+    * aren't oracle-reproducible (different sketch algorithms), so the
+    * COMPARED output carries what IS deterministic in both engines: the
+    * exact distinct counts, plus a within-10%-of-exact boolean that each
+    * engine computes from its OWN sketch — hash-green as long as both
+    * sketches stay inside the bound. Spark's sketch runs at rsd = 0.01,
+    * so a 10% miss is a ~10σ event (DuckDB's fixed-precision HLL sits
+    * near 1%); the tighter ±5% bound on the raw estimate is asserted in
+    * EntrySpec, where a sketch value may live without an oracle. */
   val q35ApproxDistinct: Q = Q(
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("_ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("_ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("_ap") - col("exact_parts")) * 10 <= col("exact_parts"))
+            .as("approx_parts_ok"),
+          (abs(col("_ao") - col("exact_orders")) * 10 <= col("exact_orders"))
+            .as("approx_orders_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS exact_parts,
+      count(DISTINCT l_orderkey) AS exact_orders,
+      abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10
+        <= count(DISTINCT l_partkey) AS approx_parts_ok,
+      abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 10
+        <= count(DISTINCT l_orderkey) AS approx_orders_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q36
   /** Sessionization: events within a 30-minute inactivity gap form one

@@ -74,7 +74,14 @@ object Store {
     * rename failure rolls the already-swapped partitions back before
     * surfacing. The touched-partition list is driver-collected — bounded
     * by the batch's distinct series, the same cardinality the broadcast
-    * semi-join already assumes small. */
+    * semi-join already assumes small.
+    *
+    * The two-rename discipline ASSUMES atomic directory rename
+    * (HDFS/posix/abfs). On stores whose rename is an emulated copy+delete
+    * (S3A and friends) it would reintroduce the very crash window it
+    * closes, so [[atomicRename]] gates it and the fallback is Spark's
+    * dynamic partition overwrite from the staged tmp — same touched-only
+    * cost, consistency owned by the committer. */
   def upsertSave(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String] = pk): Unit = {
     val touched = incoming.select("symbol", "timeframe").distinct()
@@ -91,11 +98,48 @@ object Store {
       .write.mode("overwrite")
       .partitionBy("symbol", "timeframe")
       .parquet(tmp)
-    val parts = touched.collect()
-      .map(r => (r.getAs[String]("symbol"), r.getAs[String]("timeframe")))
-      .sortBy(identity)
-    swapPartitions(spark, path, tmp, parts)
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (atomicRename(spark, fs)) {
+      val parts = touched.collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[String]("timeframe")))
+        .sortBy(identity)
+      swapPartitions(spark, path, tmp, parts)
+    } else {
+      // Store without atomic directory rename (S3A and friends): the
+      // two-rename swap's crash guarantee does not hold there — a "rename"
+      // is a non-atomic copy+delete, so a mid-swap crash can leave a
+      // partition half-copied. Fall back to Spark's dynamic partition
+      // overwrite FROM THE STAGED TMP (already fully written, so the
+      // read/overwrite hazard is gone): only touched partitions rewrite,
+      // and the commit protocol — not our renames — owns consistency.
+      spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("symbol", "timeframe")
+        .parquet(path)
+      fs.delete(new Path(tmp), true)
+      spark.catalog.refreshByPath(path)
+    }
   }
+
+  /** Does this FileSystem give the ATOMIC directory rename the two-rename
+    * swap discipline assumes? HDFS/posix/abfs do; object-store connectors
+    * that emulate rename as copy+delete (s3a, gs, oss, …) do not — there a
+    * crash mid-"rename" leaves a partition half-copied, which is exactly
+    * the window the swap exists to close. Scheme allowlist (Hadoop's
+    * `PathCapabilities` has no atomic-rename probe), overridable for
+    * unusual stores via hadoop conf `graft.store.rename.atomic`. */
+  private[graft] def atomicRename(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    Option(spark.sparkContext.hadoopConfiguration
+        .get("graft.store.rename.atomic")) match {
+      case Some(v) => v.toBoolean
+      case None =>
+        Set("file", "hdfs", "viewfs", "abfs", "abfss", "local")
+          .contains(fs.getUri.getScheme)
+    }
 
   /** Swap `parts` partition directories from `tmp` into the live table at
     * `path`, backing up each displaced live directory under
@@ -114,7 +158,13 @@ object Store {
     if (fs.exists(bakRoot) && !fs.delete(bakRoot, true))
       throw new java.io.IOException(
         s"upsertSave: cannot clear stale backup $bakRoot")
-    def rel(sym: String, tf: String) = s"symbol=$sym/timeframe=$tf"
+    // partition VALUES are escaped exactly the way Spark's write path
+    // escapes them (escapePathName percent-encodes ':', '%', control and
+    // path chars) — a raw s"symbol=$sym" for a symbol with any of those
+    // builds a source path the written tmp dir never matches
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def rel(sym: String, tf: String) =
+      s"symbol=${escapePathName(sym)}/timeframe=${escapePathName(tf)}"
     // (partition, hadBackup) completed swaps, for rollback
     val done = scala.collection.mutable.ArrayBuffer.empty[((String, String), Boolean)]
     def rollback(): Unit = {
@@ -151,7 +201,13 @@ object Store {
         done += (((sym, tf), hadBak))
       }
     } catch {
-      case e: Throwable => rollback(); throw e
+      case e: Throwable =>
+        // a rollback failure must not REPLACE the original swap failure —
+        // attach it as suppressed so both surface, with the table's
+        // partially-rolled-back state attributable to the right cause
+        try rollback()
+        catch { case rb: Throwable if rb ne e => e.addSuppressed(rb) }
+        throw e
     }
     // success: drop the backup tree and the tmp remainder (_SUCCESS etc.)
     if (fs.exists(bakRoot) && !fs.delete(bakRoot, true))

@@ -494,8 +494,10 @@ object ExtQueries {
       ORDER BY doc_id, token"""))
 
   // ---------------------------------------------------------------- x41
-  /** Multimodal stub: binary payload + mapPartitions feature extraction
-    * (deterministic fake decode — see [[Multimodal.extractFeatures]]). */
+  /** Multimodal plumbing: binary payload + mapPartitions feature
+    * extraction. `fmt` here is `txt` (no binary testdata), which
+    * [[Multimodal.extractFeatures]] routes to its deterministic fake arm;
+    * real image/audio payloads route to the real decoders (r6). */
   val x41Multimodal: Q = Q(
     (s, dir) =>
       Multimodal.extractFeatures(

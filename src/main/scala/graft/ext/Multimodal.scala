@@ -39,24 +39,39 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Per-partition "decode" + feature extraction.
+  /** Per-partition decode + feature extraction, dispatched on `fmt`.
     *
-    * STUB: a real implementation opens a codec per partition and decodes
-    * `media` (image pixels / audio samples / video frames). Deterministic
-    * fake used instead: frame count derived from payload length. The
-    * partition-wise iteration, closure shape, and output schema are the
-    * real, scale-relevant parts.
-    */
+    * The REAL decoders own their modalities: image formats go through
+    * the [[decodeImages]] machinery (a decoded still is `n_frames` = 1;
+    * undecodable payloads DROP, per the corpus-hygiene contract), `wav`
+    * goes through [[parseWav]] (`n_frames` = actual PCM frame count).
+    * Only `video` (no JDK codec exists — labeled stub) and unknown
+    * formats (e.g. the harness's `txt` wrapping) keep the round-1
+    * deterministic fake (`n_bytes % 7 + 1`), so no caller can mistake
+    * the fake for a real decode on a modality we can actually read. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val imageFmts = Set("png", "jpg", "jpeg", "gif", "bmp")
     media.mapPartitions { rows =>
-      // per-partition codec init would go here (once per task, not per row)
-      rows.map { r =>
+      // per-partition: ImageIO registry lookups amortize across the task
+      rows.flatMap { r =>
         val nBytes = r.media.length
         val firstByte = if (nBytes > 0) r.media(0) & 0xff else -1
-        val nFrames = nBytes % 7 + 1 // deterministic fake "decode"
-        MediaFeatures(r.doc_id, nBytes, firstByte, nFrames)
+        val fmt = Option(r.fmt).map(_.toLowerCase).getOrElse("")
+        if (imageFmts(fmt)) {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+            catch { case scala.util.control.NonFatal(_) => null }
+          Option(img).map(_ => MediaFeatures(r.doc_id, nBytes, firstByte, 1))
+        } else if (fmt == "wav") {
+          parseWav(r.media, r.doc_id, 0.01).map(af => MediaFeatures(
+            r.doc_id, nBytes, firstByte,
+            math.min(af.n_frames, Int.MaxValue.toLong).toInt))
+        } else {
+          // video / unknown: deterministic fake "decode" (labeled stub)
+          Some(MediaFeatures(r.doc_id, nBytes, firstByte, nBytes % 7 + 1))
+        }
       }
     }
   }
@@ -80,9 +95,13 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
+        // NonFatal, not just IOException: corrupt/truncated payloads can
+        // make codec plugins throw RuntimeExceptions (IllegalArgument,
+        // CMMException, ArrayIndexOutOfBounds) — a poison blob must DROP,
+        // not kill the stage
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         Option(img).map { im =>
           val (w, h) = (im.getWidth, im.getHeight)
           val stride = math.max(1,
@@ -243,9 +262,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
+        // NonFatal for the same reason as decodeImages: codec plugins
+        // throw RuntimeExceptions on corrupt payloads
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         Option(img).map(im => ImageHash(r.doc_id, dHashOf(im)))
       }
     }

@@ -374,6 +374,44 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.size == 12 * 11 / 2, "matrix not complete")
   }
 
+  test("blocked correlation refuses an over-budget universe unless opted in") {
+    // 12 symbols = 66 pairs; maxPairs=50 must refuse BEFORE any S² work
+    val candles = (for {
+      s <- 0 until 12
+      i <- 0 until 15
+    } yield (s"SYM$s", msTs(i * 86400000L), 100.0 + i + s))
+      .toDF("symbol", "bucket", "close")
+    val e = intercept[IllegalArgumentException] {
+      Indicators.correlationMatrixBlocked(candles, "symbol", minObs = 2,
+        maxPairs = 50)
+    }
+    assert(e.getMessage.contains("66 pairs exceeds maxPairs=50"))
+    assert(e.getMessage.contains("unbounded=true"))
+    // the explicit opt-in launches the same matrix the guard refused
+    val out = Indicators.correlationMatrixBlocked(candles, "symbol",
+      minObs = 2, maxPairs = 50, unbounded = true).collect()
+    assert(out.length == 66)
+    // and a universe inside the budget needs no opt-in
+    assert(Indicators.correlationMatrixBlocked(candles, "symbol",
+      minObs = 2, maxPairs = 66).collect().length == 66)
+  }
+
+  test("vwap: NULL qty rows are skipped, not an overflow error") {
+    // pre-guard semantics: null qty vanishes from pq AND qty sums but
+    // still counts in n_trades (count(lit(1)) counts rows, not qty)
+    val ticks = Seq(
+      ("A", msTs(0L), 10.0, Some(2L)),
+      ("A", msTs(1000L), 20.0, None),
+      ("A", msTs(2000L), 30.0, Some(2L)))
+      .toDF("symbol", "ts", "price", "qty")
+    val out = Indicators.vwap(ticks, "1h", "symbol", "ts", "price", "qty")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("vwap") == 20.0) // (10·2+30·2)/4
+    assert(out.head.getAs[Long]("qty") == 4L)
+    assert(out.head.getAs[Long]("n_trades") == 3L)
+  }
+
   test("indicators are symbol-local: two symbols never mix") {
     val two = (Seq.tabulate(40)(i => ("A", msTs(i * 60000L), 10.0 + i)) ++
       Seq.tabulate(40)(i => ("B", msTs(i * 60000L), 500.0 - i)))

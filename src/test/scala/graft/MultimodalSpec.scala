@@ -157,6 +157,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       s"got $pairs — near-dup trio only, vertical ramp excluded")
   }
 
+  test("extractFeatures dispatches by fmt: real image/audio decoders, fake only for video/unknown") {
+    val image = png(16, 8, (x, _) => x * 10)
+    val audio = wav(8000, 1, 16, Array.fill(250)(Array(1000)))
+    val out = Multimodal.extractFeatures(media(
+        MediaRow(1L, image, "png"),
+        MediaRow(2L, audio, "wav"),
+        MediaRow(3L, "pretend-video".getBytes("US-ASCII"), "mp4"),
+        MediaRow(4L, "plain text".getBytes("US-ASCII"), "txt"),
+        MediaRow(5L, "junk".getBytes("US-ASCII"), "png"),   // poison image
+        MediaRow(6L, "junk".getBytes("US-ASCII"), "wav")))  // poison audio
+      .collect().map(f => f.doc_id -> f).toMap
+    // real arms: a decoded still is 1 frame; WAV reports true PCM frames
+    assert(out(1L).n_frames == 1 && out(1L).n_bytes == image.length)
+    assert(out(2L).n_frames == 250)
+    // stub arms keep the deterministic fake (n_bytes % 7 + 1)
+    assert(out(3L).n_frames == 13 % 7 + 1)
+    assert(out(4L).n_frames == 10 % 7 + 1)
+    // poison payloads on REAL modalities drop — never the fake fallback
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("hammingNearDupPairs64: pigeonhole recall at ≤3, verify rejects shared-band far pairs, negatives band correctly") {
     val df = Seq(
       (1L, 0L),                      // origin

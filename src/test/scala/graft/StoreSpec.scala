@@ -141,6 +141,47 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(dir).list().toSeq == Seq("ohlcv"))
   }
 
+  test("upsertSave escapes path-special partition values (':' in symbol)") {
+    // Spark's write path percent-encodes ':' in partition dirs
+    // (symbol=BTC%3AUSD); the swap's source paths must match that
+    // encoding or the rename fails for any such key
+    val dir = java.nio.file.Files.createTempDirectory("graft_esc").toString
+    val path = s"$dir/ohlcv"
+    Store.save(mk((1000L, "BTC:USD", "1m", 1.0), (2000L, "ETH", "1m", 2.0)), path)
+    Store.upsertSave(spark, path,
+      mk((1000L, "BTC:USD", "1m", 9.0), (3000L, "BTC:USD", "1m", 3.0)))
+    val all = spark.read.parquet(path)
+    assert(all.count() == 3)
+    assert(all.filter(col("symbol") === "BTC:USD").count() == 2)
+    assert(all.filter(col("close") === 9.0).count() == 1)
+    assert(new java.io.File(dir).list().toSeq == Seq("ohlcv"),
+      "swap left scratch dirs for the escaped partition")
+  }
+
+  test("upsertSave falls back to dynamic overwrite on non-atomic-rename stores") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // capability probe: local fs is rename-atomic by scheme; the conf
+    // override models an object store (and lets tests force the fallback)
+    val fs = new org.apache.hadoop.fs.Path("/tmp").getFileSystem(hc)
+    assert(Store.atomicRename(spark, fs), "file:// must default to atomic")
+    hc.set("graft.store.rename.atomic", "false")
+    try {
+      assert(!Store.atomicRename(spark, fs))
+      val dir = java.nio.file.Files.createTempDirectory("graft_s3ish").toString
+      val path = s"$dir/ohlcv"
+      Store.save(mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0)), path)
+      Store.upsertSave(spark, path,
+        mk((1000L, "BTC", "1m", 9.0), (3000L, "BTC", "1m", 3.0)))
+      val all = spark.read.parquet(path)
+      assert(all.count() == 3)
+      assert(all.filter(col("close") === 9.0).count() == 1)
+      assert(all.filter(col("symbol") === "ETH" && col("close") === 2.0).count() == 1)
+      // the fallback never creates the swap's scratch siblings
+      assert(new java.io.File(dir).list().toSeq == Seq("ohlcv"),
+        "fallback left swap scratch dirs")
+    } finally hc.unset("graft.store.rename.atomic")
+  }
+
   test("compact merges small files without changing data (storage maintenance)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val store = s"$dir/ohlcv"

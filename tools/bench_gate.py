@@ -13,6 +13,15 @@ in-round so drift is caught before the judge sees it:
 The baseline file may be either a raw Bench JSON line or a driver-recorded
 BENCH_r{N}.json wrapper (the bench line is extracted from its "tail" when
 "parsed" is null).
+
+Driver-vs-local rep-robustness proof (VERDICT r5 item 5): gate the round's
+driver artifact against the same-config local run —
+
+    python3 tools/bench_gate.py BENCH_r06.json BENCH_LOCAL_r06.json --max-ratio 1.5
+
+Both headline and "extra" sections are compared when present on both
+sides; queries listed in the new run's "truncated" field are reported but
+do not fail the gate (they carry no median to compare).
 """
 import json
 import re
@@ -22,16 +31,20 @@ import sys
 def load_bench(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
-    if "queries" in doc:
-        return doc
-    if doc.get("parsed"):
-        return doc["parsed"]
-    # driver wrapper with the JSON line buried in captured stdout/tail
-    tail = doc.get("tail", "")
-    m = re.search(r'\{"metric":.*?"queries":.*\}', tail)
-    if not m:
-        sys.exit(f"cannot find a bench JSON line in {path}")
-    return json.loads(m.group(0))
+    if "queries" not in doc:
+        if doc.get("parsed"):
+            doc = doc["parsed"]
+        else:
+            # driver wrapper with the JSON line buried in captured stdout/tail
+            tail = doc.get("tail", "")
+            m = re.search(r'\{"metric":.*?"queries":.*\}', tail)
+            if not m:
+                sys.exit(f"cannot find a bench JSON line in {path}")
+            doc = json.loads(m.group(0))
+    # fold the extras into the comparable map (absent on SKIP_EXTRAS runs)
+    doc = dict(doc)
+    doc["all_queries"] = {**doc.get("queries", {}), **doc.get("extra", {})}
+    return doc
 
 
 def main() -> None:
@@ -43,8 +56,13 @@ def main() -> None:
         if a.startswith("--max-ratio"):
             max_ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new, base = load_bench(args[0]), load_bench(args[1])
-    nq, bq = new["queries"], base["queries"]
+    # compare extras only when BOTH sides measured them
+    both_extra = bool(new.get("extra")) and bool(base.get("extra"))
+    nq = new["all_queries"] if both_extra else new["queries"]
+    bq = base["all_queries"] if both_extra else base["queries"]
     failures, lines = [], []
+    for name in new.get("truncated", []):
+        lines.append(f"TRUNCATED {name}: no median in new run (global deadline)")
     for name in sorted(nq):
         nv = nq[name]
         if nv == -1:
