@@ -281,6 +281,40 @@ object Indicators {
     pearsonFromAligned(aligned, minObs)
   }
 
+  /** Bounded-cost estimate of the full matrix: when S(S−1)/2 exceeds
+    * `targetPairs`, deterministically sample the SYMBOL universe at
+    * √(target/total) — pair count is quadratic in the kept fraction, so
+    * the expected sampled-pair count lands on the budget — and run the
+    * blocked matrix on the sample. Sampling is md5-keyed (stable across
+    * runs, engines, and partitionings; no RNG), and a sampled pair's
+    * correlation is BIT-IDENTICAL to its value in the full matrix (the
+    * moment sums only see that pair's own aligned rows — IndicatorsSpec
+    * asserts subset equality). This is the deliberate middle path the
+    * [[correlationMatrixBlocked]] guard points at: q52's top-k gate
+    * bounds by importance, this bounds by budget, `unbounded = true`
+    * pays the full S². Universes already inside the budget pass through
+    * complete. */
+  def correlationMatrixSampled(candles: DataFrame, symbolCol: String,
+      bucketCol: String = "bucket", closeCol: String = "close",
+      minObs: Int = 10, nBlocks: Int = 16,
+      targetPairs: Long = 1000000L): DataFrame = {
+    require(targetPairs > 0, "targetPairs must be positive")
+    val s = candles.select(col(symbolCol)).distinct().count()
+    val total = s * (s - 1) / 2
+    val base =
+      if (total <= targetPairs) candles
+      else {
+        // md5-deterministic keep: symbol survives iff hash mod 1e6 falls
+        // under 1e6·√(target/total)
+        val threshold = (math.sqrt(targetPairs.toDouble / total) * 1000000L).toLong
+        candles.filter(
+          pmod(conv(substring(md5(col(symbolCol).cast("string")), 1, 15),
+            16, 10).cast("long"), lit(1000000L)) < threshold)
+      }
+    correlationMatrixBlocked(base, symbolCol, bucketCol, closeCol, minObs,
+      nBlocks, unbounded = true)
+  }
+
   /** Shared moment-sum assembly: `aligned` rows are (sym_a, sym_b, x, y)
     * per common bucket; all five sums exact decimal, correlation in one
     * fixed double expression, zero-variance pairs → NULL. */

@@ -396,6 +396,38 @@ class IndicatorsSpec extends AnyFunSuite with SparkTestBase {
       minObs = 2, maxPairs = 66).collect().length == 66)
   }
 
+  test("sampled correlation: budget respected, values bit-identical to the full matrix") {
+    // 40 symbols = 780 pairs; targetPairs=100 keeps ~√(100/780) ≈ 36% of
+    // symbols ≈ 14 → ~95 expected pairs
+    val candles = (for {
+      s <- 0 until 40
+      i <- 0 until 30
+    } yield (s"SYM$s", msTs(i * 86400000L),
+      100.0 + 5 * math.sin(0.3 * i + s) + 0.1 * s))
+      .toDF("symbol", "bucket", "close")
+    val full = Indicators.correlationMatrixBlocked(candles, "symbol",
+      minObs = 10, unbounded = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val sampled = Indicators.correlationMatrixSampled(candles, "symbol",
+      minObs = 10, targetPairs = 100).collect()
+    assert(sampled.nonEmpty, "sample came back empty")
+    assert(sampled.length < 780 / 2,
+      s"sampling barely reduced the matrix: ${sampled.length} pairs")
+    // every sampled pair carries EXACTLY its full-matrix row
+    sampled.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(full(k) == r.toSeq, s"sampled pair $k diverged from full matrix")
+    }
+    // determinism: same input → same sample, no RNG anywhere
+    val again = Indicators.correlationMatrixSampled(candles, "symbol",
+      minObs = 10, targetPairs = 100).collect()
+    assert(again.map(_.toSeq).toSeq == sampled.map(_.toSeq).toSeq)
+    // a universe inside the budget passes through complete
+    val complete = Indicators.correlationMatrixSampled(candles, "symbol",
+      minObs = 10, targetPairs = 1000).collect()
+    assert(complete.length == 780)
+  }
+
   test("vwap: NULL qty rows are skipped, not an overflow error") {
     // pre-guard semantics: null qty vanishes from pq AND qty sums but
     // still counts in n_trades (count(lit(1)) counts rows, not qty)
