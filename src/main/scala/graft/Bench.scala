@@ -44,6 +44,18 @@ import org.apache.spark.sql.SparkSession
   *    cold-read latency the later ones don't.
   */
 object Bench {
+
+  /** Extras the driver run measures by default. q62_correlation_full is
+    * DELIBERATELY absent: ~152s/rep at sf0.1 (S²-by-contract) starved the
+    * round-5 driver run past its wall-clock (BENCH_NOTES r6); it re-enters
+    * only via SPARK_GRAFT_EXTRA_Q62=1. EntrySpec pins this exclusion so a
+    * future edit can't silently re-create the rc-124 failure. */
+  private[graft] val defaultExtras: Seq[String] = Seq(
+    "q40_range_join", "q41_incremental_resample", "x48_pack_sequences",
+    "x50_embed_dedup", "x66_boilerplate", "x67_delta_dedup",
+    "q50_bollinger", "x71_bm25", "x72_dsir", "x73_semantic_dedup",
+    "x80_dup_spans", "q56_atr")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -185,10 +197,7 @@ object Bench {
     // BENCH_LOCAL/SCALING evidence; opt in with SPARK_GRAFT_EXTRA_Q62=1.
     val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
     val extraNames = (if (skipExtras) Seq.empty[String]
-    else Seq("q40_range_join", "q41_incremental_resample",
-      "x48_pack_sequences", "x50_embed_dedup", "x66_boilerplate",
-      "x67_delta_dedup", "q50_bollinger", "x71_bm25", "x72_dsir",
-      "x73_semantic_dedup", "x80_dup_spans", "q56_atr") ++
+    else defaultExtras ++
       (if (sys.env.get("SPARK_GRAFT_EXTRA_Q62").contains("1"))
          Seq("q62_correlation_full") else Seq.empty))
       .filter(SparkEntry.queries.contains)

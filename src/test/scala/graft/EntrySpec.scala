@@ -17,6 +17,16 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 
+  test("driver bench extras exclude the S² q62 by default (r5 rc-124 pin)") {
+    // q62_correlation_full is ~152s/rep at sf0.1 BY CONTRACT; putting it
+    // back in the default extras is what cost round 5 its bench artifact.
+    // It must only run under the explicit SPARK_GRAFT_EXTRA_Q62 opt-in.
+    assert(!Bench.defaultExtras.contains("q62_correlation_full"))
+    assert(Bench.defaultExtras.toSet.subsetOf(SparkEntry.queries.keySet),
+      "stale name in Bench.defaultExtras")
+    assert(Bench.defaultExtras.nonEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact (q35 accuracy bound)") {
     // q35's compared output carries only the 10% within-bound booleans
     // (oracle-stable); the tighter raw-sketch bound lives here, where an
