@@ -106,6 +106,24 @@ object Bench {
         Left(Option(t.getMessage).getOrElse(t.getClass.getName).take(120)) }
     }
 
+    // Watchdog: the deadline check between measurements cannot stop a
+    // measurement that HANGS — exactly the failure that leaves no
+    // artifact (rc 124). One rep-budget past the global deadline, cancel
+    // every running job (repeatedly — AQE/retries may start new ones):
+    // the in-flight measurement surfaces as a cancellation, the loop is
+    // already past `overDeadline` so nothing new starts, and the JSON
+    // line prints. Daemon thread — dies with the JVM.
+    val watchdog = new Thread(() => {
+      while (true) {
+        val sleepMs =
+          ((totalBudgetSec + repBudgetSec - elapsedSec) * 1000).toLong
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        else { spark.sparkContext.cancelAllJobs(); Thread.sleep(5000) }
+      }
+    }, "graft-bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+
     def median(xs: Seq[Double]): Double = {
       val v = xs.sorted
       if (v.length % 2 == 1) v(v.length / 2)
@@ -136,7 +154,10 @@ object Bench {
             times(n) = times.getOrElse(n, Vector.empty) :+ sec
             if (times(n).length >= 2 && times(n).sum > 2 * repBudgetSec)
               stopped += n
-          case Left(e) => errs(n) = e
+          // a failure past the deadline is the WATCHDOG's cancellation,
+          // not the query's fault: keep any medians already gathered
+          // (query → stopped) instead of poisoning the query to -1
+          case Left(e) => if (overDeadline) stopped += n else errs(n) = e
         }
       val truncated = names.filter(n =>
         !errs.contains(n) && times.getOrElse(n, Vector.empty).isEmpty)
