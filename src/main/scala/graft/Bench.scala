@@ -2,7 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line on stdout (driver contract).
+/** Benchmark main — two JSON lines on stdout (driver contract).
+  *
+  * Line 1 is the FULL artifact (medians, spreads, errors, truncation);
+  * line 2 is a ~140-byte compact summary with the same `"metric"`/
+  * `"value"`/`"n_measured"`/`"n_truncated"` fields and no per-query
+  * maps. The driver records only the tail of stdout, which clipped the
+  * head of the single ~4 KB line in rounds 5–6 (`parsed: null`); the
+  * compact line always fits the tail window whole, and the full line
+  * orders its bulky maps first so the per-query medians ALSO land in
+  * the tail. See [[artifactLines]].
   *
   * Runs the headline subset (`SparkEntry.benchQueries`) against
   * `SPARK_GRAFT_SF_DIR`. Each query is fully materialized through the noop
@@ -55,6 +64,110 @@ object Bench {
     "x50_embed_dedup", "x66_boilerplate", "x67_delta_dedup",
     "q50_bollinger", "x71_bm25", "x72_dsir", "x73_semantic_dedup",
     "x80_dup_spans", "q56_atr")
+
+  /** Per-query measurement summary: (median, min, max, first error). */
+  private[graft] type Reading = (Double, Double, Double, Option[String])
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val v = xs.sorted
+    if (v.length % 2 == 1) v(v.length / 2)
+    else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+  }
+
+  /** Round-robin reps over `names`; per query: median/min/max/error.
+    * A query that crashes on ANY rep reports -1 and its first error (a
+    * crashing query must not masquerade as a fast one); a query whose
+    * reps cumulatively exceed 2× the rep budget gets no further reps —
+    * but never fewer than two reps total, so a single contention spike
+    * cannot be a query's only data point (r4: q50 97.2s driver vs 1.6s
+    * local, single-rep median). The GLOBAL deadline is checked before
+    * every measurement: once exceeded no further reps run, queries with
+    * at least one rep keep their median, and queries with none are
+    * returned in the second element (truncated) rather than reported
+    * as errors — partial results still produce a parseable artifact.
+    * Extracted to object level (pure over `measureOnce`/`overDeadline`)
+    * so BenchSpec can drive the deadline/budget paths without Spark. */
+  private[graft] def roundRobin(names: Seq[String], reps: Int,
+      repBudgetSec: Double, overDeadline: () => Boolean,
+      measureOnce: String => Either[String, Double])
+      : (Seq[(String, Reading)], Seq[String]) = {
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    val stopped = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; n <- names
+         if !errs.contains(n) && !stopped(n) && !overDeadline())
+      measureOnce(n) match {
+        case Right(sec) =>
+          times(n) = times.getOrElse(n, Vector.empty) :+ sec
+          if (times(n).length >= 2 && times(n).sum > 2 * repBudgetSec)
+            stopped += n
+        // a failure past the deadline is the WATCHDOG's cancellation,
+        // not the query's fault: keep any medians already gathered
+        // (query → stopped) instead of poisoning the query to -1
+        case Left(e) => if (overDeadline()) stopped += n else errs(n) = e
+      }
+    val truncated = names.filter(n =>
+      !errs.contains(n) && times.getOrElse(n, Vector.empty).isEmpty)
+    val measured = names.filterNot(truncated.contains).map { n =>
+      val t = times.getOrElse(n, Vector.empty)
+      if (errs.contains(n) || t.isEmpty) n -> (-1d, -1d, -1d, errs.get(n))
+      else n -> (median(t), t.min, t.max, None)
+    }
+    (measured, truncated)
+  }
+
+  /** The two stdout artifact lines (extracted for BenchSpec).
+    *
+    * FULL line first: every reading — medians, spreads, errors,
+    * truncation — in one JSON object. Field ORDER is deliberate: the
+    * driver records only the last ~2 KB of stdout, so the bulky spread /
+    * error maps come FIRST and the per-query median maps + headline
+    * `"value"` come LAST, inside the surviving tail (r5/r6 lesson: with
+    * `"value"` at the head of a ~4 KB line, two consecutive rounds'
+    * official artifacts had `parsed: null`).
+    *
+    * COMPACT line second (~140 bytes, no per-query maps): guaranteed to
+    * fit any tail window whole, so whichever line the driver's parser
+    * finds last, it parses. `n_measured`/`n_truncated` ride on BOTH
+    * lines so a deadline-truncated run is self-describing — `"value"`
+    * sums only measured headline medians and would otherwise flatter a
+    * partial run. */
+  private[graft] def artifactLines(results: Seq[(String, Reading)],
+      extraResults: Seq[(String, Reading)], truncated: Seq[String],
+      reps: Int, elapsedSec: Double, sfDir: String): (String, String) = {
+    def mediansJson(rs: Seq[(String, Reading)]) =
+      rs.map { case (k, (med, _, _, e)) =>
+          "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
+        .mkString("{", ",", "}")
+    def spreadJson(rs: Seq[(String, Reading)]) =
+      rs.collect { case (k, (_, lo, hi, None)) =>
+          "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
+        .mkString("{", ",", "}")
+    def errorsJson(rs: Seq[(String, Reading)]) =
+      rs.collect { case (k, (_, _, _, Some(e))) =>
+          // strip everything JSON strings can't carry raw (quotes,
+          // backslashes, ALL control chars), not just newlines
+          "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
+        .mkString("{", ",", "}")
+    val total = results.collect { case (_, (med, _, _, None)) => med }.sum
+    val nMeasured = (results ++ extraResults)
+      .count { case (_, (med, _, _, e)) => e.isEmpty && med >= 0 }
+    val truncatedJson = truncated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val elapsed = "%.1f".format(elapsedSec)
+    val counts = s""""reps":$reps,"n_measured":$nMeasured,""" +
+      s""""n_truncated":${truncated.size}"""
+    val full = s"""{"metric":"total","unit":"sec",$counts,""" +
+      s""""spread":${spreadJson(results)},""" +
+      s""""extra_spread":${spreadJson(extraResults)},""" +
+      s""""extra_errors":${errorsJson(extraResults)},""" +
+      s""""errors":${errorsJson(results)},"truncated":$truncatedJson,""" +
+      s""""queries":${mediansJson(results)},""" +
+      s""""extra":${mediansJson(extraResults)},""" +
+      s""""value":$total,"elapsed_sec":$elapsed,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s"""$counts,"elapsed_sec":$elapsed,"sf":"$sfDir"}"""
+    (full, compact)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,62 +225,26 @@ object Bench {
     // every running job (repeatedly — AQE/retries may start new ones):
     // the in-flight measurement surfaces as a cancellation, the loop is
     // already past `overDeadline` so nothing new starts, and the JSON
-    // line prints. Daemon thread — dies with the JVM.
+    // line prints. Daemon thread — dies with the JVM; `benchDone` stops
+    // the loop once the artifact lines are out, and the cancel call is
+    // guarded — after spark.stop() it throws on the stopped context,
+    // spraying a daemon stack trace into stdout AFTER the JSON lines
+    // (harmless to the artifact, alarming to log-scraping harnesses).
+    @volatile var benchDone = false
     val watchdog = new Thread(() => {
-      while (true) {
+      while (!benchDone) {
         val sleepMs =
           ((totalBudgetSec + repBudgetSec - elapsedSec) * 1000).toLong
-        if (sleepMs > 0) Thread.sleep(sleepMs)
-        else { spark.sparkContext.cancelAllJobs(); Thread.sleep(5000) }
+        if (sleepMs > 0) Thread.sleep(math.min(sleepMs, 5000))
+        else {
+          try spark.sparkContext.cancelAllJobs()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(5000)
+        }
       }
     }, "graft-bench-watchdog")
     watchdog.setDaemon(true)
     watchdog.start()
-
-    def median(xs: Seq[Double]): Double = {
-      val v = xs.sorted
-      if (v.length % 2 == 1) v(v.length / 2)
-      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
-    }
-
-    /** Round-robin reps over `names`; per query: median/min/max/error.
-      * A query that crashes on ANY rep reports -1 and its first error (a
-      * crashing query must not masquerade as a fast one); a query whose
-      * reps cumulatively exceed 2× the rep budget gets no further reps —
-      * but never fewer than two reps total, so a single contention spike
-      * cannot be a query's only data point (r4: q50 97.2s driver vs 1.6s
-      * local, single-rep median). The GLOBAL deadline is checked before
-      * every measurement: once exceeded no further reps run, queries with
-      * at least one rep keep their median, and queries with none are
-      * returned in the second element (truncated) rather than reported
-      * as errors — partial results still produce a parseable artifact. */
-    def roundRobin(names: Seq[String])
-        : (Seq[(String, (Double, Double, Double, Option[String]))],
-           Seq[String]) = {
-      val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      val errs = scala.collection.mutable.Map.empty[String, String]
-      val stopped = scala.collection.mutable.Set.empty[String]
-      for (_ <- 1 to reps; n <- names
-           if !errs.contains(n) && !stopped(n) && !overDeadline)
-        measureOnce(n) match {
-          case Right(sec) =>
-            times(n) = times.getOrElse(n, Vector.empty) :+ sec
-            if (times(n).length >= 2 && times(n).sum > 2 * repBudgetSec)
-              stopped += n
-          // a failure past the deadline is the WATCHDOG's cancellation,
-          // not the query's fault: keep any medians already gathered
-          // (query → stopped) instead of poisoning the query to -1
-          case Left(e) => if (overDeadline) stopped += n else errs(n) = e
-        }
-      val truncated = names.filter(n =>
-        !errs.contains(n) && times.getOrElse(n, Vector.empty).isEmpty)
-      val measured = names.filterNot(truncated.contains).map { n =>
-        val t = times.getOrElse(n, Vector.empty)
-        if (errs.contains(n) || t.isEmpty) n -> (-1d, -1d, -1d, errs.get(n))
-        else n -> (median(t), t.min, t.max, None)
-      }
-      (measured, truncated)
-    }
 
     // fault the benchmark inputs into the OS page cache (bench hygiene:
     // cold-read latency belongs to no single query)
@@ -184,27 +261,8 @@ object Bench {
         try run(n, "/root/testdata/sf0.001")
         catch { case _: Throwable => () }
     }
-    val (results, headTruncated) = roundRobin(names)
-
-    def mediansJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
-      rs.map { case (k, (med, _, _, e)) =>
-          "\"" + k + "\":" + (if (e.isDefined) "-1" else med.toString) }
-        .mkString("{", ",", "}")
-    def spreadJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
-      rs.collect { case (k, (_, lo, hi, None)) =>
-          "\"" + k + "\":{\"min\":" + lo + ",\"max\":" + hi + "}" }
-        .mkString("{", ",", "}")
-    def errorsJson(rs: Seq[(String, (Double, Double, Double, Option[String]))]) =
-      rs.collect { case (k, (_, _, _, Some(e))) =>
-          // strip everything JSON strings can't carry raw (quotes,
-          // backslashes, ALL control chars), not just newlines
-          "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\"" }
-        .mkString("{", ",", "}")
-
-    val qs = mediansJson(results)
-    val spread = spreadJson(results)
-    val errsJson = errorsJson(results)
-    val total = results.collect { case (_, (med, _, _, None)) => med }.sum
+    val (results, headTruncated) =
+      roundRobin(names, reps, repBudgetSec, () => overDeadline, measureOnce)
 
     // round-2+ operators, timed OUTSIDE the headline so "value"/"queries"
     // stay comparable to the recorded baseline across rounds — but under
@@ -226,14 +284,15 @@ object Bench {
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
-    val (extraResults, extraTruncated) = roundRobin(extraNames)
-    val extra = mediansJson(extraResults)
-    val extraSpread = spreadJson(extraResults)
-    val extraErrs = errorsJson(extraResults)
-    val truncatedJson = (headTruncated ++ extraTruncated)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (extraResults, extraTruncated) =
+      roundRobin(extraNames, reps, repBudgetSec, () => overDeadline,
+        measureOnce)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"extra":$extra,"extra_spread":$extraSpread,"extra_errors":$extraErrs,"errors":$errsJson,"truncated":$truncatedJson,"elapsed_sec":${"%.1f".format(elapsedSec)},"sf":"$sfDir"}""")
+    val (fullLine, compactLine) = artifactLines(results, extraResults,
+      headTruncated ++ extraTruncated, reps, elapsedSec, sfDir)
+    println(fullLine)
+    println(compactLine)
+    benchDone = true
     spark.stop()
   }
 }
