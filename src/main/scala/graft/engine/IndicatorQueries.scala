@@ -205,19 +205,96 @@ object IndicatorQueries {
     * remains the production practice; this is the escape hatch when the
     * portfolio IS the whole exchange). Bit-identical to the plain form
     * (exact-decimal moment sums; IndicatorsSpec asserts equality), and
-    * the oracle is q52's SQL with the top-100 CTE removed. */
+    * the oracle is q52's SQL with the top-100 CTE removed.
+    *
+    * `unbounded = true`: invoking the NAMED full-matrix query is itself
+    * the deliberate opt-in the guard exists to force (without it the
+    * default maxPairs=1M would refuse above 1,414 symbols — e.g. a
+    * 15k-symbol exchange = 112M pairs, exactly the case this query is
+    * for). Library callers reaching correlationMatrixBlocked directly
+    * still hit the guard; skipping it here also drops its
+    * distinct-count pre-pass from every q62 run. */
   val q62CorrelationFull: Q = Q(
     (s, dir) => {
       val daily = Ohlcv.resampleTicks(Tables.events(s, dir), "1d",
         symbolCol = "user_id", tsCol = "ts", priceCol = "value")
       Indicators.correlationMatrixBlocked(daily, "user_id", minObs = 10,
-          nBlocks = 8)
+          nBlocks = 8, unbounded = true)
         .orderBy("sym_a", "sym_b")
     },
     Some("""WITH c AS (SELECT user_id,
         time_bucket(INTERVAL '1 day', ts) AS bucket,
         CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
       FROM events GROUP BY 1, 2),
+      r0 AS (SELECT user_id, bucket, close,
+          lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM c),
+      r AS (SELECT user_id, bucket,
+          CAST(round(ln(CAST(close AS DOUBLE) / CAST(prev AS DOUBLE)), 8)
+            AS DECIMAL(20,8)) AS ret
+        FROM r0 WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
+      j AS (SELECT a.user_id AS sym_a, b.user_id AS sym_b,
+          a.ret AS x, b.ret AS y
+        FROM r a JOIN r b ON b.bucket = a.bucket AND a.user_id < b.user_id),
+      p AS (SELECT sym_a, sym_b, x, y,
+          CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS xy,
+          CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS x2,
+          CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(26,12)) AS y2
+        FROM j),
+      s AS (SELECT sym_a, sym_b, count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy,
+          sum(x2) AS sx2, sum(y2) AS sy2
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 10)
+      SELECT sym_a, sym_b, n,
+        CASE WHEN n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+              OR n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+          THEN NULL
+          ELSE round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        END AS corr
+      FROM s ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q63
+  /** Bounded-budget estimate of q62's full matrix —
+    * [[Indicators.correlationMatrixSampled]]: when S(S−1)/2 exceeds
+    * `targetPairs`, the SYMBOL universe is sampled at √(target/total)
+    * by an md5 threshold (deterministic — no RNG, stable across
+    * engines and partitionings), and every surviving pair's correlation
+    * is bit-identical to its value in the full matrix (the moment sums
+    * only see that pair's own aligned rows). This is the bounded
+    * alternative the [[Indicators.correlationMatrixBlocked]] guard
+    * message recommends — oracle-checked here so the recommended path
+    * is held to the same hash standard as the path it replaces.
+    * targetPairs=2000 keeps the sampling branch ACTIVE at the sf0.01
+    * verify scale (150 symbols = 11,175 pairs → threshold 423k keeps
+    * ~42% of symbols); smaller universes pass through complete (the
+    * oracle's CASE mirrors both branches). Threshold arithmetic is
+    * IEEE-double on both engines (correctly-rounded sqrt/divide/
+    * multiply, then truncation), so the kept set matches exactly. */
+  val q63CorrelationSampled: Q = Q(
+    (s, dir) => {
+      val daily = Ohlcv.resampleTicks(Tables.events(s, dir), "1d",
+        symbolCol = "user_id", tsCol = "ts", priceCol = "value")
+      Indicators.correlationMatrixSampled(daily, "user_id", minObs = 10,
+          nBlocks = 8, targetPairs = 2000L)
+        .orderBy("sym_a", "sym_b")
+    },
+    Some("""WITH par AS (SELECT s, s*(s-1)//2 AS total,
+        CAST(trunc(sqrt(CAST(2000 AS DOUBLE) / (s*(s-1)//2)) * 1000000)
+          AS BIGINT) AS threshold
+        FROM (SELECT count(DISTINCT user_id) AS s FROM events)),
+      keep AS (SELECT DISTINCT user_id FROM events, par
+        WHERE total <= 2000 OR
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < threshold),
+      c AS (SELECT user_id,
+        time_bucket(INTERVAL '1 day', ts) AS bucket,
+        CAST(round(max_by(value, ts), 4) AS DECIMAL(18,4)) AS close
+      FROM events JOIN keep USING (user_id) GROUP BY 1, 2),
       r0 AS (SELECT user_id, bucket, close,
           lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
         FROM c),
@@ -571,5 +648,6 @@ object IndicatorQueries {
     "q51_rsi" -> q51Rsi,
     "q52_correlation" -> q52Correlation,
     "q62_correlation_full" -> q62CorrelationFull,
+    "q63_correlation_sampled" -> q63CorrelationSampled,
     "q53_drawdown" -> q53Drawdown)
 }
