@@ -85,9 +85,15 @@ object Store {
   def upsertSave(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String] = pk): Unit = {
     val touched = incoming.select("symbol", "timeframe").distinct()
-    val existing = spark.read.parquet(path)
+    // explicit schema — a bare read would partition-TYPE-infer the
+    // directory keys, so a numeric-looking symbol ("007") comes back as
+    // IntegerType 7: the semi-join would then coerce string-vs-int and
+    // pull the WRONG live partitions into `existing`, and the union
+    // inside `upsert` would widen the key back to the string "7",
+    // silently dropping the live "007" rows from the merge. Pinning to
+    // `incoming`'s schema also projects to exactly its columns.
+    val existing = spark.read.schema(incoming.schema).parquet(path)
       .join(broadcast(touched), Seq("symbol", "timeframe"), "left_semi")
-      .select(incoming.columns.map(col).toIndexedSeq: _*)
     val merged = upsert(existing, incoming, keys)
     val tmp = path + "__upserting"
     // materializes `merged` (which READS the live table) before any
@@ -114,7 +120,11 @@ object Store {
       // overwrite FROM THE STAGED TMP (already fully written, so the
       // read/overwrite hazard is gone): only touched partitions rewrite,
       // and the commit protocol — not our renames — owns consistency.
-      spark.read.parquet(tmp)
+      // Explicit schema for the same inference reason as the live read
+      // above: symbol "007" read back as IntegerType 7 would overwrite
+      // the WRONG live partition while the real one goes stale. The
+      // staged tmp has exactly `merged`'s schema (= incoming's).
+      spark.read.schema(incoming.schema).parquet(tmp)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("symbol", "timeframe")
@@ -122,6 +132,24 @@ object Store {
       fs.delete(new Path(tmp), true)
       spark.catalog.refreshByPath(path)
     }
+  }
+
+  /** Read the canonical store with the `symbol`/`timeframe` layout keys
+    * pinned to STRING. A bare `spark.read.parquet` partition-type-infers
+    * the directory keys, so a numeric-looking symbol ("007") comes back
+    * as IntegerType 7 — colliding with a real symbol "7" (both
+    * directories parse to the same value), matching the wrong rows in
+    * key filters, and — through [[compact]]'s rewrite — permanently
+    * merging the two partitions on disk. Data columns keep the schema
+    * read from the parquet footers; only the two layout keys are pinned. */
+  private[graft] def readCanonical(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val inferred = spark.read.parquet(path).schema
+    val pinned = StructType(inferred.map(f =>
+      if (f.name == "symbol" || f.name == "timeframe")
+        f.copy(dataType = StringType)
+      else f))
+    spark.read.schema(pinned).parquet(path)
   }
 
   /** Does this FileSystem give the ATOMIC directory rename the two-rename
@@ -246,7 +274,7 @@ object Store {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(path)
+    val df = readCanonical(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     df.repartitionByRange(nOut, col("symbol"), col("timeframe"), col("ts"))
       .sortWithinPartitions("ts")
@@ -273,7 +301,7 @@ object Store {
   def scan(spark: SparkSession, path: String, symbol: String,
       timeframe: String, startTs: java.sql.Timestamp,
       endTs: java.sql.Timestamp): DataFrame =
-    spark.read.parquet(path)
+    readCanonical(spark, path)
       .filter(col("symbol") === symbol && col("timeframe") === timeframe &&
         col("ts").between(startTs, endTs))
       .orderBy("ts")

@@ -182,6 +182,48 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     } finally hc.unset("graft.store.rename.atomic")
   }
 
+  test("numeric-looking partition keys stay strings ('007' vs '7'), both swap paths") {
+    // every store read pins symbol/timeframe to STRING: a bare read
+    // partition-type-infers "007" and "7" to the SAME IntegerType 7 —
+    // the upsert's live read then merges the wrong partitions (and the
+    // fallback's tmp re-read would overwrite the wrong live directory).
+    // Both consistency paths must keep the two symbols distinct.
+    for (atomic <- Seq("true", "false")) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("graft.store.rename.atomic", atomic)
+      try {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_numsym_$atomic").toString
+        val path = s"$dir/ohlcv"
+        Store.save(mk((1000L, "007", "1m", 1.0), (1000L, "7", "1m", 2.0)), path)
+        Store.upsertSave(spark, path,
+          mk((1000L, "007", "1m", 9.0), (3000L, "007", "1m", 3.0)))
+        val all = Store.readCanonical(spark, path)
+        assert(all.schema("symbol").dataType ==
+          org.apache.spark.sql.types.StringType)
+        // "007" upserted+appended; "7" untouched — no cross-partition bleed
+        assert(all.filter(col("symbol") === "007").count() == 2,
+          s"atomic=$atomic")
+        assert(all.filter(col("symbol") === "007" && col("close") === 9.0)
+          .count() == 1, s"atomic=$atomic")
+        assert(all.filter(col("symbol") === "7" && col("close") === 2.0)
+          .count() == 1, s"atomic=$atomic")
+        assert(all.count() == 3, s"atomic=$atomic")
+        // S4 scan resolves the string key against the right partition
+        val scanned = Store.scan(spark, path, "7", "1m",
+          new java.sql.Timestamp(0L), new java.sql.Timestamp(10_000L))
+        assert(scanned.count() == 1 &&
+          scanned.head.getAs[Double]("close") == 2.0, s"atomic=$atomic")
+        // compact must not merge symbol=007 into symbol=7 on disk
+        Store.compact(spark, path)
+        val after = Store.readCanonical(spark, path)
+        assert(after.filter(col("symbol") === "007").count() == 2 &&
+          after.filter(col("symbol") === "7").count() == 1,
+          s"atomic=$atomic compact collapsed numeric-looking partitions")
+      } finally hc.unset("graft.store.rename.atomic")
+    }
+  }
+
   test("compact merges small files without changing data (storage maintenance)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val store = s"$dir/ohlcv"
