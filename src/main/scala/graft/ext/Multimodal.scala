@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   *
   * Media is carried as an opaque `BINARY` column plus typed metadata —
   * the schema/partitioning/batching layer is real. Codec status per
-  * modality (round 5): **images decode for real** via `javax.imageio`
+  * modality (round 7): **images decode for real** via `javax.imageio`
   * (PNG/JPEG/GIF/BMP — part of the JDK, no external library), see
   * [[decodeImages]]; **PCM WAV audio decodes for real** via a
-  * self-contained RIFF chunk walker, see [[decodeAudio]]; video remains
-  * STUBBED with a deterministic fake (no JDK video codec exists),
-  * clearly marked below. Images also get perceptual near-dup dedup:
-  * [[imageDHash]] + [[imageNearDupPairs]]. At scale
+  * self-contained RIFF chunk walker, see [[decodeAudio]]; **AVI video
+  * parses for real** via the same RIFF walker ([[decodeVideo]]: dims,
+  * frame count, fps, codec fourcc from `avih`/`strh`/`strf`), with
+  * actual per-frame decode for MJPEG (each frame is a JPEG — the JDK
+  * reads it) and uncompressed 24-bit DIB payloads ([[videoFrameHashes]]).
+  * Codec-compressed containers (MP4/H.264 etc.) stay out of scope — the
+  * JDK ships no such codec, and those payloads DROP like corrupt blobs
+  * rather than receive a fake. Images also get perceptual near-dup
+  * dedup: [[imageDHash]] + [[imageNearDupPairs]]. At scale
   * the pattern is: media bytes stay in parquet binary columns,
   * partitioned by a content-addressed prefix; decode/feature-extract
   * runs per-partition so codec state is reused across rows of a task
@@ -44,15 +49,19 @@ object Multimodal {
     * The REAL decoders own their modalities: image formats go through
     * the [[decodeImages]] machinery (a decoded still is `n_frames` = 1;
     * undecodable payloads DROP, per the corpus-hygiene contract), `wav`
-    * goes through [[parseWav]] (`n_frames` = actual PCM frame count).
-    * Only `video` (no JDK codec exists — labeled stub) and unknown
-    * formats (e.g. the harness's `txt` wrapping) keep the round-1
-    * deterministic fake (`n_bytes % 7 + 1`), so no caller can mistake
-    * the fake for a real decode on a modality we can actually read. */
+    * goes through [[parseWav]] (`n_frames` = actual PCM frame count),
+    * `avi` goes through [[parseAvi]] (`n_frames` = the container's video
+    * stream length). Codec-compressed video containers (mp4/mkv/mov/
+    * webm) DROP — the JDK has no codec for them, and an unreadable
+    * payload must not surface fabricated features. Only unknown formats
+    * (e.g. the harness's `txt` wrapping) keep the round-1 deterministic
+    * fake (`n_bytes % 7 + 1`), so no caller can mistake the fake for a
+    * real decode on a modality we can actually read. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val imageFmts = Set("png", "jpg", "jpeg", "gif", "bmp")
+    val codecVideoFmts = Set("mp4", "mkv", "mov", "webm", "m4v")
     media.mapPartitions { rows =>
       // per-partition: ImageIO registry lookups amortize across the task
       rows.flatMap { r =>
@@ -68,8 +77,14 @@ object Multimodal {
           parseWav(r.media, r.doc_id, 0.01).map(af => MediaFeatures(
             r.doc_id, nBytes, firstByte,
             math.min(af.n_frames, Int.MaxValue.toLong).toInt))
+        } else if (fmt == "avi") {
+          parseAvi(r.media, r.doc_id).map(vf => MediaFeatures(
+            r.doc_id, nBytes, firstByte,
+            math.min(vf.n_frames, Int.MaxValue.toLong).toInt))
+        } else if (codecVideoFmts(fmt)) {
+          None // no JDK codec — drop, like a corrupt blob
         } else {
-          // video / unknown: deterministic fake "decode" (labeled stub)
+          // unknown (harness txt wrapping): deterministic fake, labeled
           Some(MediaFeatures(r.doc_id, nBytes, firstByte, nBytes % 7 + 1))
         }
       }
@@ -237,6 +252,195 @@ object Multimodal {
           math.rint(rms * 1e6) / 1e6, math.rint(sil * 1e6) / 1e6)
       }
     } catch { case _: RuntimeException => None }
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Parsed video-container features over AVI payloads. `fps` comes from
+    * the video stream header (`dwRate/dwScale`), `codec` is the `strf`
+    * compression fourcc (`"DIB "` for uncompressed). */
+  final case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, fps: Double, codec: String, duration_ms: Double)
+
+  /** One sampled decoded frame's perceptual hash. */
+  final case class VideoFrameHash(doc_id: Long, frame_idx: Long, dhash: Long)
+
+  /** REAL video-container parse for the AVI modality — AVI is RIFF, the
+    * same plain byte-layout [[parseWav]] walks, so the container needs no
+    * codec library: `avih` (dims, total frames), the first `vids` stream's
+    * `strh` (rate/scale → fps, stream length) and `strf`
+    * (BITMAPINFOHEADER → codec fourcc). What a 100 TB curation pass
+    * needs from video — duration, dims, fps, codec mix — is container
+    * metadata, available for every AVI regardless of codec. Frame
+    * PIXELS additionally decode for MJPEG and uncompressed 24-bit DIB
+    * payloads (see [[videoFrameHashes]]); other codecs keep their
+    * metadata but no pixel path (the JDK ships no H.264/VP9 decoder).
+    * Same scale contract as the other decoders: per-partition, corrupt
+    * payloads DROP, per-row work bounded by the container walk. */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.flatMap(r => parseAvi(r.media, r.doc_id)))
+  }
+
+  /** Everything one walk of an AVI container yields: features + the
+    * (offset, length) of each video-stream frame chunk in `movi`. */
+  private final case class AviParse(features: VideoFeatures,
+      frames: Vector[(Int, Int)], bitCount: Int)
+
+  /** Parse one AVI payload's features; None for anything not clean AVI. */
+  private[graft] def parseAvi(bytes: Array[Byte], docId: Long): Option[VideoFeatures] =
+    parseAviFull(bytes, docId).map(_.features)
+
+  /** The RIFF walk behind [[decodeVideo]] / [[videoFrameHashes]].
+    * AVI nests: `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)…)
+    * LIST('movi' ##dc/##db…))`; frame chunks are matched to the FIRST
+    * `vids` stream by its index (`"%02d" + dc|db`), including inside
+    * `rec ` sub-lists. Declared chunk lengths are bounds-checked against
+    * the buffer — a lying length drops the file, never reads past it. */
+  private def parseAviFull(bytes: Array[Byte], docId: Long): Option[AviParse] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def ascii(b: ByteBuffer, at: Int, n: Int): String = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { a(i) = b.get(at + i); i += 1 }
+      new String(a, "US-ASCII")
+    }
+    try {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (buf.limit < 12 || ascii(buf, 0, 4) != "RIFF" ||
+          ascii(buf, 8, 4) != "AVI ") return None
+      var avih: Option[(Long, Long, Int, Int)] = None // totalFrames, usPerFrame, w, h
+      // per stream, in strl order: (fccType, scale, rate, length)
+      val streams = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      var vidsStrf: Option[(Int, Int, Int, String)] = None // w, h, bitCount, fourcc
+      var vidsIdx = -1
+      val frames = Vector.newBuilder[(Int, Int)]
+      // walk chunks in [from, to); LISTs recurse into their children
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = ascii(buf, p, 4)
+          val len = buf.getInt(p + 4)
+          if (len < 0 || p + 8 + len > buf.limit)
+            throw new RuntimeException("chunk length out of bounds")
+          val body = p + 8
+          if (id == "RIFF" || id == "LIST") {
+            if (len >= 4) walk(body + 4, body + len) // skip the list type
+          } else if (id == "avih" && len >= 40) {
+            avih = Some((buf.getInt(body + 16).toLong & 0xffffffffL,
+              buf.getInt(body).toLong & 0xffffffffL,
+              buf.getInt(body + 32), buf.getInt(body + 36)))
+          } else if (id == "strh" && len >= 36) {
+            val fccType = ascii(buf, body, 4)
+            streams += ((fccType,
+              buf.getInt(body + 20).toLong & 0xffffffffL,
+              buf.getInt(body + 24).toLong & 0xffffffffL,
+              buf.getInt(body + 32).toLong & 0xffffffffL))
+            if (fccType == "vids" && vidsIdx < 0) vidsIdx = streams.length - 1
+          } else if (id == "strf" && len >= 20 &&
+              streams.length - 1 == vidsIdx && vidsIdx >= 0 &&
+              vidsStrf.isEmpty) {
+            val comp = buf.getInt(body + 16)
+            val fourcc = if (comp == 0) "DIB "
+              else ascii(buf, body + 16, 4)
+            vidsStrf = Some((buf.getInt(body + 4), buf.getInt(body + 8),
+              buf.getShort(body + 14) & 0xffff, fourcc))
+          } else if (vidsIdx >= 0 && id.length == 4 &&
+              id.startsWith("%02d".format(vidsIdx)) &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((body, len))
+          }
+          p = body + len + (len & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, buf.limit)
+      for {
+        (totalFrames, usPerFrame, aw, ah) <- avih
+        if vidsIdx >= 0
+        (sw, sh, bits, fourcc) <- vidsStrf.orElse(Some((aw, ah, 0, "????")))
+      } yield {
+        val (_, scale, rate, strLen) = streams(vidsIdx)
+        val collected = frames.result()
+        val n = if (strLen > 0) strLen
+          else if (totalFrames > 0) totalFrames
+          else collected.length.toLong
+        val fps = if (scale > 0 && rate > 0) rate.toDouble / scale
+          else if (usPerFrame > 0) 1e6 / usPerFrame
+          else 0.0
+        val (w, h) = if (sw != 0 && sh != 0) (sw, math.abs(sh)) else (aw, ah)
+        val durMs = if (fps > 0) math.rint(n / fps * 1000 * 1000) / 1000 else 0.0
+        AviParse(VideoFeatures(docId, w, h, n, math.rint(fps * 1000) / 1000,
+          fourcc, durMs), collected, bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL per-frame video decode + perceptual hash, for the two frame
+    * layouts the JDK can read: **MJPEG** (each `##dc` chunk is a complete
+    * baseline JPEG — `ImageIO` decodes it; note real-world MJPEG that
+    * omits Huffman tables is out of the JDK reader's reach and such
+    * frames drop) and **uncompressed 24-bit DIB** (`##db`/`##dc` with
+    * `biCompression=0`: bottom-up BGR rows, 4-byte-aligned — decoded
+    * directly). Each sampled frame gets the same 64-bit dHash as stills
+    * ([[dHashOf]]), so video near-dup reuses [[hammingNearDupPairs64]]
+    * on any frame column.
+    *
+    * Bounded per row: frames are sampled at `max(every, n/maxFrames)`
+    * stride, so an hour-long AVI hashes at most `maxFrames` frames —
+    * the decode cost cap the image/audio paths already promise. */
+  def videoFrameHashes(media: Dataset[MediaRow], every: Int = 1,
+      maxFrames: Int = 64): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAviFull(r.media, r.doc_id).toSeq.flatMap { p =>
+          val n = p.frames.length
+          val stride = math.max(every,
+            math.ceil(n.toDouble / math.max(1, maxFrames)).toInt).max(1)
+          val w = p.features.width
+          val h = p.features.height
+          Iterator.range(0, n, stride).flatMap { i =>
+            val (off, len) = p.frames(i)
+            val im: java.awt.image.BufferedImage =
+              if (p.features.codec == "MJPG")
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.media, off, len))
+                catch { case scala.util.control.NonFatal(_) => null }
+              else if (p.features.codec == "DIB " && p.bitCount == 24)
+                decodeDib24(r.media, off, len, w, h).orNull
+              else null
+            Option(im).map(x => VideoFrameHash(r.doc_id, i.toLong, dHashOf(x)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Uncompressed 24-bit DIB frame → image: bottom-up BGR rows, each row
+    * padded to a 4-byte boundary (the BMP pixel-array layout without the
+    * BMP file header — exactly what an uncompressed AVI frame chunk is). */
+  private def decodeDib24(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || len < rowBytes * h) return None
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val rowOff = off + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val b = bytes(rowOff + x * 3) & 0xff
+        val g = bytes(rowOff + x * 3 + 1) & 0xff
+        val rr = bytes(rowOff + x * 3 + 2) & 0xff
+        im.setRGB(x, y, rr << 16 | g << 8 | b)
+        x += 1
+      }
+      y += 1
+    }
+    Some(im)
   }
 
   // --------------------------------------------- perceptual image dedup

@@ -52,6 +52,79 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   private def media(rows: MediaRow*) = spark.createDataset(rows)(enc)
 
+  /** Minimal AVI writer (RIFF little-endian): one video stream, frames
+    * given as pre-encoded chunk payloads. `fourcc` 0 means uncompressed
+    * (DIB); `chunkId` picks `00dc` (compressed) or `00db` (raw). */
+  private def avi(w: Int, h: Int, fpsScale: (Int, Int), fourcc: Int,
+      bitCount: Int, chunkId: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pad(n: Int) = n + (n & 1)
+    val (scale, rate) = fpsScale
+    val moviBody = 4 + frames.map(f => 8 + pad(f.length)).sum
+    val strlBody = 4 + 8 + 56 + 8 + 40          // "strl" + strh + strf
+    val hdrlBody = 4 + 8 + 56 + 8 + strlBody    // "hdrl" + avih + LIST(strl)
+    val riffBody = 4 + 8 + hdrlBody + 8 + moviBody
+    val buf = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String) = buf.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); buf.putInt(riffBody); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlBody); fcc("hdrl")
+    fcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 * scale / rate)          // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length)                    // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)            // dwStreams = 1
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(strlBody); fcc("strl")
+    fcc("strh"); buf.putInt(56)
+    fcc("vids"); buf.putInt(fourcc)             // fccType, fccHandler
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(scale).putInt(rate)               // dwScale, dwRate
+      .putInt(0)
+      .putInt(frames.length)                    // dwLength (frames)
+      .putInt(0).putInt(0).putInt(0)
+      .putLong(0)                               // rcFrame
+    fcc("strf"); buf.putInt(40)                 // BITMAPINFOHEADER
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(bitCount.toShort)
+      .putInt(fourcc)                           // biCompression
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(moviBody); fcc("movi")
+    frames.foreach { f =>
+      fcc(chunkId); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  private def fourcc(s: String): Int =
+    s.getBytes("US-ASCII").zipWithIndex.map { case (b, i) => (b & 0xff) << (8 * i) }.sum
+
+  /** JPEG-encode a gray gradient frame (for MJPEG AVIs). */
+  private def jpegFrame(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      im.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Raw 24-bit DIB frame payload: bottom-up BGR rows, 4-byte aligned. */
+  private def dibFrame(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, f(x, y))).toByte
+      val off = (h - 1 - y) * rowBytes + x * 3
+      out(off) = v; out(off + 1) = v; out(off + 2) = v // B G R equal
+    }
+    out
+  }
+
   // ---- audio ----------------------------------------------------------
 
   test("decodeAudio: 16-bit PCM sine + silence — rate, frames, exact-ish RMS, silence ratio") {
@@ -157,25 +230,103 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       s"got $pairs — near-dup trio only, vertical ramp excluded")
   }
 
-  test("extractFeatures dispatches by fmt: real image/audio decoders, fake only for video/unknown") {
+  test("extractFeatures dispatches by fmt: real image/audio/avi decoders; codec video drops; fake only for unknown") {
     val image = png(16, 8, (x, _) => x * 10)
     val audio = wav(8000, 1, 16, Array.fill(250)(Array(1000)))
+    val video = avi(16, 8, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq.fill(7)(jpegFrame(16, 8, (x, _) => x * 10)))
     val out = Multimodal.extractFeatures(media(
         MediaRow(1L, image, "png"),
         MediaRow(2L, audio, "wav"),
         MediaRow(3L, "pretend-video".getBytes("US-ASCII"), "mp4"),
         MediaRow(4L, "plain text".getBytes("US-ASCII"), "txt"),
         MediaRow(5L, "junk".getBytes("US-ASCII"), "png"),   // poison image
-        MediaRow(6L, "junk".getBytes("US-ASCII"), "wav")))  // poison audio
+        MediaRow(6L, "junk".getBytes("US-ASCII"), "wav"),   // poison audio
+        MediaRow(7L, video, "avi"),
+        MediaRow(8L, "junk".getBytes("US-ASCII"), "avi")))  // poison video
       .collect().map(f => f.doc_id -> f).toMap
-    // real arms: a decoded still is 1 frame; WAV reports true PCM frames
+    // real arms: a decoded still is 1 frame; WAV reports true PCM
+    // frames; AVI reports the container's video stream length
     assert(out(1L).n_frames == 1 && out(1L).n_bytes == image.length)
     assert(out(2L).n_frames == 250)
-    // stub arms keep the deterministic fake (n_bytes % 7 + 1)
-    assert(out(3L).n_frames == 13 % 7 + 1)
+    assert(out(7L).n_frames == 7)
+    // unknown fmt keeps the deterministic fake (n_bytes % 7 + 1)
     assert(out(4L).n_frames == 10 % 7 + 1)
-    // poison payloads on REAL modalities drop — never the fake fallback
-    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // poison payloads on REAL modalities drop, and codec-compressed
+    // video (mp4 — no JDK codec) drops too: no fabricated features
+    assert(out.keySet == Set(1L, 2L, 4L, 7L))
+  }
+
+  // ---- video ----------------------------------------------------------
+
+  test("decodeVideo: MJPEG AVI container metadata — dims, frames, fps, codec, duration") {
+    val frames = Seq.tabulate(10)(i => jpegFrame(32, 16, (x, _) => x * 8 + i))
+    val v = avi(32, 16, (1001, 30000), fourcc("MJPG"), 24, "00dc", frames)
+    val out = Multimodal.decodeVideo(media(MediaRow(1L, v, "avi"))).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.width == 32 && f.height == 16 && f.n_frames == 10)
+    assert(f.codec == "MJPG")
+    assert(math.abs(f.fps - 29.97) < 0.01, s"fps=${f.fps}")
+    assert(math.abs(f.duration_ms - 10 * 1001.0 / 30000 * 1000) < 1.0)
+  }
+
+  test("decodeVideo: corrupt, truncated, and lying-length payloads drop, never throw") {
+    val good = avi(8, 8, (1, 25), 0, 24, "00db",
+      Seq.fill(3)(dibFrame(8, 8, (x, _) => x * 30)))
+    val truncated = good.take(40)
+    val lyingLen = good.clone()
+    // movi frame chunk declares more bytes than exist: the parser must
+    // bounds-check, not read past the buffer. Find the first 00db id.
+    val idx = good.indices.find(i => good(i) == '0' && good(i + 1) == '0' &&
+      good(i + 2) == 'd' && good(i + 3) == 'b').get
+    lyingLen(idx + 4) = 0x7f.toByte; lyingLen(idx + 5) = 0x7f.toByte
+    lyingLen(idx + 6) = 0x7f.toByte; lyingLen(idx + 7) = 0x7f.toByte
+    val notAvi = "RIFFxxxxWAVE".getBytes("US-ASCII")
+    val out = Multimodal.decodeVideo(media(
+        MediaRow(1L, good, "avi"),
+        MediaRow(2L, truncated, "avi"),
+        MediaRow(3L, lyingLen, "avi"),
+        MediaRow(4L, notAvi, "avi"),
+        MediaRow(5L, Array[Byte](), "avi")))
+      .collect()
+    assert(out.map(_.doc_id).toSet == Set(1L),
+      "only the clean AVI survives; every corruption drops")
+  }
+
+  test("videoFrameHashes: MJPEG and DIB frames hash like the equivalent still; stride bounds work") {
+    // same horizontal ramp as the imageDHash test — the frame hash must
+    // agree with the still-image hash of the same picture (all 64 bits)
+    val mjpeg = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq.fill(4)(jpegFrame(64, 64, (x, _) => x * 4)))
+    val dib = avi(64, 64, (1, 25), 0, 24, "00db",
+      Seq.fill(12)(dibFrame(64, 64, (x, _) => x * 4)))
+    val hs = Multimodal.videoFrameHashes(
+        media(MediaRow(1L, mjpeg, "avi"), MediaRow(2L, dib, "avi")),
+        every = 1, maxFrames = 4)
+      .collect()
+    val byDoc = hs.groupBy(_.doc_id)
+    // doc 1: 4 frames, cap 4 → all; doc 2: 12 frames, cap 4 → stride 3
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(byDoc(2L).map(_.frame_idx).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(hs.forall(_.dhash == -1L),
+      "horizontal ramp sets all 64 gradient bits, JPEG and DIB alike")
+  }
+
+  test("videoFrameHashes feed hammingNearDupPairs64: near-dup clips cluster") {
+    val a = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq(jpegFrame(64, 64, (x, _) => x * 4)))
+    val b = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq(jpegFrame(64, 64, (x, _) => x * 4 + 20)))   // re-brightened copy
+    val c = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq(jpegFrame(64, 64, (_, y) => y * 4)))        // different structure
+    val hashes = Multimodal.videoFrameHashes(media(
+        MediaRow(1L, a, "avi"), MediaRow(2L, b, "avi"), MediaRow(3L, c, "avi")))
+      .toDF()
+    val pairs = Multimodal.hammingNearDupPairs64(
+        hashes, "doc_id", "dhash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
   test("hammingNearDupPairs64: pigeonhole recall at ≤3, verify rejects shared-band far pairs, negatives band correctly") {
