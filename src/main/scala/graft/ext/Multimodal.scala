@@ -33,6 +33,34 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int,
       n_frames: Int)
 
+  /** Decompression-bomb guard for every untrusted image decode: read the
+    * DIMENSIONS from the codec header first (no pixel allocation) and
+    * refuse payloads above `maxPixels` BEFORE `ImageIO.read` materializes
+    * the raster. Without this, a crafted 24-byte BMP header declaring
+    * 60000×60000 makes the decoder allocate a multi-GB raster — and the
+    * resulting `OutOfMemoryError` is not `NonFatal`, so one poison blob
+    * in a 100 TB corpus would kill the executor instead of dropping.
+    * 64 MP admits any real photograph; bombs drop like corrupt blobs. */
+  private[graft] def boundedImageRead(bytes: Array[Byte],
+      maxPixels: Long = 64L << 20): java.awt.image.BufferedImage = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Wrap a text table as a media table (payload = UTF-8 bytes) — the
     * harness has no binary testdata; this exercises the same binary-column
     * plumbing a real corpus would use. */
@@ -69,10 +97,8 @@ object Multimodal {
         val firstByte = if (nBytes > 0) r.media(0) & 0xff else -1
         val fmt = Option(r.fmt).map(_.toLowerCase).getOrElse("")
         if (imageFmts(fmt)) {
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-            catch { case scala.util.control.NonFatal(_) => null }
-          Option(img).map(_ => MediaFeatures(r.doc_id, nBytes, firstByte, 1))
+          Option(boundedImageRead(r.media))
+            .map(_ => MediaFeatures(r.doc_id, nBytes, firstByte, 1))
         } else if (fmt == "wav") {
           parseWav(r.media, r.doc_id, 0.01).map(af => MediaFeatures(
             r.doc_id, nBytes, firstByte,
@@ -110,13 +136,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        // NonFatal, not just IOException: corrupt/truncated payloads can
-        // make codec plugins throw RuntimeExceptions (IllegalArgument,
-        // CMMException, ArrayIndexOutOfBounds) — a poison blob must DROP,
-        // not kill the stage
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case scala.util.control.NonFatal(_) => null }
+        // boundedImageRead owns the poison-blob contract: corrupt
+        // payloads (codec RuntimeExceptions) AND decompression bombs
+        // (huge declared dims → multi-GB raster alloc) both DROP
+        val img = boundedImageRead(r.media)
         Option(img).map { im =>
           val (w, h) = (im.getWidth, im.getHeight)
           val stride = math.max(1,
@@ -283,10 +306,17 @@ object Multimodal {
     media.mapPartitions(rows => rows.flatMap(r => parseAvi(r.media, r.doc_id)))
   }
 
-  /** Everything one walk of an AVI container yields: features + the
-    * (offset, length) of each video-stream frame chunk in `movi`. */
+  /** Everything one walk of an AVI container yields: features + each
+    * video-stream frame chunk in `movi`, packed `offset << 32 | length`
+    * (unboxed — a per-ROW index must stay small next to task memory). */
   private final case class AviParse(features: VideoFeatures,
-      frames: Vector[(Int, Int)], bitCount: Int)
+      frames: Array[Long], bitCount: Int)
+
+  /** Cap on indexed frame chunks per AVI: a crafted payload of millions
+    * of 8-byte chunks must not build an unbounded per-row index (1M
+    * frames ≈ 9h at 30 fps — beyond it, metadata stays exact via `strh`
+    * but only the first 1M frames are samplable for hashing). */
+  private val MaxIndexedFrames = 1 << 20
 
   /** Parse one AVI payload's features; None for anything not clean AVI. */
   private[graft] def parseAvi(bytes: Array[Byte], docId: Long): Option[VideoFeatures] =
@@ -315,7 +345,8 @@ object Multimodal {
       val streams = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
       var vidsStrf: Option[(Int, Int, Int, String)] = None // w, h, bitCount, fourcc
       var vidsIdx = -1
-      val frames = Vector.newBuilder[(Int, Int)]
+      val frames = new scala.collection.mutable.ArrayBuilder.ofLong
+      var nIndexed = 0
       // walk chunks in [from, to); LISTs recurse into their children
       def walk(from: Int, to: Int): Unit = {
         var p = from
@@ -346,10 +377,11 @@ object Multimodal {
               else ascii(buf, body + 16, 4)
             vidsStrf = Some((buf.getInt(body + 4), buf.getInt(body + 8),
               buf.getShort(body + 14) & 0xffff, fourcc))
-          } else if (vidsIdx >= 0 && id.length == 4 &&
-              id.startsWith("%02d".format(vidsIdx)) &&
+          } else if (vidsIdx >= 0 && nIndexed < MaxIndexedFrames &&
+              id.length == 4 && id.startsWith("%02d".format(vidsIdx)) &&
               (id.endsWith("dc") || id.endsWith("db"))) {
-            frames += ((body, len))
+            frames += (body.toLong << 32) | (len & 0xffffffffL)
+            nIndexed += 1
           }
           p = body + len + (len & 1) // chunks are word-aligned
         }
@@ -364,7 +396,7 @@ object Multimodal {
         val collected = frames.result()
         val n = if (strLen > 0) strLen
           else if (totalFrames > 0) totalFrames
-          else collected.length.toLong
+          else collected.length.toLong // exact: below the index cap
         val fps = if (scale > 0 && rate > 0) rate.toDouble / scale
           else if (usPerFrame > 0) 1e6 / usPerFrame
           else 0.0
@@ -402,12 +434,13 @@ object Multimodal {
           val w = p.features.width
           val h = p.features.height
           Iterator.range(0, n, stride).flatMap { i =>
-            val (off, len) = p.frames(i)
+            val packed = p.frames(i)
+            val off = (packed >>> 32).toInt
+            val len = packed.toInt
             val im: java.awt.image.BufferedImage =
               if (p.features.codec == "MJPG")
-                try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(r.media, off, len))
-                catch { case scala.util.control.NonFatal(_) => null }
+                boundedImageRead(
+                  java.util.Arrays.copyOfRange(r.media, off, off + len))
               else if (p.features.codec == "DIB " && p.bitCount == 24)
                 decodeDib24(r.media, off, len, w, h).orNull
               else null
@@ -423,13 +456,19 @@ object Multimodal {
     * BMP file header — exactly what an uncompressed AVI frame chunk is). */
   private def decodeDib24(bytes: Array[Byte], off: Int, len: Int,
       w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (w <= 0 || h <= 0 || len < rowBytes * h) return None
+    // Long math: with lying header dims (e.g. 50000×50000) rowBytes*h
+    // overflows Int, can slip past the length guard, and the row walk
+    // then throws out of bounds — a poison blob must drop instead. The
+    // pixel cap matches boundedImageRead's decompression-bomb guard.
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || len.toLong < rowBytes * h ||
+        w.toLong * h > (64L << 20)) return None
+    val rb = rowBytes.toInt // guard above caps rowBytes*h at len: Int-safe
     val im = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
-      val rowOff = off + (h - 1 - y) * rowBytes // bottom-up
+      val rowOff = off + (h - 1 - y) * rb // bottom-up
       var x = 0
       while (x < w) {
         val b = bytes(rowOff + x * 3) & 0xff
@@ -466,12 +505,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        // NonFatal for the same reason as decodeImages: codec plugins
-        // throw RuntimeExceptions on corrupt payloads
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case scala.util.control.NonFatal(_) => null }
-        Option(img).map(im => ImageHash(r.doc_id, dHashOf(im)))
+        // boundedImageRead: corrupt payloads and decompression bombs
+        // both drop (see decodeImages)
+        Option(boundedImageRead(r.media))
+          .map(im => ImageHash(r.doc_id, dHashOf(im)))
       }
     }
   }

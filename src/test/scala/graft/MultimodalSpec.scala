@@ -329,6 +329,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("decompression bombs drop before allocation: huge-dims BMP still and lying-dims DIB AVI") {
+    // a 54-byte BMP header declaring 60000×60000×24bpp with no pixel
+    // data: without the dimension pre-check, the decoder allocates a
+    // ~10 GB raster before failing — and an OutOfMemoryError is not
+    // NonFatal, so the poison blob would kill the executor, not drop
+    val bmp = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(60).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(60000).putInt(60000).putShort(1).putShort(24)
+    bmp.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val bombImg = bmp.array()
+    assert(Multimodal.decodeImages(media(MediaRow(1L, bombImg, "bmp")))
+      .collect().isEmpty)
+    assert(Multimodal.imageDHash(media(MediaRow(1L, bombImg, "bmp")))
+      .collect().isEmpty)
+    assert(Multimodal.extractFeatures(media(MediaRow(1L, bombImg, "bmp")))
+      .collect().isEmpty)
+    // DIB AVI whose strf lies 50000×50000 over a 4-byte frame chunk:
+    // rowBytes*h overflows Int (7.5e9), which used to slip the length
+    // guard and index out of bounds — container metadata must survive,
+    // frame pixels must drop, nothing may throw
+    val bombAvi = avi(50000, 50000, (1, 25), 0, 24, "00db",
+      Seq(Array[Byte](1, 2, 3, 4)))
+    val vf = Multimodal.decodeVideo(media(MediaRow(2L, bombAvi, "avi")))
+      .collect()
+    assert(vf.length == 1 && vf.head.width == 50000 && vf.head.n_frames == 1)
+    assert(Multimodal.videoFrameHashes(media(MediaRow(2L, bombAvi, "avi")))
+      .collect().isEmpty)
+  }
+
   test("hammingNearDupPairs64: pigeonhole recall at ≤3, verify rejects shared-band far pairs, negatives band correctly") {
     val df = Seq(
       (1L, 0L),                      // origin
