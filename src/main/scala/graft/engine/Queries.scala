@@ -89,7 +89,7 @@ object Queries {
     (s, dir) => {
       val ev = Tables.events(s, dir)
       ev.filter(col("user_id") === 7 &&
-          Tables.tsRangePushdown("2024-01-10 00:00:00", "2024-01-20 23:59:59"))
+          Tables.tsRangePushdown(ev, "2024-01-10 00:00:00", "2024-01-20 23:59:59"))
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_type"), col("value"))
         .orderBy("ts_ms", "event_id")

@@ -9,11 +9,20 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType, LongType}
   * Two timestamp normalizations make Spark's view of the parquet files
   * bit-identical to the DuckDB oracle's view:
   *
-  *  1. `events.ts` is physically INT64 TIMESTAMP(NANOS, isAdjustedToUTC=false),
-  *     which Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read
-  *     it as raw long nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
-  *     truncate to microseconds — exactly what DuckDB does on read (its
-  *     TIMESTAMP is µs-precision).
+  *  1. `events.ts` is SCHEMA-ADAPTIVE. The harness has shipped the column
+  *     under two physical layouts across rounds:
+  *       - INT64 TIMESTAMP(NANOS, isAdjustedToUTC=false): Spark's parquet
+  *         reader rejects it ([PARQUET_TYPE_ILLEGAL]), so we read it as raw
+  *         long nanos (`spark.sql.legacy.parquet.nanosAsLong`) and truncate
+  *         to microseconds — exactly what DuckDB does on read (its TIMESTAMP
+  *         is µs-precision). The raw nanos survive as `ts_ns` for row-group
+  *         skipping (a derived-column filter is not pushable).
+  *       - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): natively readable
+  *         (as TIMESTAMP_NTZ → normalization 2 below) and natively pushable;
+  *         no `ts_ns` column is synthesized and none is needed.
+  *     The loader keys on the RAW Spark type (`LongType` ⇒ nanos layout) and
+  *     [[tsRangePushdown]] keys on the presence of `ts_ns`, so both layouts
+  *     — and any future drift between them — produce identical query results.
   *  2. Columns Spark infers as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false,
   *     e.g. `l_shipdate`, `o_orderdate`) are cast to TimestampType under the
   *     fixed UTC session timezone, so `unix_millis` etc. agree with DuckDB's
@@ -49,21 +58,31 @@ object Tables {
     }
   }
 
-  /** Closed-bound ts range predicate on events that ALSO hits the raw
-    * nanos column, so parquet row-group min/max skipping applies (the
-    * equivalent predicate on the µs-derived `ts` is not pushable).
-    * `ts ∈ [from, to]` at µs precision ⟺ `ts_ns ∈ [from·1000, to·1000+999]`.
+  /** Closed-bound `ts ∈ [from, to]` range predicate on an events frame,
+    * schema-adaptive so row-group min/max skipping applies on BOTH layouts:
+    *
+    *  - nanos layout (frame carries the raw `ts_ns` long): the µs-derived
+    *    `ts` filter is NOT pushable (it sits behind a projection), so the
+    *    equivalent raw-column conjunct `ts_ns ∈ [from·1000, to·1000+999]`
+    *    is added for the parquet scan to skip on.
+    *  - µs layout (no `ts_ns`): `ts` IS the raw parquet column and the
+    *    plain timestamp predicate pushes down natively — adding a `ts_ns`
+    *    conjunct would be an analysis error, so it is emitted only when
+    *    the column exists.
+    *
     * Bounds are ISO local datetimes interpreted as UTC. */
-  def tsRangePushdown(from: String, to: String): org.apache.spark.sql.Column = {
+  def tsRangePushdown(ev: DataFrame, from: String, to: String): org.apache.spark.sql.Column = {
     import java.time.{LocalDateTime, ZoneOffset}
     def us(sIso: String): Long = {
       val i = LocalDateTime.parse(sIso.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
     val (lo, hi) = (us(from), us(to))
-    col("ts") >= timestamp_micros(lit(lo)) &&
-      col("ts") <= timestamp_micros(lit(hi)) &&
-      col("ts_ns") >= lit(lo * 1000) && col("ts_ns") <= lit(hi * 1000 + 999)
+    val base = col("ts") >= timestamp_micros(lit(lo)) &&
+      col("ts") <= timestamp_micros(lit(hi))
+    if (ev.columns.contains("ts_ns"))
+      base && col("ts_ns") >= lit(lo * 1000) && col("ts_ns") <= lit(hi * 1000 + 999)
+    else base
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
