@@ -88,37 +88,84 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN with a KMeans coarse quantizer: cluster the
-    * corpus into `nCells`, search only the `nProbe` cells whose centroids
-    * are nearest the query. Index build is distributed MLlib KMeans; the
-    * probe is a cell-pruned scan + exact cosine — at scale, cell id
-    * doubles as the storage partition key so a query touches
-    * nProbe/nCells of the data. Deterministic via fixed seed. */
-  def ivfTopK(corpus: DataFrame, query: DataFrame, idCol: String,
-      embCol: String = "embedding", nCells: Int = 16, nProbe: Int = 2,
-      k: Int = 10, seed: Long = 42L): DataFrame = {
+  /** Offline-built IVF (inverted-file) index: the cell-assigned corpus
+    * plus the (nCells × dim, tiny) centroid frame. Both sides are plain
+    * DataFrames — no model object — so the index round-trips through
+    * parquet ([[ivfSave]]/[[ivfLoad]]) and a probe NEVER re-fits the
+    * quantizer (VERDICT r7 item 7: the old one-shot [[ivfTopK]] re-ran
+    * KMeans per call). */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** IVF index build (the expensive offline step, run once per corpus):
+    * distributed MLlib KMeans coarse quantizer, fixed seed ⇒
+    * deterministic cells. `assigned` carries the corpus + its `cell` id;
+    * `centroids` is `(cell, cent: ARRAY<DOUBLE>)`. */
+  def ivfBuild(corpus: DataFrame, embCol: String = "embedding",
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("_v", array_to_vector(d(col(embCol))))
     val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("_v").setPredictionCol("_cell").fit(featured)
-    val assigned = model.transform(featured)
-    // rank cells by centroid distance to the (single-row) query vector
-    val qVec = query.select(array_to_vector(d(col(embCol))).as("q"))
-      .head.getAs[org.apache.spark.ml.linalg.Vector]("q")
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)))
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+      .setFeaturesCol("_v").setPredictionCol("cell").fit(featured)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "cent")
+    IvfIndex(model.transform(featured).drop("_v"), centroids)
+  }
+
+  /** Persist an IVF index: the assigned corpus bucketed BY CELL
+    * ([[graft.engine.Store.saveBucketed]] — one file per cell, so a probe's
+    * `cell IN (…)` filter bucket-prunes the scan to nProbe/nCells of the
+    * data), the centroid frame as a single tiny parquet. */
+  def ivfSave(index: IvfIndex, table: String, path: String,
+      nCells: Int): Unit = {
+    graft.engine.Store.saveBucketed(index.assigned, table,
+      s"$path/assigned", nCells, Seq("cell"))
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Reopen a persisted IVF index for probe-only use — no corpus scan, no
+    * KMeans, just the bucketed table + centroid parquet. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): IvfIndex =
+    IvfIndex(spark.table(table), spark.read.parquet(s"$path/centroids"))
+
+  /** IVF probe (the cheap online step, any number of times per build):
+    * rank cells by centroid↔query distance on the broadcast-sized
+    * centroid frame, then exact cosine over ONLY the `nProbe` nearest
+    * cells. The probe-cell ids are collected to the driver — bounded at
+    * `nProbe` ints by construction — so the scan filter is literal
+    * `cell IN (…)`: against an [[ivfSave]]d index that bucket-prunes the
+    * read to nProbe files out of nCells. */
+  def ivfProbe(index: IvfIndex, query: DataFrame, idCol: String,
+      embCol: String = "embedding", nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val qv = broadcast(query.select(d(col(embCol)).as("q_v")))
+    val probeCells = index.centroids.crossJoin(qv)
+      .withColumn("dist", aggregate(
+        zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy(col("dist").asc, col("cell")).limit(nProbe)
+      .select("cell").collect().map(_.getInt(0)).toSeq
     val qb = broadcast(query.select(col(embCol).as("q_emb")))
-    assigned.filter(col("_cell").isin(probeCells: _*))
+    index.assigned.filter(col("cell").isin(probeCells: _*))
       .crossJoin(qb)
       .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
       .orderBy(col("cos").desc, col(idCol))
-      .select(col(idCol), col("_cell").as("cell"), col("cos"))
+      .select(col(idCol), col("cell"), col("cos"))
       .limit(k)
   }
+
+  /** One-shot IVF top-k — [[ivfBuild]] + [[ivfProbe]] composed, for ad-hoc
+    * single queries. Anything issuing repeated probes should build (and
+    * usually [[ivfSave]]) once and call [[ivfProbe]] per query. */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      embCol: String = "embedding", nCells: Int = 16, nProbe: Int = 2,
+      k: Int = 10, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfBuild(corpus, embCol, nCells, seed), query, idCol, embCol,
+      nProbe, k)
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale

@@ -61,12 +61,17 @@ def parse_lines(text: str) -> dict | None:
 
 def scrape_tail(tail: str) -> dict | None:
     """Reassemble what survives of a clipped full line in a driver tail:
-    a whole JSON line when present, else the median maps + value that the
-    round-7 field order places last."""
+    a whole parseable line WITH per-query medians when present, else the
+    median maps + value that the round-7 field order places last,
+    regex-scraped from the clipped full line. The compact summary line
+    usually parses even when the full line is clipped — it must NOT win
+    over scrapable medians (r8 driver artifact: the full line's
+    queries/extra maps sat whole inside the 2000-char tail while the
+    compact line parsed, and the old preference dropped all medians)."""
     doc = parse_lines(tail)
-    if doc is not None:
+    if doc is not None and "queries" in doc:
         return doc
-    out = {}
+    out = dict(doc) if doc else {}
     for key in ("queries", "extra"):
         m = re.search(r'"%s":(\{[^{}]*\})' % key, tail)
         if m:
