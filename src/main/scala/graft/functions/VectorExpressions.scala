@@ -26,25 +26,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side may independently be ARRAY<FLOAT> or ARRAY<DOUBLE>: the
+  // testdata's physical element type has no contract (the events table
+  // already drifted once, TESTDATA.md "Physical layout drift"), and a
+  // float input widened per element is bit-identical to reading the same
+  // float stored as double — so accepting both keeps every cosine query
+  // analysis-safe under an embeddings layout drift, with unchanged
+  // results on the current float data.
+  private def elemOf(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(elemOf(_).isDefined)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects (array<float>, array<float>), got " +
+      s"graft_dot expects array<float|double> on both sides, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lf, rf) = (elemOf(left).contains(FloatType), elemOf(right).contains(FloatType))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -55,11 +67,14 @@ case class DotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, side: Expression) =
+        if (elemOf(side).contains(FloatType)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -161,6 +161,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select(Similarity.dot(lit(null).cast("array<float>"), col("b")))
       .collect()(0)
     assert(n.isNullAt(0))
+    // layout-drift tolerance (round 9): a side stored as ARRAY<DOUBLE>
+    // is accepted and bit-identical to its float-widened twin — the
+    // embeddings table drifting element type must not break analysis
+    // (the events table already drifted once, TESTDATA.md)
+    val widened = df.select(
+      Similarity.dot(col("a"), col("b")).as("ff"),
+      Similarity.dot(expr("transform(a, x -> cast(x as double))"),
+        col("b")).as("df"),
+      Similarity.dot(expr("transform(a, x -> cast(x as double))"),
+        expr("transform(b, x -> cast(x as double))")).as("dd"))
+      .filter(col("ff") =!= col("df") || col("ff") =!= col("dd")).count()
+    assert(widened == 0, "double-element arrays diverge from float twins")
   }
 
   test("graft_dot reaches SQL via the registry; extensions installer wires cleanly") {
@@ -173,7 +185,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
     }
-    assert(e.getMessage.contains("array<float>"))
+    assert(e.getMessage.contains("array<float|double>"))
     // the SparkSessionExtensions installer injects without error (a fresh
     // session would pick it up via spark.sql.extensions)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
