@@ -19,9 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       // queries that cache intermediates (x31/x33/x44/x49/x52) must not
       // accumulate memory pressure across the 77-query session; RDD-level
       // blocks (localCheckpoints in the connected-components queries)
@@ -32,9 +33,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // A query that fails here never reaches the driver's comparison, so
+    // it would VANISH from CORRECTNESS_r{N}.json instead of showing as
+    // red (that masked q03 for two rounds). Make the gap loud and
+    // machine-readable: summary line + verify_errors.json in the dump
+    // (tools/correctness_gate.py closes the loop on the registry side).
+    System.err.println(
+      s"[verify] ${ran.size - failed.size}/${ran.size} queries dumped" +
+        (if (failed.nonEmpty) s"; FAILED: ${failed.keys.mkString(",")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,6 +61,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }
