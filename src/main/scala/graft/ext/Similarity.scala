@@ -43,12 +43,19 @@ object Similarity {
 
   /** Exact brute-force top-k by cosine against one query vector (single
     * row in `query`). Broadcast nested-loop of a 1-row side + TakeOrdered:
-    * no shuffle of the corpus. Ties broken by id for determinism. */
+    * no shuffle of the corpus. Ties broken by id for determinism.
+    *
+    * The query norm is precomputed ON THE BROADCAST SIDE (round 9): the
+    * naive `cosine(emb, q_emb)` re-folds the query's self-dot for every
+    * corpus row — same value, dim extra multiply-adds per row. Results
+    * are bit-identical (identical fold, identical op order). */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame, idCol: String,
       embCol: String = "embedding", k: Int = 10): DataFrame = {
-    val q = broadcast(query.select(col(embCol).as("q_emb")))
+    val q = broadcast(query.select(col(embCol).as("q_emb"))
+      .withColumn("_qn", norm(col("q_emb"))))
     corpus.crossJoin(q)
-      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("cos", round(
+        dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col("cos"))
       .limit(k)
@@ -80,9 +87,11 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val bucketed = corpus.withColumn("bucket", lshBucket(col(embCol), planes))
     val qb = broadcast(query.select(col(embCol).as("q_emb"))
-      .withColumn("bucket", lshBucket(col("q_emb"), planes)))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+      .withColumn("_qn", norm(col("q_emb"))))
     bucketed.join(qb, "bucket")
-      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("cos", round(
+        dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col("bucket"), col("cos"))
       .limit(k)
@@ -149,10 +158,12 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v))
       .orderBy(col("dist").asc, col("cell")).limit(nProbe)
       .select("cell").collect().map(_.getInt(0)).toSeq
-    val qb = broadcast(query.select(col(embCol).as("q_emb")))
+    val qb = broadcast(query.select(col(embCol).as("q_emb"))
+      .withColumn("_qn", norm(col("q_emb"))))
     index.assigned.filter(col("cell").isin(probeCells: _*))
       .crossJoin(qb)
-      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("cos", round(
+        dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col("cell"), col("cos"))
       .limit(k)
@@ -204,10 +215,16 @@ object Similarity {
           s => s.getField("c")).as("cent"))
     val w = Window.partitionBy("bucket")
       .orderBy(col("cos_centroid").desc, col(idCol))
-    b.join(broadcast(cent), "bucket")
+    // centroid self-norm computed once on the tiny (buckets × dim)
+    // frame instead of per corpus row; emb·cent through the codegen
+    // DotF32 (accepts float×double since round 9) instead of the
+    // interpreted HOF fold — both bit-identical to the old forms
+    val centN = cent.withColumn("_cnrm",
+      sqrt(dotHof(col("cent"), col("cent"))))
+    b.join(broadcast(centN), "bucket")
       .withColumn("cos_centroid", round(
-        dotHof(col(embCol), col("cent")) /
-          (norm(col(embCol)) * sqrt(dotHof(col("cent"), col("cent")))), 6))
+        dot(col(embCol), col("cent")) /
+          (norm(col(embCol)) * col("_cnrm")), 6))
       .withColumn("is_keeper", row_number().over(w) === 1)
       .withColumn("action",
         when(col("is_keeper") || col("cos_centroid") < tau, lit("keep"))
@@ -233,7 +250,8 @@ object Similarity {
   def ivfDeterministicTopK(embs: DataFrame, query: DataFrame, idCol: String,
       labelCol: String, embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10): DataFrame = {
-    val q = broadcast(query.select(col(embCol).as("q_emb")))
+    val q = broadcast(query.select(col(embCol).as("q_emb"))
+      .withColumn("_qn", norm(col("q_emb"))))
     val ex = embs.select(col(labelCol),
       posexplode(d(col(embCol))).as(Seq("i", "x")))
     val cent = ex.groupBy(col(labelCol), col("i"))
@@ -250,7 +268,8 @@ object Similarity {
       .select(col(labelCol))
     embs.join(broadcast(probed), labelCol)
       .crossJoin(q)
-      .withColumn("cos", round(cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("cos", round(
+        dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col(labelCol), col("cos"))
       .limit(k)
@@ -273,15 +292,22 @@ object Similarity {
       embCol: String = "embedding", minCos: Double = 0.4,
       subPlanes: Int = 0, dim: Int = 64): DataFrame = {
     val keyed =
-      if (subPlanes > 0) embs.withColumn("_sub",
+      (if (subPlanes > 0) embs.withColumn("_sub",
         lshBucket(col(embCol), hyperplanes(subPlanes, dim)))
-      else embs.withColumn("_sub", lit(0L))
+      else embs.withColumn("_sub", lit(0L)))
+        // per-ROW norm, computed once before the pair join: the naive
+        // per-PAIR cosine folds each side's self-dot again for every
+        // pair — 3 dim-length folds on the quadratic path where 1
+        // suffices. Bit-identical values (same fold, same op order);
+        // the oracle's `norms` CTE has always had this shape.
+        .withColumn("_nrm", norm(col(embCol)))
     val a = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"))
+      col(embCol).as("emb_a"), col("_nrm").as("_nrm_a"))
     val b = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"))
+      col(embCol).as("emb_b"), col("_nrm").as("_nrm_b"))
     a.join(b, Seq(labelCol, "_sub")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(
+        dot(col("emb_a"), col("emb_b")) / (col("_nrm_a") * col("_nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col(labelCol), col("id_a"), col("id_b"), col("cos"))
   }
