@@ -1170,13 +1170,13 @@ object ExtQueries {
     *
     * Shape: ONE posexplode pass builds the centroids (labels × dim rows —
     * tiny), which broadcast back onto the un-exploded corpus; the per-row
-    * cosine runs on the native array (norm via the codegen'd
-    * [[graft.functions.DotF32]]; the centroid side is double, so its dot
-    * uses the HOF form — one 64-element lambda per row). The corpus is
-    * never exploded a second time and never shuffled: scan → broadcast
-    * join → expressions. Oracle computes the identical arithmetic in
-    * exploded space; cosine rounded at 6 digits in both engines (the
-    * float-accumulation precedent of x34/x35). */
+    * cosine runs on the native array entirely through the codegen'd
+    * [[graft.functions.DotF32]] (float×double accepted since round 9),
+    * with the centroid self-norm folded once on the broadcast frame. The
+    * corpus is never exploded a second time and never shuffled: scan →
+    * broadcast join → expressions. Oracle computes the identical
+    * arithmetic in exploded space; cosine rounded at 6 digits in both
+    * engines (the float-accumulation precedent of x34/x35). */
   val x65EmbedOutliers: Q = Q(
     (s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -1192,11 +1192,15 @@ object ExtQueries {
         .groupBy("label").agg(
           transform(array_sort(collect_list(struct(col("i"), col("c")))),
             s => s.getField("c")).as("cent"))
+        // centroid self-norm folded once on the tiny frame (round 9),
+        // not per corpus row; emb·cent through codegen DotF32
+        // (float×double) — bit-identical to the HOF forms
+        .withColumn("_cnrm",
+          sqrt(Similarity.dotHof(col("cent"), col("cent"))))
       embs.join(broadcast(cent), "label")
         .withColumn("cos_centroid", round(
-          Similarity.dotHof(col("embedding"), col("cent")) /
-            (Similarity.norm(col("embedding")) *
-              sqrt(Similarity.dotHof(col("cent"), col("cent")))), 6))
+          Similarity.dot(col("embedding"), col("cent")) /
+            (Similarity.norm(col("embedding")) * col("_cnrm")), 6))
         .withColumn("is_outlier", col("cos_centroid") < 0)
         .select("vec_id", "label", "cos_centroid", "is_outlier")
         .orderBy("vec_id")
