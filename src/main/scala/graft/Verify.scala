@@ -30,6 +30,13 @@ object Verify {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // A rerun against a previously-used outDir must not leave a prior
+      // run's parquet in place when this query crashes — the stale dump
+      // would compare as PASS downstream. Clear before executing.
+      val qDir = Paths.get(outDir, name)
+      if (Files.exists(qDir))
+        Files.walk(qDir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

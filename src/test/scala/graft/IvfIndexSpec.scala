@@ -61,8 +61,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         val q = corpus.filter(col("vec_id") === 1).select("embedding")
         val plan = Similarity.ivfProbe(loaded, q, "vec_id")
           .queryExecution.executedPlan.toString
-        assert(plan.contains("SelectedBucketsCount: 2 out of 16"),
+        // regex, not an exact string: tolerant of whitespace/format drift
+        // across Spark versions while still pinning 2-of-16 pruning
+        assert(raw"SelectedBucketsCount:\s*2\s+out of\s+16".r
+          .findFirstIn(plan).isDefined,
           s"expected bucket pruning in:\n$plan")
+      }
+      // Under DEFAULT conf (autoBucketedScan on) the probe scan is demoted
+      // to non-bucketed — there pruning comes from the pushed `cell IN (…)`
+      // filter against parquet stats, one file per cell (saveBucketed).
+      // Assert that path too, since it is the configuration production runs.
+      locally {
+        val q = corpus.filter(col("vec_id") === 1).select("embedding")
+        val plan = Similarity.ivfProbe(loaded, q, "vec_id")
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+        assert(raw"In\(cell,".r.findFirstIn(pushed).isDefined,
+          s"expected cell IN (…) pushed to the index scan under default conf:\n$plan")
       }
     } finally spark.sql("DROP TABLE IF EXISTS ivf_assigned")
   }

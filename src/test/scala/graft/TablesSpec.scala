@@ -93,6 +93,26 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     layouts.foreach(_._2.unpersist())
   }
 
+  test("µs layout: ts range predicate reaches the parquet scan (PushedFilters)") {
+    // Pins the pushdown claim in Tables.tsRangePushdown's scaladoc: the
+    // loader's NTZ→TIMESTAMP cast sits between the filter and the scan, but
+    // under the fixed UTC session tz the cast is invertible and Catalyst
+    // rewrites the comparison onto the raw timestamp_ntz column and pushes
+    // it through the Project — the scan's PushedFilters carries both range
+    // bounds, so parquet row-group min/max skipping applies (r9 ADVICE
+    // asked for exactly this evidence).
+    val ev = Tables.events(spark, usDir)
+    val df = ev.filter(Tables.tsRangePushdown(ev, iso(1704931200000L),
+      iso(1704931200000L + 2 * 86400000L)))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert("GreaterThanOrEqual\\(ts,".r.findFirstIn(pushed).isDefined &&
+      "LessThanOrEqual\\(ts,".r.findFirstIn(pushed).isDefined,
+      s"ts range bounds not pushed to the parquet scan:\n$plan")
+  }
+
   test("tsRangePushdown works on whatever layout /root/testdata ships") {
     val ev = Tables.events(spark, sf).cache()
     val a = 1704931200000L // 2024-01-11

@@ -79,9 +79,13 @@ def scrape_tail(tail: str) -> dict | None:
                 out[key] = json.loads(m.group(1))
             except json.JSONDecodeError:
                 pass
-    m = re.search(r'"value":([0-9.eE+-]+)', tail)
-    if m:
-        out["value"] = float(m.group(1))
+    # only scrape "value" when the parsed compact doc didn't already give
+    # one — the FIRST regex match comes from the clipped full line when it
+    # precedes the compact line, and can be truncated mid-number
+    if "value" not in out:
+        m = re.search(r'"value":([0-9.eE+-]+)', tail)
+        if m:
+            out["value"] = float(m.group(1))
     m = re.search(r'"truncated":(\[[^\]]*\])', tail)
     if m:
         try:

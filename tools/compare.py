@@ -26,16 +26,20 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    # runtime failures recorded by graft.Verify (round 9): surfaces
-    # non-oracle (rows-only) queries that crashed, which would otherwise
-    # be invisible here because the loop below iterates oracle names
+    # runtime failures recorded by graft.Verify (round 9): EVERY name in
+    # verify_errors.json fails here, oracle-listed or not — relying on the
+    # dir-existence check below would let a stale dump from a previous run
+    # against the same outDir compare as PASS (round-10 ADVICE fix).
+    errs = {}
     errs_path = os.path.join(out_dir, "verify_errors.json")
     if os.path.exists(errs_path):
-        for name, msg in sorted(json.load(open(errs_path)).items()):
-            if name not in oracle:
-                print(f"FAIL {name}: verify-time error: {msg[:120]}")
-                n_fail += 1
+        errs = json.load(open(errs_path))
+        for name, msg in sorted(errs.items()):
+            print(f"FAIL {name}: verify-time error: {msg[:120]}")
+            n_fail += 1
     for name in sorted(oracle):
+        if name in errs:
+            continue  # already failed above; don't double-count
         sql = oracle[name]
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
