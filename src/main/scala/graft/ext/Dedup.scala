@@ -223,6 +223,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Alternative mega-bucket guard for [[lshCandidates]], raced against
+    * the shipped window form by `graft.tools.SkewBench lsh` (VERDICT r9
+    * item 3): bucket sizes come from a partial-aggregatable
+    * `groupBy(band,h).count` — map-side combine means a hot bucket's
+    * count never lands in one task — then the banded rows semi-join the
+    * surviving keys before the collect aggregate. Skew-immune on the
+    * count, at the price of one extra exchange+join of the banded rows.
+    * Identical output contract to [[lshCandidates]]. */
+  private[graft] def lshCandidatesGroupByGuard(sigs: DataFrame,
+      idCol: String, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("|",
+        (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
+    }
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+    val keep = banded.groupBy("band_idx", "h")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band_idx", "h")
+    banded.join(keep, Seq("band_idx", "h"), "left_semi")
+      .groupBy("band_idx", "h")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+             transform(filter(ids, b -> b > a), b ->
+               named_struct('id_a', a, 'id_b', b))))""")).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Cross-frame LSH banding: candidates between a NEW batch and an
     * EXISTING corpus — the incremental form of [[lshCandidates]], and the
     * only sane dedup shape at 100 TB: a daily ingest must never re-pair
