@@ -157,7 +157,10 @@ object Similarity {
         zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v))
       .orderBy(col("dist").asc, col("cell")).limit(nProbe)
-      .select("cell").collect().map(_.getInt(0)).toSeq
+      // cast before collect: the probe must not assume the persisted
+      // index's integer width (physical layouts have drifted before —
+      // TESTDATA.md "Physical layout drift")
+      .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
     val qb = broadcast(query.select(col(embCol).as("q_emb"))
       .withColumn("_qn", norm(col("q_emb"))))
     index.assigned.filter(col("cell").isin(probeCells: _*))

@@ -126,6 +126,50 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     ev.unpersist()
   }
 
+  test("alternate integer widths: int32 doc_id through minhash/LSH, " +
+      "int32 vec_id + int64 label + double embeddings through ANN/IVF") {
+    // Physical widths have drifted before (events.ts, r7). Pin that the
+    // LLM-pipeline paths stay width-agnostic: ids narrower, label wider,
+    // embedding elements double instead of float (round-10 sweep,
+    // TESTDATA.md invariants table).
+    import spark.implicits._
+    import graft.ext.{Dedup, Similarity}
+
+    val docs = Seq(
+      (1, "the quick brown fox jumps over the lazy dog again and again", 60),
+      (2, "the quick brown fox jumps over the lazy dog again and again", 60),
+      (3, "a completely different document about spark query planning", 58),
+      (4, "another unrelated text mentioning parquet row group statistics", 62)
+    ).toDF("doc_id", "text", "n_chars") // doc_id + n_chars: IntegerType
+    val sigs = Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id").collect()
+    assert(pairs.length == 1, s"expected the one duplicate pair, got ${pairs.toSeq}")
+
+    val embs = Seq(
+      (1, Array(1.0, 0.0, 0.0, 0.0), 0L),
+      (2, Array(0.9, 0.1, 0.0, 0.0), 0L),
+      (3, Array(0.0, 1.0, 0.0, 0.0), 1L),
+      (4, Array(0.0, 0.9, 0.1, 0.0), 1L),
+      (5, Array(0.0, 0.0, 1.0, 0.0), 2L)
+    ).toDF("vec_id", "embedding", "label") // int32 id, double[] emb, int64 label
+    val q = embs.filter(col("vec_id") === 1).select("embedding")
+    val brute = Similarity.bruteForceTopK(embs, q, "vec_id", k = 2).collect()
+    assert(brute.map(_.getAs[Number]("vec_id").longValue()).toSeq == Seq(1L, 2L))
+    // IVF probe collects probe-cell ids driver-side: must tolerate a
+    // persisted index whose cell column widened to int64
+    val built = Similarity.ivfBuild(embs, nCells = 3)
+    val widened = Similarity.IvfIndex(
+      built.assigned.withColumn("cell", col("cell").cast("long")),
+      built.centroids.withColumn("cell", col("cell").cast("long")))
+    val viaWide = Similarity.ivfProbe(widened, q, "vec_id", k = 2)
+      .select("vec_id", "cos").collect().toSeq
+    val viaBuilt = Similarity.ivfProbe(built, q, "vec_id", k = 2)
+      .select("vec_id", "cos").collect().toSeq
+    assert(viaWide.map(r => (r.getAs[Number](0).longValue(), r.getDouble(1))) ==
+      viaBuilt.map(r => (r.getAs[Number](0).longValue(), r.getDouble(1))))
+  }
+
   test("calendar buckets: 1M truncates to month start, 1w window is fixed 7 days") {
     import spark.implicits._
     val df = Seq(
