@@ -46,6 +46,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val small = Dedup.lshCandidates(sigs2, "doc_id", maxBucket = 10)
       .as[(Long, Long)].collect().toSet
     assert(small.contains((1L, 4L)), "small-bucket pair lost to the cap")
+    // the alternative groupBy-count guard (kept for re-measurement at
+    // larger skews, raced by `SkewBench lsh` — SCALING.md round 10) must
+    // stay output-identical on both the mega-bucket and the
+    // discriminative corpus under the same caps
+    Seq((sigs, 1000), (sigs, 10), (sigs2, 10)).foreach { case (sg, cap) =>
+      val win = Dedup.lshCandidates(sg, "doc_id", maxBucket = cap)
+        .as[(Long, Long)].collect().toSet
+      val grp = Dedup.lshCandidatesGroupByGuard(sg, "doc_id", maxBucket = cap)
+        .as[(Long, Long)].collect().toSet
+      assert(win == grp, s"guard forms diverge at cap=$cap")
+    }
   }
 
   test("connectedKeepers clusters chains transitively and picks the min id") {
