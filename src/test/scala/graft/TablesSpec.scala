@@ -126,6 +126,56 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     ev.unpersist()
   }
 
+  test("ms layout: a TIMESTAMP(MILLIS) events.ts loads and range-scans " +
+      "identically to the other layouts") {
+    // A third plausible physical drift (the harness has already shipped
+    // NANOS then MICROS): INT64 TIMESTAMP(MILLIS). The loader must land
+    // on the same output invariants regardless.
+    val msDir = {
+      val base = Files.createTempDirectory("tables-spec-ms").toString
+      val old = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      try Tables.events(spark, nsDir)
+        .drop("ts_ns")
+        // truncate to whole ms so the ms file holds the same instants
+        .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        .write.mode("overwrite").parquet(s"$base/events.parquet")
+      finally old match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      // the fixture must really be physical MILLIS, or this test silently
+      // re-tests the µs layout
+      val part = new java.io.File(s"$base/events.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      val ann = try footer.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType()
+        .getLogicalTypeAnnotation.toString
+      finally footer.close()
+      assert(ann.contains("MILLIS"), s"fixture not MILLIS: $ann")
+      base
+    }
+    val ev = Tables.events(spark, msDir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(!ev.columns.contains("ts_ns"))
+    val a = 1704931200000L // 2024-01-11
+    val b = a + 2 * 86400000L
+    val viaPushdown = ev.filter(Tables.tsRangePushdown(ev, iso(a), iso(b))).count()
+    val viaPlain = ev.filter(
+      col("ts") >= timestamp_millis(lit(a)) &&
+        col("ts") <= timestamp_millis(lit(b))).count()
+    assert(viaPushdown == viaPlain)
+    // same rows as the reference layouts over a whole-ms range
+    val viaUs = Tables.events(spark, usDir).filter(
+      col("ts") >= timestamp_millis(lit(a)) &&
+        col("ts") <= timestamp_millis(lit(b))).count()
+    assert(viaPlain == viaUs, s"ms layout disagrees with µs layout")
+  }
+
   test("alternate integer widths: int32 doc_id through minhash/LSH, " +
       "int32 vec_id + int64 label + double embeddings through ANN/IVF") {
     // Physical widths have drifted before (events.ts, r7). Pin that the
