@@ -181,6 +181,51 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, embCol, nCells, seed), query, idCol, embCol,
       nProbe, k)
 
+  /** Incremental IVF maintenance, step 1: assign a NEW vector batch to
+    * the EXISTING coarse quantizer — broadcast the (tiny) centroid frame,
+    * exact argmin distance per vector, ties to the lowest cell, which is
+    * exactly MLlib KMeans' own transform rule (IvfIndexSpec pins the
+    * equivalence on the build corpus). No KMeans re-fit, no touch of the
+    * historical corpus: per-batch cost is linear in the batch and
+    * constant in index size — the only sane shape for a daily embedding
+    * ingest at 100 TB. Re-fit ([[ivfBuild]]) only when drift degrades
+    * cell balance.
+    *
+    * Returns the batch with a `cell` column appended (same layout as
+    * `IvfIndex.assigned`, modulo KMeans' internal feature column). */
+  def ivfAssign(index: IvfIndex, vecs: DataFrame, idCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = vecs.crossJoin(broadcast(index.centroids))
+      .withColumn("_dist", aggregate(
+        zip_with(d(col(embCol)), col("cent"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_dist").asc, col("cell").asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_dist", "cent")
+      .withColumn("cell", col("cell").cast("int"))
+  }
+
+  /** Incremental IVF maintenance, step 2: append an [[ivfAssign]]ed
+    * batch to a persisted index table. Spark appends bucketed files with
+    * the SAME murmur3 bucket-id function, so a probe's `cell IN (…)`
+    * filter keeps pruning to the probed cells' files (now ≤2 per cell:
+    * original + appended batch; [[graft.engine.Store.compact]] if small
+    * appends accumulate). Probes over the reopened index see the new
+    * vectors immediately. */
+  def ivfAppendSave(assigned: DataFrame, table: String, path: String,
+      nCells: Int): Unit = {
+    // same (table, path) pair as [[ivfSave]]; same one-bucket-per-task
+    // repartition as Store.saveBucketed so each append adds ONE file per
+    // touched cell
+    assigned.repartition(nCells, col("cell"))
+      .write.mode("append").option("path", s"$path/assigned")
+      .bucketBy(nCells, "cell")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale
     * the bucket is the storage partition key, and an IVF/KMeans cell works

@@ -82,4 +82,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally spark.sql("DROP TABLE IF EXISTS ivf_assigned")
   }
+
+  test("incremental maintenance: ivfAssign ≡ KMeans transform; append extends a persisted index") {
+    // 1. assignment equivalence: re-assigning the BUILD corpus through
+    // the broadcast-argmin path must reproduce KMeans' own cells exactly
+    // (same distance, same lowest-index tie rule)
+    val built = Similarity.ivfBuild(corpus, nCells = 8)
+    val re = Similarity.ivfAssign(built, corpus, "vec_id")
+      .select("vec_id", "cell")
+    val drift = re.except(built.assigned.select("vec_id", "cell")).count() +
+      built.assigned.select("vec_id", "cell").except(re).count()
+    assert(drift == 0, s"ivfAssign diverged from KMeans transform on $drift rows")
+
+    // 2. end-to-end: build+persist on half the corpus, assign+append the
+    // other half with NO re-fit, reopen, probe for an appended vector
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    val idx = Similarity.ivfBuild(half, nCells = 8)
+    Similarity.ivfSave(idx, "ivf_append_t", dir, 8)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "ivf_append_t", dir)
+      Similarity.ivfAppendSave(
+        Similarity.ivfAssign(loaded, rest, "vec_id"), "ivf_append_t", dir, 8)
+      val reopened = Similarity.ivfLoad(spark, "ivf_append_t", dir)
+      assert(reopened.assigned.count() == corpus.count(),
+        "appended index must hold the full corpus")
+      // an appended (odd-id) vector must find itself as its own nearest
+      // neighbor through the probe path
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      val top = Similarity.ivfProbe(reopened, q, "vec_id", k = 1).collect()
+      assert(top.length == 1 && top(0).getAs[Number]("vec_id").longValue() == 7L,
+        s"appended vector not probeable: ${top.toSeq}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_append_t")
+  }
 }
