@@ -272,21 +272,110 @@ object Dedup {
       idCol: String, bands: Int = 4, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def banded(sigs: DataFrame, as: String) = {
-      val bandCols = (0 until bands).map { j =>
-        concat_ws("|",
-          (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
-      }
-      sigs.select(col(idCol).as(as),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
-    }
-    val nb = banded(newSigs, "id_new")
-    val ob = banded(oldSigs, "id_old")
+    val nb = bandedRows(newSigs, idCol, "id_new", bands, rows)
+    val ob = bandedRows(oldSigs, idCol, "id_old", bands, rows)
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("band_idx", "h")))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
     nb.join(ob, Seq("band_idx", "h"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
+  /** Banded view of a signature frame: one row per (doc, band) keyed by
+    * the band hash — the join-ready form shared by the in-memory
+    * cross-frame path ([[lshCandidatesAcross]]) and the persistent band
+    * index ([[bandIndexBuild]]). */
+  private def bandedRows(sigs: DataFrame, idCol: String, as: String,
+      bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("|",
+        (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
+    }
+    sigs.select(col(idCol).as(as),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+  }
+
+  /** Persistent LSH band index — the STORED form of the delta-dedup
+    * old side that [[lshCandidatesAcross]]'s scaladoc promises ("at
+    * 100 TB the old-side signatures are a stored table maintained by
+    * previous ingests"). Two frames:
+    *
+    *  - `banded`: one row per (doc, band) keyed by band hash, persisted
+    *    BUCKETED BY the join key (`band_idx`, `h`) — a probe's join
+    *    against it needs NO exchange of the (corpus-sized) index side,
+    *    only of the (batch-sized) new side;
+    *  - `sizes`: per-bucket row counts, precomputed at build/append time,
+    *    so probes apply the mega-bucket cap with a broadcast-able filter
+    *    join instead of re-counting the corpus (the window count in the
+    *    in-memory path) on every ingest. */
+  final case class BandIndex(banded: DataFrame, sizes: DataFrame)
+
+  /** Build the band index of a signature frame (in memory — persist with
+    * [[bandIndexSave]]). */
+  def bandIndexBuild(sigs: DataFrame, idCol: String, bands: Int = 4,
+      rows: Int = 4): BandIndex = {
+    val b = bandedRows(sigs, idCol, "id_old", bands, rows)
+    BandIndex(b, b.groupBy("band_idx", "h").agg(count(lit(1)).as("bsz")))
+  }
+
+  /** Persist a band index: banded rows bucketed by (band_idx, h) — one
+    * file per bucket — plus the sizes frame as plain parquet. */
+  def bandIndexSave(index: BandIndex, table: String, path: String,
+      nBuckets: Int = 32): Unit = {
+    graft.engine.Store.saveBucketed(index.banded, table, s"$path/banded",
+      nBuckets, Seq("band_idx", "h"))
+    index.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Reopen a persisted band index for probe/append use. */
+  def bandIndexLoad(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): BandIndex =
+    BandIndex(spark.table(table), spark.read.parquet(s"$path/sizes"))
+
+  /** Append a NEW batch's banded rows to a persisted index (the
+    * per-ingest maintenance step): banded rows append as one file per
+    * touched bucket (same murmur3 bucket function ⇒ the bucketed join
+    * property survives appends); the sizes frame is refreshed by a
+    * shuffle-free re-aggregate of the bucketed table (grouping keys ==
+    * bucket keys, so the scan's distribution already satisfies the agg)
+    * written via temp-and-swap so the refresh never reads its own
+    * overwrite. */
+  def bandIndexAppend(newSigs: DataFrame, idCol: String, table: String,
+      path: String, nBuckets: Int = 32, bands: Int = 4,
+      rows: Int = 4): Unit = {
+    val spark = newSigs.sparkSession
+    bandedRows(newSigs, idCol, "id_old", bands, rows)
+      .repartition(nBuckets, col("band_idx"), col("h"))
+      .write.mode("append").option("path", s"$path/banded")
+      .bucketBy(nBuckets, "band_idx", "h")
+      .format("parquet").saveAsTable(table)
+    val refreshed = spark.table(table)
+      .groupBy("band_idx", "h").agg(count(lit(1)).as("bsz"))
+    refreshed.write.mode("overwrite").parquet(s"$path/sizes.next")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val (cur, next) = (new org.apache.hadoop.fs.Path(s"$path/sizes"),
+      new org.apache.hadoop.fs.Path(s"$path/sizes.next"))
+    fs.delete(cur, true)
+    require(fs.rename(next, cur), s"sizes swap failed: $next -> $cur")
+  }
+
+  /** Delta-dedup candidates of a new batch against a PERSISTED band
+    * index: semantics of [[lshCandidatesAcross]] (same cap, same output
+    * contract — distinct (id_new, id_old)), but the corpus side is the
+    * stored table: no exchange of the index's banded rows (bucketed by
+    * the join key) and no per-ingest bucket counting (sizes precomputed).
+    * Per-ingest cost: linear in the batch, constant in history. */
+  def lshCandidatesDelta(newSigs: DataFrame, index: BandIndex,
+      idCol: String, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nb = bandedRows(newSigs, idCol, "id_new", bands, rows)
+    val keep = index.sizes.filter(col("bsz") <= maxBucket)
+      .select("band_idx", "h")
+    nb.join(index.banded.join(keep, Seq("band_idx", "h"), "left_semi"),
+        Seq("band_idx", "h"))
       .select(col("id_new"), col("id_old"))
       .distinct()
   }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** Persistent LSH band index (round 10): the stored-table form of the
+  * delta-dedup old side. Pins (1) exact candidate equivalence with the
+  * in-memory cross-frame path, (2) the persist→append→reopen→probe
+  * loop, (3) the scale property the design buys: the probe join does
+  * not exchange the index side (bucketed by the join key), verified
+  * against the same plan over an unbucketed copy. */
+class BandIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val sigs = Dedup.minhashSignatures(
+    Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16).cache()
+  private def newBatch = sigs.filter(col("doc_id") % 5 === 0)
+  private def oldCorpus = sigs.filter(col("doc_id") % 5 =!= 0)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.select(col("id_new").cast("long"), col("id_old").cast("long"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("delta probe against a built index ≡ in-memory cross-frame candidates") {
+    val viaIndex = asSet(Dedup.lshCandidatesDelta(
+      newBatch, Dedup.bandIndexBuild(oldCorpus, "doc_id"), "doc_id"))
+    val viaAcross = asSet(Dedup.lshCandidatesAcross(newBatch, oldCorpus, "doc_id"))
+    assert(viaIndex == viaAcross && viaIndex.nonEmpty)
+  }
+
+  test("persist → append → reopen: probes see appended docs; candidates match a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx").toString
+    // build+persist on part of the corpus, append the rest with NO rebuild
+    val part1 = oldCorpus.filter(col("doc_id") % 3 =!= 0)
+    val part2 = oldCorpus.filter(col("doc_id") % 3 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
+      "band_idx_t", dir, nBuckets = 8)
+    try {
+      Dedup.bandIndexAppend(part2, "doc_id", "band_idx_t", dir, nBuckets = 8)
+      val reopened = Dedup.bandIndexLoad(spark, "band_idx_t", dir)
+      // sizes refresh covers the union (counts sum to all banded rows)
+      val nBanded = reopened.banded.count()
+      val nSized = reopened.sizes.agg(sum("bsz")).head.getLong(0)
+      assert(nBanded == nSized, s"sizes stale: $nSized != $nBanded")
+      val viaIndex = asSet(Dedup.lshCandidatesDelta(newBatch, reopened, "doc_id"))
+      val viaAcross = asSet(Dedup.lshCandidatesAcross(newBatch, oldCorpus, "doc_id"))
+      assert(viaIndex == viaAcross && viaIndex.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_t")
+  }
+
+  test("probe plan: the bucketed index side joins WITHOUT an exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-plan").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_plan_t", dir, nBuckets = 8)
+    // file-backed probe inputs so the compared plans carry no cached-plan
+    // dumps; broadcast + AQE off so both joins are shuffle-visible SMJs
+    newBatch.write.mode("overwrite").parquet(s"$dir/newsigs")
+    val probe = spark.read.parquet(s"$dir/newsigs")
+    val old = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf
+        .get("spark.sql.adaptive.enabled"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val loaded = Dedup.bandIndexLoad(spark, "band_idx_plan_t", dir)
+      // unbucketed copy of the SAME banded rows: the only difference in
+      // the two probe plans is the index side's physical layout
+      loaded.banded.write.mode("overwrite").parquet(s"$dir/flat")
+      val flat = Dedup.BandIndex(
+        spark.read.parquet(s"$dir/flat"), loaded.sizes)
+      // count only the band-key shuffles — the exchanges this layout is
+      // designed to save; id-key shuffles (the final distinct) are
+      // identical in both plans
+      def bandExchanges(idx: Dedup.BandIndex): Int = {
+        val plan = Dedup.lshCandidatesDelta(probe, idx, "doc_id")
+          .queryExecution.executedPlan.toString
+        raw"Exchange hashpartitioning\(band_idx".r.findAllIn(plan).length
+      }
+      val (bucketed, unbucketed) = (bandExchanges(loaded), bandExchanges(flat))
+      assert(bucketed < unbucketed,
+        s"bucketed index should save the index-side band exchange: " +
+          s"$bucketed vs $unbucketed")
+    } finally {
+      old.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS band_idx_plan_t")
+    }
+  }
+}
