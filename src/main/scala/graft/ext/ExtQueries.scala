@@ -1264,8 +1264,10 @@ object ExtQueries {
     * only, never old×old — then exact-Jaccard verified; output is the
     * actionable drop list: each duplicate new doc with its best existing
     * match (max jaccard, min old id on ties). At 100 TB the old-side
-    * signatures are a stored table maintained by previous ingests — the
-    * per-batch cost is linear in the batch, constant in history. */
+    * signatures are a stored table maintained by previous ingests —
+    * history is never re-paired against itself (linear, not quadratic,
+    * per ingest), and the persisted [[Dedup.BandIndex]] form turns the
+    * probe's history cost into a shuffle-free map-side scan. */
   val x67DeltaDedup: Q = Q(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window

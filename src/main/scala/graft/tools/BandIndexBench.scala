@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Micro-benchmark for the persistent LSH band index (round 10): what
+  * does a daily-ingest probe pay with the in-memory cross-frame path
+  * (re-band + re-count the WHOLE history every batch) vs a maintained
+  * [[Dedup.BandIndex]] (banded once at build, sizes precomputed, probes
+  * exchange only the batch)?
+  *
+  * Synthetic signatures: a fraction of batch docs duplicate history
+  * signatures exactly (realistic hit rate), the rest unique.
+  *
+  * Usage: runMain graft.tools.BandIndexBench [nHistory] [nBatch] [probes]
+  */
+object BandIndexBench {
+  def main(args: Array[String]): Unit = {
+    val nHist = if (args.length > 0) args(0).toInt else 2000000
+    val nBatch = if (args.length > 1) args(1).toInt else 50000
+    val probes = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // history doc i: signature derived from its dup-group (pairs of 2
+    // share a signature → realistic non-mega buckets); batch doc i:
+    // 10% collide with a history group, 90% unique
+    def sig(groupCol: org.apache.spark.sql.Column) =
+      (0 until 16).map(i => (groupCol * 31 + i * 7).cast("long").as(s"m$i"))
+    val hist = spark.range(nHist).select(
+      (col("id").as("doc_id") +: sig(col("id") / 2)): _*)
+    val batch = spark.range(nHist, nHist.toLong + nBatch).select(
+      (col("id").as("doc_id") +: sig(
+        when(col("id") % 10 === 0, (col("id") % (nHist / 2)))
+          .otherwise(col("id") * 1000 + 7))): _*)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // A: in-memory cross-frame — full history re-banded per probe
+    val acrossTimes = (1 to probes).map { _ =>
+      time(Dedup.lshCandidatesAcross(batch, hist, "doc_id").count())
+    }
+    // B: build+persist once, probe-only thereafter
+    val dir = java.nio.file.Files.createTempDirectory("bandidx-bench").toString
+    val (buildSec, _) = time {
+      Dedup.bandIndexSave(Dedup.bandIndexBuild(hist, "doc_id"),
+        "bandidx_bench_t", dir, nBuckets = 32)
+      0L
+    }
+    val loaded = Dedup.bandIndexLoad(spark, "bandidx_bench_t", dir)
+    val deltaTimes = (1 to probes).map { _ =>
+      time(Dedup.lshCandidatesDelta(batch, loaded, "doc_id").count())
+    }
+    require(acrossTimes.head._2 == deltaTimes.head._2,
+      s"paths disagree: ${acrossTimes.head._2} vs ${deltaTimes.head._2}")
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    println(s"""{"metric":"band_index","n_history":$nHist,"n_batch":$nBatch,""" +
+      s""""pairs":${deltaTimes.head._2},"probes":$probes,""" +
+      f""""across_probe_sec":${med(acrossTimes.map(_._1))}%.3f,""" +
+      f""""build_sec":$buildSec%.3f,""" +
+      f""""delta_probe_sec":${med(deltaTimes.map(_._1))}%.3f}""")
+    spark.sql("DROP TABLE IF EXISTS bandidx_bench_t")
+    spark.stop()
+  }
+}
