@@ -329,19 +329,34 @@ object Dedup {
     index.sizes.write.mode("overwrite").parquet(s"$path/sizes")
   }
 
-  /** Reopen a persisted band index for probe/append use. */
+  /** Reopen a persisted band index for probe/append use. Completes an
+    * interrupted [[bandIndexAppend]] sizes swap first: a crash can leave
+    * the live `sizes` absent with either the fully-staged `sizes.next`
+    * (preferred — it reflects the appended rows, which ARE in the banded
+    * table) or the `sizes.bak` backup present; both roll forward/back to
+    * a readable tree. */
   def bandIndexLoad(spark: org.apache.spark.sql.SparkSession, table: String,
-      path: String): BandIndex =
+      path: String): BandIndex = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    if (!fs.exists(p("sizes"))) {
+      if (fs.exists(p("sizes.next"))) fs.rename(p("sizes.next"), p("sizes"))
+      else if (fs.exists(p("sizes.bak"))) fs.rename(p("sizes.bak"), p("sizes"))
+    }
     BandIndex(spark.table(table), spark.read.parquet(s"$path/sizes"))
+  }
 
   /** Append a NEW batch's banded rows to a persisted index (the
     * per-ingest maintenance step): banded rows append as one file per
     * touched bucket (same murmur3 bucket function ⇒ the bucketed join
     * property survives appends); the sizes frame is refreshed by a
     * shuffle-free re-aggregate of the bucketed table (grouping keys ==
-    * bucket keys, so the scan's distribution already satisfies the agg)
-    * written via temp-and-swap so the refresh never reads its own
-    * overwrite. */
+    * bucket keys, so the scan's distribution already satisfies the agg),
+    * staged fully before any mutation and swapped in with the two-rename
+    * discipline (`Store.upsertSave`'s): live → backup, staged → live,
+    * drop backup — a crash at any point leaves a complete sizes tree on
+    * disk (live or recoverable backup), never a window with neither. */
   def bandIndexAppend(newSigs: DataFrame, idCol: String, table: String,
       path: String, nBuckets: Int = 32, bands: Int = 4,
       rows: Int = 4): Unit = {
@@ -356,10 +371,15 @@ object Dedup {
     refreshed.write.mode("overwrite").parquet(s"$path/sizes.next")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val (cur, next) = (new org.apache.hadoop.fs.Path(s"$path/sizes"),
-      new org.apache.hadoop.fs.Path(s"$path/sizes.next"))
-    fs.delete(cur, true)
-    require(fs.rename(next, cur), s"sizes swap failed: $next -> $cur")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    fs.delete(p("sizes.bak"), true) // stale backup from an earlier crash
+    require(fs.rename(p("sizes"), p("sizes.bak")),
+      s"sizes swap failed: sizes -> sizes.bak")
+    if (!fs.rename(p("sizes.next"), p("sizes"))) {
+      fs.rename(p("sizes.bak"), p("sizes")) // roll back before surfacing
+      throw new IllegalStateException(s"sizes swap failed under $path")
+    }
+    fs.delete(p("sizes.bak"), true)
   }
 
   /** Delta-dedup candidates of a new batch against a PERSISTED band

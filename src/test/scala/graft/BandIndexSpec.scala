@@ -52,6 +52,32 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_t")
   }
 
+  test("sizes swap crash recovery: load rolls an interrupted append forward") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-crash").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_crash_t", dir, nBuckets = 8)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val expected = Dedup.bandIndexLoad(spark, "band_idx_crash_t", dir)
+        .sizes.agg(sum("bsz")).head.getLong(0)
+      // crash state A: after live→bak, before staged→live (both present,
+      // no live sizes) — load must prefer the staged tree
+      assert(fs.rename(p("sizes"), p("sizes.next")))
+      fs.mkdirs(p("sizes.bak")) // an older, invalid backup
+      val viaNext = Dedup.bandIndexLoad(spark, "band_idx_crash_t", dir)
+      assert(viaNext.sizes.agg(sum("bsz")).head.getLong(0) == expected)
+      assert(fs.exists(p("sizes")) && !fs.exists(p("sizes.next")))
+      // crash state B: only the backup survives — load rolls back to it
+      fs.delete(p("sizes.bak"), true)
+      assert(fs.rename(p("sizes"), p("sizes.bak")))
+      val viaBak = Dedup.bandIndexLoad(spark, "band_idx_crash_t", dir)
+      assert(viaBak.sizes.agg(sum("bsz")).head.getLong(0) == expected)
+      assert(fs.exists(p("sizes")) && !fs.exists(p("sizes.bak")))
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_crash_t")
+  }
+
   test("probe plan: the index side never shuffles — batch broadcasts, " +
       "index is a map-side scan") {
     val dir = java.nio.file.Files.createTempDirectory("band-idx-plan").toString
