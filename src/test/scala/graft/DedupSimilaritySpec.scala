@@ -141,6 +141,40 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .count() == 1, "identical-vector pair lost to sub-bucketing")
   }
 
+  test("blockedPairsAuto: exact below target, sub-bucketed above; identical pair survives") {
+    val rnd = new scala.util.Random(13)
+    def vecs(n: Int, label: String, idBase: Long) =
+      (1 to n).map(i => (idBase + i, label,
+        Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // "cold" labels at/under the target keep EXACT all-pairs semantics;
+    // the "hot" label (10× target) gets sub-bucketed adaptively
+    val df = (vecs(8, "cold1", 0L) ++ vecs(10, "cold2", 100L) ++
+      (vecs(100, "hot", 1000L) :+
+        (2000L, "hot", Array.fill(16)(0.25f)) :+
+        (2001L, "hot", Array.fill(16)(0.25f))))
+      .toDF("vec_id", "label", "embedding")
+    val auto = Similarity.blockedPairsAuto(df, "vec_id", "label",
+      minCos = -2.0, targetBucket = 10, dim = 16)
+    val exact = Similarity.blockedPairs(df, "vec_id", "label",
+      minCos = -2.0, dim = 16)
+    // cold labels: byte-identical to the exact path (zero planes)
+    Seq("cold1", "cold2").foreach { l =>
+      val (ap, ep) = (auto.filter(col("label") === l),
+        exact.filter(col("label") === l))
+      assert(ap.exceptAll(ep).isEmpty && ep.exceptAll(ap).isEmpty,
+        s"label $l must stay exact under the target")
+      assert(ep.count() > 0)
+    }
+    // hot label: strictly fewer candidate pairs than exact (quadratic
+    // work bounded), planted identical pair never splits
+    val (hotAuto, hotExact) = (auto.filter(col("label") === "hot").count(),
+      exact.filter(col("label") === "hot").count())
+    assert(hotAuto < hotExact,
+      s"hot label not sub-bucketed: $hotAuto vs $hotExact")
+    assert(auto.filter(col("id_a") === 2000L && col("id_b") === 2001L)
+      .count() == 1, "identical-vector pair lost to adaptive sub-bucketing")
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
