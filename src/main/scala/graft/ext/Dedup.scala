@@ -234,12 +234,7 @@ object Dedup {
   private[graft] def lshCandidatesGroupByGuard(sigs: DataFrame,
       idCol: String, bands: Int = 4, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bandCols = (0 until bands).map { j =>
-      concat_ws("|",
-        (j * rows until (j + 1) * rows).map(i => col(s"m$i").cast("string")): _*)
-    }
-    val banded = sigs.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "h")))
+    val banded = bandedRows(sigs, idCol, idCol, bands, rows)
     val keep = banded.groupBy("band_idx", "h")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
