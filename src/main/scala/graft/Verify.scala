@@ -34,9 +34,12 @@ object Verify {
       // run's parquet in place when this query crashes — the stale dump
       // would compare as PASS downstream. Clear before executing.
       val qDir = Paths.get(outDir, name)
-      if (Files.exists(qDir))
-        Files.walk(qDir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      if (Files.exists(qDir)) {
+        val walk = Files.walk(qDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

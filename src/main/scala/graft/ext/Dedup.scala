@@ -298,9 +298,14 @@ object Dedup {
     * previous ingests"). Two frames:
     *
     *  - `banded`: one row per (doc, band) keyed by band hash, persisted
-    *    BUCKETED BY the join key (`band_idx`, `h`) — a probe's join
-    *    against it needs NO exchange of the (corpus-sized) index side,
-    *    only of the (batch-sized) new side;
+    *    BUCKETED BY (`band_idx`, `h`). The probe itself never exchanges
+    *    the index side because the batch is broadcast
+    *    ([[lshCandidatesDelta]]) — bucketing is NOT what buys that.
+    *    What the bucketed layout does buy: one file per bucket per
+    *    ingest (so [[compactBandIndex]] and any future sort-merge
+    *    fallback for pathologically large batches keep an
+    *    exchange-free index side), and the append path's shuffle-free
+    *    write distribution;
     *  - `sizes`: per-bucket row counts, precomputed at build/append time,
     *    so probes apply the mega-bucket cap with a broadcast-able filter
     *    join instead of re-counting the corpus (the window count in the
@@ -324,49 +329,135 @@ object Dedup {
     index.sizes.write.mode("overwrite").parquet(s"$path/sizes")
   }
 
-  /** Reopen a persisted band index for probe/append use. Completes an
-    * interrupted [[bandIndexAppend]] sizes swap first: a crash can leave
-    * the live `sizes` absent with either the fully-staged `sizes.next`
-    * (preferred — it reflects the appended rows, which ARE in the banded
-    * table) or the `sizes.bak` backup present; both roll forward/back to
-    * a readable tree. */
+  /** Reopen a persisted band index for probe/append use, healing any
+    * interrupted [[bandIndexAppend]] first.
+    *
+    * If the append journal is present, the last append died somewhere
+    * between the banded write and the final cleanup. The banded table is
+    * append-only and therefore valid wherever the crash hit, but the
+    * live `sizes` frame may predate a committed banded append — stale
+    * counts would let buckets that crossed `maxBucket` via the append
+    * escape the cap silently (the documented equivalence with
+    * [[lshCandidatesAcross]] would break). Healing rebuilds `sizes`
+    * from the banded table — a full re-aggregate, confined to this RARE
+    * recovery path; the per-ingest path stays batch-incremental — and
+    * reports the interrupted batch's disposition on stderr (see
+    * [[healInterruptedAppend]]): an interrupted append must NOT be
+    * blindly re-run; re-run only a `not-committed` batch.
+    *
+    * Without a journal, a crash can still sit inside the sizes SWAP
+    * window: live `sizes` absent with either the fully-staged
+    * `sizes.next` (preferred — it reflects the appended rows, which ARE
+    * in the banded table) or the `sizes.bak` backup present; both roll
+    * forward/back to a readable tree. */
   def bandIndexLoad(spark: org.apache.spark.sql.SparkSession, table: String,
       path: String): BandIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-    if (!fs.exists(p("sizes"))) {
+    if (fs.exists(p(AppendJournal))) healInterruptedAppend(spark, table, path)
+    else if (!fs.exists(p("sizes"))) {
       if (fs.exists(p("sizes.next"))) fs.rename(p("sizes.next"), p("sizes"))
       else if (fs.exists(p("sizes.bak"))) fs.rename(p("sizes.bak"), p("sizes"))
     }
     BandIndex(spark.table(table), spark.read.parquet(s"$path/sizes"))
   }
 
+  private val AppendJournal = "append.journal"
+
+  /** Heal an interrupted [[bandIndexAppend]] (journal present): rebuild
+    * `sizes` from the banded table, clear every staged/backup tree and
+    * the journal, and return the interrupted batch's disposition —
+    * `"committed"` (banded count equals the journal's pre+batch: the
+    * batch IS in the index, re-running the append would double-count),
+    * `"not-committed"` (count equals pre: the batch never landed,
+    * re-run it), or `"partial"` (neither: a mid-commit crash left a
+    * torn banded write — rebuild the index from signatures). */
+  private[graft] def healInterruptedAppend(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    val journal = {
+      val in = fs.open(p(AppendJournal))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val healed = spark.table(table)
+      .groupBy("band_idx", "h").agg(count(lit(1)).as("bsz"))
+    healed.write.mode("overwrite").parquet(s"$path/sizes.heal")
+    Seq("sizes", "sizes.next", "sizes.bak").foreach(s => fs.delete(p(s), true))
+    require(fs.rename(p("sizes.heal"), p("sizes")),
+      s"sizes heal swap failed under $path")
+    val disposition = scala.util.Try(journal.split(' ') match {
+      case Array(pre, batch) =>
+        val actual = spark.read.parquet(s"$path/sizes")
+          .agg(sum(col("bsz"))).head.getLong(0)
+        if (actual == pre.toLong + batch.toLong) Some("committed")
+        else if (actual == pre.toLong) Some("not-committed")
+        else None
+      case _ => None
+    }).toOption.flatten.getOrElse("partial")
+    fs.delete(p(AppendJournal), false)
+    System.err.println(s"[band-index] healed interrupted append under " +
+      s"$path: batch disposition = $disposition" + (disposition match {
+        case "committed" => " (do NOT re-run the append)"
+        case "not-committed" => " (safe to re-run the append)"
+        case _ => " (torn banded write — rebuild the index from signatures)"
+      }))
+    disposition
+  }
+
   /** Append a NEW batch's banded rows to a persisted index (the
-    * per-ingest maintenance step): banded rows append as one file per
-    * touched bucket (same murmur3 bucket function ⇒ the bucketed join
-    * property survives appends); the sizes frame is refreshed by a
-    * shuffle-free re-aggregate of the bucketed table (grouping keys ==
-    * bucket keys, so the scan's distribution already satisfies the agg),
-    * staged fully before any mutation and swapped in with the two-rename
+    * per-ingest maintenance step). Banded rows append as one file per
+    * touched bucket (same murmur3 bucket function ⇒ the bucketed layout
+    * survives appends). The sizes frame is refreshed INCREMENTALLY
+    * ([[mergedSizes]]): only the batch's banded rows are aggregated
+    * (batch-sized shuffle) and key-merged into the persisted sizes
+    * frame — the corpus-sized banded table is NEVER read, which is what
+    * makes the per-ingest cost linear in the batch and constant in
+    * history (round 10 re-aggregated the whole banded table per ingest;
+    * that full-index scan was the one line contradicting the delta-dedup
+    * contract). The staged sizes tree still lands with the two-rename
     * discipline (`Store.upsertSave`'s): live → backup, staged → live,
-    * drop backup — a crash at any point leaves a complete sizes tree on
-    * disk (live or recoverable backup), never a window with neither. */
+    * drop backup.
+    *
+    * Crash safety: a journal recording the pre-append and batch banded
+    * counts is staged BEFORE the banded write and removed only after the
+    * sizes swap completes. If present at [[bandIndexLoad]] time, the
+    * load heals (rebuild sizes from banded) and reports whether the
+    * interrupted batch committed. An interrupted append must NOT be
+    * blindly re-run — the banded append may have committed, and a
+    * second run would double-append the batch (duplicate banded rows,
+    * double-counted sizes); reopen with [[bandIndexLoad]] and follow the
+    * logged disposition. This method refuses to start over an unhealed
+    * journal for the same reason. */
   def bandIndexAppend(newSigs: DataFrame, idCol: String, table: String,
       path: String, nBuckets: Int = 32, bands: Int = 4,
       rows: Int = 4): Unit = {
     val spark = newSigs.sparkSession
-    bandedRows(newSigs, idCol, "id_old", bands, rows)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    require(!fs.exists(p(AppendJournal)),
+      s"unhealed interrupted append under $path: reopen with " +
+        "bandIndexLoad (which heals and reports the batch disposition) " +
+        "before appending — blind re-runs double-append the batch")
+    val batchBanded = bandedRows(newSigs, idCol, "id_old", bands, rows)
+    // journal = "<preCount> <batchCount>" — both batch-or-sizes-sized
+    // jobs, computed before any mutation so heal can classify the crash
+    val pre = spark.read.parquet(s"$path/sizes")
+      .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
+    val batchN = batchBanded.count()
+    val out = fs.create(p(AppendJournal), true)
+    try out.write(s"$pre $batchN".getBytes("UTF-8")) finally out.close()
+    batchBanded
       .repartition(nBuckets, col("band_idx"), col("h"))
       .write.mode("append").option("path", s"$path/banded")
       .bucketBy(nBuckets, "band_idx", "h")
       .format("parquet").saveAsTable(table)
-    val refreshed = spark.table(table)
-      .groupBy("band_idx", "h").agg(count(lit(1)).as("bsz"))
-    refreshed.write.mode("overwrite").parquet(s"$path/sizes.next")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    mergedSizes(spark, path, batchBanded)
+      .write.mode("overwrite").parquet(s"$path/sizes.next")
     fs.delete(p("sizes.bak"), true) // stale backup from an earlier crash
     require(fs.rename(p("sizes"), p("sizes.bak")),
       s"sizes swap failed: sizes -> sizes.bak")
@@ -375,7 +466,55 @@ object Dedup {
       throw new IllegalStateException(s"sizes swap failed under $path")
     }
     fs.delete(p("sizes.bak"), true)
+    fs.delete(p(AppendJournal), false)
   }
+
+  /** The incremental sizes refresh: per-bucket counts of ONLY the
+    * batch's banded rows, key-merged into the persisted sizes frame.
+    * What an append pays here, honestly: one batch-sized shuffle (the
+    * delta aggregate), two MAP-SIDE scans of the persisted sizes parquet
+    * (the broadcast left-outer merge and the broadcast semi for the
+    * matched-key set — the sizes frame is the aggregated three-column
+    * artifact, orders of magnitude smaller than the banded table), and a
+    * full rewrite of that same small frame. The banded table never
+    * appears in this plan — BandIndexSpec pins that at the plan level.
+    *
+    * Shape notes: the already-present buckets update via a broadcast
+    * LEFT OUTER join (delta is batch-sized ⇒ broadcastable; the sizes
+    * side streams). Brand-new buckets can't fall out of that join, and a
+    * plain anti-join of delta against sizes would build the CORPUS side
+    * — so the matched-key set is derived first (broadcast LEFT SEMI,
+    * output ≤ batch keys by construction) and anti-joined broadcast
+    * against the delta. Zero shuffles of anything history-sized. */
+  private[graft] def mergedSizes(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchBanded: DataFrame): DataFrame = {
+    val delta = batchBanded.groupBy("band_idx", "h")
+      .agg(count(lit(1)).as("delta"))
+    val old = spark.read.parquet(s"$path/sizes")
+    val updated = old
+      .join(broadcast(delta), Seq("band_idx", "h"), "left_outer")
+      .select(col("band_idx"), col("h"),
+        (col("bsz") + coalesce(col("delta"), lit(0L))).as("bsz"))
+    val matched = old.join(broadcast(delta.select("band_idx", "h")),
+      Seq("band_idx", "h"), "left_semi").select("band_idx", "h")
+    val fresh = delta
+      .join(broadcast(matched), Seq("band_idx", "h"), "left_anti")
+      .select(col("band_idx"), col("h"), col("delta").as("bsz"))
+    updated.unionByName(fresh)
+  }
+
+  /** Compact the banded table back to one file per bucket. Each
+    * [[bandIndexAppend]] adds one file per touched bucket, so after N
+    * daily ingests a probe's map-side scan opens N files per bucket —
+    * run this at whatever cadence keeps file counts sane (the
+    * bucketed-aware rewrite preserves the bucket metadata and ids, so
+    * layout-dependent consumers survive; `Store.compact`'s plain rewrite
+    * would drop them). Sizes are untouched — compaction moves rows
+    * between files, never changes counts. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nBuckets: Int = 32): Unit =
+    graft.engine.Store.compactBucketed(spark, table, s"$path/banded",
+      nBuckets, Seq("band_idx", "h"))
 
   /** Delta-dedup candidates of a new batch against a PERSISTED band
     * index: semantics of [[lshCandidatesAcross]] (same cap, same output

@@ -33,8 +33,12 @@ object BandIndexBench {
     // 10% collide with a history group, 90% unique
     def sig(groupCol: org.apache.spark.sql.Column) =
       (0 until 16).map(i => (groupCol * 31 + i * 7).cast("long").as(s"m$i"))
+    // cast the GROUP before multiplying: Spark `/` is double division, so
+    // `sig(col("id") / 2)` would give odd ids floor((h/2)*31+7i) — never
+    // the even partner's signature — and history buckets would be mostly
+    // singletons (the SkewBench.lshGuardRace form)
     val hist = spark.range(nHist).select(
-      (col("id").as("doc_id") +: sig(col("id") / 2)): _*)
+      (col("id").as("doc_id") +: sig((col("id") / 2).cast("long"))): _*)
     val batch = spark.range(nHist, nHist.toLong + nBatch).select(
       (col("id").as("doc_id") +: sig(
         when(col("id") % 10 === 0, (col("id") % (nHist / 2)))
@@ -60,6 +64,17 @@ object BandIndexBench {
     val deltaTimes = (1 to probes).map { _ =>
       time(Dedup.lshCandidatesDelta(batch, loaded, "doc_id").count())
     }
+    // maintenance cost: one batch append against this history size. The
+    // incremental sizes merge (round 11) makes this flat across nHistory
+    // — the headline evidence is this number at 2M vs 8M history.
+    val appendBatch = spark.range(nHist.toLong + nBatch,
+      nHist.toLong + 2L * nBatch).select(
+      (col("id").as("doc_id") +: sig(col("id") * 1000 + 13)): _*)
+    val (appendSec, _) = time {
+      Dedup.bandIndexAppend(appendBatch, "doc_id", "bandidx_bench_t", dir,
+        nBuckets = 32)
+      0L
+    }
     require(acrossTimes.head._2 == deltaTimes.head._2,
       s"paths disagree: ${acrossTimes.head._2} vs ${deltaTimes.head._2}")
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
@@ -67,6 +82,7 @@ object BandIndexBench {
       s""""pairs":${deltaTimes.head._2},"probes":$probes,""" +
       f""""across_probe_sec":${med(acrossTimes.map(_._1))}%.3f,""" +
       f""""build_sec":$buildSec%.3f,""" +
+      f""""append_sec":$appendSec%.3f,""" +
       f""""delta_probe_sec":${med(deltaTimes.map(_._1))}%.3f}""")
     spark.sql("DROP TABLE IF EXISTS bandidx_bench_t")
     spark.stop()

@@ -52,6 +52,87 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_t")
   }
 
+  test("incremental sizes merge: plan never reads the banded table; " +
+      "result ≡ full re-aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-merge").toString
+    val part1 = oldCorpus.filter(col("doc_id") % 3 =!= 0)
+    val part2 = oldCorpus.filter(col("doc_id") % 3 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
+      "band_idx_merge_t", dir, nBuckets = 8)
+    try {
+      // the append-cost contract, pinned at the PLAN level: the sizes
+      // refresh reads the batch's banded rows and the persisted sizes
+      // parquet — never the corpus-sized banded table
+      val batchBanded = Dedup.bandIndexBuild(part2, "doc_id").banded
+      val merged = Dedup.mergedSizes(spark, dir, batchBanded)
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("/banded") && !plan.contains("band_idx_merge_t"),
+        s"sizes merge must not scan the banded table:\n$plan")
+      // and the merged counts are exactly the full re-aggregate's
+      Dedup.bandIndexAppend(part2, "doc_id", "band_idx_merge_t", dir,
+        nBuckets = 8)
+      val reopened = Dedup.bandIndexLoad(spark, "band_idx_merge_t", dir)
+      val full = reopened.banded.groupBy("band_idx", "h")
+        .agg(count(lit(1)).as("bsz"))
+      assert(reopened.sizes.except(full).isEmpty &&
+        full.except(reopened.sizes).isEmpty,
+        "incrementally merged sizes diverged from the full re-aggregate")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_merge_t")
+  }
+
+  test("append journal: interrupted append heals on load with the right " +
+      "disposition; blind re-run is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-journal").toString
+    val part1 = oldCorpus.filter(col("doc_id") % 3 =!= 0)
+    val part2 = oldCorpus.filter(col("doc_id") % 3 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
+      "band_idx_jrnl_t", dir, nBuckets = 8)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val pre = Dedup.bandIndexLoad(spark, "band_idx_jrnl_t", dir)
+        .sizes.agg(sum("bsz")).head.getLong(0)
+      val batchN = Dedup.bandIndexBuild(part2, "doc_id").banded.count()
+      def writeJournal(): Unit = {
+        val out = fs.create(p("append.journal"), true)
+        try out.write(s"$pre $batchN".getBytes("UTF-8")) finally out.close()
+      }
+      // crash BEFORE the banded append committed: journal present, banded
+      // unchanged — heal reports the batch never landed (safe to re-run)
+      writeJournal()
+      assert(Dedup.healInterruptedAppend(spark, "band_idx_jrnl_t", dir)
+        == "not-committed")
+      assert(!fs.exists(p("append.journal")))
+      // crash AFTER the banded append committed but before the sizes
+      // swap: live sizes stale w.r.t. banded. Reconstruct that window by
+      // completing a real append, then restoring the journal + a stale
+      // sizes tree. Loading must heal: sizes match banded again, and the
+      // disposition warns the batch IS in (a re-run would double-append).
+      Dedup.bandIndexAppend(part2, "doc_id", "band_idx_jrnl_t", dir,
+        nBuckets = 8)
+      val staleSizes = Dedup.bandIndexBuild(part1, "doc_id") // pre-append counts
+      staleSizes.sizes.write.mode("overwrite").parquet(s"$dir/sizes.stale")
+      fs.delete(p("sizes"), true)
+      assert(fs.rename(p("sizes.stale"), p("sizes")))
+      writeJournal()
+      // the refusal: appending over an unhealed journal must throw
+      intercept[IllegalArgumentException] {
+        Dedup.bandIndexAppend(part2, "doc_id", "band_idx_jrnl_t", dir,
+          nBuckets = 8)
+      }
+      val healed = Dedup.bandIndexLoad(spark, "band_idx_jrnl_t", dir)
+      val nBanded = healed.banded.count()
+      assert(healed.sizes.agg(sum("bsz")).head.getLong(0) == nBanded,
+        "heal must rebuild sizes to match the banded table")
+      assert(!fs.exists(p("append.journal")))
+      // probes over the healed index are equivalent to the in-memory path
+      val viaIndex = asSet(Dedup.lshCandidatesDelta(newBatch, healed, "doc_id"))
+      val viaAcross = asSet(Dedup.lshCandidatesAcross(newBatch, oldCorpus, "doc_id"))
+      assert(viaIndex == viaAcross && viaIndex.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_jrnl_t")
+  }
+
   test("sizes swap crash recovery: load rolls an interrupted append forward") {
     val dir = java.nio.file.Files.createTempDirectory("band-idx-crash").toString
     Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
@@ -76,6 +157,39 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
       assert(viaBak.sizes.agg(sum("bsz")).head.getLong(0) == expected)
       assert(fs.exists(p("sizes")) && !fs.exists(p("sizes.bak")))
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_crash_t")
+  }
+
+  test("compaction after appends: file count collapses to the bucket " +
+      "count, probe candidates unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-compact").toString
+    val part = (r: Int) => oldCorpus.filter(col("doc_id") % 4 === r)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part(0), "doc_id"),
+      "band_idx_cpt_t", dir, nBuckets = 8)
+    try {
+      (1 to 3).foreach(r =>
+        Dedup.bandIndexAppend(part(r), "doc_id", "band_idx_cpt_t", dir,
+          nBuckets = 8))
+      def parquetFiles(): Int = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "banded"))
+        try walk.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally walk.close()
+      }
+      val before = asSet(Dedup.lshCandidatesDelta(newBatch,
+        Dedup.bandIndexLoad(spark, "band_idx_cpt_t", dir), "doc_id"))
+      val filesBefore = parquetFiles()
+      assert(filesBefore > 8,
+        s"appends should accumulate files (got $filesBefore <= 8)")
+      Dedup.compactBandIndex(spark, "band_idx_cpt_t", dir, nBuckets = 8)
+      assert(parquetFiles() <= 8,
+        s"compaction must leave at most one file per bucket, got ${parquetFiles()}")
+      val reopened = Dedup.bandIndexLoad(spark, "band_idx_cpt_t", dir)
+      // sizes untouched by compaction and still consistent with banded
+      assert(reopened.sizes.agg(sum("bsz")).head.getLong(0)
+        == reopened.banded.count())
+      val after = asSet(Dedup.lshCandidatesDelta(newBatch, reopened, "doc_id"))
+      assert(after == before && after.nonEmpty,
+        "probe candidates must survive compaction")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_cpt_t")
   }
 
   test("probe plan: the index side never shuffles — batch broadcasts, " +
