@@ -261,6 +261,21 @@ object Bench {
         try run(n, "/root/testdata/sf0.001")
         catch { case _: Throwable => () }
     }
+    // opt-in measurement-SF warm-up (SPARK_GRAFT_WARM_SF=1): one
+    // UNCOUNTED execution of each query at sfDir itself before the
+    // measured round-robin. The sf1 decade runs at reps=2, where the
+    // first execution's one-time costs at that scale (cold page cache,
+    // shuffle-file allocation, AQE stats) inflated tabled slopes twice
+    // (q23 r6–r9, x66 r10) and each cost an adjudication cycle — with
+    // this rep the tabled numbers are steady-state by construction.
+    // Off by default: the driver's per-round headline run is
+    // wall-clock-budgeted (the round-5 rc-124 lesson) and stays
+    // comparable to prior rounds' protocol.
+    val warmAtSf = sys.env.get("SPARK_GRAFT_WARM_SF").contains("1")
+    if (warmAtSf) names.foreach { n =>
+      if (!overDeadline)
+        try run(n, sfDir) catch { case _: Throwable => () }
+    }
     val (results, headTruncated) =
       roundRobin(names, reps, repBudgetSec, () => overDeadline, measureOnce)
 
@@ -283,6 +298,10 @@ object Bench {
     extraNames.foreach { n =>
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    if (warmAtSf) extraNames.foreach { n =>
+      if (!overDeadline)
+        try run(n, sfDir) catch { case _: Throwable => () }
     }
     val (extraResults, extraTruncated) =
       roundRobin(extraNames, reps, repBudgetSec, () => overDeadline,

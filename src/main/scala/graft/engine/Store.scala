@@ -334,6 +334,57 @@ object Store {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Compaction for a [[saveBucketed]]-style BUCKETED table — the
+    * maintained-index hygiene step. Every index append
+    * (`Dedup.bandIndexAppend`, `Similarity.ivfAppendSave`) adds one file
+    * per touched bucket; after N ingests a probe reads N files per
+    * probed bucket — the classic slow-rot failure of bucketed-append
+    * designs. [[compact]] cannot be reused here: it rewrites through a
+    * plain `.parquet` write, which would silently drop the bucket
+    * metadata and file-level bucket-id assignment — probes would lose
+    * `SelectedBucketsCount` pruning forever.
+    *
+    * This variant rewrites THROUGH the bucketing writer (same bucket
+    * count, same murmur3 bucket function ⇒ identical bucket ids) into a
+    * sibling directory, then swaps directories with [[compact]]'s
+    * two-rename discipline — the catalog entry for `table` is untouched
+    * (its bucket spec still matches the rewritten files), so pruning
+    * survives; BucketingSpec asserts it end-to-end. One task per bucket
+    * at write time ⇒ exactly one file per bucket afterwards. */
+  def compactBucketed(spark: SparkSession, table: String, path: String,
+      numBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val tmpTable = table + "__compacting"
+    // read the files PLAIN, not via spark.table: a bucketed-scan source
+    // claims HashPartitioning(bucketCols) and the optimizer elides
+    // saveBucketed's repartition as redundant — after which the
+    // autoBucketedScan rule, seeing no operator that needs bucketing,
+    // demotes the scan to packed file splits and each write task emits
+    // files for every bucket in its split (measured: 13 files for 8
+    // buckets). A plain parquet read claims nothing, so the clustering
+    // exchange stands and each bucket lands in exactly one task/file.
+    saveBucketed(spark.read.parquet(path), tmpTable, path + "__compacting",
+      numBuckets, bucketCols, sortCols)
+    // external table: dropping it keeps the rewritten files on disk
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compactBucketed: cannot clear stale backup $old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compactBucketed: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the live table before surfacing
+      throw new java.io.IOException(s"compactBucketed: rename $tmp -> $p failed")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"compactBucketed: cannot delete backup $old")
+    spark.catalog.refreshTable(table)
+  }
+
   /** S8 metadata derive (post-save refresh, database_handler.py:219-229). */
   def deriveMeta(df: DataFrame): DataFrame =
     df.groupBy("symbol", "timeframe")

@@ -686,6 +686,62 @@ object ExtQueries {
       $componentsCte
       SELECT id AS vec_id, keeper FROM keepers ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x86
+  /** Label-blocked cosine pairs through the ADAPTIVE sub-bucketing path
+    * ([[Similarity.blockedPairsAuto]]) — the form that sizes planes per
+    * label (`planes_l = ceil(log2(ceil(n_l / target)))`, integer-exact)
+    * so labels at/under the target keep exact all-pairs semantics while
+    * hot labels get just enough planes to bound expected bucket size.
+    * Round 10 shipped it spec-pinned only; this row correctness-gates it
+    * (VERDICT r10 #6). `targetBucket = 100` puts the harness labels
+    * OVER the target at sf0.01+ (≈200/label ⇒ 1 plane), so the oracle
+    * exercises the adaptive masking, not the zero-plane fallback. The
+    * oracle mirrors the integer CASE ladder verbatim — no float log2,
+    * so both engines agree on every label's plane count by construction. */
+  private val AutoMaxPlanes = 6
+  private val AutoTarget = 100
+  val x86BlockedAutoPairs: Q = Q(
+    (s, dir) =>
+      Similarity.blockedPairsAuto(Tables.embeddings(s, dir), "vec_id",
+          "label", minCos = 0.4, targetBucket = AutoTarget,
+          maxPlanes = AutoMaxPlanes)
+        .orderBy("label", "id_a", "id_b"),
+    Some(s"""WITH $corpusDotCte,
+      aplanes(p, i, w) AS (VALUES ${Similarity
+        .hyperplanes(AutoMaxPlanes, 64).zipWithIndex
+        .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
+          s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
+      apd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
+        FROM ex JOIN aplanes pl ON pl.i = ex.i GROUP BY 1, 2),
+      bits AS (SELECT vec_id,
+          CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS BIGINT) AS bits
+        FROM apd GROUP BY 1),
+      cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+      pln AS (SELECT label,
+          CASE ${(0 until AutoMaxPlanes).map(q =>
+            s"WHEN m <= ${1L << q} THEN $q").mkString(" ")}
+               ELSE $AutoMaxPlanes END AS planes
+        FROM (SELECT label, (n + ${AutoTarget - 1}) // $AutoTarget AS m
+              FROM cnt)),
+      sub AS (SELECT e.vec_id,
+          bits & ((CAST(1 AS BIGINT) << planes) - 1) AS sb
+        FROM embeddings e JOIN bits USING (vec_id)
+          JOIN pln USING (label)),
+      dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          sum(a.x * b.x) AS dp
+        FROM ex a JOIN ex b
+          ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        JOIN sub ka ON ka.vec_id = a.vec_id
+        JOIN sub kb ON kb.vec_id = b.vec_id AND kb.sb = ka.sb
+        GROUP BY 1,2,3)
+      SELECT label, id_a, id_b,
+        round(dp / (na.nrm * nb.nrm), 6) AS cos
+      FROM dots JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+      WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4
+      ORDER BY 1, 2, 3"""))
+
   // ---------------------------------------------------------------- x52
   /** End-to-end training-data pipeline: exact-dedup keepers (x30) →
     * benchmark decontamination (x49) → stratified train split (x47) →
@@ -1545,6 +1601,7 @@ object ExtQueries {
     "x53_quantize_embeddings" -> x53QuantizeEmbeddings,
     "x52_pipeline_e2e" -> x52PipelineE2e,
     "x50_embed_dedup" -> x50EmbedDedup,
+    "x86_blocked_auto_pairs" -> x86BlockedAutoPairs,
     "x51_frame_sample" -> x51FrameSample,
     "x47_stratified_split" -> x47StratifiedSplit,
     "x48_pack_sequences" -> x48PackSequences,

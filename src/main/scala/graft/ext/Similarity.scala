@@ -195,6 +195,37 @@ object Similarity {
     * `IvfIndex.assigned`, modulo KMeans' internal feature column). */
   def ivfAssign(index: IvfIndex, vecs: DataFrame, idCol: String,
       embCol: String = "embedding"): DataFrame = {
+    // The centroid matrix rides into the task binary as a reference
+    // object (nCells × dim doubles — the same broadcast-sized bound every
+    // probe already relies on), and assignment is one codegen'd argmin
+    // loop per row ([[graft.functions.NearestCentroidF]]): zero row
+    // expansion, no window sort, constant per-row cost at ANY cell count.
+    // The earlier crossJoin+row_number form materialized batch × nCells
+    // rows — fine at 16 cells, tens of billions of intermediate rows for
+    // a 1M-row batch at a realistic 100 TB cell count (VERDICT r10 #2).
+    // Distance fold and lowest-cell tie rule are bit-identical to the
+    // HOF/window form (IvfIndexSpec pins ≡ KMeans.transform).
+    // Sort + cast defensively: a persisted index's physical widths have
+    // no contract (TESTDATA.md "Physical layout drift").
+    val cs = index.centroids
+      .select(col("cell").cast("int"), col("cent")).orderBy("cell").collect()
+    val cents = cs.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
+    val cellIds = cs.map(_.getInt(0))
+    val pos = toCol(graft.functions.NearestCentroidF(toExpr(col(embCol)), cents))
+    // map argmin position → cell id (identity when cells are the usual
+    // dense 0..n-1 KMeans predictions, but never assume it)
+    vecs.withColumn("cell",
+      element_at(array(cellIds.toIndexedSeq.map(lit(_)): _*), pos + 1))
+  }
+
+  /** The crossJoin+window formulation [[ivfAssign]] replaced — kept as
+    * the raced alternative (`tools/IvfAssignBench`): it materializes
+    * batch × nCells intermediate rows plus a per-id window sort, which
+    * the bench shows diverging as nCells grows while the argmin
+    * expression's row count stays flat. Results are identical (same
+    * distance fold, same lowest-cell tie rule). */
+  private[graft] def ivfAssignViaJoin(index: IvfIndex, vecs: DataFrame,
+      idCol: String, embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = vecs.crossJoin(broadcast(index.centroids))
       .withColumn("_dist", aggregate(
@@ -225,6 +256,18 @@ object Similarity {
       .bucketBy(nCells, "cell")
       .format("parquet").saveAsTable(table)
   }
+
+  /** Compact a persisted IVF index's assigned table back to one file per
+    * cell. Each [[ivfAppendSave]] adds one file per touched cell; after N
+    * ingests a probe reads N files per probed cell. The bucketed-aware
+    * rewrite ([[graft.engine.Store.compactBucketed]]) keeps the bucket
+    * metadata and bucket-id assignment, so the probe's
+    * `SelectedBucketsCount` / pushed `cell IN (…)` pruning survives
+    * (IvfIndexSpec asserts it after a compact-after-appends cycle). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String, nCells: Int): Unit =
+    graft.engine.Store.compactBucketed(spark, table, s"$path/assigned",
+      nCells, Seq("cell"))
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale
@@ -398,10 +441,20 @@ object Similarity {
       embCol: String = "embedding", minCos: Double = 0.4,
       targetBucket: Int = 1000, maxPlanes: Int = 16,
       dim: Int = 64): DataFrame = {
+    // planes_l = ceil(log2(n_l / target)) — computed INTEGER-EXACT via
+    // `m = ceildiv(n, target); planes = min q: 2^q ≥ m` (equivalent for
+    // integer n, target: 2^q ≥ n/t ⟺ 2^q·t ≥ n ⟺ 2^q ≥ ⌈n/t⌉ since 2^q
+    // is integral). A float log2 could misround at exact power-of-2
+    // boundaries, and both engines must agree on every label's plane
+    // count for the x86 oracle to hash-match — the CASE ladder below is
+    // pure integer comparison, so the DuckDB oracle mirrors it verbatim.
+    val mCol = floor((col("_n") + lit(targetBucket - 1)) / lit(targetBucket))
+    val ladder = (0 until maxPlanes).foldRight(lit(maxPlanes): Column) {
+      (q, rest) => when(mCol <= (1L << q), q).otherwise(rest)
+    }
     val counts = embs.groupBy(col(labelCol))
       .agg(count(lit(1)).as("_n"))
-      .withColumn("_planes", least(lit(maxPlanes), greatest(lit(0),
-        ceil(log(2.0, col("_n").cast("double") / targetBucket)).cast("int"))))
+      .withColumn("_planes", ladder)
       .select(col(labelCol), col("_planes"))
     val keyed = embs.join(broadcast(counts), Seq(labelCol))
       .withColumn("_bits", lshBucket(col(embCol), hyperplanes(maxPlanes, dim)))

@@ -239,6 +239,91 @@ case class WeightSumF(child: Expression, weights: Array[Int])
     copy(child = newChild)
 }
 
+/** Native nearest-centroid argmin: squared-L2 distance of the input
+  * vector against every row of a centroid matrix riding in the
+  * expression as a reference object, returning the 0-based POSITION of
+  * the nearest centroid; ties → lowest position (MLlib KMeans'
+  * first-min transform rule). This is the zero-row-expansion form of
+  * IVF cell assignment: the crossJoin+window formulation it replaces
+  * materialized batch × nCells intermediate rows plus a per-id sort —
+  * tens of billions of rows for a 1M-row batch at a realistic 100 TB
+  * cell count — where this expression is one tight loop per row inside
+  * whole-stage codegen, constant per row in the batch.
+  *
+  * Distance arithmetic is the same element-order double fold as the
+  * `aggregate(zip_with(...))` HOF path (`acc + (x-y)*(x-y)`), so cell
+  * choices are bit-identical to it. Input may be ARRAY<FLOAT> or
+  * ARRAY<DOUBLE> (the [[DotF32]] drift rule); shorter of vector/centroid
+  * wins defensively; null input → null. */
+case class NearestCentroidF(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty)
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val f = isFloat
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        val dd = x - cent(i)
+        acc += dd * dd
+        i += 1
+      }
+      if (acc < bestDist) { bestDist = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("ncCents", cents, "double[][]")
+      val (best, bestDist, c, cent, n, acc, i, x) = (ctx.freshName("best"),
+        ctx.freshName("bestDist"), ctx.freshName("c"), ctx.freshName("cent"),
+        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"),
+        ctx.freshName("x"))
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $best = 0;
+         |double $bestDist = Double.MAX_VALUE;
+         |for (int $c = 0; $c < ${cents.length}; $c++) {
+         |  double[] $cent = $cRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $get - $cent[$i];
+         |    $acc += $x * $x;
+         |  }
+         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashF {
   private val SPACE = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val digestTL =

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Races the two IVF cell-assignment forms across coarse-quantizer
+  * sizes (VERDICT r10 #3): the codegen argmin expression
+  * ([[Similarity.ivfAssign]], zero row expansion) vs the
+  * crossJoin+window form it replaced ([[Similarity.ivfAssignViaJoin]],
+  * batch × nCells intermediate rows + per-id sort). Both are exact and
+  * agree row-for-row (asserted per cell count); the question is the
+  * slope in nCells — at a realistic 100 TB quantizer (thousands of
+  * cells) the join form's intermediate row count is the batch size
+  * multiplied by it.
+  *
+  * The quantizer is NOT re-fit per cell count with KMeans (that would
+  * measure the fit): synthetic centroid frames of the right shape are
+  * enough, since assignment cost only depends on (nCells, dim, batch).
+  *
+  * Usage: runMain graft.tools.IvfAssignBench [nBatch] [dim] [reps]
+  */
+object IvfAssignBench {
+  def main(args: Array[String]): Unit = {
+    val nBatch = if (args.length > 0) args(0).toInt else 200000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cellCounts = Seq(16, 256, 4096)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val batch = spark.range(nBatch).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> cast(sin(id % 16 + j * 0.37) + cos(id * 0.011 + j) as float))")
+          .as("embedding"))
+      .cache()
+    batch.count()
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+
+    val lines = cellCounts.map { nCells =>
+      // deterministic synthetic centroids, same trig family as the data
+      val cents = (0 until nCells).map { c =>
+        (c, Array.tabulate(dim)(j =>
+          math.sin(c % 16 + j * 0.37) + math.cos(c * 0.013 + j)))
+      }.toDF("cell", "cent")
+      val idx = Similarity.IvfIndex(batch.limit(0), cents)
+      // agreement first (uncounted warm-up rep for both paths)
+      val viaExpr = Similarity.ivfAssign(idx, batch, "vec_id")
+        .select("vec_id", "cell")
+      val viaJoin = Similarity.ivfAssignViaJoin(idx, batch, "vec_id")
+        .select("vec_id", "cell")
+      val drift = viaExpr.except(viaJoin).count() +
+        viaJoin.except(viaExpr).count()
+      require(drift == 0, s"paths disagree at nCells=$nCells: $drift rows")
+      val exprSec = med((1 to reps).map(_ => time(viaExpr.count())))
+      val joinSec = med((1 to reps).map(_ => time(viaJoin.count())))
+      f""""n$nCells":{"argmin_sec":$exprSec%.3f,"join_sec":$joinSec%.3f}"""
+    }
+    println(s"""{"metric":"ivf_assign","n_batch":$nBatch,"dim":$dim,""" +
+      s""""reps":$reps,${lines.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -116,4 +116,53 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         s"appended vector not probeable: ${top.toSeq}")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_append_t")
   }
+
+  test("compaction after appends: one file per cell, bucket pruning and " +
+      "probe results survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    val nCells = 8
+    // build on a sixth of the corpus, append the rest as FIVE batches —
+    // each append adds one file per touched cell
+    val base = corpus.filter(col("vec_id") % 6 === 0)
+    val idx = Similarity.ivfBuild(base, nCells = nCells)
+    Similarity.ivfSave(idx, "ivf_compact_t", dir, nCells)
+    try {
+      (1 to 5).foreach { r =>
+        val batch = corpus.filter(col("vec_id") % 6 === r)
+        val loaded = Similarity.ivfLoad(spark, "ivf_compact_t", dir)
+        Similarity.ivfAppendSave(
+          Similarity.ivfAssign(loaded, batch, "vec_id"),
+          "ivf_compact_t", dir, nCells)
+      }
+      def parquetFiles(): Int = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "assigned"))
+        try walk.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally walk.close()
+      }
+      val loaded = Similarity.ivfLoad(spark, "ivf_compact_t", dir)
+      assert(loaded.assigned.count() == corpus.count())
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      val before = Similarity.ivfProbe(loaded, q, "vec_id").collect().toSeq
+      val filesBefore = parquetFiles()
+      assert(filesBefore > nCells,
+        s"appends should accumulate files (got $filesBefore <= $nCells)")
+      Similarity.ivfCompact(spark, "ivf_compact_t", dir, nCells)
+      // one file per (non-empty) cell afterwards
+      assert(parquetFiles() <= nCells,
+        s"compaction must leave at most one file per cell, got ${parquetFiles()}")
+      val reopened = Similarity.ivfLoad(spark, "ivf_compact_t", dir)
+      assert(Similarity.ivfProbe(reopened, q, "vec_id").collect().toSeq == before,
+        "probe results must survive compaction")
+      // the scale property compaction must NOT break: bucket pruning
+      withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val plan = Similarity.ivfProbe(reopened, q, "vec_id")
+          .queryExecution.executedPlan.toString
+        // nProbe=2 cells select ≤2 buckets (two cells can murmur3-collide
+        // into one of the 8) — what must NOT appear is an unpruned scan
+        assert(raw"SelectedBucketsCount:\s*[12]\s+out of\s+8".r
+          .findFirstIn(plan).isDefined,
+          s"bucket pruning must survive compaction:\n$plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_compact_t")
+  }
 }
