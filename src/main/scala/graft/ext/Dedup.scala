@@ -525,9 +525,10 @@ object Dedup {
     * is batch-sized (the final distinct). The in-memory path instead
     * re-derives banded rows from the history signatures AND shuffles the
     * whole history for the window count, every ingest. Measured
-    * (`tools/BandIndexBench`, 50k batch): 2.05s vs 2.87s per probe at 2M
-    * history, 4.07s vs 8.97s at 8M — the gap widens with history
-    * because only the scan, not the shuffle, grows. */
+    * (`tools/BandIndexBench`, 50k batch, paired-signature fixture fixed
+    * in round 11): 1.53s vs 2.44s per probe at 2M history, 2.77s vs
+    * 5.84s at 8M — the gap widens with history because only the scan,
+    * not the shuffle, grows (`BAND_INDEX_BENCH_r11.json`). */
   def lshCandidatesDelta(newSigs: DataFrame, index: BandIndex,
       idCol: String, bands: Int = 4, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {

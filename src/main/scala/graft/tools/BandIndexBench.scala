@@ -48,6 +48,7 @@ object BandIndexBench {
       val t0 = System.nanoTime(); val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
 
     // A: in-memory cross-frame — full history re-banded per probe
     val acrossTimes = (1 to probes).map { _ =>
@@ -77,13 +78,35 @@ object BandIndexBench {
     }
     require(acrossTimes.head._2 == deltaTimes.head._2,
       s"paths disagree: ${acrossTimes.head._2} vs ${deltaTimes.head._2}")
-    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    // small-file rot + compaction payoff: 20 more small appends (one
+    // file per touched bucket each), probe, compact back to one file per
+    // bucket, probe again
+    (0 until 20).foreach { k =>
+      val start = nHist.toLong + 2L * nBatch + k.toLong * 1000
+      val mini = spark.range(start, start + 1000).select(
+        (col("id").as("doc_id") +: sig(col("id") * 1000 + 17)): _*)
+      Dedup.bandIndexAppend(mini, "doc_id", "bandidx_bench_t", dir,
+        nBuckets = 32)
+    }
+    val rotted = Dedup.bandIndexLoad(spark, "bandidx_bench_t", dir)
+    val rottedProbe = med((1 to probes).map(_ =>
+      time(Dedup.lshCandidatesDelta(batch, rotted, "doc_id").count())._1))
+    val (compactSec, _) = time {
+      Dedup.compactBandIndex(spark, "bandidx_bench_t", dir, nBuckets = 32)
+      0L
+    }
+    val compacted = Dedup.bandIndexLoad(spark, "bandidx_bench_t", dir)
+    val compactedProbe = med((1 to probes).map(_ =>
+      time(Dedup.lshCandidatesDelta(batch, compacted, "doc_id").count())._1))
     println(s"""{"metric":"band_index","n_history":$nHist,"n_batch":$nBatch,""" +
       s""""pairs":${deltaTimes.head._2},"probes":$probes,""" +
       f""""across_probe_sec":${med(acrossTimes.map(_._1))}%.3f,""" +
       f""""build_sec":$buildSec%.3f,""" +
       f""""append_sec":$appendSec%.3f,""" +
-      f""""delta_probe_sec":${med(deltaTimes.map(_._1))}%.3f}""")
+      f""""delta_probe_sec":${med(deltaTimes.map(_._1))}%.3f,""" +
+      f""""probe_after_20_appends_sec":$rottedProbe%.3f,""" +
+      f""""compact_sec":$compactSec%.3f,""" +
+      f""""probe_after_compact_sec":$compactedProbe%.3f}""")
     spark.sql("DROP TABLE IF EXISTS bandidx_bench_t")
     spark.stop()
   }

@@ -47,6 +47,13 @@ object IvfAssignBench {
     }
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
 
+    // the join form is raced only where its batch × nCells row expansion
+    // is affordable to even execute — at 4096 cells a 200k batch is 819M
+    // intermediate rows of interpreted dim-64 HOF folds (hours); that
+    // unrunnability IS the finding. Agreement there is still checked on
+    // a small sample.
+    val joinRaceMax = 256
+    val sampleN = 2000
     val lines = cellCounts.map { nCells =>
       // deterministic synthetic centroids, same trig family as the data
       val cents = (0 until nCells).map { c =>
@@ -54,17 +61,29 @@ object IvfAssignBench {
           math.sin(c % 16 + j * 0.37) + math.cos(c * 0.013 + j)))
       }.toDF("cell", "cent")
       val idx = Similarity.IvfIndex(batch.limit(0), cents)
-      // agreement first (uncounted warm-up rep for both paths)
+      val sample = batch.filter(col("vec_id") < sampleN)
+      val drift = Similarity.ivfAssign(idx, sample, "vec_id")
+        .select("vec_id", "cell")
+        .except(Similarity.ivfAssignViaJoin(idx, sample, "vec_id")
+          .select("vec_id", "cell")).count()
+      require(drift == 0, s"paths disagree at nCells=$nCells: $drift rows")
+      // force the cell column to actually evaluate: a bare count() lets
+      // Catalyst PRUNE the assignment expression away entirely (measured
+      // 0.07s "assignments" at 4096 cells — a scan count, not work)
+      def force(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.agg(sum(col("cell").cast("long"))).head
+        ()
+      }
       val viaExpr = Similarity.ivfAssign(idx, batch, "vec_id")
         .select("vec_id", "cell")
-      val viaJoin = Similarity.ivfAssignViaJoin(idx, batch, "vec_id")
-        .select("vec_id", "cell")
-      val drift = viaExpr.except(viaJoin).count() +
-        viaJoin.except(viaExpr).count()
-      require(drift == 0, s"paths disagree at nCells=$nCells: $drift rows")
-      val exprSec = med((1 to reps).map(_ => time(viaExpr.count())))
-      val joinSec = med((1 to reps).map(_ => time(viaJoin.count())))
-      f""""n$nCells":{"argmin_sec":$exprSec%.3f,"join_sec":$joinSec%.3f}"""
+      val exprSec = med((1 to reps).map(_ => time(force(viaExpr))))
+      val joinPart = if (nCells <= joinRaceMax) {
+        val viaJoin = Similarity.ivfAssignViaJoin(idx, batch, "vec_id")
+          .select("vec_id", "cell")
+        val joinSec = med((1 to reps).map(_ => time(force(viaJoin))))
+        f""","join_sec":$joinSec%.3f"""
+      } else ""","join_sec":null"""
+      f""""n$nCells":{"argmin_sec":$exprSec%.3f$joinPart}"""
     }
     println(s"""{"metric":"ivf_assign","n_batch":$nBatch,"dim":$dim,""" +
       s""""reps":$reps,${lines.mkString(",")}}""")
