@@ -350,10 +350,19 @@ object Store {
     * two-rename discipline — the catalog entry for `table` is untouched
     * (its bucket spec still matches the rewritten files), so pruning
     * survives; BucketingSpec asserts it end-to-end. One task per bucket
-    * at write time ⇒ exactly one file per bucket afterwards. */
+    * at write time ⇒ exactly one file per bucket afterwards.
+    *
+    * `transform` filters/reshapes the rows mid-rewrite (identity by
+    * default) — the index-delete paths fold their tombstones here
+    * (`Dedup.compactBandIndex`, `Similarity.ivfCompact`). It must not
+    * change the bucket-column values (rows would land in a file whose
+    * bucket id no longer matches their hash) and must not claim an
+    * output partitioning that lets the optimizer elide the clustering
+    * exchange (a broadcast anti-join claims none). */
   def compactBucketed(spark: SparkSession, table: String, path: String,
       numBuckets: Int, bucketCols: Seq[String],
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity): Unit = {
     val tmpTable = table + "__compacting"
     // read the files PLAIN, not via spark.table: a bucketed-scan source
     // claims HashPartitioning(bucketCols) and the optimizer elides
@@ -363,8 +372,8 @@ object Store {
     // files for every bucket in its split (measured: 13 files for 8
     // buckets). A plain parquet read claims nothing, so the clustering
     // exchange stands and each bucket lands in exactly one task/file.
-    saveBucketed(spark.read.parquet(path), tmpTable, path + "__compacting",
-      numBuckets, bucketCols, sortCols)
+    saveBucketed(transform(spark.read.parquet(path)), tmpTable,
+      path + "__compacting", numBuckets, bucketCols, sortCols)
     // external table: dropping it keeps the rewritten files on disk
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
     val conf = spark.sparkContext.hadoopConfiguration

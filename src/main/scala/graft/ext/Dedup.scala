@@ -349,7 +349,12 @@ object Dedup {
     * window: live `sizes` absent with either the fully-staged
     * `sizes.next` (preferred — it reflects the appended rows, which ARE
     * in the banded table) or the `sizes.bak` backup present; both roll
-    * forward/back to a readable tree. */
+    * forward/back to a readable tree.
+    *
+    * If tombstones exist ([[bandIndexDelete]]), the returned `banded`
+    * frame is the PHYSICAL table anti-joined against the broadcast
+    * tombstone set — probes and candidate joins never see deleted docs;
+    * [[compactBandIndex]] later removes their rows physically. */
   def bandIndexLoad(spark: org.apache.spark.sql.SparkSession, table: String,
       path: String): BandIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -360,19 +365,42 @@ object Dedup {
       if (fs.exists(p("sizes.next"))) fs.rename(p("sizes.next"), p("sizes"))
       else if (fs.exists(p("sizes.bak"))) fs.rename(p("sizes.bak"), p("sizes"))
     }
-    BandIndex(spark.table(table), spark.read.parquet(s"$path/sizes"))
+    BandIndex(liveBanded(spark, table, path),
+      spark.read.parquet(s"$path/sizes"))
   }
 
   private val AppendJournal = "append.journal"
+  private val DeletesDir = "deletes"
 
-  /** Heal an interrupted [[bandIndexAppend]] (journal present): rebuild
-    * `sizes` from the banded table, clear every staged/backup tree and
-    * the journal, and return the interrupted batch's disposition —
-    * `"committed"` (banded count equals the journal's pre+batch: the
-    * batch IS in the index, re-running the append would double-count),
-    * `"not-committed"` (count equals pre: the batch never landed,
-    * re-run it), or `"partial"` (neither: a mid-commit crash left a
-    * torn banded write — rebuild the index from signatures). */
+  /** The banded table minus tombstoned docs: the view every reader
+    * (load, heal, delete-delta, compaction fold) must share. The
+    * tombstone set is bounded by total deletions — orders of magnitude
+    * below the corpus on any real retention workload — so it broadcasts
+    * and the anti-join stays a map-side filter on the index scan. */
+  private def liveBanded(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val base = spark.table(table)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DeletesDir")))
+      base.join(broadcast(spark.read.parquet(s"$path/$DeletesDir")),
+        Seq("id_old"), "left_anti")
+    else base
+  }
+
+  /** Heal an interrupted [[bandIndexAppend]] or [[bandIndexDelete]]
+    * (journal present): rebuild `sizes` from the LIVE banded view
+    * (physical table minus tombstones — so a crash on either mutation
+    * path heals to the same state a clean run would reach), clear every
+    * staged/backup tree and the journal, and return the interrupted
+    * batch's disposition — `"committed"` (live banded count equals the
+    * journal's pre+batch: the mutation IS in the index; re-running an
+    * APPEND would double-count — a delete re-run is a no-op either way,
+    * [[bandIndexDelete]] is idempotent), `"not-committed"` (count equals
+    * pre: the mutation never landed, re-run it), or `"partial"`
+    * (neither: a mid-commit crash left a torn banded write — rebuild
+    * the index from signatures). Delete journals carry a NEGATIVE batch
+    * count, so the same pre+batch arithmetic classifies both. */
   private[graft] def healInterruptedAppend(
       spark: org.apache.spark.sql.SparkSession, table: String,
       path: String): String = {
@@ -383,26 +411,35 @@ object Dedup {
       val in = fs.open(p(AppendJournal))
       try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     }
-    val healed = spark.table(table)
+    val healed = liveBanded(spark, table, path)
       .groupBy("band_idx", "h").agg(count(lit(1)).as("bsz"))
     healed.write.mode("overwrite").parquet(s"$path/sizes.heal")
     Seq("sizes", "sizes.next", "sizes.bak").foreach(s => fs.delete(p(s), true))
     require(fs.rename(p("sizes.heal"), p("sizes")),
       s"sizes heal swap failed under $path")
+    val isDelete = journal.split(' ').lift(1).exists(_.startsWith("-"))
     val disposition = scala.util.Try(journal.split(' ') match {
       case Array(pre, batch) =>
         val actual = spark.read.parquet(s"$path/sizes")
-          .agg(sum(col("bsz"))).head.getLong(0)
-        if (actual == pre.toLong + batch.toLong) Some("committed")
+          .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
+        if (batch.toLong != 0L && actual == pre.toLong + batch.toLong)
+          Some("committed")
         else if (actual == pre.toLong) Some("not-committed")
         else None
       case _ => None
     }).toOption.flatten.getOrElse("partial")
     fs.delete(p(AppendJournal), false)
-    System.err.println(s"[band-index] healed interrupted append under " +
-      s"$path: batch disposition = $disposition" + (disposition match {
-        case "committed" => " (do NOT re-run the append)"
-        case "not-committed" => " (safe to re-run the append)"
+    val verb = if (isDelete) "delete" else "append"
+    System.err.println(s"[band-index] healed interrupted $verb under " +
+      s"$path: batch disposition = $disposition" + ((disposition, isDelete) match {
+        case ("committed", false) => " (do NOT re-run the append)"
+        case ("not-committed", _) => s" (safe to re-run the $verb)"
+        case ("committed", true) => " (re-running the delete is a no-op)"
+        // tombstones half-landed: sizes were just healed against the
+        // partial tombstone set, so the index is CONSISTENT — re-running
+        // the delete tombstones the remainder (idempotent per doc)
+        case (_, true) => " (tombstones half-landed — re-run the delete" +
+          " to finish)"
         case _ => " (torn banded write — rebuild the index from signatures)"
       }))
     disposition
@@ -458,6 +495,15 @@ object Dedup {
       .format("parquet").saveAsTable(table)
     mergedSizes(spark, path, batchBanded)
       .write.mode("overwrite").parquet(s"$path/sizes.next")
+    swapStagedSizes(fs, path)
+  }
+
+  /** Commit a staged `sizes.next` with the two-rename discipline (live →
+    * backup, staged → live, drop backup) and clear the mutation journal
+    * — the shared tail of [[bandIndexAppend]] and [[bandIndexDelete]]. */
+  private def swapStagedSizes(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     fs.delete(p("sizes.bak"), true) // stale backup from an earlier crash
     require(fs.rename(p("sizes"), p("sizes.bak")),
       s"sizes swap failed: sizes -> sizes.bak")
@@ -467,6 +513,77 @@ object Dedup {
     }
     fs.delete(p("sizes.bak"), true)
     fs.delete(p(AppendJournal), false)
+  }
+
+  /** Delete docs from a persisted band index — the retention /
+    * right-to-be-forgotten step of the index lifecycle — as TOMBSTONES:
+    * the doc ids land in `$path/deletes`, [[bandIndexLoad]] anti-joins
+    * them off the banded view (broadcast — the tombstone set is bounded
+    * by total deletions), and [[compactBandIndex]] folds them into the
+    * files physically. No corpus rewrite on the delete path: what a
+    * delete pays is ONE probe-class map-side scan of the banded table
+    * (to count the victims' rows per bucket — the same columnar scan
+    * every probe already pays) plus the same small-frame sizes merge an
+    * append pays; nothing history-sized shuffles or rewrites. Sizes are
+    * decremented incrementally so the mega-bucket cap keeps matching
+    * what a from-scratch rebuild over the retained docs would compute
+    * (BandIndexSpec pins the equivalence).
+    *
+    * Idempotent per doc: already-tombstoned and never-indexed ids are
+    * skipped (their banded rows are not re-counted), so a delete batch
+    * can be re-run blindly — including after a crash mid-delete
+    * ([[healInterruptedAppend]] classifies the journal; every delete
+    * disposition is safe to re-run, unlike appends). Returns the number
+    * of banded rows tombstoned by THIS call.
+    *
+    * Re-ingesting a deleted id BEFORE a compact is a CONFLICT: the
+    * tombstone would hide the re-appended rows too, and clearing it
+    * would resurrect the still-physical old rows. Run
+    * [[compactBandIndex]] (which folds tombstones and clears them)
+    * before re-using an id. */
+  def bandIndexDelete(ids: DataFrame, idCol: String, table: String,
+      path: String): Long = {
+    val spark = ids.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    require(!fs.exists(p(AppendJournal)),
+      s"unhealed interrupted mutation under $path: reopen with " +
+        "bandIndexLoad (which heals and reports the disposition) first")
+    val delAll = ids.select(col(idCol).as("id_old")).distinct()
+    // drop ids already tombstoned — double-deletes must not decrement
+    // sizes twice (their banded rows were counted by the first delete)
+    val newDel = (if (fs.exists(p(DeletesDir)))
+        delAll.join(broadcast(spark.read.parquet(s"$path/$DeletesDir")),
+          Seq("id_old"), "left_anti")
+      else delAll).localCheckpoint()
+    if (newDel.isEmpty) 0L
+    else {
+      // victims' per-bucket row counts, from the LIVE view (one map-side
+      // scan, materialized once — reused by the journal count and the
+      // sizes merge); output is delete-batch-sized by construction
+      val deltaNeg = liveBanded(spark, table, path)
+        .join(broadcast(newDel), Seq("id_old"), "left_semi")
+        .groupBy("band_idx", "h").agg(count(lit(1)).as("delta"))
+        .localCheckpoint()
+      val removed = deltaNeg.agg(coalesce(sum(col("delta")), lit(0L)))
+        .head.getLong(0)
+      val pre = spark.read.parquet(s"$path/sizes")
+        .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
+      val out = fs.create(p(AppendJournal), true)
+      try out.write(s"$pre -$removed".getBytes("UTF-8")) finally out.close()
+      newDel.write.mode("append").parquet(s"$path/$DeletesDir")
+      // decrement touched buckets; a bucket emptied by the delete drops
+      // out of sizes entirely (matching a rebuild over retained docs)
+      spark.read.parquet(s"$path/sizes")
+        .join(broadcast(deltaNeg), Seq("band_idx", "h"), "left_outer")
+        .select(col("band_idx"), col("h"),
+          (col("bsz") - coalesce(col("delta"), lit(0L))).as("bsz"))
+        .filter(col("bsz") > 0)
+        .write.mode("overwrite").parquet(s"$path/sizes.next")
+      swapStagedSizes(fs, path)
+      removed
+    }
   }
 
   /** The incremental sizes refresh: per-bucket counts of ONLY the
@@ -510,11 +627,26 @@ object Dedup {
     * bucketed-aware rewrite preserves the bucket metadata and ids, so
     * layout-dependent consumers survive; `Store.compact`'s plain rewrite
     * would drop them). Sizes are untouched — compaction moves rows
-    * between files, never changes counts. */
+    * between files, never changes LIVE counts: [[bandIndexDelete]]
+    * tombstones are folded during the rewrite (their rows vanish
+    * physically, but sizes were already decremented at delete time) and
+    * the tombstone set is cleared afterwards. A crash between the
+    * rewrite swap and the tombstone clear is harmless — the leftover
+    * tombstones anti-join ids that no longer exist in the files. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, path: String, nBuckets: Int = 32): Unit =
+      table: String, path: String, nBuckets: Int = 32): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val delPath = new org.apache.hadoop.fs.Path(s"$path/$DeletesDir")
+    val fold: DataFrame => DataFrame =
+      if (fs.exists(delPath))
+        _.join(broadcast(spark.read.parquet(s"$path/$DeletesDir")),
+          Seq("id_old"), "left_anti")
+      else identity
     graft.engine.Store.compactBucketed(spark, table, s"$path/banded",
-      nBuckets, Seq("band_idx", "h"))
+      nBuckets, Seq("band_idx", "h"), transform = fold)
+    fs.delete(delPath, true)
+  }
 
   /** Delta-dedup candidates of a new batch against a PERSISTED band
     * index: semantics of [[lshCandidatesAcross]] (same cap, same output

@@ -137,10 +137,53 @@ object Similarity {
   }
 
   /** Reopen a persisted IVF index for probe-only use — no corpus scan, no
-    * KMeans, just the bucketed table + centroid parquet. */
+    * KMeans, just the bucketed table + centroid parquet. If tombstones
+    * exist ([[ivfDelete]]), the assigned view anti-joins them off
+    * (broadcast — the tombstone set is bounded by total deletions), so
+    * probes never return deleted vectors; [[ivfCompact]] folds them into
+    * the files physically. */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, table: String,
-      path: String): IvfIndex =
-    IvfIndex(spark.table(table), spark.read.parquet(s"$path/centroids"))
+      path: String): IvfIndex = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val base = spark.table(table)
+    val assigned =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+        val del = spark.read.parquet(s"$path/deletes")
+        base.join(broadcast(del), Seq(del.columns.head), "left_anti")
+      } else base
+    IvfIndex(assigned, spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** Delete vectors from a persisted IVF index — retention /
+    * right-to-be-forgotten — as TOMBSTONES: O(delete batch) id append to
+    * `$path/deletes` (stored under the caller's id column name, which is
+    * how [[ivfLoad]] knows the join key without a schema contract), no
+    * touch of the corpus-sized assigned table. [[ivfProbe]] over a
+    * reloaded index skips deleted vectors immediately; [[ivfCompact]]
+    * removes their rows physically and clears the tombstones. Idempotent
+    * per id (already-tombstoned ids are skipped), so a delete batch can
+    * be re-run blindly — there is no journal to manage because, unlike
+    * the band index, no derived sizes frame exists to drift. Returns the
+    * number of ids newly tombstoned by this call.
+    *
+    * Re-ingesting a deleted id before a compact is a CONFLICT (the
+    * tombstone would hide the new row too) — same contract as
+    * [[graft.ext.Dedup.bandIndexDelete]]. */
+  def ivfDelete(ids: DataFrame, idCol: String, path: String): Long = {
+    val spark = ids.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val delAll = ids.select(col(idCol)).distinct()
+    val newDel =
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes")))
+        delAll.join(broadcast(spark.read.parquet(s"$path/deletes")),
+          Seq(idCol), "left_anti")
+      else delAll).localCheckpoint()
+    val n = newDel.count()
+    if (n > 0) newDel.write.mode("append").parquet(s"$path/deletes")
+    n
+  }
 
   /** IVF probe (the cheap online step, any number of times per build):
     * rank cells by centroid↔query distance on the broadcast-sized
@@ -263,11 +306,24 @@ object Similarity {
     * rewrite ([[graft.engine.Store.compactBucketed]]) keeps the bucket
     * metadata and bucket-id assignment, so the probe's
     * `SelectedBucketsCount` / pushed `cell IN (…)` pruning survives
-    * (IvfIndexSpec asserts it after a compact-after-appends cycle). */
+    * (IvfIndexSpec asserts it after a compact-after-appends cycle).
+    * [[ivfDelete]] tombstones are folded during the rewrite and cleared
+    * afterwards; a crash between the swap and the clear is harmless
+    * (leftover tombstones anti-join ids no longer in the files). */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, table: String,
-      path: String, nCells: Int): Unit =
+      path: String, nCells: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val delPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fold: DataFrame => DataFrame =
+      if (fs.exists(delPath)) { df =>
+        val del = spark.read.parquet(s"$path/deletes")
+        df.join(broadcast(del), Seq(del.columns.head), "left_anti")
+      } else identity
     graft.engine.Store.compactBucketed(spark, table, s"$path/assigned",
-      nCells, Seq("cell"))
+      nCells, Seq("cell"), transform = fold)
+    fs.delete(delPath, true)
+  }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale

@@ -192,6 +192,123 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_cpt_t")
   }
 
+  test("tombstone delete: probes ≡ a rebuild over retained docs; sizes " +
+      "decremented incrementally; double-delete is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-del").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_del_t", dir, nBuckets = 8)
+    try {
+      val victims = oldCorpus.filter(col("doc_id") % 7 === 1)
+        .select("doc_id")
+      val retained = oldCorpus.filter(col("doc_id") % 7 =!= 1)
+      val removed = Dedup.bandIndexDelete(victims, "doc_id",
+        "band_idx_del_t", dir)
+      assert(removed > 0, "fixture must delete at least one indexed doc")
+      val reopened = Dedup.bandIndexLoad(spark, "band_idx_del_t", dir)
+      // the banded view hides the victims' rows...
+      assert(reopened.banded.join(victims.withColumnRenamed("doc_id",
+        "id_old"), Seq("id_old"), "left_semi").isEmpty)
+      // ...and sizes match what a from-scratch build over the retained
+      // docs computes — the mega-bucket cap equivalence depends on this
+      val rebuilt = Dedup.bandIndexBuild(retained, "doc_id").sizes
+      assert(reopened.sizes.except(rebuilt).isEmpty &&
+        rebuilt.except(reopened.sizes).isEmpty,
+        "decremented sizes diverged from a retained-docs rebuild")
+      val viaIndex = asSet(Dedup.lshCandidatesDelta(newBatch, reopened,
+        "doc_id"))
+      val viaAcross = asSet(Dedup.lshCandidatesAcross(newBatch, retained,
+        "doc_id"))
+      assert(viaIndex == viaAcross && viaIndex.nonEmpty)
+      // idempotence: same victims again (plus a never-indexed id) change
+      // nothing — banned rows are not double-decremented
+      val again = Dedup.bandIndexDelete(
+        victims.union(spark.range(1).select(lit(999999L).as("doc_id"))),
+        "doc_id", "band_idx_del_t", dir)
+      assert(again == 0L, s"double-delete must be a no-op, removed $again")
+      val after = Dedup.bandIndexLoad(spark, "band_idx_del_t", dir)
+      assert(after.sizes.except(rebuilt).isEmpty &&
+        rebuilt.except(after.sizes).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_del_t")
+  }
+
+  test("delete + append + compact: tombstones fold physically, deletes " +
+      "clear, probe candidates unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-delcpt").toString
+    val part1 = oldCorpus.filter(col("doc_id") % 3 =!= 0)
+    val part2 = oldCorpus.filter(col("doc_id") % 3 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
+      "band_idx_delcpt_t", dir, nBuckets = 8)
+    try {
+      val victims = part1.filter(col("doc_id") % 7 === 1).select("doc_id")
+      assert(Dedup.bandIndexDelete(victims, "doc_id", "band_idx_delcpt_t",
+        dir) > 0)
+      // append AFTER the delete: the sizes merge and the tombstone view
+      // must compose (fresh ids only — re-using a deleted id pre-compact
+      // is a documented conflict)
+      Dedup.bandIndexAppend(part2, "doc_id", "band_idx_delcpt_t", dir,
+        nBuckets = 8)
+      val live = oldCorpus.filter(col("doc_id") % 7 =!= 1 ||
+        col("doc_id") % 3 === 0)
+      val before = asSet(Dedup.lshCandidatesDelta(newBatch,
+        Dedup.bandIndexLoad(spark, "band_idx_delcpt_t", dir), "doc_id"))
+      assert(before == asSet(Dedup.lshCandidatesAcross(newBatch, live,
+        "doc_id")))
+      Dedup.compactBandIndex(spark, "band_idx_delcpt_t", dir, nBuckets = 8)
+      // tombstoned rows are physically gone: the RAW files now hold
+      // exactly the live row count, and the tombstone set is cleared
+      val reopened = Dedup.bandIndexLoad(spark, "band_idx_delcpt_t", dir)
+      val liveN = reopened.banded.count()
+      assert(spark.read.parquet(s"$dir/banded").count() == liveN,
+        "compaction must remove tombstoned rows from the files")
+      assert(!new java.io.File(s"$dir/deletes").exists(),
+        "compaction must clear the folded tombstones")
+      assert(reopened.sizes.agg(sum("bsz")).head.getLong(0) == liveN)
+      assert(asSet(Dedup.lshCandidatesDelta(newBatch, reopened, "doc_id"))
+        == before, "probe candidates must survive a tombstone-folding compact")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_delcpt_t")
+  }
+
+  test("interrupted delete: journal heals with a safe disposition; " +
+      "re-running the delete finishes the job") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-deljrnl").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_deljrnl_t", dir, nBuckets = 8)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val victims = oldCorpus.filter(col("doc_id") % 7 === 1)
+        .select("doc_id")
+      val retained = oldCorpus.filter(col("doc_id") % 7 =!= 1)
+      // crash AFTER tombstones landed, BEFORE the sizes swap: reconstruct
+      // by completing a real delete, restoring pre-delete sizes, and
+      // re-staging the journal the crash would have left behind
+      val pre = Dedup.bandIndexLoad(spark, "band_idx_deljrnl_t", dir)
+        .sizes.agg(sum("bsz")).head.getLong(0)
+      val removed = Dedup.bandIndexDelete(victims, "doc_id",
+        "band_idx_deljrnl_t", dir)
+      Dedup.bandIndexBuild(oldCorpus, "doc_id").sizes
+        .write.mode("overwrite").parquet(s"$dir/sizes.stale")
+      fs.delete(p("sizes"), true)
+      assert(fs.rename(p("sizes.stale"), p("sizes")))
+      val out = fs.create(p("append.journal"), true)
+      try out.write(s"$pre -$removed".getBytes("UTF-8")) finally out.close()
+      // a new mutation over the unhealed journal is refused
+      intercept[IllegalArgumentException] {
+        Dedup.bandIndexDelete(victims, "doc_id", "band_idx_deljrnl_t", dir)
+      }
+      // load heals: sizes rebuilt against the LIVE (anti-tombstone) view
+      val healed = Dedup.bandIndexLoad(spark, "band_idx_deljrnl_t", dir)
+      val rebuilt = Dedup.bandIndexBuild(retained, "doc_id").sizes
+      assert(healed.sizes.except(rebuilt).isEmpty &&
+        rebuilt.except(healed.sizes).isEmpty,
+        "heal must rebuild sizes minus tombstoned rows")
+      // and the documented property: re-running the delete is a no-op
+      assert(Dedup.bandIndexDelete(victims, "doc_id", "band_idx_deljrnl_t",
+        dir) == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_deljrnl_t")
+  }
+
   test("probe plan: the index side never shuffles — batch broadcasts, " +
       "index is a map-side scan") {
     val dir = java.nio.file.Files.createTempDirectory("band-idx-plan").toString

@@ -165,4 +165,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally spark.sql("DROP TABLE IF EXISTS ivf_compact_t")
   }
+
+  test("tombstone delete: probes skip deleted vectors immediately; " +
+      "double-delete is a no-op; compact folds physically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    val nCells = 8
+    val idx = Similarity.ivfBuild(corpus, nCells = nCells)
+    Similarity.ivfSave(idx, "ivf_del_t", dir, nCells)
+    try {
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      val loaded = Similarity.ivfLoad(spark, "ivf_del_t", dir)
+      val top = Similarity.ivfProbe(loaded, q, "vec_id", k = 1).collect()
+      assert(top(0).getAs[Number]("vec_id").longValue() == 7L)
+      // delete the query vector itself: the previous top-1 must vanish
+      // from a RELOADED index without any rewrite of the assigned table
+      val n = Similarity.ivfDelete(
+        corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id", dir)
+      assert(n == 1L)
+      val afterDel = Similarity.ivfLoad(spark, "ivf_del_t", dir)
+      val top2 = Similarity.ivfProbe(afterDel, q, "vec_id", k = 10).collect()
+      assert(top2.nonEmpty &&
+        !top2.exists(_.getAs[Number]("vec_id").longValue() == 7L),
+        s"deleted vector still probeable: ${top2.toSeq}")
+      assert(afterDel.assigned.count() == corpus.count() - 1)
+      // idempotent: same id again (plus a never-indexed one) → only the
+      // unseen id is newly tombstoned, the view is unchanged
+      assert(Similarity.ivfDelete(
+        corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id",
+        dir) == 0L)
+      // compact folds the tombstone: physical row drops, deletes clear,
+      // probe results unchanged
+      val before = Similarity.ivfProbe(afterDel, q, "vec_id").collect().toSeq
+      Similarity.ivfCompact(spark, "ivf_del_t", dir, nCells)
+      assert(spark.read.parquet(s"$dir/assigned").count()
+        == corpus.count() - 1,
+        "compaction must remove tombstoned rows from the files")
+      assert(!new java.io.File(s"$dir/deletes").exists(),
+        "compaction must clear the folded tombstones")
+      val reopened = Similarity.ivfLoad(spark, "ivf_del_t", dir)
+      assert(Similarity.ivfProbe(reopened, q, "vec_id").collect().toSeq
+        == before, "probe results must survive a tombstone-folding compact")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_del_t")
+  }
 }

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Similarity}
+import graft.streaming.IndexIngest
+
+/** Streaming maintenance of the persisted similarity indexes
+  * ([[graft.streaming.IndexIngest]]): a document / embedding stream
+  * drives the SAME per-ingest mutations the batch layer ships, so a
+  * stream-maintained index must be bit-identical to a batch-built one —
+  * and micro-batch replays (foreachBatch is at-least-once) must not
+  * double-append. */
+class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id").cast("long"), col("text"))
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def sigsOf(d: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashSignatures(
+      Dedup.hashedShingles(d, "doc_id", "text"), "doc_id", 16)
+
+  test("streamed band-index appends ≡ a batch build over the same docs; " +
+      "probes equivalent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("bi-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bi-ckpt").toString
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    // seed index: the first third of history (streams append the rest)
+    val seed = history.filter(col("doc_id") % 3 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(sigsOf(seed), "doc_id"),
+      "bi_stream_t", dir, nBuckets = 8)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(IndexIngest.bandIndexSink(
+          IndexIngest.docSigs("doc_id", "text"), "doc_id", "bi_stream_t",
+          dir, nBuckets = 8))
+        .option("checkpointLocation", ckpt).start()
+      val rest = history.filter(col("doc_id") % 3 =!= 0)
+        .as[(Long, String)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = Dedup.bandIndexLoad(spark, "bi_stream_t", dir)
+      val rebuilt = Dedup.bandIndexBuild(sigsOf(history), "doc_id")
+      // banded rows and sizes are exactly the batch build's
+      assert(streamed.banded.except(rebuilt.banded).isEmpty &&
+        rebuilt.banded.except(streamed.banded).isEmpty,
+        "stream-maintained banded rows diverged from a batch build")
+      assert(streamed.sizes.except(rebuilt.sizes).isEmpty &&
+        rebuilt.sizes.except(streamed.sizes).isEmpty,
+        "stream-maintained sizes diverged from a batch build")
+      // probe equivalence against the in-memory cross-frame path
+      val batch = sigsOf(docs.filter(col("doc_id") % 5 === 0))
+      val viaIndex = Dedup.lshCandidatesDelta(batch, streamed, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val viaAcross = Dedup.lshCandidatesAcross(batch, sigsOf(history),
+        "doc_id").as[(Long, Long)].collect().toSet
+      assert(viaIndex == viaAcross && viaIndex.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS bi_stream_t")
+  }
+
+  test("band-index sink: replayed batch id is a no-op; journaled crash " +
+      "windows follow the heal disposition") {
+    val dir = java.nio.file.Files.createTempDirectory("bi-replay").toString
+    val history = sigsOf(docs.filter(col("doc_id") % 5 =!= 0))
+    val part1 = history.filter(col("doc_id") % 3 === 0)
+    val part2 = history.filter(col("doc_id") % 3 =!= 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
+      "bi_replay_t", dir, nBuckets = 8)
+    try {
+      val sink = IndexIngest.bandIndexSink(identity, "doc_id",
+        "bi_replay_t", dir, nBuckets = 8)
+      def total(): Long = Dedup.bandIndexLoad(spark, "bi_replay_t", dir)
+        .sizes.agg(sum("bsz")).head.getLong(0)
+      sink(part2, 0L)
+      val after = total()
+      // plain replay (epoch committed): must be a no-op
+      sink(part2, 0L)
+      assert(total() == after, "replayed batch double-appended")
+
+      // crash window A: append committed, epoch lost — journal present.
+      // Reconstruct: restore the journal a crash would have left, drop
+      // the epoch. The sink must heal, see 'committed', and NOT re-append.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val batchN = Dedup.bandIndexBuild(part2, "doc_id").banded.count()
+      val out = fs.create(p("append.journal"), true)
+      try out.write(s"${after - batchN} $batchN".getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(p(IndexIngest.EpochFile), false)
+      sink(part2, 0L)
+      assert(total() == after,
+        "committed-but-unmarked batch was re-appended on replay")
+      assert(IndexIngest.committedEpoch(spark, dir) == 0L)
+
+      // crash window B: journal staged, append never landed. The sink
+      // must heal, see 'not-committed', and run the append.
+      val part3 = sigsOf(docs.filter(col("doc_id") % 5 === 0))
+      val out2 = fs.create(p("append.journal"), true)
+      try out2.write(s"$after 1".getBytes("UTF-8")) finally out2.close()
+      sink(part3, 1L)
+      assert(total() > after, "not-committed batch was skipped on replay")
+      assert(IndexIngest.committedEpoch(spark, dir) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS bi_replay_t")
+  }
+
+  test("streamed IVF appends: new vectors probeable, replay is a no-op, " +
+      "index ≡ assign-and-append by hand") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf-ckpt").toString
+    val nCells = 8
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfSave(Similarity.ivfBuild(half, nCells = nCells),
+      "ivf_stream_t", dir, nCells)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // the stream carries the table's FULL row (append schema contract
+      // is the caller's, exactly as with ivfAppendSave by hand)
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "ivf_stream_t", dir, nCells))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = Similarity.ivfLoad(spark, "ivf_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count(),
+        "stream-maintained index must hold the full corpus")
+      // every streamed vector got the same cell the batch path assigns
+      val expect = Similarity.ivfAssign(streamed,
+        embs.filter(col("vec_id") % 2 =!= 0), "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      val got = streamed.assigned
+        .filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "streamed cell assignment diverged from ivfAssign")
+      // an odd (streamed) vector is its own nearest neighbor
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      val top = Similarity.ivfProbe(streamed, qv, "vec_id", k = 1).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+
+      // replay: re-invoke the sink with the last committed batch id
+      val sink = IndexIngest.ivfSink("vec_id", "embedding", "ivf_stream_t",
+        dir, nCells)
+      val n = spark.table("ivf_stream_t").count()
+      sink(b2.toDF("vec_id", "embedding", "label"), 1L)
+      assert(spark.table("ivf_stream_t").count() == n,
+        "replayed IVF batch double-appended")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_t")
+  }
+}
