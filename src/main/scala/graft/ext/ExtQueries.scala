@@ -1579,7 +1579,61 @@ object ExtQueries {
         n_hits / nullif(n_cands, 0) AS precision
       FROM agg"""))
 
+  // ---------------------------------------------------------------- x87
+  /** Index-delete probe — the retention path of the maintained band
+    * index, correctness-gated end to end: build + PERSIST the history
+    * index ([[Dedup.bandIndexSave]]), tombstone-delete a slice
+    * ([[Dedup.bandIndexDelete]] — O(delete batch), sizes decremented
+    * incrementally, no corpus rewrite), reopen, and probe a new batch
+    * ([[Dedup.lshCandidatesDelta]]). The oracle recomputes LSH
+    * candidates from scratch over the RETAINED history — so this row
+    * pins that tombstones + decremented sizes are observationally
+    * identical to a rebuild (including the mega-bucket cap, which reads
+    * the decremented counts). Scale: the delete is what it is at 100 TB
+    * — a tombstone append plus one probe-class scan; the probe itself
+    * stays the shuffle-free broadcast-batch form. */
+  val x87IndexDeleteProbe: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val history = sigs.filter(col("doc_id") % 5 =!= 0)
+      val batch = sigs.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("x87_band_idx").toString
+      s.sql("DROP TABLE IF EXISTS x87_band_idx_t")
+      Dedup.bandIndexSave(Dedup.bandIndexBuild(history, "doc_id"),
+        "x87_band_idx_t", tmp, nBuckets = 8)
+      Dedup.bandIndexDelete(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+          .select("doc_id"),
+        "doc_id", "x87_band_idx_t", tmp)
+      val reopened = Dedup.bandIndexLoad(s, "x87_band_idx_t", tmp)
+      Dedup.lshCandidatesDelta(batch, reopened, "doc_id")
+        .orderBy("id_new", "id_old")
+    },
+    Some(s"""WITH $shingleCte,
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM sh GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      retained AS (SELECT doc_id FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1),
+      obK AS (SELECT band_idx, h FROM bands
+        JOIN retained USING (doc_id)
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cands AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        FROM bands n
+        JOIN bands o ON o.band_idx = n.band_idx AND o.h = n.h
+        JOIN retained r ON r.doc_id = o.doc_id
+        JOIN obK k ON k.band_idx = o.band_idx AND k.h = o.h
+        WHERE n.doc_id % 5 = 0)
+      SELECT id_new, id_old FROM cands ORDER BY id_new, id_old"""))
+
   val all: Map[String, Q] = Map(
+    "x87_index_delete_probe" -> x87IndexDeleteProbe,
     "x78_lsh_quality" -> x78LshQuality,
     "x70_linear_classifier" -> x70LinearClassifier,
     "x69_lang_drift" -> x69LangDrift,

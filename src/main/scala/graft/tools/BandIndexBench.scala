@@ -98,6 +98,17 @@ object BandIndexBench {
     val compacted = Dedup.bandIndexLoad(spark, "bandidx_bench_t", dir)
     val compactedProbe = med((1 to probes).map(_ =>
       time(Dedup.lshCandidatesDelta(batch, compacted, "doc_id").count())._1))
+    // retention delete (round 11): tombstone a batch-sized victim slice.
+    // Cost model = one probe-class scan (victim bucket counts) + the
+    // small sizes merge — across 2M vs 8M history only the scan term
+    // grows, like the probe itself; the probe after the delete pays one
+    // extra broadcast anti-join against the tombstone set
+    val victims = spark.range(0, nBatch).select(col("id").as("doc_id"))
+    val (deleteSec, nTombstoned) = time(
+      Dedup.bandIndexDelete(victims, "doc_id", "bandidx_bench_t", dir))
+    val afterDel = Dedup.bandIndexLoad(spark, "bandidx_bench_t", dir)
+    val deletedProbe = med((1 to probes).map(_ =>
+      time(Dedup.lshCandidatesDelta(batch, afterDel, "doc_id").count())._1))
     println(s"""{"metric":"band_index","n_history":$nHist,"n_batch":$nBatch,""" +
       s""""pairs":${deltaTimes.head._2},"probes":$probes,""" +
       f""""across_probe_sec":${med(acrossTimes.map(_._1))}%.3f,""" +
@@ -106,7 +117,10 @@ object BandIndexBench {
       f""""delta_probe_sec":${med(deltaTimes.map(_._1))}%.3f,""" +
       f""""probe_after_20_appends_sec":$rottedProbe%.3f,""" +
       f""""compact_sec":$compactSec%.3f,""" +
-      f""""probe_after_compact_sec":$compactedProbe%.3f}""")
+      f""""probe_after_compact_sec":$compactedProbe%.3f,""" +
+      s""""n_tombstoned":$nTombstoned,""" +
+      f""""delete_sec":$deleteSec%.3f,""" +
+      f""""probe_after_delete_sec":$deletedProbe%.3f}""")
     spark.sql("DROP TABLE IF EXISTS bandidx_bench_t")
     spark.stop()
   }
