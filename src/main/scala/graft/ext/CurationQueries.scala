@@ -431,6 +431,115 @@ object CurationQueries {
         fl.dup_tokens / CAST(ps.src_tokens AS DOUBLE) AS dup_token_share
       FROM fl JOIN ps USING (source) ORDER BY source"""))
 
+  // ---------------------------------------------------------------- x88
+  /** IVF recall evaluation — x78's quality-metric shape applied to ANN:
+    * for a sample of query vectors, exact brute-force cosine top-k is
+    * the ground truth and the deterministic label-cell IVF path (x85's
+    * quantizer, nProbe=2) is the estimator under test; output is
+    * per-query recall@k. Like x78 this is an EVALUATION query — ground
+    * truth is exhaustive by nature, so it runs on a bounded query
+    * sample (every 50th vector) while the estimator is the scale path
+    * itself. Shape notes: the query sample broadcasts everywhere; the
+    * corpus is scanned for the brute-force scoring (that scan IS the
+    * ground truth's cost) and the centroid frame is dim×labels-bounded;
+    * rankings round cosines at 6 before ordering with id tiebreaks, the
+    * x34/x85 cross-engine determinism precedent. Recall is a raw IEEE
+    * division of exact BIGINTs. */
+  val x88IvfRecall: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.embeddings(s, dir)
+      val (k, nProbe) = (10, 2)
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = embs.filter(col("vec_id") % 50 =!= 0)
+      val qb = broadcast(queries
+        .withColumn("_qn", Similarity.norm(col("q_emb"))))
+      // ground truth: per-query exact cosine rank over the full corpus
+      val scored = corpus.crossJoin(qb)
+        .withColumn("cos", round(
+          Similarity.dot(col("embedding"), col("q_emb")) /
+            (Similarity.norm(col("embedding")) * col("_qn")), 6))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = scored.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+      // estimator: exact-decimal label centroids (x85's quantizer),
+      // per-query top-nProbe cells, exact cosine within probed cells only
+      val ex = corpus.select(col("label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+      val cent = ex.groupBy(col("label"), col("i"))
+        .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+          count(lit(1))).as("cm"))
+      val cn = cent.groupBy("label")
+        .agg(sqrt(sum(col("cm") * col("cm"))).as("cn"))
+      val qx = queries.select(col("q_id"),
+        posexplode(transform(col("q_emb"), _.cast("double")))
+          .as(Seq("i", "qx")))
+      val probeCells = cent.join(broadcast(qx), "i")
+        .groupBy("label", "q_id").agg(sum(col("cm") * col("qx")).as("dp"))
+        .join(broadcast(cn), "label")
+        .join(broadcast(qb.select(col("q_id"), col("_qn"))), "q_id")
+        .withColumn("cell_cos", round(col("dp") / (col("cn") * col("_qn")), 6))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cell_cos").desc, col("label"))))
+        .filter(col("rn") <= nProbe).select("q_id", "label")
+      val ivfTop = scored.join(broadcast(probeCells), Seq("q_id", "label"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+        .join(truth.join(ivfTop, Seq("q_id", "vec_id"), "left_semi")
+            .groupBy("q_id").agg(count(lit(1)).as("n_hits")),
+          Seq("q_id"), "left_outer")
+        .select(col("q_id"), col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_truth"))
+        .orderBy("q_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 50 <> 0),
+      cx AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i FROM c),
+      qx AS (SELECT q_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i FROM q),
+      qn AS (SELECT q_id, sqrt(sum(qx * qx)) AS qn FROM qx GROUP BY 1),
+      nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM cx GROUP BY 1),
+      dots AS (SELECT cx.vec_id, cx.label, qx.q_id, sum(cx.x * qx.qx) AS dp
+        FROM cx JOIN qx USING (i) GROUP BY 1, 2, 3),
+      scored AS (SELECT d.q_id, d.vec_id, d.label,
+          round(d.dp / (nm.nrm * qn.qn), 6) AS cos
+        FROM dots d JOIN nrm nm USING (vec_id) JOIN qn USING (q_id)),
+      truth AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id) AS rn FROM scored) WHERE rn <= 10),
+      cent AS (SELECT label, i,
+          CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*)
+            AS cm
+        FROM cx GROUP BY 1, 2),
+      cn AS (SELECT label, sqrt(sum(cm * cm)) AS cn FROM cent GROUP BY 1),
+      cq AS (SELECT cent.label, qx.q_id, sum(cent.cm * qx.qx) AS dp
+        FROM cent JOIN qx USING (i) GROUP BY 1, 2),
+      probe AS (SELECT label, q_id FROM (
+          SELECT cq.label, cq.q_id, row_number() OVER (PARTITION BY cq.q_id
+            ORDER BY round(cq.dp / (cn.cn * qn.qn), 6) DESC, cq.label) AS rn
+          FROM cq JOIN cn USING (label) JOIN qn USING (q_id)) WHERE rn <= 2),
+      ivf AS (SELECT q_id, vec_id FROM (
+          SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+            ORDER BY s.cos DESC, s.vec_id) AS rn
+          FROM scored s JOIN probe p ON p.q_id = s.q_id
+            AND p.label = s.label) WHERE rn <= 10),
+      agg AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+          CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+        FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id
+          AND i.vec_id = t.vec_id
+        GROUP BY 1)
+      SELECT q_id, n_truth, n_hits, n_hits / n_truth AS recall
+      FROM agg ORDER BY q_id"""))
+
   // ---------------------------------------------------------------- x85
   /** Oracle-checked IVF ANN ([[Similarity.ivfDeterministicTopK]]): the
     * x42 search shape (centroids → cell ranking → probe top-nProbe →
@@ -562,6 +671,7 @@ object CurationQueries {
 
   val all: Map[String, Q] = Map(
     "x85_ann_ivf_det" -> x85AnnIvfDet,
+    "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,
     "x81_temperature_mix" -> x81TemperatureMix,

@@ -480,6 +480,19 @@ object Dedup {
       s"unhealed interrupted append under $path: reopen with " +
         "bandIndexLoad (which heals and reports the batch disposition) " +
         "before appending — blind re-runs double-append the batch")
+    // enforce the re-ingest conflict bandIndexDelete documents: a batch
+    // id with a live tombstone would be hidden by it (and clearing the
+    // tombstone would resurrect the still-physical old rows). Cost: one
+    // batch-sized broadcast semi, only while tombstones exist.
+    if (fs.exists(p(DeletesDir))) {
+      val clash = newSigs.select(col(idCol).as("id_old"))
+        .join(broadcast(spark.read.parquet(s"$path/$DeletesDir")),
+          Seq("id_old"), "left_semi")
+      require(clash.isEmpty,
+        s"append batch re-uses tombstoned ids under $path: run " +
+          "compactBandIndex (folds and clears tombstones) before " +
+          "re-ingesting a deleted id")
+    }
     val batchBanded = bandedRows(newSigs, idCol, "id_old", bands, rows)
     // journal = "<preCount> <batchCount>" — both batch-or-sizes-sized
     // jobs, computed before any mutation so heal can classify the crash

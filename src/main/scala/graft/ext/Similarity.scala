@@ -291,6 +291,20 @@ object Similarity {
     * vectors immediately. */
   def ivfAppendSave(assigned: DataFrame, table: String, path: String,
       nCells: Int): Unit = {
+    // enforce [[ivfDelete]]'s documented re-ingest conflict: an id with
+    // a live tombstone would be hidden by it. Batch-sized broadcast
+    // semi, only while tombstones exist.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path),
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+      val del = assigned.sparkSession.read.parquet(s"$path/deletes")
+      require(assigned.join(broadcast(del), Seq(del.columns.head),
+          "left_semi").isEmpty,
+        s"append batch re-uses tombstoned ids under $path: run " +
+          "ivfCompact (folds and clears tombstones) before re-ingesting " +
+          "a deleted id")
+    }
     // same (table, path) pair as [[ivfSave]]; same one-bucket-per-task
     // repartition as Store.saveBucketed so each append adds ONE file per
     // touched cell

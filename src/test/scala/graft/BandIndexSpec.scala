@@ -242,9 +242,14 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
       val victims = part1.filter(col("doc_id") % 7 === 1).select("doc_id")
       assert(Dedup.bandIndexDelete(victims, "doc_id", "band_idx_delcpt_t",
         dir) > 0)
+      // re-using a deleted id pre-compact is a documented conflict — and
+      // an ENFORCED one (the tombstone would hide the re-appended rows)
+      intercept[IllegalArgumentException] {
+        Dedup.bandIndexAppend(part1.filter(col("doc_id") % 7 === 1),
+          "doc_id", "band_idx_delcpt_t", dir, nBuckets = 8)
+      }
       // append AFTER the delete: the sizes merge and the tombstone view
-      // must compose (fresh ids only — re-using a deleted id pre-compact
-      // is a documented conflict)
+      // must compose (fresh ids only)
       Dedup.bandIndexAppend(part2, "doc_id", "band_idx_delcpt_t", dir,
         nBuckets = 8)
       val live = oldCorpus.filter(col("doc_id") % 7 =!= 1 ||

@@ -193,6 +193,14 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       assert(Similarity.ivfDelete(
         corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id",
         dir) == 0L)
+      // re-appending a tombstoned id pre-compact is refused (the
+      // tombstone would hide the new row too)
+      intercept[IllegalArgumentException] {
+        Similarity.ivfAppendSave(
+          Similarity.ivfAssign(afterDel,
+            corpus.filter(col("vec_id") === 7), "vec_id"),
+          "ivf_del_t", dir, nCells)
+      }
       // compact folds the tombstone: physical row drops, deletes clear,
       // probe results unchanged
       val before = Similarity.ivfProbe(afterDel, q, "vec_id").collect().toSeq
