@@ -565,11 +565,17 @@ object Dedup {
         "bandIndexLoad (which heals and reports the disposition) first")
     val delAll = ids.select(col(idCol).as("id_old")).distinct()
     // drop ids already tombstoned — double-deletes must not decrement
-    // sizes twice (their banded rows were counted by the first delete)
-    val newDel = (if (fs.exists(p(DeletesDir)))
-        delAll.join(broadcast(spark.read.parquet(s"$path/$DeletesDir")),
-          Seq("id_old"), "left_anti")
-      else delAll).localCheckpoint()
+    // sizes twice (their banded rows were counted by the first delete).
+    // New tombstones are cast to the EXISTING tombstone column type:
+    // physical widths drift (TESTDATA.md), and appending a second width
+    // into the deletes dir would leave a mixed-schema parquet tree that
+    // fails at read time.
+    val newDel = (if (fs.exists(p(DeletesDir))) {
+        val existing = spark.read.parquet(s"$path/$DeletesDir")
+        delAll.select(col("id_old")
+            .cast(existing.schema("id_old").dataType))
+          .join(broadcast(existing), Seq("id_old"), "left_anti")
+      } else delAll).localCheckpoint()
     if (newDel.isEmpty) 0L
     else {
       // victims' per-bucket row counts, from the LIVE view (one map-side

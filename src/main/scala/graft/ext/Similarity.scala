@@ -175,11 +175,17 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val delAll = ids.select(col(idCol)).distinct()
+    // cast new tombstones to the existing tombstone column type — a
+    // second physical width appended into the deletes dir would leave a
+    // mixed-schema parquet tree that fails at read time (same
+    // normalization as Dedup.bandIndexDelete)
     val newDel =
-      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes")))
-        delAll.join(broadcast(spark.read.parquet(s"$path/deletes")),
-          Seq(idCol), "left_anti")
-      else delAll).localCheckpoint()
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+        val existing = spark.read.parquet(s"$path/deletes")
+        delAll.select(col(idCol)
+            .cast(existing.schema(existing.columns.head).dataType))
+          .join(broadcast(existing), Seq(idCol), "left_anti")
+      } else delAll).localCheckpoint()
     val n = newDel.count()
     if (n > 0) newDel.write.mode("append").parquet(s"$path/deletes")
     n

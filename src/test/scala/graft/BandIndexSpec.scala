@@ -220,9 +220,12 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
         "doc_id"))
       assert(viaIndex == viaAcross && viaIndex.nonEmpty)
       // idempotence: same victims again (plus a never-indexed id) change
-      // nothing — banned rows are not double-decremented
+      // nothing — banded rows are not double-decremented. The re-delete
+      // arrives with a DRIFTED integer width: new tombstones normalize
+      // to the stored type (a mixed-width deletes dir would fail at read)
       val again = Dedup.bandIndexDelete(
-        victims.union(spark.range(1).select(lit(999999L).as("doc_id"))),
+        victims.union(spark.range(1).select(lit(999999L).as("doc_id")))
+          .select(col("doc_id").cast("int")),
         "doc_id", "band_idx_del_t", dir)
       assert(again == 0L, s"double-delete must be a no-op, removed $again")
       val after = Dedup.bandIndexLoad(spark, "band_idx_del_t", dir)
