@@ -21,14 +21,19 @@ import graft.ext.{Dedup, Similarity}
   *  1. an EPOCH marker (`stream.epoch` under the index path, written
   *     atomically via staged-rename after the append commits): a replayed
   *     `batchId <= committed` is skipped outright — the common retry;
-  *  2. the band index's append JOURNAL for the crash WINDOW (epoch not
-  *     yet written): on replay the sink heals via
-  *     [[graft.ext.Dedup.bandIndexLoad]]'s machinery and follows the
-  *     disposition — `committed` ⇒ mark the epoch and skip,
-  *     `not-committed` ⇒ append, `partial` ⇒ fail loudly (torn banded
-  *     write: rebuild the index). The IVF sink keeps the same journal
-  *     protocol with plain row counts (parquet-footer `count()`, no data
-  *     scan) because no derived sizes frame exists on that side.
+  *  2. a SINK-OWNED journal (`stream.journal`: batch id + pre-append
+  *     physical row count + batch row count) staged before the mutation
+  *     and cleared only AFTER the epoch commit. The index's own append
+  *     journal cannot cover the epoch gap — `bandIndexAppend` clears it
+  *     as its final step, so a crash between the append returning and
+  *     the epoch write would leave no evidence and the replay would
+  *     double-append. On replay the sink classifies by parquet-footer
+  *     counts: rows landed ⇒ mark the epoch and skip; not landed ⇒
+  *     append; neither ⇒ fail loudly (torn write). A journal whose batch
+  *     id is behind the current one is the crashed-after-epoch window —
+  *     discarded. The band sink additionally heals the index's inner
+  *     journal first (that repairs the sizes frame; the classification
+  *     itself never depends on it).
   *
   * Both guards assume the streaming source is REPLAYABLE (a retried
   * batch id re-delivers the same rows — true of file, Kafka-style, and
@@ -108,24 +113,20 @@ object IndexIngest {
       rows: Int = 4): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     if (batchId > committedEpoch(spark, path)) {
-      val fs = fsOf(spark, path)
-      val journaled = fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/append.journal"))
-      val replayCommitted = journaled && {
-        // crash inside the previous attempt of (usually) THIS batch:
-        // heal, then follow the disposition instead of blindly appending
-        Dedup.healInterruptedAppend(spark, table, path) match {
-          case "committed" => true
-          case "not-committed" => false
-          case other => throw new IllegalStateException(
-            s"band-index stream ingest under $path: healed disposition " +
-              s"'$other' — torn banded write, rebuild the index")
-        }
+      val doAppend = classifyReplay(spark, table, path, batchId,
+        healBandJournal = Some(() =>
+          Dedup.healInterruptedAppend(spark, table, path)))
+      if (doAppend) {
+        val sigs = toSigs(batch)
+        // banded rows added = nSigs × bands (posexplode of a fixed-size
+        // band array) — the physical-count delta the journal classifies by
+        val batchN = sigs.count() * bands
+        val pre = spark.table(table).count() // parquet-footer count
+        writeStreamJournal(spark, path, batchId, pre, batchN)
+        Dedup.bandIndexAppend(sigs, idCol, table, path, nBuckets, bands,
+          rows)
       }
-      if (!replayCommitted)
-        Dedup.bandIndexAppend(toSigs(batch), idCol, table, path,
-          nBuckets, bands, rows)
-      commitEpoch(spark, path, batchId)
+      finishBatch(spark, path, batchId)
     }
   }
 
@@ -136,43 +137,97 @@ object IndexIngest {
     * `ivfSave`) before the stream starts — the coarse quantizer is the
     * offline artifact the whole IVF contract revolves around.
     *
-    * Same exactly-once protocol as [[bandIndexSink]]; the journal
-    * carries `<preRows> <batchRows>` where both are metadata-only
-    * parquet counts. */
+    * Same exactly-once protocol as [[bandIndexSink]] (same sink journal;
+    * there is no inner index journal to heal on this side). */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     if (batchId > committedEpoch(spark, path)) {
-      val fs = fsOf(spark, path)
-      def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-      val replayCommitted = fs.exists(p("append.journal")) && {
-        val in = fs.open(p("append.journal"))
-        val journal =
-          try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        val actual = spark.table(table).count()
-        fs.delete(p("append.journal"), false)
-        journal.split(' ') match {
-          case Array(pre, n) if actual == pre.toLong + n.toLong => true
-          case Array(pre, _) if actual == pre.toLong => false
-          case _ => throw new IllegalStateException(
-            s"ivf stream ingest under $path: assigned row count $actual " +
-              "matches neither pre nor pre+batch — torn append, rebuild " +
-              "or ivfCompact the index")
-        }
-      }
-      if (!replayCommitted) {
+      val doAppend = classifyReplay(spark, table, path, batchId,
+        healBandJournal = None)
+      if (doAppend) {
         val index = Similarity.ivfLoad(spark, table, path)
         val assigned = Similarity.ivfAssign(index, batch, idCol, embCol)
         val pre = spark.table(table).count()
         val batchN = batch.count()
-        val out = fs.create(p("append.journal"), true)
-        try out.write(s"$pre $batchN".getBytes("UTF-8"))
-        finally out.close()
+        writeStreamJournal(spark, path, batchId, pre, batchN)
         Similarity.ivfAppendSave(assigned, table, path, nCells)
-        fs.delete(p("append.journal"), false)
       }
-      commitEpoch(spark, path, batchId)
+      finishBatch(spark, path, batchId)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // The exactly-once machinery shared by both sinks.
+  //
+  // Why the index's OWN append journal is not enough: bandIndexAppend
+  // clears it as its final step, so a crash AFTER the append returns but
+  // BEFORE the epoch commit leaves no evidence — the replay would blindly
+  // re-append (double-count). The sink therefore stages its own journal
+  // `<batchId> <prePhysicalRows> <batchRows>` BEFORE the mutation and
+  // clears it only AFTER the epoch commit. Physical (parquet-footer) row
+  // counts classify every window: appends only add rows, and tombstone
+  // deletes (batch retention jobs — not run concurrently with the
+  // single-writer stream) never touch physical counts.
+
+  private val StreamJournal = "stream.journal"
+
+  private def writeStreamJournal(spark: SparkSession, path: String,
+      batchId: Long, pre: Long, batchN: Long): Unit = {
+    val out = fsOf(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"), true)
+    try out.write(s"$batchId $pre $batchN".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Epoch commit + journal clear, in THAT order: a crash between the
+    * two leaves a stale journal that the next batch detects (its id is
+    * behind the epoch) and discards. */
+  private def finishBatch(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    commitEpoch(spark, path, batchId)
+    fsOf(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"), false)
+  }
+
+  /** Decide whether a (possibly replayed) batch must still run its
+    * append. True = append; false = a crashed earlier attempt of THIS
+    * batch already committed its rows (the caller marks the epoch and
+    * skips). Heals the band index's inner journal first when present
+    * (that fixes the sizes frame; the sink's own classification is
+    * physical-count-based and independent of it). */
+  private def classifyReplay(spark: SparkSession, table: String,
+      path: String, batchId: Long,
+      healBandJournal: Option[() => String]): Boolean = {
+    val fs = fsOf(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    healBandJournal.foreach { heal =>
+      if (fs.exists(p("append.journal"))) heal() // repairs sizes; count check below decides
+    }
+    if (!fs.exists(p(StreamJournal))) true
+    else {
+      val in = fs.open(p(StreamJournal))
+      val journal = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      journal.split(' ') match {
+        case Array(jid, pre, n) if jid.toLong == batchId =>
+          // crashed attempt of THIS batch: did its rows land?
+          val actual = spark.table(table).count()
+          if (actual == pre.toLong + n.toLong) false
+          else if (actual == pre.toLong) { fs.delete(p(StreamJournal), false); true }
+          else throw new IllegalStateException(
+            s"stream ingest under $path: physical row count $actual " +
+              s"matches neither pre ($pre) nor pre+batch (${pre.toLong + n.toLong}) " +
+              "for the journaled batch — torn append, rebuild or compact " +
+              "the index")
+        case Array(jid, _, _) if jid.toLong < batchId =>
+          // stale journal: that batch's epoch committed (we are past it)
+          // but the crash hit before the journal clear — discard
+          fs.delete(p(StreamJournal), false); true
+        case other => throw new IllegalStateException(
+          s"stream ingest under $path: unreadable journal " +
+            s"'${other.mkString(" ")}' for batch $batchId")
+      }
     }
   }
 }

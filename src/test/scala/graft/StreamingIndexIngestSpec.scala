@@ -67,49 +67,70 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS bi_stream_t")
   }
 
-  test("band-index sink: replayed batch id is a no-op; journaled crash " +
-      "windows follow the heal disposition") {
+  test("band-index sink: replayed batch id is a no-op; every crash " +
+      "window classifies correctly (no double-append, no skipped batch)") {
     val dir = java.nio.file.Files.createTempDirectory("bi-replay").toString
     val history = sigsOf(docs.filter(col("doc_id") % 5 =!= 0))
     val part1 = history.filter(col("doc_id") % 3 === 0)
-    val part2 = history.filter(col("doc_id") % 3 =!= 0)
+    val part2 = history.filter(col("doc_id") % 3 === 1)
+    val part3 = history.filter(col("doc_id") % 3 === 2)
+    val part4 = sigsOf(docs.filter(col("doc_id") % 5 === 0))
     Dedup.bandIndexSave(Dedup.bandIndexBuild(part1, "doc_id"),
       "bi_replay_t", dir, nBuckets = 8)
     try {
       val sink = IndexIngest.bandIndexSink(identity, "doc_id",
         "bi_replay_t", dir, nBuckets = 8)
-      def total(): Long = Dedup.bandIndexLoad(spark, "bi_replay_t", dir)
-        .sizes.agg(sum("bsz")).head.getLong(0)
-      sink(part2, 0L)
-      val after = total()
-      // plain replay (epoch committed): must be a no-op
-      sink(part2, 0L)
-      assert(total() == after, "replayed batch double-appended")
-
-      // crash window A: append committed, epoch lost — journal present.
-      // Reconstruct: restore the journal a crash would have left, drop
-      // the epoch. The sink must heal, see 'committed', and NOT re-append.
+      def physical(): Long = spark.table("bi_replay_t").count()
+      def sizesTotal(): Long = Dedup.bandIndexLoad(spark, "bi_replay_t",
+        dir).sizes.agg(sum("bsz")).head.getLong(0)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
       def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
-      val batchN = Dedup.bandIndexBuild(part2, "doc_id").banded.count()
-      val out = fs.create(p("append.journal"), true)
-      try out.write(s"${after - batchN} $batchN".getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(p(IndexIngest.EpochFile), false)
+      def journal(id: Long, pre: Long, n: Long): Unit = {
+        val out = fs.create(p("stream.journal"), true)
+        try out.write(s"$id $pre $n".getBytes("UTF-8")) finally out.close()
+      }
       sink(part2, 0L)
-      assert(total() == after,
-        "committed-but-unmarked batch was re-appended on replay")
-      assert(IndexIngest.committedEpoch(spark, dir) == 0L)
+      val after0 = physical()
+      // plain replay (epoch committed): must be a no-op
+      sink(part2, 0L)
+      assert(physical() == after0, "replayed batch double-appended")
 
-      // crash window B: journal staged, append never landed. The sink
-      // must heal, see 'not-committed', and run the append.
-      val part3 = sigsOf(docs.filter(col("doc_id") % 5 === 0))
-      val out2 = fs.create(p("append.journal"), true)
-      try out2.write(s"$after 1".getBytes("UTF-8")) finally out2.close()
-      sink(part3, 1L)
-      assert(total() > after, "not-committed batch was skipped on replay")
+      // crash window A — THE window the index's own journal cannot see:
+      // batch 1's append fully committed (its inner journal cleared),
+      // crash before the epoch write. Reconstruct exactly that state:
+      // stage the sink journal, run the real append, leave epoch at 0.
+      val n3 = part3.count() * 4
+      journal(1L, physical(), n3)
+      Dedup.bandIndexAppend(part3, "doc_id", "bi_replay_t", dir,
+        nBuckets = 8)
+      val after1 = physical()
+      assert(after1 == after0 + n3)
+      sink(part3, 1L) // the replay
+      assert(physical() == after1,
+        "committed-but-unmarked batch was re-appended on replay")
       assert(IndexIngest.committedEpoch(spark, dir) == 1L)
+      assert(!fs.exists(p("stream.journal")), "journal must clear")
+
+      // crash window B: journal staged, append never started
+      journal(2L, physical(), 123L)
+      sink(part4, 2L)
+      assert(physical() > after1, "not-committed batch was skipped")
+      assert(IndexIngest.committedEpoch(spark, dir) == 2L)
+      val after2 = physical()
+
+      // crash window C: epoch committed but journal clear crashed —
+      // the STALE journal (old batch id) must be discarded, not used
+      // to classify the NEW batch as committed
+      journal(2L, after1, after2 - after1)
+      val part5 = part2.withColumn("doc_id", col("doc_id") + 1000000)
+      sink(part5, 3L)
+      assert(physical() > after2,
+        "stale journal mis-classified a new batch as committed")
+      assert(IndexIngest.committedEpoch(spark, dir) == 3L)
+      // sizes stayed consistent through every window
+      assert(sizesTotal() == physical(),
+        "sizes diverged from the banded table across crash recoveries")
     } finally spark.sql("DROP TABLE IF EXISTS bi_replay_t")
   }
 
