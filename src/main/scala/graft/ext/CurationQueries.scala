@@ -437,8 +437,10 @@ object CurationQueries {
     * the ground truth and the deterministic label-cell IVF path (x85's
     * quantizer, nProbe=2) is the estimator under test; output is
     * per-query recall@k. Like x78 this is an EVALUATION query — ground
-    * truth is exhaustive by nature, so it runs on a bounded query
-    * sample (every 50th vector) while the estimator is the scale path
+    * truth is exhaustive by nature, so it runs on a FIXED query budget
+    * (every 50th vector among the first 500: ten queries at every SF,
+    * so total eval work grows corpus-linearly, never corpus×queries)
+    * while the estimator is the scale path
     * itself. Shape notes: the query sample broadcasts everywhere; the
     * corpus is scanned for the brute-force scoring (that scan IS the
     * ground truth's cost) and the centroid frame is dim×labels-bounded;
@@ -450,9 +452,11 @@ object CurationQueries {
       import org.apache.spark.sql.expressions.Window
       val embs = Tables.embeddings(s, dir)
       val (k, nProbe) = (10, 2)
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val corpus = embs.filter(col("vec_id") % 50 =!= 0)
+      val corpus = embs
+        .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
       val qb = broadcast(queries
         .withColumn("_qn", Similarity.norm(col("q_emb"))))
       // ground truth: per-query exact cosine rank over the full corpus
@@ -498,9 +502,9 @@ object CurationQueries {
         .orderBy("q_id")
     },
     Some("""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
-        WHERE vec_id % 50 = 0),
+        WHERE vec_id % 50 = 0 AND vec_id < 500),
       c AS (SELECT vec_id, label, embedding FROM embeddings
-        WHERE vec_id % 50 <> 0),
+        WHERE vec_id % 50 <> 0 OR vec_id >= 500),
       cx AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
           generate_subscripts(embedding, 1) AS i FROM c),
       qx AS (SELECT q_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
