@@ -363,6 +363,26 @@ object Store {
       numBuckets: Int, bucketCols: Seq[String],
       sortCols: Seq[String] = Nil,
       transform: DataFrame => DataFrame = identity): Unit = {
+    // guard the caller-passed spec against the catalog's: a mismatched
+    // count would rewrite files under hash%numBuckets while the catalog
+    // keeps the old modulus — bucket pruning would then silently select
+    // the WRONG file groups (incomplete probe results, no error)
+    val desc = spark.sql(s"DESCRIBE FORMATTED `$table`")
+      .select("col_name", "data_type").collect()
+      .map(r => r.getString(0).trim -> r.getString(1).trim).toMap
+    desc.get("Num Buckets").foreach { n =>
+      require(n.trim.toInt == numBuckets,
+        s"compactBucketed: table `$table` is bucketed into ${n.trim} " +
+          s"buckets but the caller passed $numBuckets — a rewrite would " +
+          "silently rebucket the files against the catalog spec")
+    }
+    desc.get("Bucket Columns").foreach { cols =>
+      val catalogCols = cols.replaceAll("[\\[\\]`\\s]", "").split(",")
+        .filter(_.nonEmpty).toSeq
+      require(catalogCols == bucketCols,
+        s"compactBucketed: table `$table` buckets by $catalogCols but " +
+          s"the caller passed $bucketCols")
+    }
     val tmpTable = table + "__compacting"
     // read the files PLAIN, not via spark.table: a bucketed-scan source
     // claims HashPartitioning(bucketCols) and the optimizer elides

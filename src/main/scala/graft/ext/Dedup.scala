@@ -369,8 +369,37 @@ object Dedup {
       spark.read.parquet(s"$path/sizes"))
   }
 
-  private val AppendJournal = "append.journal"
+  private[graft] val AppendJournal = "append.journal"
   private val DeletesDir = "deletes"
+
+  /** Stage-and-rename file write. Journals are the FIRST mutation step,
+    * so a torn direct write would make recovery misclassify a
+    * never-started mutation as a torn index write (a false
+    * rebuild-the-index advisory); the rename makes the journal either
+    * absent or complete. */
+  private[graft] def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target), s"atomic write failed for $target")
+  }
+
+  /** Run `body`, then unpersist every RDD persisted DURING it: the
+    * localCheckpoints the mutation paths stage (they must be reliable
+    * materializations — a cache could silently recompute against
+    * already-mutated state) would otherwise accumulate block-manager
+    * storage across a long-lived retention/ingest session. Safe under
+    * the index's documented single-writer contract. */
+  private[graft] def withRddCleanup[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs.foreach {
+      case (id, rdd) => if (!before.contains(id)) rdd.unpersist(false)
+    }
+  }
 
   /** The banded table minus tombstoned docs: the view every reader
     * (load, heal, delete-delta, compaction fold) must share. The
@@ -493,22 +522,28 @@ object Dedup {
           "compactBandIndex (folds and clears tombstones) before " +
           "re-ingesting a deleted id")
     }
-    val batchBanded = bandedRows(newSigs, idCol, "id_old", bands, rows)
-    // journal = "<preCount> <batchCount>" — both batch-or-sizes-sized
-    // jobs, computed before any mutation so heal can classify the crash
-    val pre = spark.read.parquet(s"$path/sizes")
-      .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
-    val batchN = batchBanded.count()
-    val out = fs.create(p(AppendJournal), true)
-    try out.write(s"$pre $batchN".getBytes("UTF-8")) finally out.close()
-    batchBanded
-      .repartition(nBuckets, col("band_idx"), col("h"))
-      .write.mode("append").option("path", s"$path/banded")
-      .bucketBy(nBuckets, "band_idx", "h")
-      .format("parquet").saveAsTable(table)
-    mergedSizes(spark, path, batchBanded)
-      .write.mode("overwrite").parquet(s"$path/sizes.next")
-    swapStagedSizes(fs, path)
+    withRddCleanup(spark) {
+      // materialized ONCE (localCheckpoint): the journal count, the
+      // bucketed write, and the sizes delta would otherwise each re-run
+      // the upstream shingle→minhash→band pipeline — 3× the batch
+      // compute on the hot per-ingest path
+      val batchBanded = bandedRows(newSigs, idCol, "id_old", bands, rows)
+        .localCheckpoint()
+      // journal = "<preCount> <batchCount>", staged atomically before
+      // any mutation so heal can classify the crash
+      val pre = spark.read.parquet(s"$path/sizes")
+        .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
+      val batchN = batchBanded.count()
+      writeFileAtomic(fs, p(AppendJournal), s"$pre $batchN")
+      batchBanded
+        .repartition(nBuckets, col("band_idx"), col("h"))
+        .write.mode("append").option("path", s"$path/banded")
+        .bucketBy(nBuckets, "band_idx", "h")
+        .format("parquet").saveAsTable(table)
+      mergedSizes(spark, path, batchBanded)
+        .write.mode("overwrite").parquet(s"$path/sizes.next")
+      swapStagedSizes(fs, path)
+    }
   }
 
   /** Commit a staged `sizes.next` with the two-rename discipline (live →
@@ -543,11 +578,17 @@ object Dedup {
     * (BandIndexSpec pins the equivalence).
     *
     * Idempotent per doc: already-tombstoned and never-indexed ids are
-    * skipped (their banded rows are not re-counted), so a delete batch
-    * can be re-run blindly — including after a crash mid-delete
-    * ([[healInterruptedAppend]] classifies the journal; every delete
-    * disposition is safe to re-run, unlike appends). Returns the number
-    * of banded rows tombstoned by THIS call.
+    * skipped — the former so sizes are not double-decremented, the
+    * latter so an out-of-order delete (retention request arriving
+    * before the doc was ever ingested) does not stage a tombstone that
+    * would block the doc's FIRST ingest until a compact. A delete batch
+    * can therefore be re-run blindly — including after a crash
+    * mid-delete ([[healInterruptedAppend]] classifies the journal;
+    * every delete disposition is safe to re-run, unlike appends) — and
+    * deleting an unknown id is a no-op: retention pipelines must issue
+    * deletes for INGESTED docs (re-issue after ingest, or filter
+    * upstream). Returns the number of banded rows tombstoned by THIS
+    * call.
     *
     * Re-ingesting a deleted id BEFORE a compact is a CONFLICT: the
     * tombstone would hide the re-appended rows too, and clearing it
@@ -563,45 +604,58 @@ object Dedup {
     require(!fs.exists(p(AppendJournal)),
       s"unhealed interrupted mutation under $path: reopen with " +
         "bandIndexLoad (which heals and reports the disposition) first")
-    val delAll = ids.select(col(idCol).as("id_old")).distinct()
-    // drop ids already tombstoned — double-deletes must not decrement
-    // sizes twice (their banded rows were counted by the first delete).
-    // New tombstones are cast to the EXISTING tombstone column type:
-    // physical widths drift (TESTDATA.md), and appending a second width
-    // into the deletes dir would leave a mixed-schema parquet tree that
-    // fails at read time.
-    val newDel = (if (fs.exists(p(DeletesDir))) {
-        val existing = spark.read.parquet(s"$path/$DeletesDir")
-        delAll.select(col("id_old")
-            .cast(existing.schema("id_old").dataType))
-          .join(broadcast(existing), Seq("id_old"), "left_anti")
-      } else delAll).localCheckpoint()
-    if (newDel.isEmpty) 0L
-    else {
-      // victims' per-bucket row counts, from the LIVE view (one map-side
-      // scan, materialized once — reused by the journal count and the
-      // sizes merge); output is delete-batch-sized by construction
-      val deltaNeg = liveBanded(spark, table, path)
-        .join(broadcast(newDel), Seq("id_old"), "left_semi")
-        .groupBy("band_idx", "h").agg(count(lit(1)).as("delta"))
+    withRddCleanup(spark) {
+      val delAll = ids.select(col(idCol).as("id_old")).distinct()
+      // drop ids already tombstoned — double-deletes must not decrement
+      // sizes twice (their banded rows were counted by the first delete).
+      // Tombstone candidates are cast to the EXISTING tombstone column
+      // type: physical widths drift (TESTDATA.md), and appending a
+      // second width into the deletes dir would leave a mixed-schema
+      // parquet tree that fails at read time.
+      val existing =
+        if (fs.exists(p(DeletesDir)))
+          Some(spark.read.parquet(s"$path/$DeletesDir"))
+        else None
+      val candidates = existing.fold(delAll) { e =>
+        delAll.select(col("id_old").cast(e.schema("id_old").dataType))
+          .join(broadcast(e), Seq("id_old"), "left_anti")
+      }
+      // the victims' LIVE banded rows: ONE probe-class map-side scan,
+      // reliably materialized (localCheckpoint — a cache could silently
+      // recompute as empty after the tombstones land) and reused for
+      // the skip-unknown-ids filter, the journal count, AND the sizes
+      // merge; output is delete-batch-sized by construction
+      val victimRows = liveBanded(spark, table, path)
+        .join(broadcast(candidates), Seq("id_old"), "left_semi")
+        .select("id_old", "band_idx", "h")
         .localCheckpoint()
-      val removed = deltaNeg.agg(coalesce(sum(col("delta")), lit(0L)))
-        .head.getLong(0)
-      val pre = spark.read.parquet(s"$path/sizes")
-        .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
-      val out = fs.create(p(AppendJournal), true)
-      try out.write(s"$pre -$removed".getBytes("UTF-8")) finally out.close()
-      newDel.write.mode("append").parquet(s"$path/$DeletesDir")
-      // decrement touched buckets; a bucket emptied by the delete drops
-      // out of sizes entirely (matching a rebuild over retained docs)
-      spark.read.parquet(s"$path/sizes")
-        .join(broadcast(deltaNeg), Seq("band_idx", "h"), "left_outer")
-        .select(col("band_idx"), col("h"),
-          (col("bsz") - coalesce(col("delta"), lit(0L))).as("bsz"))
-        .filter(col("bsz") > 0)
-        .write.mode("overwrite").parquet(s"$path/sizes.next")
-      swapStagedSizes(fs, path)
-      removed
+      val removed = victimRows.count()
+      if (removed == 0L) 0L
+      else {
+        // new tombstones carry the banded table's id type — align to the
+        // existing tombstone schema if one predates it (mixed widths in
+        // one parquet dir fail at read)
+        val newDel = existing.foldLeft(
+          victimRows.select("id_old").distinct()) { (d, e) =>
+          d.select(col("id_old").cast(e.schema("id_old").dataType))
+        }
+        val deltaNeg = victimRows.groupBy("band_idx", "h")
+          .agg(count(lit(1)).as("delta"))
+        val pre = spark.read.parquet(s"$path/sizes")
+          .agg(coalesce(sum(col("bsz")), lit(0L))).head.getLong(0)
+        writeFileAtomic(fs, p(AppendJournal), s"$pre -$removed")
+        newDel.write.mode("append").parquet(s"$path/$DeletesDir")
+        // decrement touched buckets; a bucket emptied by the delete drops
+        // out of sizes entirely (matching a rebuild over retained docs)
+        spark.read.parquet(s"$path/sizes")
+          .join(broadcast(deltaNeg), Seq("band_idx", "h"), "left_outer")
+          .select(col("band_idx"), col("h"),
+            (col("bsz") - coalesce(col("delta"), lit(0L))).as("bsz"))
+          .filter(col("bsz") > 0)
+          .write.mode("overwrite").parquet(s"$path/sizes.next")
+        swapStagedSizes(fs, path)
+        removed
+      }
     }
   }
 
@@ -656,6 +710,15 @@ object Dedup {
       table: String, path: String, nBuckets: Int = 32): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // refuse over an unhealed mutation journal, like every other
+    // mutation: compaction changes the physical counts the journal's
+    // recovery classifies by (a never-landed append would read as a
+    // torn write — a false rebuild advisory)
+    Seq(AppendJournal, "stream.journal").foreach { j =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$j")),
+        s"unhealed interrupted mutation ($j) under $path: reopen with " +
+          "bandIndexLoad / replay the stream before compacting")
+    }
     val delPath = new org.apache.hadoop.fs.Path(s"$path/$DeletesDir")
     val fold: DataFrame => DataFrame =
       if (fs.exists(delPath))

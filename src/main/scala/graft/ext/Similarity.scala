@@ -156,39 +156,57 @@ object Similarity {
   }
 
   /** Delete vectors from a persisted IVF index — retention /
-    * right-to-be-forgotten — as TOMBSTONES: O(delete batch) id append to
-    * `$path/deletes` (stored under the caller's id column name, which is
-    * how [[ivfLoad]] knows the join key without a schema contract), no
-    * touch of the corpus-sized assigned table. [[ivfProbe]] over a
-    * reloaded index skips deleted vectors immediately; [[ivfCompact]]
-    * removes their rows physically and clears the tombstones. Idempotent
-    * per id (already-tombstoned ids are skipped), so a delete batch can
-    * be re-run blindly — there is no journal to manage because, unlike
-    * the band index, no derived sizes frame exists to drift. Returns the
-    * number of ids newly tombstoned by this call.
+    * right-to-be-forgotten — as TOMBSTONES: O(delete batch +
+    * probe-class id scan) append to `$path/deletes` (stored under the
+    * caller's id column name, which is how [[ivfLoad]] knows the join
+    * key without a schema contract), no rewrite of the corpus-sized
+    * assigned table. [[ivfProbe]] over a reloaded index skips deleted
+    * vectors immediately; [[ivfCompact]] removes their rows physically
+    * and clears the tombstones. Idempotent per id: already-tombstoned
+    * AND never-indexed ids are skipped — an out-of-order delete
+    * (request arriving before the vector was ingested) must not stage a
+    * tombstone that would block the vector's first ingest until a
+    * compact. Re-runs are no-ops; there is no journal to manage
+    * because, unlike the band index, no derived sizes frame exists to
+    * drift. Returns the number of ids newly tombstoned by this call.
     *
     * Re-ingesting a deleted id before a compact is a CONFLICT (the
     * tombstone would hide the new row too) — same contract as
     * [[graft.ext.Dedup.bandIndexDelete]]. */
-  def ivfDelete(ids: DataFrame, idCol: String, path: String): Long = {
+  def ivfDelete(ids: DataFrame, idCol: String, table: String,
+      path: String): Long = {
     val spark = ids.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val delAll = ids.select(col(idCol)).distinct()
-    // cast new tombstones to the existing tombstone column type — a
-    // second physical width appended into the deletes dir would leave a
-    // mixed-schema parquet tree that fails at read time (same
-    // normalization as Dedup.bandIndexDelete)
-    val newDel =
-      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
-        val existing = spark.read.parquet(s"$path/deletes")
+    graft.ext.Dedup.withRddCleanup(spark) {
+      val existing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes")))
+          Some(spark.read.parquet(s"$path/deletes"))
+        else None
+      val delAll = ids.select(col(idCol)).distinct()
+      val candidates = existing.fold(delAll) { e =>
+        // cast to the existing tombstone column type — a second physical
+        // width appended into the deletes dir would leave a mixed-schema
+        // parquet tree that fails at read (same normalization as
+        // Dedup.bandIndexDelete)
         delAll.select(col(idCol)
-            .cast(existing.schema(existing.columns.head).dataType))
-          .join(broadcast(existing), Seq(idCol), "left_anti")
-      } else delAll).localCheckpoint()
-    val n = newDel.count()
-    if (n > 0) newDel.write.mode("append").parquet(s"$path/deletes")
-    n
+            .cast(e.schema(e.columns.head).dataType))
+          .join(broadcast(e), Seq(idCol), "left_anti")
+      }
+      // keep only ids that are actually INDEXED (id-column-only scan of
+      // the assigned table — parquet prunes to one column)
+      val newDel = spark.table(table).select(col(idCol))
+        .join(broadcast(candidates), Seq(idCol), "left_semi")
+        .distinct()
+        .localCheckpoint()
+      val n = newDel.count()
+      if (n > 0) {
+        val aligned = existing.fold(newDel)(e => newDel.select(col(idCol)
+          .cast(e.schema(e.columns.head).dataType)))
+        aligned.write.mode("append").parquet(s"$path/deletes")
+      }
+      n
+    }
   }
 
   /** IVF probe (the cheap online step, any number of times per build):
@@ -334,6 +352,12 @@ object Similarity {
       path: String, nCells: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // refuse over an unhealed streaming-ingest journal: compaction
+    // changes the physical counts its replay classification relies on
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/stream.journal")),
+      s"unhealed interrupted stream ingest under $path: replay the " +
+        "stream before compacting")
     val delPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fold: DataFrame => DataFrame =
       if (fs.exists(delPath)) { df =>

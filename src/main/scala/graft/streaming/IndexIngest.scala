@@ -112,12 +112,17 @@ object IndexIngest {
       table: String, path: String, nBuckets: Int = 32, bands: Int = 4,
       rows: Int = 4): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    if (batchId > committedEpoch(spark, path)) {
+    val epoch = committedEpoch(spark, path)
+    if (batchId <= epoch) logSkip(path, batchId, epoch)
+    else {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = Some(() =>
           Dedup.healInterruptedAppend(spark, table, path)))
-      if (doAppend) {
-        val sigs = toSigs(batch)
+      if (doAppend) Dedup.withRddCleanup(spark) {
+        // materialize the signatures once — the count below and the
+        // append's banding would otherwise each re-run the full
+        // shingle→minhash pipeline
+        val sigs = toSigs(batch).localCheckpoint()
         // banded rows added = nSigs × bands (posexplode of a fixed-size
         // band array) — the physical-count delta the journal classifies by
         val batchN = sigs.count() * bands
@@ -142,7 +147,9 @@ object IndexIngest {
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    if (batchId > committedEpoch(spark, path)) {
+    val epoch = committedEpoch(spark, path)
+    if (batchId <= epoch) logSkip(path, batchId, epoch)
+    else {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = None)
       if (doAppend) {
@@ -172,13 +179,21 @@ object IndexIngest {
 
   private val StreamJournal = "stream.journal"
 
+  /** Replays are normal — but after an INTENTIONAL checkpoint reset
+    * batch ids restart at 0 and this same guard would silently discard
+    * genuinely new batches until the ids catch the epoch up. Log every
+    * skip with both ids so that failure mode is visible in the stream's
+    * logs instead of reading as healthy progress. */
+  private def logSkip(path: String, batchId: Long, epoch: Long): Unit =
+    System.err.println(s"[index-ingest] skipping batch $batchId under " +
+      s"$path: committed epoch is $epoch (replay — or a checkpoint " +
+      "reset, which needs a fresh index path or a cleared stream.epoch)")
+
   private def writeStreamJournal(spark: SparkSession, path: String,
-      batchId: Long, pre: Long, batchN: Long): Unit = {
-    val out = fsOf(spark, path).create(
-      new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"), true)
-    try out.write(s"$batchId $pre $batchN".getBytes("UTF-8"))
-    finally out.close()
-  }
+      batchId: Long, pre: Long, batchN: Long): Unit =
+    Dedup.writeFileAtomic(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"),
+      s"$batchId $pre $batchN")
 
   /** Epoch commit + journal clear, in THAT order: a crash between the
     * two leaves a stale journal that the next batch detects (its id is
@@ -202,7 +217,8 @@ object IndexIngest {
     val fs = fsOf(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     healBandJournal.foreach { heal =>
-      if (fs.exists(p("append.journal"))) heal() // repairs sizes; count check below decides
+      if (fs.exists(p(Dedup.AppendJournal)))
+        heal() // repairs sizes; count check below decides
     }
     if (!fs.exists(p(StreamJournal))) true
     else {
@@ -224,6 +240,10 @@ object IndexIngest {
           // stale journal: that batch's epoch committed (we are past it)
           // but the crash hit before the journal clear — discard
           fs.delete(p(StreamJournal), false); true
+        case Array(jid, _, _) => throw new IllegalStateException(
+          s"stream ingest under $path: journal is for FUTURE batch $jid " +
+            s"while processing $batchId — two writers on one index path, " +
+            "or a checkpoint reset against a used index (see logSkip)")
         case other => throw new IllegalStateException(
           s"stream ingest under $path: unreadable journal " +
             s"'${other.mkString(" ")}' for batch $batchId")

@@ -231,6 +231,12 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
       val after = Dedup.bandIndexLoad(spark, "band_idx_del_t", dir)
       assert(after.sizes.except(rebuilt).isEmpty &&
         rebuilt.except(after.sizes).isEmpty)
+      // the never-indexed id must NOT have been tombstoned (an
+      // out-of-order delete staging one would block the id's FIRST
+      // ingest until a compact): its later first append succeeds
+      Dedup.bandIndexAppend(
+        newBatch.limit(1).withColumn("doc_id", lit(999999L)),
+        "doc_id", "band_idx_del_t", dir, nBuckets = 8)
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_del_t")
   }
 

@@ -180,7 +180,8 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       // delete the query vector itself: the previous top-1 must vanish
       // from a RELOADED index without any rewrite of the assigned table
       val n = Similarity.ivfDelete(
-        corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id", dir)
+        corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id",
+        "ivf_del_t", dir)
       assert(n == 1L)
       val afterDel = Similarity.ivfLoad(spark, "ivf_del_t", dir)
       val top2 = Similarity.ivfProbe(afterDel, q, "vec_id", k = 10).collect()
@@ -188,11 +189,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         !top2.exists(_.getAs[Number]("vec_id").longValue() == 7L),
         s"deleted vector still probeable: ${top2.toSeq}")
       assert(afterDel.assigned.count() == corpus.count() - 1)
-      // idempotent: same id again (plus a never-indexed one) → only the
-      // unseen id is newly tombstoned, the view is unchanged
+      // idempotent: same id again → no-op; a NEVER-INDEXED id is
+      // skipped too (an out-of-order delete must not stage a tombstone
+      // that would block the vector's first ingest)
       assert(Similarity.ivfDelete(
         corpus.filter(col("vec_id") === 7).select("vec_id"), "vec_id",
-        dir) == 0L)
+        "ivf_del_t", dir) == 0L)
+      assert(Similarity.ivfDelete(
+        spark.range(1).select(lit(999999L).as("vec_id")), "vec_id",
+        "ivf_del_t", dir) == 0L)
       // re-appending a tombstoned id pre-compact is refused (the
       // tombstone would hide the new row too)
       intercept[IllegalArgumentException] {
