@@ -760,10 +760,46 @@ object Dedup {
     // (no shuffle, no sort of the corpus-sized banded table; a derived
     // frame has no stats, so without the hint the planner falls back to
     // sorting the index for an SMJ — measured 3.4x growth on 4x history
-    // vs 2.0x with the hint; chunk pathologically large batches upstream)
-    broadcast(nb)
-      .join(index.banded.join(broadcast(mega), Seq("band_idx", "h"),
-        "left_anti"), Seq("band_idx", "h"))
+    // vs 2.0x with the hint; for batches too large to broadcast use
+    // [[lshCandidatesDeltaBulk]]). The mega-bucket cap anti-joins the
+    // BATCH side, not the index side: a capped bucket contributes no
+    // pairs whichever side drops it (BandIndexSpec pins the
+    // equivalence), and capping the index cost a SECOND broadcast probe
+    // on every index row — strictly more work per scanned row
+    broadcast(nb.join(broadcast(mega), Seq("band_idx", "h"), "left_anti"))
+      .join(index.banded, Seq("band_idx", "h"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
+  /** Bulk-batch variant of [[lshCandidatesDelta]] — the consumer the
+    * bucketed index layout was kept for. The broadcast form's contract
+    * ("the batch is orders of magnitude smaller than the index") breaks
+    * on backfills and large merges: broadcasting a multi-million-row
+    * batch's banded rows is a driver/executor memory cliff. Here the
+    * BATCH shuffles into the index's (band_idx, h) bucketing — one
+    * batch-sized exchange — and the index side joins straight off its
+    * bucketed scan with ZERO exchange AND zero sort: the batch side
+    * carries a shuffled-hash hint (build = batch partition, ≈batch/nBuckets
+    * rows), so the corpus-sized index STREAMS through the join unsorted
+    * (an SMJ would in-partition-sort the index per probe — the 3.4×
+    * statless fallback [[lshCandidatesDelta]]'s scaladoc measures).
+    *
+    * The mega-bucket cap is applied to the BATCH side (anti-join against
+    * the broadcast oversized-bucket set): a capped bucket contributes no
+    * pairs whichever side drops it, and dropping batch rows is strictly
+    * cheaper. Output contract identical to [[lshCandidatesDelta]]
+    * (spec-pinned); crossover vs the broadcast form measured in
+    * `tools/BulkProbeBench`. */
+  def lshCandidatesDeltaBulk(newSigs: DataFrame, index: BandIndex,
+      idCol: String, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nb = bandedRows(newSigs, idCol, "id_new", bands, rows)
+    val mega = index.sizes.filter(col("bsz") > maxBucket)
+      .select("band_idx", "h")
+    nb.join(broadcast(mega), Seq("band_idx", "h"), "left_anti")
+      .hint("shuffle_hash")
+      .join(index.banded, Seq("band_idx", "h"))
       .select(col("id_new"), col("id_old"))
       .distinct()
   }

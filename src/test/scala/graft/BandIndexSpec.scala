@@ -323,6 +323,34 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_deljrnl_t")
   }
 
+  test("bulk probe: candidates ≡ broadcast form; exactly one band-key " +
+      "exchange (the batch side) — the index joins off its bucketed scan") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-bulk").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_bulk_t", dir, nBuckets = 8)
+    try {
+      val loaded = Dedup.bandIndexLoad(spark, "band_idx_bulk_t", dir)
+      val bulk = Dedup.lshCandidatesDeltaBulk(newBatch, loaded, "doc_id")
+      assert(asSet(bulk) == asSet(Dedup.lshCandidatesDelta(newBatch,
+        loaded, "doc_id")) && asSet(bulk).nonEmpty,
+        "bulk probe diverged from the broadcast form")
+      bulk.collect()
+      // AQE's toString prints the final AND initial plans — count
+      // exchanges in the final section only
+      val plan = bulk.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // one band-key exchange total = the BATCH side only; a demoted
+      // (non-bucketed) index scan would force a second one
+      assert(raw"Exchange hashpartitioning\(band_idx".r
+        .findAllIn(plan).length == 1,
+        s"expected exactly one band-key exchange (batch side only):\n$plan")
+      // and no sort of the corpus-sized index: the batch side builds the
+      // hash map, the index streams
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled-hash join (index streams unsorted):\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_bulk_t")
+  }
+
   test("probe plan: the index side never shuffles — batch broadcasts, " +
       "index is a map-side scan") {
     val dir = java.nio.file.Files.createTempDirectory("band-idx-plan").toString
