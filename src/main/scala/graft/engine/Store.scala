@@ -414,6 +414,24 @@ object Store {
     spark.catalog.refreshTable(table)
   }
 
+  /** Number of parquet data files under `path`, recursively — the "rot"
+    * metric the maintained-index compaction policies threshold on
+    * (`Dedup.maybeCompactBandIndex`, `Similarity.ivfMaybeCompact`). Pure
+    * namenode metadata (one recursive listing, no file reads); 0 for a
+    * missing path. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
   /** S8 metadata derive (post-save refresh, database_handler.py:219-229). */
   def deriveMeta(df: DataFrame): DataFrame =
     df.groupBy("symbol", "timeframe")

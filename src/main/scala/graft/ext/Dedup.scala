@@ -804,6 +804,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Estimated broadcast cost of one banded row (id + band_idx + h plus
+    * HashedRelation/row overhead) — deliberately conservative so the
+    * auto probe never broadcasts a batch the executors can't hold. */
+  private[graft] val BandedRowBroadcastBytes = 48L
+
+  /** The [[lshCandidatesDeltaAuto]] policy, exposed for spec pinning:
+    * broadcast iff the batch's banded rows fit the session's broadcast
+    * budget (`spark.sql.autoBroadcastJoinThreshold`; -1 = broadcasts
+    * disabled ⇒ always bulk). */
+  private[graft] def deltaProbePrefersBroadcast(
+      spark: org.apache.spark.sql.SparkSession, batchRows: Long,
+      bands: Int): Boolean = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    // division form: batchRows × bands × bytes would overflow Long for
+    // absurd-but-legal row counts and wrap NEGATIVE — i.e. silently
+    // choose to broadcast the one batch that must never be broadcast
+    thr > 0 && batchRows <= thr / (bands.toLong * BandedRowBroadcastBytes)
+  }
+
+  /** Probe-form front door: picks [[lshCandidatesDelta]] (broadcast
+    * batch, zero exchange anywhere) or [[lshCandidatesDeltaBulk]] (one
+    * batch-sized exchange into the index's bucketing) by BATCH SIZE, so
+    * callers — the streaming sink's micro-batches and a backfill's
+    * multi-million-row merges alike — get the right plan without
+    * hand-picking. The policy folds the measured crossover
+    * (`BULK_PROBE_BENCH_r11.json`) into the engine: above the session
+    * broadcast threshold the broadcast form is a driver/executor memory
+    * cliff — bulk is mandatory, and it also WINS throughput at every
+    * measured ≥50k-row point (up to 4.6× at 8M history); below the
+    * threshold the two tie and the broadcast form's zero-exchange plan
+    * has no shuffle-wave latency, which is what a streaming micro-batch
+    * wants. Output contract identical on both branches (spec-pinned).
+    *
+    * `batchRows` skips the sizing count when the caller already knows it
+    * (the streaming sink counts the batch for its journal anyway);
+    * leave it negative to let the probe count — one batch-sized scan,
+    * within the probe's linear-in-batch contract. */
+  def lshCandidatesDeltaAuto(newSigs: DataFrame, index: BandIndex,
+      idCol: String, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket, batchRows: Long = -1L): DataFrame = {
+    val n = if (batchRows >= 0L) batchRows else newSigs.count()
+    if (deltaProbePrefersBroadcast(newSigs.sparkSession, n, bands))
+      lshCandidatesDelta(newSigs, index, idCol, bands, rows, maxBucket)
+    else lshCandidatesDeltaBulk(newSigs, index, idCol, bands, rows, maxBucket)
+  }
+
+  /** Compact-on-rot policy: rewrite the banded table back to one file
+    * per bucket ([[compactBandIndex]]) only once the accumulated
+    * one-file-per-bucket-per-append rot exceeds `maxFilesPerBucket`.
+    * The check is one recursive listing (namenode metadata, no file
+    * reads), so an ingest loop can call this after every append and pay
+    * the rewrite only at the chosen cadence — this is what keeps a
+    * stream-maintained index's probe cost flat without an external
+    * maintenance scheduler. Returns true iff a compaction ran. */
+  def maybeCompactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nBuckets: Int = 32,
+      maxFilesPerBucket: Int = 8): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val files = graft.engine.Store.dataFileCount(spark, s"$path/banded")
+    if (files <= nBuckets.toLong * maxFilesPerBucket) false
+    else { compactBandIndex(spark, table, path, nBuckets); true }
+  }
+
   /** Exact Jaccard over candidate pairs (verification stage): each doc's
     * distinct shingle-hash SET is assembled once (`collect_set` — one
     * shuffle; input may be the raw multiset, the set agg dedups), then each

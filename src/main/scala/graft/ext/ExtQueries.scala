@@ -1632,7 +1632,63 @@ object ExtQueries {
         WHERE n.doc_id % 5 = 0)
       SELECT id_new, id_old FROM cands ORDER BY id_new, id_old"""))
 
+  // ---------------------------------------------------------------- x89
+  /** Index bulk probe — the OTHER half of the maintained band index's
+    * probe surface, correctness-gated end to end: build + persist part
+    * of the history ([[Dedup.bandIndexSave]]), extend it with an
+    * incremental append ([[Dedup.bandIndexAppend]] — batch-sized banded
+    * write + key-merged sizes, never a history re-aggregate), reopen,
+    * and probe a new batch through [[Dedup.lshCandidatesDeltaBulk]] (the
+    * backfill form: the batch shuffles into the index's bucketing, the
+    * index streams through a shuffled-hash join with zero exchange and
+    * zero sort). The oracle recomputes LSH candidates from scratch over
+    * the FULL history — so this row pins, against DuckDB, both that the
+    * incrementally merged sizes drive the mega-bucket cap exactly (the
+    * append path) and that the bulk join form is observationally
+    * identical to the broadcast form x87 gates.
+    * [[Dedup.lshCandidatesDeltaAuto]] picks between the two forms by
+    * batch size; its branch-equivalence is spec-pinned (BandIndexSpec),
+    * and both branches are now independently oracle-gated. */
+  val x89IndexBulkProbe: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val history = sigs.filter(col("doc_id") % 5 =!= 0)
+      val batch = sigs.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("x89_band_idx").toString
+      s.sql("DROP TABLE IF EXISTS x89_band_idx_t")
+      Dedup.bandIndexSave(Dedup.bandIndexBuild(
+          history.filter(col("doc_id") % 3 =!= 0), "doc_id"),
+        "x89_band_idx_t", tmp, nBuckets = 8)
+      Dedup.bandIndexAppend(history.filter(col("doc_id") % 3 === 0),
+        "doc_id", "x89_band_idx_t", tmp, nBuckets = 8)
+      val reopened = Dedup.bandIndexLoad(s, "x89_band_idx_t", tmp)
+      Dedup.lshCandidatesDeltaBulk(batch, reopened, "doc_id")
+        .orderBy("id_new", "id_old")
+    },
+    Some(s"""WITH $shingleCte,
+      sigs AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"min((${Dedup.aConst(i)} * h + ${Dedup.bConst(i)}) % ${Dedup.P}) AS m$i").mkString(", ")}
+        FROM sh GROUP BY 1),
+      bands AS (
+        ${(0 until 4).map(j => s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${(j * 4 until j * 4 + 4).map("m" + _).mkString(", ")}) AS h FROM sigs")
+          .mkString(" UNION ALL ")}),
+      hist AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+      obK AS (SELECT band_idx, h FROM bands
+        JOIN hist USING (doc_id)
+        GROUP BY 1, 2 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cands AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        FROM bands n
+        JOIN bands o ON o.band_idx = n.band_idx AND o.h = n.h
+        JOIN hist r ON r.doc_id = o.doc_id
+        JOIN obK k ON k.band_idx = o.band_idx AND k.h = o.h
+        WHERE n.doc_id % 5 = 0)
+      SELECT id_new, id_old FROM cands ORDER BY id_new, id_old"""))
+
   val all: Map[String, Q] = Map(
+    "x89_index_bulk_probe" -> x89IndexBulkProbe,
     "x87_index_delete_probe" -> x87IndexDeleteProbe,
     "x78_lsh_quality" -> x78LshQuality,
     "x70_linear_classifier" -> x70LinearClassifier,

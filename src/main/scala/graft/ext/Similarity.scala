@@ -369,6 +369,19 @@ object Similarity {
     fs.delete(delPath, true)
   }
 
+  /** Compact-on-rot policy for the IVF assigned table — the IVF twin of
+    * [[graft.ext.Dedup.maybeCompactBandIndex]]: one recursive listing,
+    * and [[ivfCompact]] only once the per-cell file rot exceeds
+    * `maxFilesPerCell`. Returns true iff a compaction ran. */
+  def ivfMaybeCompact(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nCells: Int,
+      maxFilesPerCell: Int = 8): Boolean = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val files = graft.engine.Store.dataFileCount(spark, s"$path/assigned")
+    if (files <= nCells.toLong * maxFilesPerCell) false
+    else { ivfCompact(spark, table, path, nCells); true }
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale
     * the bucket is the storage partition key, and an IVF/KMeans cell works

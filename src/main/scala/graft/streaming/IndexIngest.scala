@@ -46,10 +46,14 @@ import graft.ext.{Dedup, Similarity}
   * mutation pays — banded append = batch-sized shuffle + small sizes
   * merge, never a history scan; IVF assign = one codegen argmin pass,
   * zero row expansion — so stream ingest cost is linear in stream volume
-  * and constant in index history. Run the bucketed compactions
-  * ([[graft.ext.Dedup.compactBandIndex]],
-  * [[graft.ext.Similarity.ivfCompact]]) on a cadence to fold the
-  * one-file-per-bucket-per-batch accumulation.
+  * and constant in index history. The one-file-per-bucket-per-batch
+  * accumulation is folded automatically when the sinks are given a rot
+  * budget (`maxFilesPerBucket` / `maxFilesPerCell` — the
+  * [[graft.ext.Dedup.maybeCompactBandIndex]] /
+  * [[graft.ext.Similarity.ivfMaybeCompact]] policies, run after each
+  * epoch commit); leave them 0 to schedule
+  * [[graft.ext.Dedup.compactBandIndex]] /
+  * [[graft.ext.Similarity.ivfCompact]] externally instead.
   */
 object IndexIngest {
 
@@ -110,7 +114,9 @@ object IndexIngest {
     */
   def bandIndexSink(toSigs: DataFrame => DataFrame, idCol: String,
       table: String, path: String, nBuckets: Int = 32, bands: Int = 4,
-      rows: Int = 4): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      rows: Int = 4,
+      maxFilesPerBucket: Int = 0): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
     if (batchId <= epoch) logSkip(path, batchId, epoch)
@@ -132,6 +138,13 @@ object IndexIngest {
           rows)
       }
       finishBatch(spark, path, batchId)
+      // AFTER the epoch commit + journal clear: the rot check is pure
+      // metadata, the rewrite is crash-safe (compactBucketed two-rename)
+      // and never changes logical contents — a crash mid-compact leaves
+      // a committed batch plus recoverable rot for the next cadence hit
+      if (maxFilesPerBucket > 0)
+        Dedup.maybeCompactBandIndex(spark, table, path, nBuckets,
+          maxFilesPerBucket)
     }
   }
 
@@ -145,7 +158,9 @@ object IndexIngest {
     * Same exactly-once protocol as [[bandIndexSink]] (same sink journal;
     * there is no inner index journal to heal on this side). */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
-      nCells: Int): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      nCells: Int,
+      maxFilesPerCell: Int = 0): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
     if (batchId <= epoch) logSkip(path, batchId, epoch)
@@ -161,6 +176,10 @@ object IndexIngest {
         Similarity.ivfAppendSave(assigned, table, path, nCells)
       }
       finishBatch(spark, path, batchId)
+      // post-epoch, same rationale as bandIndexSink's cadence hook
+      if (maxFilesPerCell > 0)
+        Similarity.ivfMaybeCompact(spark, table, path, nCells,
+          maxFilesPerCell)
     }
   }
 

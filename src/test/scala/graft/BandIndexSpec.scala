@@ -376,4 +376,77 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
         s"expected broadcast probe joins in:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_plan_t")
   }
+
+  test("auto probe: broadcast form under the session threshold, bulk " +
+      "form above it; outputs identical on both branches") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-auto").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_auto_t", dir, nBuckets = 8)
+    try {
+      val loaded = Dedup.bandIndexLoad(spark, "band_idx_auto_t", dir)
+      val expected = asSet(Dedup.lshCandidatesDelta(newBatch, loaded,
+        "doc_id"))
+      // the policy itself: a micro-batch fits the default 10MB budget,
+      // a multi-million-row backfill doesn't, and thr = -1 (broadcasts
+      // disabled) forces bulk at ANY size
+      assert(Dedup.deltaProbePrefersBroadcast(spark, 1000L, 4))
+      assert(!Dedup.deltaProbePrefersBroadcast(spark, 10000000000L, 4))
+      // small declared batch → the zero-exchange broadcast plan
+      val small = Dedup.lshCandidatesDeltaAuto(newBatch, loaded, "doc_id",
+        batchRows = 1000L)
+      small.collect()
+      val smallPlan = small.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(raw"Exchange hashpartitioning\(band_idx".r
+        .findFirstIn(smallPlan).isEmpty,
+        s"auto(small) must take the broadcast form:\n$smallPlan")
+      // huge declared batch → the bulk plan (one batch-side exchange,
+      // shuffled-hash into the bucketed index scan)
+      val big = Dedup.lshCandidatesDeltaAuto(newBatch, loaded, "doc_id",
+        batchRows = 100000000L)
+      big.collect()
+      val bigPlan = big.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(bigPlan.contains("ShuffledHashJoin"),
+        s"auto(big) must take the bulk form:\n$bigPlan")
+      // undeclared size → the probe counts the batch itself and still
+      // lands on the broadcast form at this fixture's scale
+      assert(asSet(small) == expected && asSet(big) == expected &&
+        asSet(Dedup.lshCandidatesDeltaAuto(newBatch, loaded, "doc_id"))
+          == expected && expected.nonEmpty,
+        "auto probe output must be branch-independent")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_auto_t")
+  }
+
+  test("compact-on-rot policy: no-op under the file budget, compacts " +
+      "above it, probe candidates unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-rot").toString
+    val part = (r: Int) => oldCorpus.filter(col("doc_id") % 4 === r)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(part(0), "doc_id"),
+      "band_idx_rot_t", dir, nBuckets = 8)
+    try {
+      (1 to 3).foreach(r =>
+        Dedup.bandIndexAppend(part(r), "doc_id", "band_idx_rot_t", dir,
+          nBuckets = 8))
+      val files = graft.engine.Store.dataFileCount(spark, s"$dir/banded")
+      assert(files > 8, s"appends should accumulate rot (got $files)")
+      val before = asSet(Dedup.lshCandidatesDelta(newBatch,
+        Dedup.bandIndexLoad(spark, "band_idx_rot_t", dir), "doc_id"))
+      // generous budget → below threshold, nothing happens
+      assert(!Dedup.maybeCompactBandIndex(spark, "band_idx_rot_t", dir,
+        nBuckets = 8, maxFilesPerBucket = 100))
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/banded")
+        == files, "a declined policy check must not touch the files")
+      // tight budget → the rot exceeds it and the rewrite runs
+      assert(Dedup.maybeCompactBandIndex(spark, "band_idx_rot_t", dir,
+        nBuckets = 8, maxFilesPerBucket = 1))
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/banded") <= 8)
+      // idempotent: a fresh check right after finds no rot
+      assert(!Dedup.maybeCompactBandIndex(spark, "band_idx_rot_t", dir,
+        nBuckets = 8, maxFilesPerBucket = 1))
+      val after = asSet(Dedup.lshCandidatesDelta(newBatch,
+        Dedup.bandIndexLoad(spark, "band_idx_rot_t", dir), "doc_id"))
+      assert(after == before && after.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_rot_t")
+  }
 }

@@ -166,6 +166,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_compact_t")
   }
 
+  test("compact-on-rot policy: no-op under the file budget, compacts " +
+      "above it, probe results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rot").toString
+    val nCells = 8
+    val base = corpus.filter(col("vec_id") % 4 === 0)
+    Similarity.ivfSave(Similarity.ivfBuild(base, nCells = nCells),
+      "ivf_rot_t", dir, nCells)
+    try {
+      (1 to 3).foreach { r =>
+        val loaded = Similarity.ivfLoad(spark, "ivf_rot_t", dir)
+        Similarity.ivfAppendSave(
+          Similarity.ivfAssign(loaded,
+            corpus.filter(col("vec_id") % 4 === r), "vec_id"),
+          "ivf_rot_t", dir, nCells)
+      }
+      val files = graft.engine.Store.dataFileCount(spark, s"$dir/assigned")
+      assert(files > nCells, s"appends should accumulate rot (got $files)")
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      val before = Similarity.ivfProbe(
+        Similarity.ivfLoad(spark, "ivf_rot_t", dir), q, "vec_id")
+        .collect().toSeq
+      // generous budget → below threshold, nothing happens
+      assert(!Similarity.ivfMaybeCompact(spark, "ivf_rot_t", dir, nCells,
+        maxFilesPerCell = 100))
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/assigned")
+        == files, "a declined policy check must not touch the files")
+      // tight budget → the rot exceeds it and the rewrite runs
+      assert(Similarity.ivfMaybeCompact(spark, "ivf_rot_t", dir, nCells,
+        maxFilesPerCell = 1))
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/assigned")
+        <= nCells)
+      assert(!Similarity.ivfMaybeCompact(spark, "ivf_rot_t", dir, nCells,
+        maxFilesPerCell = 1), "fresh check after a compact must find no rot")
+      assert(Similarity.ivfProbe(
+        Similarity.ivfLoad(spark, "ivf_rot_t", dir), q, "vec_id")
+        .collect().toSeq == before,
+        "probe results must survive the policy-triggered compaction")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_rot_t")
+  }
+
   test("tombstone delete: probes skip deleted vectors immediately; " +
       "double-delete is a no-op; compact folds physically") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString

@@ -67,6 +67,44 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS bi_stream_t")
   }
 
+  test("sink rot budget: a long-running stream keeps its own file count " +
+      "bounded via the compact-on-rot policy; index still ≡ batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("bi-rot-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bi-rot-ckpt").toString
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val seed = history.filter(col("doc_id") % 4 === 0)
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(sigsOf(seed), "doc_id"),
+      "bi_rot_stream_t", dir, nBuckets = 8)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(IndexIngest.bandIndexSink(
+          IndexIngest.docSigs("doc_id", "text"), "doc_id",
+          "bi_rot_stream_t", dir, nBuckets = 8, maxFilesPerBucket = 1))
+        .option("checkpointLocation", ckpt).start()
+      val rest = history.filter(col("doc_id") % 4 =!= 0)
+        .as[(Long, String)].collect().toSeq
+      // six micro-batches: without the budget this accumulates up to one
+      // file per bucket per batch; with maxFilesPerBucket=1 every batch
+      // whose rot exceeds 8 files triggers the bucketed rewrite
+      val batches = rest.grouped(math.max(1, rest.size / 6)).toSeq
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/banded") <= 16,
+        "rot budget must keep the banded file count near one per bucket")
+      val streamed = Dedup.bandIndexLoad(spark, "bi_rot_stream_t", dir)
+      val rebuilt = Dedup.bandIndexBuild(sigsOf(history), "doc_id")
+      assert(streamed.banded.except(rebuilt.banded).isEmpty &&
+        rebuilt.banded.except(streamed.banded).isEmpty,
+        "compact-on-rot stream diverged from a batch build")
+      assert(streamed.sizes.except(rebuilt.sizes).isEmpty &&
+        rebuilt.sizes.except(streamed.sizes).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS bi_rot_stream_t")
+  }
+
   test("band-index sink: replayed batch id is a no-op; every crash " +
       "window classifies correctly (no double-append, no skipped batch)") {
     val dir = java.nio.file.Files.createTempDirectory("bi-replay").toString
