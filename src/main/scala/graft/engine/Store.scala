@@ -406,12 +406,47 @@ object Store {
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compactBucketed: rename $p -> $old failed")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // restore the live table before surfacing
+      // restore the live table before surfacing; if THIS rename also
+      // fails the tree is still recoverable — healInterruptedSwap rolls
+      // forward from the intact rewrite dir on the next load
+      if (!fs.rename(old, p))
+        System.err.println(s"compactBucketed: rollback $old -> $p also " +
+          "failed; healInterruptedSwap repairs on next load")
       throw new java.io.IOException(s"compactBucketed: rename $tmp -> $p failed")
     }
     if (!fs.delete(old, true))
       throw new java.io.IOException(s"compactBucketed: cannot delete backup $old")
     spark.catalog.refreshTable(table)
+  }
+
+  /** Repair an interrupted [[compactBucketed]] directory swap at `path`.
+    * The swap's two renames (live → backup, rewrite → live) are not
+    * jointly atomic: a crash between them leaves NO live directory —
+    * only `path__old` (the pre-compact tree) and `path__compacting`
+    * (the rewrite, which was COMPLETELY written before any rename
+    * started). Loaders of swap-managed tables call this before reading:
+    * roll FORWARD to the rewrite when it exists (it is the newer,
+    * complete tree; the logical contents are identical anyway —
+    * compaction moves rows between files), else roll the backup back.
+    * A live directory present means no crash window is open (stale
+    * leftovers are cleared by the next compact). Returns true iff a
+    * repair ran — callers should `refreshTable` then. */
+  def healInterruptedSwap(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(p)) false
+    else if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"swap heal: rename $tmp -> $p failed")
+      fs.delete(old, true) // byproduct of the crashed swap, now superseded
+      true
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"swap heal: rename $old -> $p failed")
+      true
+    } else false
   }
 
   /** Number of parquet data files under `path`, recursively — the "rot"

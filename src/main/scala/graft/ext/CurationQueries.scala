@@ -459,11 +459,18 @@ object CurationQueries {
         .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
       val qb = broadcast(queries
         .withColumn("_qn", Similarity.norm(col("q_emb"))))
-      // ground truth: per-query exact cosine rank over the full corpus
+      // ground truth: per-query exact cosine rank over the full corpus.
+      // Materialized ONCE (localCheckpoint): both the truth branch and
+      // the estimator's probed-cell re-rank consume this frame, and the
+      // subtrees diverge before their exchanges so ReuseExchange cannot
+      // dedup them — without the checkpoint the corpus-sized scoring
+      // scan (the dominant cost) is paid twice per run
       val scored = corpus.crossJoin(qb)
         .withColumn("cos", round(
           Similarity.dot(col("embedding"), col("q_emb")) /
             (Similarity.norm(col("embedding")) * col("_qn")), 6))
+        .select("q_id", "vec_id", "label", "cos")
+        .localCheckpoint()
       val wq = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id"))
       val truth = scored.withColumn("rn", row_number().over(wq))

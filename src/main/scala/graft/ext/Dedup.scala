@@ -360,6 +360,11 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    // a [[compactBandIndex]] killed between its two directory renames
+    // leaves no live banded dir — roll the completed rewrite forward
+    if (graft.engine.Store.healInterruptedSwap(spark, s"$path/banded") &&
+        spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
     if (fs.exists(p(AppendJournal))) healInterruptedAppend(spark, table, path)
     else if (!fs.exists(p("sizes"))) {
       if (fs.exists(p("sizes.next"))) fs.rename(p("sizes.next"), p("sizes"))
@@ -370,6 +375,11 @@ object Dedup {
   }
 
   private[graft] val AppendJournal = "append.journal"
+  /** The streaming sinks' exactly-once journal filename
+    * ([[graft.streaming.IndexIngest]]) — shared so the compaction
+    * guards here and in [[graft.ext.Similarity.ivfCompact]] can never
+    * silently drift from the name the sink actually writes. */
+  private[graft] val StreamJournal = "stream.journal"
   private val DeletesDir = "deletes"
 
   /** Stage-and-rename file write. Journals are the FIRST mutation step,
@@ -714,7 +724,7 @@ object Dedup {
     // mutation: compaction changes the physical counts the journal's
     // recovery classifies by (a never-landed append would read as a
     // torn write — a false rebuild advisory)
-    Seq(AppendJournal, "stream.journal").foreach { j =>
+    Seq(AppendJournal, StreamJournal).foreach { j =>
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$j")),
         s"unhealed interrupted mutation ($j) under $path: reopen with " +
           "bandIndexLoad / replay the stream before compacting")

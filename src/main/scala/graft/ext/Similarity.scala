@@ -146,6 +146,11 @@ object Similarity {
       path: String): IvfIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // an [[ivfCompact]] killed between its two directory renames leaves
+    // no live assigned dir — roll the completed rewrite forward
+    if (graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned") &&
+        spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
     val base = spark.table(table)
     val assigned =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
@@ -274,6 +279,16 @@ object Similarity {
     // HOF/window form (IvfIndexSpec pins ≡ KMeans.transform).
     // Sort + cast defensively: a persisted index's physical widths have
     // no contract (TESTDATA.md "Physical layout drift").
+    // refuse null embeddings up front: NearestCentroidF is null-safe,
+    // so a null row would get a NULL cell, land in the null-hash bucket
+    // of the appended table, and never match any probe's `cell IN (…)`
+    // filter — silently invisible forever (the replaced join form
+    // assigned such rows the lowest cell, equally meaningless but at
+    // least findable). One batch-sized scan, same bound as the
+    // tombstone-clash guard on the append path.
+    require(vecs.filter(col(embCol).isNull).isEmpty,
+      s"ivfAssign: batch contains null $embCol rows — a null embedding " +
+        "has no nearest cell; filter or repair them before assignment")
     val cs = index.centroids
       .select(col("cell").cast("int"), col("cent")).orderBy("cell").collect()
     val cents = cs.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
@@ -355,7 +370,7 @@ object Similarity {
     // refuse over an unhealed streaming-ingest journal: compaction
     // changes the physical counts its replay classification relies on
     require(!fs.exists(new org.apache.hadoop.fs.Path(
-        s"$path/stream.journal")),
+        s"$path/${graft.ext.Dedup.StreamJournal}")),
       s"unhealed interrupted stream ingest under $path: replay the " +
         "stream before compacting")
     val delPath = new org.apache.hadoop.fs.Path(s"$path/deletes")

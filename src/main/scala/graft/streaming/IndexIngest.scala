@@ -76,21 +76,17 @@ object IndexIngest {
     }
   }
 
-  /** Stage-and-rename epoch write: readers never observe a torn marker.
-    * (The delete-before-rename window can lose the marker on a crash —
-    * then the batch replays and the journal classifies it; the guard
-    * pair is what makes the whole protocol exactly-once, not this file
-    * alone.) */
+  /** Stage-and-rename epoch write ([[graft.ext.Dedup.writeFileAtomic]] —
+    * the one shared implementation of that crash-sensitive choreography):
+    * readers never observe a torn marker. (The delete-before-rename
+    * window can lose the marker on a crash — then the batch replays and
+    * the journal classifies it; the guard pair is what makes the whole
+    * protocol exactly-once, not this file alone.) */
   private def commitEpoch(spark: SparkSession, path: String,
-      batchId: Long): Unit = {
-    val fs = fsOf(spark, path)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-    val out = fs.create(p(EpochFile + ".tmp"), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p(EpochFile), false)
-    require(fs.rename(p(EpochFile + ".tmp"), p(EpochFile)),
-      s"epoch commit failed under $path")
-  }
+      batchId: Long): Unit =
+    Dedup.writeFileAtomic(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/$EpochFile"),
+      batchId.toString)
 
   /** The default doc→signature transform for [[bandIndexSink]]: k-shingle
     * → 60-bit hash → MinHash, the exact pipeline the batch dedup queries
@@ -119,8 +115,10 @@ object IndexIngest {
     (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
-    if (batchId <= epoch) logSkip(path, batchId, epoch)
-    else {
+    if (batchId <= epoch) {
+      logSkip(path, batchId, epoch)
+      clearStaleJournal(spark, path, epoch)
+    } else {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = Some(() =>
           Dedup.healInterruptedAppend(spark, table, path)))
@@ -139,9 +137,11 @@ object IndexIngest {
       }
       finishBatch(spark, path, batchId)
       // AFTER the epoch commit + journal clear: the rot check is pure
-      // metadata, the rewrite is crash-safe (compactBucketed two-rename)
-      // and never changes logical contents — a crash mid-compact leaves
-      // a committed batch plus recoverable rot for the next cadence hit
+      // metadata and the rewrite never changes logical contents. A crash
+      // mid-compact leaves a committed batch either way: before the
+      // directory swap → recoverable rot for the next cadence hit;
+      // inside the swap → the next bandIndexLoad rolls the completed
+      // rewrite forward (Store.healInterruptedSwap)
       if (maxFilesPerBucket > 0)
         Dedup.maybeCompactBandIndex(spark, table, path, nBuckets,
           maxFilesPerBucket)
@@ -163,8 +163,10 @@ object IndexIngest {
     (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
-    if (batchId <= epoch) logSkip(path, batchId, epoch)
-    else {
+    if (batchId <= epoch) {
+      logSkip(path, batchId, epoch)
+      clearStaleJournal(spark, path, epoch)
+    } else {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = None)
       if (doAppend) {
@@ -196,7 +198,10 @@ object IndexIngest {
   // deletes (batch retention jobs — not run concurrently with the
   // single-writer stream) never touch physical counts.
 
-  private val StreamJournal = "stream.journal"
+  // shared with the compaction guards (Dedup.compactBandIndex /
+  // Similarity.ivfCompact) — a drifted literal would silently disable
+  // their refuse-over-unhealed-journal protection
+  private val StreamJournal = Dedup.StreamJournal
 
   /** Replays are normal — but after an INTENTIONAL checkpoint reset
     * batch ids restart at 0 and this same guard would silently discard
@@ -207,6 +212,27 @@ object IndexIngest {
     System.err.println(s"[index-ingest] skipping batch $batchId under " +
       s"$path: committed epoch is $epoch (replay — or a checkpoint " +
       "reset, which needs a fresh index path or a cleared stream.epoch)")
+
+  /** The crashed-after-epoch window can strand a journal even when the
+    * stream RESTARTS on the same batch id: the replay lands in the skip
+    * branch, and classifyReplay's stale-journal delete only runs for a
+    * NEWER id — which never arrives on a stream with no further
+    * traffic, leaving compaction refused forever with an advisory
+    * ("replay the stream") that replaying cannot satisfy. A journal at
+    * or behind the committed epoch is evidence of exactly that crash,
+    * already superseded by the epoch — drop it. (A journal AHEAD of the
+    * epoch is left for classifyReplay's loud future-batch failure.) */
+  private def clearStaleJournal(spark: SparkSession, path: String,
+      epoch: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/$StreamJournal")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val jid = try scala.io.Source.fromInputStream(in).mkString.trim
+        .split(' ').head.toLong finally in.close()
+      if (jid <= epoch) fs.delete(p, false)
+    }
+  }
 
   private def writeStreamJournal(spark: SparkSession, path: String,
       batchId: Long, pre: Long, batchN: Long): Unit =

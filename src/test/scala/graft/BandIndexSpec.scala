@@ -418,6 +418,35 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_auto_t")
   }
 
+  test("interrupted compaction swap: load rolls the completed rewrite " +
+      "forward and probes work") {
+    val dir = java.nio.file.Files.createTempDirectory("band-idx-swap").toString
+    Dedup.bandIndexSave(Dedup.bandIndexBuild(oldCorpus, "doc_id"),
+      "band_idx_swap_t", dir, nBuckets = 8)
+    try {
+      val before = asSet(Dedup.lshCandidatesDelta(newBatch,
+        Dedup.bandIndexLoad(spark, "band_idx_swap_t", dir), "doc_id"))
+      // reconstruct the crash window between compactBucketed's two
+      // renames: no live banded dir; the COMPLETED rewrite sits at
+      // __compacting (here: the table itself, which compaction would
+      // have rewritten 1:1) and the pre-compact tree at __old
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      assert(fs.rename(p("banded"), p("banded__compacting")))
+      fs.mkdirs(p("banded__old"))
+      val healed = Dedup.bandIndexLoad(spark, "band_idx_swap_t", dir)
+      assert(fs.exists(p("banded")) && !fs.exists(p("banded__compacting"))
+        && !fs.exists(p("banded__old")),
+        "heal must restore the live dir and clear the swap leftovers")
+      val after = asSet(Dedup.lshCandidatesDelta(newBatch, healed, "doc_id"))
+      assert(after == before && after.nonEmpty,
+        "probe must see the rolled-forward index")
+      // idempotent: a second load finds a healthy tree
+      Dedup.bandIndexLoad(spark, "band_idx_swap_t", dir)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_swap_t")
+  }
+
   test("compact-on-rot policy: no-op under the file budget, compacts " +
       "above it, probe candidates unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("band-idx-rot").toString

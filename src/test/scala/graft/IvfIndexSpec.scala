@@ -166,6 +166,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_compact_t")
   }
 
+  test("ivfAssign refuses null embeddings (a null cell row would vanish " +
+      "into the null bucket, unreachable by any probe)") {
+    val built = Similarity.ivfBuild(corpus, nCells = 8)
+    val embType = corpus.schema("embedding").dataType
+    val withNull = corpus.limit(2).select("vec_id", "embedding")
+      .union(corpus.limit(1).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        lit(null).cast(embType).as("embedding")))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(built, withNull, "vec_id")
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // and the clean slice still assigns
+    assert(Similarity.ivfAssign(built,
+      corpus.limit(2).select("vec_id", "embedding"), "vec_id")
+      .filter(col("cell").isNull).isEmpty)
+  }
+
   test("compact-on-rot policy: no-op under the file budget, compacts " +
       "above it, probe results unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-rot").toString

@@ -166,7 +166,21 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
       assert(physical() > after2,
         "stale journal mis-classified a new batch as committed")
       assert(IndexIngest.committedEpoch(spark, dir) == 3L)
-      // sizes stayed consistent through every window
+
+      // crash window D: epoch committed, journal clear crashed, and the
+      // stream restarts on the SAME batch id with no further traffic —
+      // the replay lands in the skip branch, which must drop the stale
+      // journal (classifyReplay's delete only runs for a newer id), or
+      // compaction stays refused forever on an idle stream
+      val after3 = physical()
+      journal(3L, after2, after3 - after2)
+      sink(part5, 3L) // replay of the already-committed batch
+      assert(physical() == after3, "skip-branch replay must not append")
+      assert(!fs.exists(p("stream.journal")),
+        "skip branch must clear a journal at/behind the epoch")
+      Dedup.compactBandIndex(spark, "bi_replay_t", dir, nBuckets = 8)
+
+      // sizes stayed consistent through every window (and compaction)
       assert(sizesTotal() == physical(),
         "sizes diverged from the banded table across crash recoveries")
     } finally spark.sql("DROP TABLE IF EXISTS bi_replay_t")
