@@ -144,6 +144,10 @@ object Store {
     * read from the parquet footers; only the two layout keys are pinned. */
   private[graft] def readCanonical(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructType}
+    // a [[compact]] killed between its two renames leaves no live dir —
+    // roll the completed rewrite forward before reading (three FS
+    // existence probes when healthy; same discipline as the index loads)
+    healInterruptedSwap(spark, path)
     val inferred = spark.read.parquet(path).schema
     val pinned = StructType(inferred.map(f =>
       if (f.name == "symbol" || f.name == "timeframe")

@@ -272,6 +272,29 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!stale.exists(), "stale backup not cleared")
   }
 
+  test("compact swap crash window (no live dir): read heals by rolling " +
+      "the completed rewrite forward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString
+    val store = s"$dir/ohlcv"
+    val rows = (1 to 100).map(i => (msTs(i * 60000L), "BTC", "1m", i.toDouble))
+      .toDF("ts", "symbol", "timeframe", "close")
+    rows.write.mode("overwrite")
+      .partitionBy("symbol", "timeframe").parquet(store)
+    val before = spark.read.parquet(store).orderBy("ts").collect().toSeq
+    // reconstruct a kill between compact's two renames: the completed
+    // rewrite at __compacting, the pre-compact tree at __old, no live dir
+    assert(new java.io.File(store)
+      .renameTo(new java.io.File(s"$dir/ohlcv__compacting")))
+    new java.io.File(s"$dir/ohlcv__old").mkdirs()
+    assert(Store.healInterruptedSwap(spark, store), "heal must run")
+    assert(Store.scan(spark, store, "BTC", "1m",
+      msTs(0L), msTs(1L << 40)).count() == 100)
+    assert(spark.read.parquet(store).orderBy("ts").collect().toSeq == before)
+    val siblings = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(siblings == Set("ohlcv"), s"swap leftovers not cleared: $siblings")
+    assert(!Store.healInterruptedSwap(spark, store), "healthy tree: no-op")
+  }
+
   test("deriveMeta + storedInfo (S8/S6)") {
     val df = mk((1704067200000L, "BTC", "1m", 1.0),
       (1704153600000L, "BTC", "1m", 2.0))
