@@ -434,7 +434,15 @@ object Store {
     * compaction moves rows between files), else roll the backup back.
     * A live directory present means no crash window is open (stale
     * leftovers are cleared by the next compact). Returns true iff a
-    * repair ran — callers should `refreshTable` then. */
+    * repair ran — callers should `refreshTable` then.
+    *
+    * Concurrency note: a reader that heals DURING a live swap (it
+    * observed the instant between the compactor's two renames) rolls
+    * the rewrite forward itself; the compactor's own second rename then
+    * fails and it reports an IOException — but the live tree is already
+    * the completed rewrite, and the stranded `__old` backup is cleared
+    * by the next compact. Same single-writer expectation as the index
+    * mutation paths; concurrent READERS are safe either way. */
   def healInterruptedSwap(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

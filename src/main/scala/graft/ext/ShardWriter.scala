@@ -60,4 +60,50 @@ object ShardWriter {
     * and never touches the rest). */
   def readShards(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
+
+  /** [[writeShards]] + persist the manifest at `$outDir/_manifest`
+    * (underscore prefix ⇒ Hadoop's hidden-path convention, so
+    * [[readShards]] and any `shard=K` directory read never see it as
+    * data). The persisted manifest is what makes the export a CONTRACT:
+    * the consuming side can [[verifyShards]] that the files it is about
+    * to stream are exactly the files the exporter described — across
+    * clusters, copies, and time — instead of trusting a returned frame
+    * that died with the export job. */
+  def writeShardsWithManifest(docs: DataFrame, outDir: String,
+      numShards: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val manifest = writeShards(docs, outDir, numShards, idCol, textCol)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_manifest")
+    docs.sparkSession.read.parquet(s"$outDir/_manifest")
+  }
+
+  /** Integrity check for a shard set against its persisted manifest —
+    * run by the CONSUMER before streaming shards into a training job.
+    * Catches lost/truncated shard files, partial copies, and manual
+    * edits: one scan of the shard set (per-shard count + token sum —
+    * map-side partial aggregation into a numShards-cardinality result,
+    * the cheapest full-integrity pass that exists) full-outer-joined
+    * against the manifest. Returns one row per shard with expected vs
+    * actual counts and an `ok` flag; `filter(!col("ok"))` is empty iff
+    * the set is intact (a shard present on disk but absent from the
+    * manifest — or vice versa — also surfaces, via the outer join's
+    * nulls). */
+  def verifyShards(spark: SparkSession, outDir: String,
+      textCol: String = "text"): DataFrame = {
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+      .select(col("shard").cast("long"),
+        col("n_docs").as("manifest_docs"),
+        col("n_tokens").as("manifest_tokens"))
+    val actual = readShards(spark, outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("actual_docs"),
+        sum(size(split(col(textCol), " ")).cast("long"))
+          .as("actual_tokens"))
+    manifest.join(actual, Seq("shard"), "full_outer")
+      .withColumn("ok",
+        col("manifest_docs") <=> col("actual_docs") &&
+          col("manifest_tokens") <=> col("actual_tokens"))
+      .orderBy("shard")
+  }
 }

@@ -70,6 +70,33 @@ class ShardWriterSpec extends AnyFunSuite with SparkTestBase {
     assert(split_bins == 0, "a packed bin was split across shards")
   }
 
+  test("persisted manifest: invisible to shard reads, verifies an intact " +
+      "set, flags a lost shard file") {
+    val dir = java.nio.file.Files.createTempDirectory("shards4").toString
+    val docs = corpus(200)
+    val manifest = ShardWriter.writeShardsWithManifest(docs, dir,
+      numShards = 8)
+    assert(manifest.count() == 8)
+    // the _manifest dir is hidden from data reads (Hadoop convention)
+    assert(ShardWriter.readShards(spark, dir).count() == 200)
+    assert(ShardWriter.readShards(spark, dir).columns.toSet
+      == Set("doc_id", "text", "shard"))
+    // intact set verifies clean
+    val report = ShardWriter.verifyShards(spark, dir)
+    assert(report.count() == 8 && report.filter(!col("ok")).isEmpty)
+    // lose one shard's data file → exactly that shard flags, with the
+    // manifest side carrying the expected counts and the actual side null
+    val victim = new java.io.File(s"$dir/shard=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val bad = ShardWriter.verifyShards(spark, dir).filter(!col("ok"))
+    val rows = bad.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 3L,
+      s"expected exactly shard 3 flagged, got ${rows.toSeq}")
+    assert(!rows(0).isNullAt(1) && rows(0).isNullAt(3),
+      "manifest side must keep expected counts; actual side must be null")
+  }
+
   test("re-export yields identical shard membership (retry-safe)") {
     val dir = java.nio.file.Files.createTempDirectory("shards2").toString
     val docs = corpus(60)

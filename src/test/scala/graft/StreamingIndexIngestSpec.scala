@@ -200,9 +200,11 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
       // the stream carries the table's FULL row (append schema contract
       // is the caller's, exactly as with ivfAppendSave by hand)
       val input = MemoryStream[(Long, Seq[Float], Int)]
+      // rot budget active: the sink must fold its own file accumulation
+      // (the band-sink twin of this is pinned in its own test)
       val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
         .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
-          "ivf_stream_t", dir, nCells))
+          "ivf_stream_t", dir, nCells, maxFilesPerCell = 1))
         .option("checkpointLocation", ckpt).start()
       val rest = embs.filter(col("vec_id") % 2 =!= 0)
         .select(col("vec_id").cast("long"), col("embedding"),
@@ -230,6 +232,12 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
       val top = Similarity.ivfProbe(streamed, qv, "vec_id", k = 1).collect()
       assert(top.length == 1 &&
         top(0).getAs[Number]("vec_id").longValue() == 7L)
+
+      // the rot budget held: at most ~one file per cell plus the last
+      // batch's un-compacted appends
+      assert(graft.engine.Store.dataFileCount(spark, s"$dir/assigned")
+        <= 2 * nCells,
+        "ivf sink rot budget must bound the assigned file count")
 
       // replay: re-invoke the sink with the last committed batch id
       val sink = IndexIngest.ivfSink("vec_id", "embedding", "ivf_stream_t",
