@@ -461,20 +461,32 @@ object Store {
     } else false
   }
 
-  /** Number of parquet data files under `path`, recursively — the "rot"
-    * metric the maintained-index compaction policies threshold on
-    * (`Dedup.maybeCompactBandIndex`, `Similarity.ivfMaybeCompact`). Pure
+  /** Number of COMMITTED parquet data files under `path`, recursively —
+    * the "rot" metric the maintained-index compaction policies threshold
+    * on (`Dedup.maybeCompactBandIndex`, `Similarity.ivfMaybeCompact`)
+    * and the history-exists probe of the streaming corpus ingest. Pure
     * namenode metadata (one recursive listing, no file reads); 0 for a
-    * missing path. */
+    * missing path. Files under hidden-prefixed components (`_temporary`
+    * crash debris, `_manifest`, dot-dirs) are excluded — Spark's own
+    * data-file convention — so an uncommitted write never counts as
+    * data. */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
+      val base = fs.makeQualified(p).toString.stripSuffix("/")
       val it = fs.listFiles(p, true)
       var n = 0
-      while (it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      while (it.hasNext) {
+        val f = it.next().getPath
+        // relative path below `path`: hidden components anywhere under
+        // the base exclude the file; the base's own name may be hidden
+        val rel = f.toString.stripPrefix(base)
+        val hidden = rel.split('/')
+          .exists(s => s.startsWith("_") || s.startsWith("."))
+        if (f.getName.endsWith(".parquet") && !hidden) n += 1
+      }
       n
     }
   }

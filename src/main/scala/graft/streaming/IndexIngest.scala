@@ -160,6 +160,15 @@ object IndexIngest {
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int,
       maxFilesPerCell: Int = 0): (DataFrame, Long) => Unit = {
+    // the coarse quantizer is a STATIC offline artifact: load it once
+    // per sink, not once per micro-batch (ivfLoad re-reads + the assign
+    // collects the centroid parquet every call). The first load performs
+    // any heal; nothing a later batch does changes the centroids —
+    // compaction rewrites only the assigned files, and retention deletes
+    // are documented as not concurrent with the single-writer stream.
+    // (Only the centroid side is reused; the assigned frame is re-read
+    // per append by the physical-count classification anyway.)
+    var centroids: Similarity.IvfIndex = null
     (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
@@ -169,11 +178,17 @@ object IndexIngest {
     } else {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = None)
-      if (doAppend) {
-        val index = Similarity.ivfLoad(spark, table, path)
-        val assigned = Similarity.ivfAssign(index, batch, idCol, embCol)
+      if (doAppend) Dedup.withRddCleanup(spark) {
+        if (centroids == null)
+          centroids = Similarity.ivfLoad(spark, table, path)
+        // materialize the batch once: the null-guard scan inside
+        // ivfAssign, the journal count, and the append write would each
+        // re-evaluate it (3× source I/O on a file-backed stream) — same
+        // discipline as bandIndexSink's sigs checkpoint
+        val b = batch.localCheckpoint()
+        val assigned = Similarity.ivfAssign(centroids, b, idCol, embCol)
         val pre = spark.table(table).count()
-        val batchN = batch.count()
+        val batchN = b.count()
         writeStreamJournal(spark, path, batchId, pre, batchN)
         Similarity.ivfAppendSave(assigned, table, path, nCells)
       }

@@ -41,10 +41,16 @@ object StreamingCorpusIngest {
       benchHashes: Array[Long], batchId: Long,
       minJaccard: Double = 0.8): Long = {
     val spark = batch.sparkSession
+    // scoped cleanup (snapshot-before, unpersist-only-new): every cache/
+    // checkpoint staged below is released after the batch, WITHOUT
+    // touching persisted RDDs owned by anything else on the session — a
+    // global getPersistentRDDs sweep here would delete a concurrent
+    // job's localCheckpoint blocks, which (lineage truncated) cannot be
+    // recomputed
+    Dedup.withRddCleanup(spark) {
     val cleaned = StreamingDecontaminate
       .clean(batch.select("doc_id", "text"), "text", benchHashes)
       .cache()
-    try {
       // in-batch dedup: keep each near-dup cluster's min id (x44 form)
       val sh = Dedup.hashedShingles(cleaned, "doc_id", "text")
       val sigs = Dedup.minhashSignatures(sh, "doc_id", 16).cache()
@@ -89,10 +95,15 @@ object StreamingCorpusIngest {
           batchKeepers.join(dupNew, Seq("doc_id"), "left_anti")
         }
 
+      // materialized ONCE: the count below and the partition write would
+      // otherwise each re-run the whole delta-dedup pipeline (history
+      // LSH probe + candidate re-shingle + Jaccard joins) — the same
+      // double-execution IndexIngest.bandIndexSink checkpoints away
       val admitted = survivors
         .join(keeperSigs, Seq("doc_id"), "left")
         .na.fill(Dedup.P, sigCols) // <k-token docs: neutral signature
         .withColumn("batch_id", lit(batchId))
+        .localCheckpoint()
       val n = admitted.count()
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -105,10 +116,6 @@ object StreamingCorpusIngest {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       n
-    } finally {
-      cleaned.unpersist()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -123,9 +130,13 @@ object StreamingCorpusIngest {
       }
       .start()
 
-  private def storeExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
+  /** "History exists" = at least one COMMITTED data file. A bare
+    * exists+nonEmpty check counted crash debris (`_temporary` trees,
+    * lone `_SUCCESS`) as history, sending the retry of a crashed first
+    * batch into `spark.read.parquet` on a dataless directory — an
+    * unrecoverable schema-inference crash-loop instead of the no-history
+    * branch that would heal it. `Store.dataFileCount` skips
+    * hidden-prefixed paths, matching Spark's own data-file convention. */
+  private def storeExists(spark: SparkSession, path: String): Boolean =
+    graft.engine.Store.dataFileCount(spark, path) > 0
 }

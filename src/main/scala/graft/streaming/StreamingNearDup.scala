@@ -56,6 +56,15 @@ object StreamingNearDup {
   /** Banded signature rows for a (streaming or batch) document frame. */
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, rows: Int = 4): Dataset[SigRow] = {
+    // loud, like the batch twin (Dedup.bandedRows fails on a missing m_i
+    // column): out-of-range bands would read element_at past the
+    // signature array as NULL, concat_ws would drop the nulls, and every
+    // document would silently collide into one global bucket per extra
+    // band — state fills to maxBucket, estimator burns O(maxBucket)
+    // comparisons per doc, then admission silently stops
+    require(bands * rows <= numHashes,
+      s"bands*rows ($bands*$rows) exceeds numHashes ($numHashes): " +
+        "the banding would read past the signature")
     val bandCols = (0 until bands).map { j =>
       concat_ws("|", (j * rows until (j + 1) * rows)
         .map(i => element_at(col("sig"), i + 1).cast("string")): _*)

@@ -61,9 +61,16 @@ object StreamingResample {
         round(col("pq").cast("double") / col("qty"), 6).as("vwap"),
         col("qty"), col("n_trades"))
 
-  /** ST4: watermark-bounded PK dedup (first-arrival-wins within the state
-    * horizon — overlapping re-fetches collapse exactly like the
-    * reference's PK upsert). */
+  /** ST4: watermark-bounded PK dedup — FIRST-arrival-wins within the
+    * state horizon. Intended divergence from the reference's
+    * `INSERT OR REPLACE` (which is LAST-writer-wins): the two agree
+    * whenever re-deliveries carry identical payloads (the idempotent
+    * re-ingest case this operator exists for), but a re-fetch that
+    * REVISES a row — e.g. a still-forming tail candle re-fetched with
+    * final values — keeps the FIRST version here. For revision
+    * semantics use the store path
+    * ([[StreamingIngest.streamToStore]] → `Store.upsert`, seq-ordered
+    * last-writer-wins), where the reference's REPLACE actually lives. */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
       delay: String): DataFrame =
     events.withWatermark(tsCol, delay)

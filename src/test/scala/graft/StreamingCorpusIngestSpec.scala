@@ -45,6 +45,24 @@ class StreamingCorpusIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.filter(col("m0").isNull).count() == 0)
   }
 
+  test("crash debris is not history: a _temporary-only store dir takes " +
+      "the no-history branch instead of crash-looping on schema inference") {
+    val store = java.nio.file.Files.createTempDirectory("corpus-debris")
+      .toString + "/store"
+    // a first batch that died mid-write leaves only an uncommitted
+    // _temporary tree (possibly with orphan part files inside)
+    val tmp = new java.io.File(s"$store/_temporary/0/task/")
+    assert(tmp.mkdirs())
+    assert(new java.io.File(tmp, "part-00000.snappy.parquet").createNewFile())
+    val hashes = StreamingDecontaminate.benchmarkHashes(bench, "text")
+    val n = StreamingCorpusIngest.ingestBatch(
+      Seq(uniq(1), uniq(2)).toDF("doc_id", "text"), store, hashes,
+      batchId = 0L)
+    assert(n == 2, s"retry of a crashed first batch must admit, got $n")
+    assert(spark.read.parquet(store).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("ingestBatch replay overwrites its own partition (exactly-once)") {
     val store = java.nio.file.Files.createTempDirectory("corpus2").toString + "/store"
     val hashes = StreamingDecontaminate.benchmarkHashes(bench, "text")

@@ -281,6 +281,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .head.getSeq[Long](0) == neutral)
   }
 
+  test("near-dup banding refuses bands*rows > numHashes (batch twin " +
+      "fails loudly; silent null bands would globally collide)") {
+    import graft.streaming.StreamingNearDup
+    val docs = Seq((1L, "some words here for the shingles to use"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.bandedSignatures(docs, "doc_id", "text",
+        numHashes = 16, bands = 8, rows = 4)
+    }
+    assert(e.getMessage.contains("numHashes"), e.getMessage)
+    // the legal boundary config still works
+    assert(StreamingNearDup.bandedSignatures(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, rows = 4).count() == 4)
+  }
+
   test("streaming near-dup detection finds cross-batch pairs; admission cap bounds state") {
     import graft.ext.Dedup
     import graft.streaming.StreamingNearDup
