@@ -114,7 +114,13 @@ object Dedup {
     when(text.isNotNull, org.apache.spark.sql.GraftBridge.column(
         graft.functions.ShingleHashF(
           org.apache.spark.sql.GraftBridge.expression(split(text, " ")), k, P)))
-      .otherwise(array().cast("array<bigint>"))
+      // containsNull = false EXPLICITLY: the DDL-string cast
+      // ("array<bigint>") defaults to nullable elements, and that
+      // poisons the when/otherwise merged type — downstream null-strict
+      // consumers (WeightSumF) would reject a frame whose values never
+      // actually hold a null
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)))
 
   /** Higher-order-function formulation of [[shingleHashArray]]
     * (interpreted lambdas) — kept as the cross-check reference

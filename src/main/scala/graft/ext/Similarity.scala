@@ -291,7 +291,8 @@ object Similarity {
         "has no nearest cell; filter or repair them before assignment")
     val cs = index.centroids
       .select(col("cell").cast("int"), col("cent")).orderBy("cell").collect()
-    val cents = cs.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
+    val cents = cs.map(_.getSeq[Number](1).map(_.doubleValue).toIndexedSeq)
+      .toIndexedSeq
     val cellIds = cs.map(_.getInt(0))
     val pos = toCol(graft.functions.NearestCentroidF(toExpr(col(embCol)), cents))
     // map argmin position → cell id (identity when cells are the usual

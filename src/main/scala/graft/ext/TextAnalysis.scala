@@ -182,7 +182,7 @@ object TextAnalysis {
     * binary (a few KB), not a join side. */
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.0): DataFrame = {
-    val weights = (0 until LmDim).map(lmWeight).toArray
+    val weights = (0 until LmDim).map(lmWeight).toIndexedSeq
     val feats = concat(Dedup.shingleHashArray(col(textCol), 1),
       Dedup.shingleHashArray(col(textCol), 2))
     docs.select(col(idCol), feats.as("_f"))

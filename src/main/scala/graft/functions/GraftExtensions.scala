@@ -16,7 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotF32].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotF32(children(0), children(1))))
+      (children: Seq[Expression]) => VectorExpressions.dotBuilder(children)))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -11,7 +11,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * codegen-friendly path); this form exists for (a) the UDAF extension
   * surface and (b) embedding the candle fold in typed Dataset pipelines.
   * The merge is associative/commutative — safe under partial aggregation
-  * on any partitioning.
+  * on any partitioning — INCLUDING duplicate timestamps: ties on
+  * firstTs/lastTs break on price ((ts, price) lexicographic for open,
+  * (ts, price) max for close), not on arrival/merge order. On unique-ts
+  * groups (the engine's documented total-order precondition, and what
+  * the oracle's `min_by(value, ts)` is well-defined over) this is
+  * byte-identical to the untied rule; on tied data it is the difference
+  * between a deterministic answer and one that changes with partition
+  * combine order.
   */
 object OhlcvAggregator {
 
@@ -28,21 +35,28 @@ object OhlcvAggregator {
 
   val agg: Aggregator[Tick, Buf, Candle] = new Aggregator[Tick, Buf, Candle] {
     override def zero: Buf = empty
+    // commutative tie rules: open = price of lexicographic-min
+    // (ts, price); close = price of lexicographic-max (ts, price)
+    private def openOf(ts1: Long, p1: Double, ts2: Long, p2: Double) =
+      if (ts1 < ts2 || (ts1 == ts2 && p1 <= p2)) p1 else p2
+    private def closeOf(ts1: Long, p1: Double, ts2: Long, p2: Double) =
+      if (ts1 > ts2 || (ts1 == ts2 && p1 >= p2)) p1 else p2
+
     override def reduce(b: Buf, t: Tick): Buf = Buf(
-      if (t.ts < b.firstTs) t.ts else b.firstTs,
-      if (t.ts < b.firstTs) t.price else b.open,
+      math.min(b.firstTs, t.ts),
+      if (b.n == 0) t.price else openOf(b.firstTs, b.open, t.ts, t.price),
       math.max(b.high, t.price), math.min(b.low, t.price),
-      if (t.ts > b.lastTs) t.ts else b.lastTs,
-      if (t.ts > b.lastTs) t.price else b.close,
+      math.max(b.lastTs, t.ts),
+      if (b.n == 0) t.price else closeOf(b.lastTs, b.close, t.ts, t.price),
       b.volume + t.price, b.n + 1)
     override def merge(a: Buf, b: Buf): Buf =
       if (a.n == 0) b else if (b.n == 0) a
       else Buf(
         math.min(a.firstTs, b.firstTs),
-        if (a.firstTs <= b.firstTs) a.open else b.open,
+        openOf(a.firstTs, a.open, b.firstTs, b.open),
         math.max(a.high, b.high), math.min(a.low, b.low),
         math.max(a.lastTs, b.lastTs),
-        if (a.lastTs >= b.lastTs) a.close else b.close,
+        closeOf(a.lastTs, a.close, b.lastTs, b.close),
         a.volume + b.volume, a.n + b.n)
     override def finish(b: Buf): Candle =
       Candle(b.open, b.high, b.low, b.close, b.volume, b.n)

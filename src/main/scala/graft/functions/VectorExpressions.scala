@@ -47,9 +47,13 @@ case class DotF32(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // hoisted: dataType resolution is per-EXPRESSION, not per-row — the
+  // interpreted path runs this fold per row
+  private lazy val lf = elemOf(left).contains(FloatType)
+  private lazy val rf = elemOf(right).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val (lf, rf) = (elemOf(left).contains(FloatType), elemOf(right).contains(FloatType))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -165,9 +169,13 @@ case class ShingleHashF(child: Expression, k: Int, p: Long)
   require(k >= 1)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull rejected at ANALYSIS: hashAll would NPE on a null
+    // token mid-task (the HOF form this claims byte-identity with is
+    // only equivalent over null-free token arrays, e.g. split() output)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_shingle_hash expects array<string>, got ${other.simpleString}")
+      s"graft_shingle_hash expects array<string> WITHOUT nullable " +
+        s"elements (split() output shape), got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -200,14 +208,23 @@ case class ShingleHashF(child: Expression, k: Int, p: Long)
   * (md5-60-bit mod P), so `%` needs no floor adjustment — the same
   * contract the column/oracle formulations rely on. Null input → null;
   * empty array → 0. */
-case class WeightSumF(child: Expression, weights: Array[Int])
+case class WeightSumF(child: Expression, weights: IndexedSeq[Int])
     extends UnaryExpression {
   require(weights.nonEmpty)
+  // Seq field ⇒ value-based case-class equality (an Array field is
+  // reference-compared, so two identical score expressions would never
+  // canonicalize equal and Catalyst CSE/reuse could never fire);
+  // the primitive array is rebuilt once for the hot loops
+  private lazy val wArr: Array[Int] = weights.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull rejected at ANALYSIS: getLong on a null slot reads 0
+    // silently (counts weights(0)) — diverging from the HOF fold this
+    // claims identity with, which propagates the null
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_weight_sum expects array<bigint>, got ${other.simpleString}")
+      s"graft_weight_sum expects array<bigint> WITHOUT nullable " +
+        s"elements, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
 
@@ -216,7 +233,7 @@ case class WeightSumF(child: Expression, weights: Array[Int])
     var acc = 0L
     var i = 0
     while (i < arr.numElements()) {
-      acc += weights((arr.getLong(i) % weights.length).toInt)
+      acc += wArr((arr.getLong(i) % wArr.length).toInt)
       i += 1
     }
     acc
@@ -224,12 +241,12 @@ case class WeightSumF(child: Expression, weights: Array[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val wRef = ctx.addReferenceObj("lmW", weights, "int[]")
+      val wRef = ctx.addReferenceObj("lmW", wArr, "int[]")
       val (acc, i) = (ctx.freshName("acc"), ctx.freshName("i"))
       s"""
          |long $acc = 0L;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  $acc += $wRef[(int) ($a.getLong($i) % ${weights.length})];
+         |  $acc += $wRef[(int) ($a.getLong($i) % ${wArr.length})];
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -255,11 +272,17 @@ case class WeightSumF(child: Expression, weights: Array[Int])
   * choices are bit-identical to it. Input may be ARRAY<FLOAT> or
   * ARRAY<DOUBLE> (the [[DotF32]] drift rule); shorter of vector/centroid
   * wins defensively; null input → null. */
-case class NearestCentroidF(child: Expression, cents: Array[Array[Double]])
+case class NearestCentroidF(child: Expression,
+    cents: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
   require(cents.nonEmpty)
+  // Seq fields for value-based equality (see WeightSumF); primitive
+  // matrix rebuilt once for the hot loops / codegen reference object
+  private lazy val cArr: Array[Array[Double]] = cents.map(_.toArray).toArray
 
-  private def isFloat = child.dataType match {
+  // hoisted: per-expression, not per-row (the interpreted path runs
+  // the argmin per row)
+  private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -278,8 +301,8 @@ case class NearestCentroidF(child: Expression, cents: Array[Array[Double]])
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0
-    while (c < cents.length) {
-      val cent = cents(c)
+    while (c < cArr.length) {
+      val cent = cArr(c)
       val n = math.min(v.numElements(), cent.length)
       var acc = 0.0
       var i = 0
@@ -297,7 +320,7 @@ case class NearestCentroidF(child: Expression, cents: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cRef = ctx.addReferenceObj("ncCents", cents, "double[][]")
+      val cRef = ctx.addReferenceObj("ncCents", cArr, "double[][]")
       val (best, bestDist, c, cent, n, acc, i, x) = (ctx.freshName("best"),
         ctx.freshName("bestDist"), ctx.freshName("c"), ctx.freshName("cent"),
         ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"),
@@ -306,7 +329,7 @@ case class NearestCentroidF(child: Expression, cents: Array[Array[Double]])
       s"""
          |int $best = 0;
          |double $bestDist = Double.MAX_VALUE;
-         |for (int $c = 0; $c < ${cents.length}; $c++) {
+         |for (int $c = 0; $c < ${cArr.length}; $c++) {
          |  double[] $cent = $cRef[$c];
          |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
          |  double $acc = 0.0;
@@ -365,8 +388,20 @@ object ShingleHashF {
 }
 
 object VectorExpressions {
+  /** Arity guard shared with [[graft.functions.GraftExtensions]]: without
+    * it `graft_dot(a, b, c)` silently DROPPED the extra argument (a
+    * wrong-answer class bug on the public SQL surface) and `graft_dot(a)`
+    * died with a bare IndexOutOfBoundsException naming neither the
+    * function nor the expected arity. */
+  private[functions] def dotBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+    DotF32(exprs(0), exprs(1))
+  }
+
   /** Register `graft_dot(a, b)` for SQL / `expr()` use in a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotF32(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
 }

@@ -139,7 +139,11 @@ class KlineTable(props: Map[String, String]) extends Table with SupportsRead {
 
 class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
     with Batch {
-  private val symbols = opts.getOrElse("symbols", "BTCUSDT").split(",").toSeq
+  // trim + drop empties: "BTC, ETH" must not yield a " ETH" partition
+  // (different offline seed than "ETH"; unencodable URI on a real
+  // endpoint) and "BTC," must not yield an empty-symbol partition
+  private val symbols = opts.getOrElse("symbols", "BTCUSDT")
+    .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   private val startMs = opts.getOrElse("startMs", "1704067200000").toLong
   private val endMs = opts.getOrElse("endMs", "1704153600000").toLong
   private val timeframe = opts.getOrElse("timeframe", "1m")
@@ -174,7 +178,8 @@ class KlineScanBuilder(opts: Map[String, String]) extends ScanBuilder with Scan
     * endMs)] — an incremental fetch of exactly the missing tail. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KlineMicroBatchStream(symbols, timeframe, durMs, startMs, endMs,
-      opts.get("batchMs").map(_.toLong).getOrElse(sliceMs), endpoint)
+      opts.get("batchMs").map(_.toLong).getOrElse(sliceMs), endpoint,
+      paceMs, backoffMs, maxRetries, simRateLimitPages)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val slices = (startMs until endMs by sliceMs).map(s =>
@@ -211,7 +216,13 @@ case class KlineOffset(ms: Long) extends Offset {
   * never regress or re-emit committed ranges. */
 class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
     durMs: Long, startMs: Long, endMs: Long, batchMs: Long,
-    endpoint: Option[String] = None)
+    endpoint: Option[String] = None,
+    // the S2 policy is a per-TASK concern, so the stream must carry the
+    // scan's knobs into every micro-batch partition — defaulted builds
+    // here previously DISCARDED user-set pacing/backoff/retry on the
+    // streaming path (N unpaced parallel tasks against a live endpoint)
+    paceMs: Long = 0L, backoffMs: Long = 60000L, maxRetries: Int = 10,
+    simRateLimitPages: Seq[Int] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = KlineOffset(startMs)
@@ -232,7 +243,8 @@ class KlineMicroBatchStream(symbols: Seq[String], timeframe: String,
     val (a, b) = (start.asInstanceOf[KlineOffset].ms,
       end.asInstanceOf[KlineOffset].ms)
     symbols.map(s => KlinePartition(s, timeframe, durMs, a, b,
-        endpoint = endpoint): InputPartition)
+        paceMs, backoffMs, maxRetries, simRateLimitPages,
+        endpoint): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -256,8 +268,13 @@ class KlineReaderFactory extends PartitionReaderFactory {
   * [[HttpKlineTransport]] when an `endpoint` is configured — and every
   * cursor/pacing/backoff rule above is transport-agnostic. */
 class KlineReader(p: KlinePartition) extends PartitionReader[InternalRow] {
-  private var cursorMs: Long = // align cursor up to the first bucket start
-    ((p.fromMs + p.durMs - 1) / p.durMs) * p.durMs
+  // the cursor carries NO grid knowledge: the exchange returns candles
+  // with openTime >= startTime on ITS grid (epoch-aligned in the
+  // simulator, Monday-anchored 1w / calendar-month 1M on a real
+  // endpoint). A reader-side epoch-grid ceil here silently skipped any
+  // real candle whose calendar-anchored open fell below the epoch
+  // boundary — permanently missing rows for 1w/1M
+  private var cursorMs: Long = p.fromMs
   private var page: Iterator[InternalRow] = Iterator.empty
   private val policy = new PagePolicy(p.paceMs, p.backoffMs, p.maxRetries,
     KlineSource.sleepHook.getOrElse((ms: Long) => Thread.sleep(ms)))
@@ -282,7 +299,12 @@ class KlineReader(p: KlinePartition) extends PartitionReader[InternalRow] {
         cursorMs = p.toMs // exhausted range: no (more) data before toMs
         Iterator.empty
       } else {
-        cursorMs = klines.last.tsMs + p.durMs // cursor = last_ts + 1 bucket
+        // the reference's rule VERBATIM (api_connector.py:268): +1 ms,
+        // not +durMs — "one bucket" is not a fixed width on calendar
+        // grids (last_ts + 30d overshoots a short month's open and the
+        // next monthly candle would be skipped); +1 can never skip and
+        // never re-fetch (next page's opens are >= last_ts + 1)
+        cursorMs = klines.last.tsMs + 1
         klines.iterator.map { k =>
           InternalRow(k.tsMs * 1000L, // TimestampType carries epoch-µs
             UTF8String.fromString(p.symbol), UTF8String.fromString(p.timeframe),

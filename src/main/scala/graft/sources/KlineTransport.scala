@@ -25,15 +25,23 @@ trait KlineTransport extends Serializable {
   * asserted by KlineSourceSpec). */
 class SimulatedTransport(durMs: Long) extends KlineTransport {
   override def fetchPage(symbol: String, timeframe: String, fromMs: Long,
-      toMsExcl: Long, limit: Int): Vector[Kline] =
+      toMsExcl: Long, limit: Int): Vector[Kline] = {
+    // the GRID lives here, as on the real exchange: candles open on the
+    // exchange's own boundaries and the response is "all candles with
+    // openTime >= startTime" — the reader never assumes a grid (its
+    // last_ts+1 cursor rule is grid-agnostic, which is what keeps
+    // calendar-anchored timeframes like 1w/1M from being skipped over
+    // against a real endpoint)
+    val first = ((fromMs + durMs - 1) / durMs) * durMs
     (0 until limit).iterator
-      .map(i => fromMs + i * durMs)
+      .map(i => first + i * durMs)
       .takeWhile(_ < toMsExcl)
       .map { ts =>
         val (o, h, l, c, v) = KlineSource.candle(symbol, ts)
         Kline(ts, o, h, l, c, v)
       }
       .toVector
+  }
 }
 
 /** Real-network transport speaking the public Binance REST klines shape —

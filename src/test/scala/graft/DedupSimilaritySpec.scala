@@ -231,10 +231,46 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
     }
     assert(e.getMessage.contains("array<float|double>"))
+    // wrong arity fails LOUDLY with the function name — the old builder
+    // silently dropped extra args (wrong-answer class on the SQL surface)
+    // and IndexOutOfBounds'd on missing ones
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(e1.getMessage.contains("graft_dot"), e1.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(cast(1.0 as float)), " +
+        "array(cast(1.0 as float)), array(cast(1.0 as float)))").collect()
+    }
+    assert(e3.getMessage.contains("graft_dot"), e3.getMessage)
     // the SparkSessionExtensions installer injects without error (a fresh
     // session would pick it up via spark.sql.extensions)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions()(ext)
+  }
+
+  test("native expressions: value-based equality (canonicalization/CSE " +
+      "can fire) and nullable-element arrays rejected at analysis") {
+    import org.apache.spark.sql.GraftBridge.{expression => ex}
+    val c = col("x")
+    // Seq fields ⇒ two semantically identical expressions ARE equal
+    // (Array fields were reference-compared, defeating Catalyst CSE)
+    assert(graft.functions.WeightSumF(ex(c), IndexedSeq(1, 2, 3))
+      == graft.functions.WeightSumF(ex(c), IndexedSeq(1, 2, 3)))
+    assert(graft.functions.NearestCentroidF(ex(c),
+        IndexedSeq(IndexedSeq(1.0, 2.0)))
+      == graft.functions.NearestCentroidF(ex(c),
+        IndexedSeq(IndexedSeq(1.0, 2.0))))
+    // a token array that CAN hold nulls is an analysis error, not a
+    // mid-task NPE (ShingleHashF) or a silent weights(0) (WeightSumF)
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(array(col("toks")(0), lit(null).cast("string")).as("nt"))
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ShingleHashF(ex(col("nt")), 2, Dedup.P))).collect()
+    }
+    assert(eNull.getMessage.contains("nullable"), eNull.getMessage)
   }
 
   test("brute-force top-k returns the nearest vectors in order") {

@@ -125,7 +125,13 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
         val from = params("startTime").toLong
         val endIncl = params("endTime").toLong
         val limit = params("limit").toInt
-        val rows = (0 until limit).iterator.map(i => from + i * durMs)
+        // exchange-grid contract, like the real API: candles open on the
+        // EXCHANGE's boundaries and the response is "openTime >=
+        // startTime" — echoing candles at a raw off-grid startTime would
+        // both break the grid and degrade last_ts+1 paging to one
+        // candle per request
+        val first = ((from + durMs - 1) / durMs) * durMs
+        val rows = (0 until limit).iterator.map(i => first + i * durMs)
           .takeWhile(_ <= endIncl).map { ts =>
             val (o, h, l, c, v) =
               graft.sources.KlineSource.candle(params("symbol"), ts)
@@ -256,6 +262,56 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     val mm = out.agg(min("ts"), max("ts")).collect()(0)
     assert(mm.getTimestamp(0).getTime == t0)
     assert(mm.getTimestamp(1).getTime == t0 + dayMs - 60000)
+  }
+
+  test("symbols option: whitespace and trailing commas do not corrupt " +
+      "partition keys") {
+    val df = spark.read.format("graft.sources.KlineSource")
+      .option("symbols", " BTCUSDT , ETHUSDT ,")
+      .option("startMs", t0.toString)
+      .option("endMs", (t0 + 3600000L).toString)
+      .option("timeframe", "1m").load()
+    val syms = df.select("symbol").distinct().collect().map(_.getString(0))
+    assert(syms.sorted.toSeq == Seq("BTCUSDT", "ETHUSDT"),
+      s"got ${syms.toSeq}")
+    // " ETHUSDT" would seed a DIFFERENT offline generator than "ETHUSDT"
+    val clean = spark.read.format("graft.sources.KlineSource")
+      .option("symbols", "ETHUSDT")
+      .option("startMs", t0.toString)
+      .option("endMs", (t0 + 3600000L).toString)
+      .option("timeframe", "1m").load()
+    assert(df.filter(col("symbol") === "ETHUSDT").orderBy("ts")
+      .collect().toSeq == clean.orderBy("ts").collect().toSeq)
+  }
+
+  test("S2 policy reaches the STREAMING path: micro-batch partitions " +
+      "carry the scan's pacing/backoff/retry knobs") {
+    import graft.sources.{KlineScanBuilder, KlineOffset, KlinePartition}
+    val sb = new KlineScanBuilder(Map(
+      "symbols" -> "BTCUSDT", "startMs" -> t0.toString,
+      "endMs" -> (t0 + dayMs).toString, "timeframe" -> "1m",
+      "paceMs" -> "250", "rateLimitBackoffMs" -> "5000",
+      "maxRetries" -> "3", "simRateLimitPages" -> "0"))
+    val stream = sb.toMicroBatchStream("unused")
+    val parts = stream.planInputPartitions(KlineOffset(t0),
+      KlineOffset(t0 + 3600000L))
+    val p = parts.head.asInstanceOf[KlinePartition]
+    assert(p.paceMs == 250L && p.backoffMs == 5000L && p.maxRetries == 3 &&
+      p.simRateLimitPages == Seq(0),
+      s"streaming partitions dropped the S2 policy: $p")
+  }
+
+  test("transport owns the bucket grid: unaligned fromMs never fetches a " +
+      "pre-range bucket, and last_ts+1 paging is grid-agnostic") {
+    import graft.sources.SimulatedTransport
+    val tr = new SimulatedTransport(60000L)
+    // fromMs mid-bucket: first candle opens at the NEXT grid point
+    val page = tr.fetchPage("BTCUSDT", "1m", t0 + 30500L, t0 + 600000L, 1000)
+    assert(page.head.tsMs == t0 + 60000L && page.forall(_.tsMs % 60000L == 0))
+    // last_ts + 1 resumes exactly one bucket later — no skip, no re-fetch
+    val next = tr.fetchPage("BTCUSDT", "1m", page.last.tsMs + 1,
+      t0 + 1200000L, 1000)
+    assert(next.head.tsMs == page.last.tsMs + 60000L)
   }
 
   test("S13/P3: exchange catalog filters to sorted active USDT pairs") {

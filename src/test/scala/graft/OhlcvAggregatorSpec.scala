@@ -50,6 +50,25 @@ class OhlcvAggregatorSpec extends AnyFunSuite with SparkTestBase {
     assert(m1.open == 9.0 && m1.close == 5.0 && m1.n == 2)
   }
 
+  test("merge is commutative on DUPLICATE timestamps: tie breaks on " +
+      "price, not combine order") {
+    val a = OhlcvAggregator.agg
+    // same ts, different prices, in different partial buffers — the
+    // pre-fix merge picked whichever side was `a`, so candle open/close
+    // depended on combine order
+    val b1 = a.reduce(a.zero, OhlcvAggregator.Tick(100L, 7.0))
+    val b2 = a.reduce(a.zero, OhlcvAggregator.Tick(100L, 3.0))
+    val m1 = a.finish(a.merge(b1, b2))
+    val m2 = a.finish(a.merge(b2, b1))
+    assert(m1 == m2, s"merge order changed the candle: $m1 vs $m2")
+    assert(m1.open == 3.0 && m1.close == 7.0,
+      "tie rule: open = lexicographic-min (ts, price), close = max")
+    // and reduce is arrival-order-independent on the same shape
+    val r1 = a.finish(a.reduce(b1, OhlcvAggregator.Tick(100L, 3.0)))
+    val r2 = a.finish(a.reduce(b2, OhlcvAggregator.Tick(100L, 7.0)))
+    assert(r1 == r2 && r1 == m1)
+  }
+
   test("SQL registration via udaf()") {
     spark.udf.register("ohlcv_candle", udaf(OhlcvAggregator.agg))
     Seq((1L, 10.0), (2L, 20.0)).toDF("ts", "price")
