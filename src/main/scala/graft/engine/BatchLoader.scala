@@ -42,7 +42,14 @@ object BatchLoader {
     val frames = results.collect { case Right((_, df)) => df }
     val combined = frames.reduceOption(_ unionByName _)
     val summaries = results.map {
-      case Right((sym, df)) => LoadSummary(sym, ok = true, df.count(), None)
+      case Right((sym, df)) =>
+        // the load above only BUILT the plan — the scan executes here at
+        // count(). An action-time failure (files yanked by a concurrent
+        // delete, runtime read error) must stay per-symbol telemetry,
+        // like the reference's try/except, not abort the whole batch.
+        try LoadSummary(sym, ok = true, df.count(), None)
+        catch { case e: Exception =>
+          LoadSummary(sym, ok = false, 0, Some(e.getMessage)) }
       case Left(s) => s
     }
     (combined, summaries)

@@ -49,7 +49,15 @@ class MarketData(spark: SparkSession, basePath: String,
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def factExists: Boolean = pathExists(factPath)
+  /** Heal a crashed [[Store.compact]] swap BEFORE the existence check:
+    * mid-swap there is no live dir, and treating that as "store absent"
+    * would make the next save overwrite a fresh table containing only
+    * the incoming batch — permanently orphaning all prior data in the
+    * `__old` backup (and deleteData would overwrite with nothing). */
+  private def factExists: Boolean = {
+    Store.healInterruptedSwap(spark, factPath)
+    pathExists(factPath)
+  }
 
   /** Full fact table (empty frame with canonical schema when absent).
     * The schema is supplied explicitly: deleting the last stored series
@@ -81,7 +89,27 @@ class MarketData(spark: SparkSession, basePath: String,
       "low", "close", "volume")
     if (factExists) Store.upsertSave(spark, factPath, incoming)
     else Store.save(incoming, factPath)
-    Store.deriveMeta(facts()).write.mode("overwrite").parquet(metaPath)
+    // metadata refresh is O(batch) + O(meta), NOT a full fact-table
+    // re-aggregate: upserts only replace same-key rows (never narrow a
+    // series' ts span), so merging the batch's min/max into the existing
+    // meta rows is exact — the same batch-scoped cost model as
+    // upsertSave itself. The tiny merged frame is eagerly materialized
+    // (localCheckpoint) because it reads the very file it overwrites.
+    val batchMeta = Store.deriveMeta(incoming)
+    val merged =
+      if (!pathExists(metaPath)) batchMeta
+      else spark.read.parquet(metaPath)
+        .select(col("symbol"), col("timeframe"),
+          col("start_ts").as("old_start"), col("end_ts").as("old_end"))
+        .join(batchMeta.select(col("symbol"), col("timeframe"),
+            col("start_ts").as("new_start"), col("end_ts").as("new_end")),
+          Seq("symbol", "timeframe"), "full_outer")
+        .select(col("symbol"), col("timeframe"),
+          least(col("old_start"), col("new_start")).as("start_ts"),
+          greatest(col("old_end"), col("new_end")).as("end_ts"))
+    val mat = merged.localCheckpoint(true)
+    try mat.write.mode("overwrite").parquet(metaPath)
+    finally mat.unpersist()
   }
 
   /** J1/J2 coverage probe for one request (database_handler.py:257-307).
@@ -125,10 +153,20 @@ class MarketData(spark: SparkSession, basePath: String,
     require(Timeframes.all.contains(timeframe),
       s"unknown timeframe '$timeframe' (expected one of ${Timeframes.all.mkString(",")})")
     require(toMs >= fromMs, s"end $toMs before start $fromMs")
-    val (hit, _) = checkDataExists(symbol, timeframe, fromMs, toMs, nowMs)
+    // getData's range is END-EXCLUSIVE throughout (it is what the fetch
+    // delivers). Two conversions follow from that: the coverage probe's
+    // closed-interval req_end is the last REQUESTED instant `toMs - 1`
+    // (probing with the exclusive end made an identical repeat request
+    // read as uncovered — cov_end + dur - 1 = toMs - 1 < toMs — so every
+    // repeat re-fetched the whole range); and the scan's inclusive upper
+    // bound is `toMs - 1` (an inclusive toMs returned an EXTRA candle at
+    // exactly toMs whenever earlier wider coverage had stored one —
+    // same request, cache-state-dependent row count).
+    val (hit, _) = checkDataExists(symbol, timeframe, fromMs,
+      math.max(fromMs, toMs - 1), nowMs)
     if (!hit) saveData(getHistoricalData(symbol, timeframe, fromMs, toMs))
     Store.scan(spark, factPath, symbol, timeframe,
-      new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs))
+      new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs - 1))
   }
 
   /** Incremental cache fill — deliberately BEYOND the reference: its
@@ -150,15 +188,27 @@ class MarketData(spark: SparkSession, basePath: String,
     require(Timeframes.all.contains(timeframe),
       s"unknown timeframe '$timeframe'")
     require(toMs >= fromMs, s"end $toMs before start $fromMs")
+    // calendar-anchored grids (Monday 1w opens, month-start 1M opens on
+    // a real endpoint) never match this epoch-aligned fixed-width bucket
+    // grid — the anti-join would report EVERY bucket missing on EVERY
+    // call and the "incremental" fill would refetch the full range each
+    // time. Those series are 52/12 candles a year; the all-or-nothing
+    // reference path loses nothing there.
+    if (timeframe == "1w" || timeframe == "1M")
+      return getData(symbol, timeframe, fromMs, toMs, nowMs)
     val dur = Timeframes.durationMs(timeframe)
     val first = ((fromMs + dur - 1) / dur) * dur // align up, as the source does
-    val nBuckets = math.max((toMs - first + dur - 1) / dur, 0L)
+    // clamp to `now`: buckets that have not opened yet can never be
+    // returned by any source — without the clamp they are "missing" on
+    // every call and re-fetched forever (permanently-empty spans)
+    val effEnd = math.min(toMs, nowMs)
+    val nBuckets = math.max((effEnd - first + dur - 1) / dur, 0L)
     if (nBuckets > 0) {
       val requested = spark.range(nBuckets)
         .select((lit(first) + col("id") * dur).as("bucket_ms"))
       val covered = facts()
         .filter(col("symbol") === symbol && col("timeframe") === timeframe &&
-          unix_millis(col("ts")).between(first, toMs - 1))
+          unix_millis(col("ts")).between(first, effEnd - 1))
         .select(unix_millis(col("ts")).as("bucket_ms"))
       val missing = Coverage.gaps(requested, covered, "bucket_ms")
       // gaps-and-islands WITHOUT a global-sort window (the r4 review
@@ -171,22 +221,36 @@ class MarketData(spark: SparkSession, basePath: String,
       // driver, and those were always collected (each run = one fetch).
       def shifted(by: Long) =
         missing.select((col("bucket_ms") + lit(by)).as("bucket_ms"))
+      // the collect is LIMIT-bounded BEFORE it runs: a pathological comb
+      // (alternating holes over years of minutes) has O(nBuckets) run
+      // boundaries, and collecting them all just to discover
+      // `runs.length > maxRuns` would be a driver OOM. A saturated limit
+      // means "more than maxRuns runs" — degrade to the one spanning
+      // fetch without ever materializing the comb.
+      val boundaryLimit = 2 * (maxRuns + 1)
       val boundaries = missing
         .join(shifted(dur), Seq("bucket_ms"), "left_anti")
         .select(col("bucket_ms"), lit(true).as("is_start"))
         .unionByName(missing
           .join(shifted(-dur), Seq("bucket_ms"), "left_anti")
           .select(col("bucket_ms"), lit(false).as("is_start")))
+        .limit(boundaryLimit)
         .collect()
-      val runStarts =
-        boundaries.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
-      val runEnds =
-        boundaries.filterNot(_.getBoolean(1)).map(_.getLong(0)).sorted
-      val runs = runStarts.zip(runEnds)
-        .map { case (a, b) => (a, b + dur) } // end exclusive
       val spans =
-        if (runs.length > maxRuns) Array((runs.head._1, runs.last._2))
-        else runs
+        if (boundaries.length >= boundaryLimit) {
+          val mm = missing.agg(min(col("bucket_ms")), max(col("bucket_ms")))
+            .collect()(0)
+          Array((mm.getLong(0), mm.getLong(1) + dur))
+        } else {
+          val runStarts =
+            boundaries.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
+          val runEnds =
+            boundaries.filterNot(_.getBoolean(1)).map(_.getLong(0)).sorted
+          val runs = runStarts.zip(runEnds)
+            .map { case (a, b) => (a, b + dur) } // end exclusive
+          if (runs.length > maxRuns) Array((runs.head._1, runs.last._2))
+          else runs
+        }
       if (spans.nonEmpty) {
         val fetched = spans.map { case (a, b) =>
           getHistoricalData(symbol, timeframe, a, b) }
@@ -194,8 +258,9 @@ class MarketData(spark: SparkSession, basePath: String,
         saveData(fetched)
       }
     }
+    // end-exclusive, like getData (and the bucket grid above)
     Store.scan(spark, factPath, symbol, timeframe,
-      new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs))
+      new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs - 1))
   }
 
   /** Resampled load (§3.3, colab_interface.py:374-434): force the 1m base
@@ -207,15 +272,34 @@ class MarketData(spark: SparkSession, basePath: String,
       getData(symbol, "1m", fromMs, toMs, nowMs), timeframe)
 
   /** S9: delete one series and refresh metadata
-    * (database_handler.py:243-255). The surviving rows are EAGERLY
-    * materialized (localCheckpoint) before the overwrite — a lazy cache
-    * would still be reading the very files the overwrite deletes. */
+    * (database_handler.py:243-255). PARTITION-SCOPED: the series IS a
+    * partition directory (`symbol=…/timeframe=…`), so the delete drops
+    * exactly that directory — O(series), not an O(table) full rewrite,
+    * and DataFrames previously returned for OTHER series keep reading
+    * their untouched files (the full-overwrite form yanked every
+    * partition's files: FAILED_READ_FILE on their next action — the
+    * exact hazard [[saveData]]'s scaladoc documents avoiding).
+    * Metadata drops the one series row (the meta table is
+    * series-cardinality — tiny; eagerly materialized because it reads
+    * the file it overwrites). */
   def deleteData(symbol: String, timeframe: String): Unit = {
-    val remaining = Store.deleteSeries(facts(), symbol, timeframe)
-      .localCheckpoint(true)
-    Store.save(remaining, factPath)
-    Store.deriveMeta(remaining).write.mode("overwrite").parquet(metaPath)
-    remaining.unpersist()
+    if (!factExists) return
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // the same escaping Spark's own partitioned writer used for the dirs
+    val dir = new org.apache.hadoop.fs.Path(factPath +
+      s"/symbol=${ExternalCatalogUtils.escapePathName(symbol)}" +
+      s"/timeframe=${ExternalCatalogUtils.escapePathName(timeframe)}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && !fs.delete(dir, true))
+      throw new java.io.IOException(s"deleteData: cannot remove $dir")
+    if (pathExists(metaPath)) {
+      val remaining = spark.read.parquet(metaPath)
+        .filter(!(col("symbol") === symbol &&
+          col("timeframe") === timeframe))
+        .localCheckpoint(true)
+      try remaining.write.mode("overwrite").parquet(metaPath)
+      finally remaining.unpersist()
+    }
   }
 
   /** Bounded head/tail preview — the reference binds the loaded frame's
@@ -243,11 +327,19 @@ class MarketData(spark: SparkSession, basePath: String,
       toMs: Long, nowMs: Long, maxPoints: Int = 500): DataFrame = {
     require(maxPoints > 0, "maxPoints must be positive")
     val baseDur = Timeframes.durationMs(timeframe)
-    val span = math.max(toMs - fromMs, 1L)
+    // EXACT bucket count of the window grid over [fromMs, toMs): the
+    // old floor-division `span / dur` undercounted misaligned ranges by
+    // up to 2, quietly overshooting the promised cap
+    def buckets(dur: Long): Long =
+      if (toMs <= fromMs) 1L
+      else (toMs - 1) / dur - fromMs / dur + 1
     val plotTf = Timeframes.all
       .filter(Timeframes.durationMs(_) >= baseDur)
       .sortBy(Timeframes.durationMs)
-      .find(tf => span / Timeframes.durationMs(tf) <= maxPoints)
+      .find(tf => buckets(Timeframes.durationMs(tf)) <= maxPoints)
+      // the vocabulary's coarsest bucket: the cap is therefore
+      // guaranteed for any range spanning ≤ maxPoints months; a wider
+      // range plots monthly (documented floor — nothing coarser exists)
       .getOrElse("1M")
     getResampledData(symbol, plotTf, fromMs, toMs, nowMs)
       .orderBy("bucket")

@@ -33,9 +33,18 @@ class MarketDataSpec extends AnyFunSuite with SparkTestBase {
     assert(md.checkDataExists("BTC", "1h", t0, t0 + 10 * h, now) == (false, false))
     val first = md.getData("BTC", "1h", t0, t0 + 10 * h, now)
     assert(first.count() == 10 && calls.get() == 1)
-    // contained re-request: pure scan, no fetch
+    // the IDENTICAL repeat request is a pure cache hit — this was the
+    // probe-end bug: an exclusive toMs probed as a closed req_end read
+    // every repeat as uncovered and re-fetched the full range
+    assert(md.getData("BTC", "1h", t0, t0 + 10 * h, now).count() == 10)
+    assert(calls.get() == 1, "identical repeat request re-fetched")
+    // contained re-request: pure scan, no fetch; END-EXCLUSIVE
+    // throughout — [2h, 8h) is 6 candles regardless of what wider
+    // coverage happens to have stored at exactly 8h
     val again = md.getData("BTC", "1h", t0 + 2 * h, t0 + 8 * h, now)
-    assert(again.count() == 7 && calls.get() == 1)
+    assert(again.count() == 6 && calls.get() == 1)
+    assert(again.agg(max(unix_millis(col("ts")))).head.getLong(0)
+      == t0 + 7 * h, "end bucket must be exclusive")
     // covered through cov_end + dur - 1 (closed interval, DB:296-298)
     assert(md.checkDataExists("BTC", "1h", t0, t0 + 10 * h - 1, now)._1)
   }
