@@ -21,7 +21,14 @@ import org.apache.spark.sql.expressions.Window
 object Ohlcv {
 
   /** Bucket expression for a timeframe: fixed-width `window()` for
-    * everything except calendar months, which use `date_trunc`. */
+    * everything except calendar months, which use `date_trunc`.
+    *
+    * Timezone note: `date_trunc("month", …)` truncates in the SESSION
+    * timezone while `window()` is epoch-UTC-aligned — so 1M boundaries
+    * (alone) would shift on a non-UTC session. The engine's contract is
+    * a UTC session (set in build.sbt javaOptions and every
+    * Verify/Bench/tool builder; the oracle comparison depends on it),
+    * under which both rules agree on UTC boundaries. */
   def bucket(ts: Column, timeframe: String): Column =
     if (timeframe == "1M") date_trunc("month", ts)
     else window(ts, Timeframes.windowDuration(timeframe)).getField("start")
@@ -127,10 +134,15 @@ object Ohlcv {
     val w = Window.partitionBy(col(symbolCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(candles.select(col(symbolCol), col(bucketCol),
-        col(valueCol).as("_obs")), Seq(symbolCol, bucketCol), "left")
+        col(valueCol).as("_obs"), lit(true).as("_present")),
+        Seq(symbolCol, bucketCol), "left")
       .withColumn("filled", last(col("_obs"), ignoreNulls = true).over(w))
-      .withColumn("is_gap", col("_obs").isNull)
-      .drop("_obs")
+      // is_gap = ROW ABSENT, via the presence marker — `_obs.isNull`
+      // could not distinguish "no candle in this bucket" from "candle
+      // present with a NULL value" (ingestCast yields NULL for
+      // unparseable prices) and mislabeled real rows as synthesized
+      .withColumn("is_gap", col("_present").isNull)
+      .drop("_obs", "_present")
   }
 
   /** Trailing simple moving average over the previous `n` rows (reference

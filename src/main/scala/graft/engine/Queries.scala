@@ -1079,7 +1079,7 @@ object Queries {
       SELECT g.user_id, epoch_ms(g.bucket) AS bucket_ms,
         last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.user_id
           ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled,
-        c.close IS NULL AS is_gap
+        c.bucket IS NULL AS is_gap
       FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
       ORDER BY 1, 2"""))
 

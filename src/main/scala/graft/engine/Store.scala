@@ -84,7 +84,32 @@ object Store {
     * cost, consistency owned by the committer. */
   def upsertSave(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String] = pk): Unit = {
-    val touched = incoming.select("symbol", "timeframe").distinct()
+    // a previously interrupted swap must be repaired BEFORE `existing`
+    // is read — a partition stranded in the backup tree would otherwise
+    // be invisible to the merge and the replayed batch would overwrite
+    // it with only its own rows
+    healInterruptedPartitionSwap(spark, path)
+    // the touched-key set is collected ONCE and reused for the broadcast
+    // frame AND the swap list: deriving them independently evaluated the
+    // incoming lineage twice (for a REST-backed fetch, a second network
+    // pull), and any nondeterminism between the evaluations would
+    // desynchronize the tmp directories from the parts handed to the
+    // swap (a part with no tmp dir fails the rename, rolling the whole
+    // upsert back)
+    val partsSeq = incoming.select("symbol", "timeframe").distinct()
+      .collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[String]("timeframe")))
+    // NULL keys refused loudly: Spark writes them to
+    // __HIVE_DEFAULT_PARTITION__ directories, which the swap's
+    // escapePathName paths can never match (and null strings NPE the
+    // sort) — the failure would otherwise surface after all the merge
+    // work, and only on the atomic-rename branch
+    require(partsSeq.forall { case (s, t) => s != null && t != null },
+      "upsertSave: incoming rows with NULL symbol/timeframe partition " +
+        "keys are not storable — filter or repair them first")
+    val sortedParts = partsSeq.sortBy(identity).toSeq
+    import spark.implicits._
+    val touched = sortedParts.toDF("symbol", "timeframe")
     // explicit schema — a bare read would partition-TYPE-infer the
     // directory keys, so a numeric-looking symbol ("007") comes back as
     // IntegerType 7: the semi-join would then coerce string-vs-int and
@@ -108,10 +133,7 @@ object Store {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (atomicRename(spark, fs)) {
-      val parts = touched.collect()
-        .map(r => (r.getAs[String]("symbol"), r.getAs[String]("timeframe")))
-        .sortBy(identity)
-      swapPartitions(spark, path, tmp, parts)
+      swapPartitions(spark, path, tmp, sortedParts)
     } else {
       // Store without atomic directory rename (S3A and friends): the
       // two-rename swap's crash guarantee does not hold there — a "rename"
@@ -148,7 +170,19 @@ object Store {
     // roll the completed rewrite forward before reading (three FS
     // existence probes when healthy; same discipline as the index loads)
     healInterruptedSwap(spark, path)
-    val inferred = spark.read.parquet(path).schema
+    val inferred =
+      try spark.read.parquet(path).schema
+      catch {
+        // a valid-but-EMPTY store (first save fetched zero rows; last
+        // series deleted) has no footers to infer from — an empty frame
+        // in the canonical layout is the correct read, not a crash
+        // (MarketData.facts() makes the same call for the same reason)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.sources.KlineSource.schema)
+      }
     val pinned = StructType(inferred.map(f =>
       if (f.name == "symbol" || f.name == "timeframe")
         f.copy(dataType = StringType)
@@ -200,14 +234,24 @@ object Store {
     // (partition, hadBackup) completed swaps, for rollback
     val done = scala.collection.mutable.ArrayBuffer.empty[((String, String), Boolean)]
     def rollback(): Unit = {
+      // every rename result CHECKED: a failed restore must not be
+      // followed by deleting the backup tree — those are the only
+      // remaining pre-crash bytes, and healInterruptedPartitionSwap
+      // restores from them on the next read
+      var restoredAll = true
       done.reverseIterator.foreach { case ((s, t), hadBak) =>
         val dst = new Path(s"$path/${rel(s, t)}")
         // return the merged bytes to tmp (NOT delete — tmp stays a
         // complete retry artifact), then restore the displaced live data
-        fs.rename(dst, new Path(s"$tmp/${rel(s, t)}"))
-        if (hadBak) fs.rename(new Path(s"${bakRoot.toString}/${rel(s, t)}"), dst)
+        if (!fs.rename(dst, new Path(s"$tmp/${rel(s, t)}"))) restoredAll = false
+        if (hadBak &&
+            !fs.rename(new Path(s"${bakRoot.toString}/${rel(s, t)}"), dst))
+          restoredAll = false
       }
-      fs.delete(bakRoot, true) // only the emptied skeleton remains
+      if (restoredAll) fs.delete(bakRoot, true) // emptied skeleton only
+      else System.err.println(s"upsertSave: rollback under $path could " +
+        "not restore every partition — backup tree KEPT; the next read " +
+        "heals from it (healInterruptedPartitionSwap)")
       // tmp is deliberately KEPT on failure — the merged bytes are intact
       // there, so a retry (or manual recovery) needs no recompute
     }
@@ -250,6 +294,56 @@ object Store {
     // overwrite commands invalidate it internally; a manual swap must too,
     // or the next read of `path` fails with FAILED_READ_FILE
     spark.catalog.refreshByPath(path)
+  }
+
+  /** Repair a [[swapPartitions]] interrupted INSIDE a partition's
+    * two-rename window (or whose rollback could not restore every
+    * partition): between rename(live → backup) and rename(tmp → live)
+    * the partition exists in NEITHER place — the scaladoc's
+    * "atomically old or new" holds for the bytes (both copies are
+    * intact) but not for the live VIEW, and nothing else detects it
+    * (healInterruptedSwap repairs only a missing table ROOT). The
+    * backup tree is the signal: it exists only during a swap or after a
+    * crash, so at read/upsert time restore every backed-up partition
+    * the live table is missing, then drop the tree. Restoring OLD bytes
+    * is correct — the interrupted batch replays (streaming) or retries
+    * (batch) and the idempotent PK merge converges; the stranded
+    * `__upserting` tmp is left as a retry artifact (the next upsert
+    * overwrites it). One existence probe when healthy.
+    *
+    * Called ONLY from the single-writer entry ([[upsertSave]]), never
+    * from reader paths: the backup tree legitimately exists for the
+    * whole duration of a HEALTHY swap, and a reader healing then would
+    * fight the live writer. A reader in the crash window merely sees
+    * the partition missing until the next upsert heals it. */
+  private[graft] def healInterruptedPartitionSwap(spark: SparkSession,
+      path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val bakRoot = new Path(path + "__old")
+    val fs = bakRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bakRoot)) return false
+    var healed = false
+    // backup layout mirrors the live layout: symbol=…/timeframe=…
+    fs.listStatus(bakRoot).filter(_.isDirectory).foreach { symDir =>
+      fs.listStatus(symDir.getPath).filter(_.isDirectory).foreach { tfDir =>
+        val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}"
+        val live = new Path(s"$path/$rel")
+        if (!fs.exists(live)) {
+          if (!fs.mkdirs(live.getParent))
+            throw new java.io.IOException(
+              s"partition-swap heal: mkdirs ${live.getParent} failed")
+          if (!fs.rename(tfDir.getPath, live))
+            throw new java.io.IOException(
+              s"partition-swap heal: rename ${tfDir.getPath} -> $live failed")
+          healed = true
+        }
+      }
+    }
+    if (!fs.delete(bakRoot, true))
+      throw new java.io.IOException(
+        s"partition-swap heal: cannot drop backup tree $bakRoot")
+    if (healed) spark.catalog.refreshByPath(path)
+    healed
   }
 
   /** Small-files compaction — the storage-maintenance op incremental
@@ -297,6 +391,11 @@ object Store {
     }
     if (!fs.delete(old, true))
       throw new java.io.IOException(s"compact: cannot delete backup $old")
+    // the swap bypassed Spark's write path — invalidate the session's
+    // file listing + cache state, or a cached frame over `path` reads
+    // the deleted pre-compact files (the same rule swapPartitions and
+    // compactBucketed already follow)
+    spark.catalog.refreshByPath(path)
     nOut
   }
 
@@ -507,7 +606,10 @@ object Store {
   /** S9 delete-by-key as an anti-filter rewrite (database_handler.py:
     * 243-255); with the canonical layout this drops whole partitions. */
   def deleteSeries(df: DataFrame, symbol: String, timeframe: String): DataFrame =
-    df.filter(!(col("symbol") === symbol && col("timeframe") === timeframe))
+    // null-SAFE comparison: with plain ===, a row holding a NULL key
+    // makes the conjunction NULL, the negation NULL, and filter drops
+    // it — deleting unrelated NULL-key rows alongside the target series
+    df.filter(!(col("symbol") <=> symbol && col("timeframe") <=> timeframe))
 
   /** S10 CSV export with the reference's filename template
     * `{symbol}_{timeframe}_{start}_{end}` (colab_interface.py:291). */

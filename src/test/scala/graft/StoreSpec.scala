@@ -105,6 +105,58 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
       s"upsertSave left scratch dirs: $siblings")
   }
 
+  test("partition-swap crash window: the next upsert heals the displaced " +
+      "partition from the backup tree before merging") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val path = s"$dir/ohlcv"
+    Store.save(mk((1000L, "BTC", "1m", 1.0), (2000L, "BTC", "1m", 2.0),
+      (1000L, "ETH", "1m", 5.0)), path)
+    // reconstruct a kill between swapPartitions' two renames for BTC:
+    // live partition displaced to the backup tree, nothing at live
+    val bakSym = new java.io.File(s"${path}__old/symbol=BTC")
+    assert(bakSym.getParentFile.mkdirs() || bakSym.getParentFile.exists())
+    assert(new java.io.File(s"$path/symbol=BTC").renameTo(bakSym),
+      "fixture: could not displace the live partition")
+    // the replayed batch: without the heal, `existing` reads an empty
+    // BTC partition and history is silently replaced by just this row
+    Store.upsertSave(spark, path, mk((3000L, "BTC", "1m", 3.0)))
+    val btc = spark.read.parquet(path).filter(col("symbol") === "BTC")
+    assert(btc.count() == 3,
+      s"pre-crash BTC history lost: ${btc.collect().toSeq}")
+    assert(spark.read.parquet(path).count() == 4)
+    assert(!new java.io.File(s"${path}__old").exists(),
+      "backup tree must be consumed by the heal")
+  }
+
+  test("empty-but-existing store reads as an empty canonical frame, " +
+      "not a schema-inference crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val path = s"$dir/ohlcv"
+    assert(new java.io.File(path).mkdirs())
+    assert(new java.io.File(s"$path/_SUCCESS").createNewFile())
+    val out = Store.scan(spark, path, "BTC", "1m", msTs(0L), msTs(1L << 40))
+    assert(out.count() == 0)
+    assert(out.columns.contains("close"))
+  }
+
+  test("null partition keys: upsertSave refuses loudly; deleteSeries " +
+      "never deletes unrelated NULL-key rows") {
+    val withNull = Seq((msTs(1000L), null.asInstanceOf[String], "1m", 1.0))
+      .toDF("ts", "symbol", "timeframe", "close")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullk").toString
+    val e = intercept[IllegalArgumentException] {
+      Store.upsertSave(spark, s"$dir/ohlcv",
+        mk((1000L, "BTC", "1m", 1.0)).unionByName(withNull))
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // deleteSeries: three-valued logic must not drop the NULL-key row
+    val table = mk((1000L, "BTC", "1m", 1.0), (2000L, "ETH", "1m", 2.0))
+      .unionByName(withNull)
+    val left = Store.deleteSeries(table, "BTC", "1m")
+    assert(left.count() == 2, "NULL-key row vanished with the delete")
+    assert(left.filter(col("symbol").isNull).count() == 1)
+  }
+
   test("upsertSave crash mid-swap rolls back to the pre-call table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
     val path = s"$dir/ohlcv"
