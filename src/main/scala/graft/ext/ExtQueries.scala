@@ -933,11 +933,15 @@ object ExtQueries {
       // cache the vocab: the corpus total derives from it (sum of counts)
       // instead of a second full token scan, and the join reuses it
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("n")).cache()
-      val total = vocab.agg(sum(col("n"))).head.getLong(0)
+      // corpus total as a LAZY broadcast scalar (x68/x69's device) — an
+      // eager .head here would run a full corpus job at plan-CONSTRUCTION
+      // time, before any caller consumes the result
+      val total = vocab.agg(sum(col("n")).cast("double").as("_total"))
       toks.join(vocab, "token")
+        .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          round((sum(log(col("n") / total.toDouble)) / count(lit(1))), 6)
+          round((sum(log(col("n") / col("_total"))) / count(lit(1))), 6)
             .as("mean_logp"))
         .orderBy("doc_id")
     },

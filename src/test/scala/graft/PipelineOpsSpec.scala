@@ -207,4 +207,45 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val ws = (0 until TextAnalysis.LmDim).map(TextAnalysis.lmWeight)
     assert(ws.min >= -1000 && ws.max <= 1000)
   }
+
+  test("x56 builder is lazy: constructing the frame runs zero Spark jobs") {
+    // Regression pin for the round-11 fix: the unigram-LM scorer used an
+    // eager `.head` for the corpus total, running a FULL corpus job at
+    // plan-CONSTRUCTION time (before any caller consumed the result) —
+    // the exact anti-pattern x69's lazy-broadcast-scalar device exists to
+    // avoid. The one job construction legitimately fires is parquet
+    // schema inference (`parquet at Tables.scala` — a footer read, file-
+    // count-bounded metadata, no row scan); ANY other job at construction
+    // is an eager action over corpus rows and must fail here. Listener
+    // delivery is async, so poll until the observed set is stable.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(s.stageInfos.map(_.name).mkString("|"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ExtQueries.x56UnigramScore.fn(spark, dir) // construct only
+      val deadline = System.nanoTime() + 5000000000L
+      var stableSince = System.nanoTime()
+      var seen = jobs.size
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - stableSince < 500000000L) {
+        Thread.sleep(20)
+        if (jobs.size != seen) { seen = jobs.size; stableSince = System.nanoTime() }
+      }
+      val eager = jobs.toArray(Array.empty[String])
+        .filterNot(_.contains("parquet at"))
+      assert(eager.isEmpty,
+        s"query construction started eager Spark job(s) " +
+          s"[${eager.mkString("; ")}] — " +
+          "the corpus total must stay a lazy broadcast scalar")
+      // and the lazy form still computes: consuming it now runs the jobs
+      assert(ExtQueries.x56UnigramScore.fn(spark, dir).limit(1).count() == 1L)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache() // x56 caches its vocab frame
+    }
+  }
 }
