@@ -590,6 +590,61 @@ object CurationQueries {
       FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
       ORDER BY cos DESC, d.vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- x90
+  /** Oracle-checked product quantization ([[Pq]] — IVF-PQ's compression
+    * layer): encode the corpus with DETERMINISTIC seed-fixed codebooks
+    * (m=2 subspaces × k=4 codewords over dim 64 — small enough that the
+    * codeword literals generate into the SQL, the x36 plane-constants
+    * device) and rank by ADC approximate cosine against vec 0's
+    * embedding. The Spark side runs the PRODUCTION kernels — the
+    * codegen [[graft.functions.NearestCentroidF]] argmin encode and the
+    * [[graft.functions.PqAdcF]] lookup fold — while DuckDB recomputes
+    * the same math from a 256-row VALUES table, so both new kernels are
+    * hash-checked cross-engine. Trained codebooks (PqSpec) differ only
+    * in where `cents` comes from; the kernels are identical. The 1-row
+    * query-embedding collect at call time is bounded at dim doubles
+    * (the ivfProbe probe-cell-collect precedent). */
+  val x90PqAdc: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val q = embs.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+          .head.getSeq[Double](0).toIndexedSeq
+        Pq.pqTopK(
+          Pq.pqEncode(embs.filter(col("vec_id") =!= 0), "embedding", cb),
+          cb, q, "vec_id", k = 10)
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+        lut AS (SELECT cw.s, cw.c, sum(cw.w * q.qx) AS dp,
+            sum(cw.w * cw.w) AS w2
+          FROM cw JOIN qx q ON q.i = cw.i GROUP BY 1, 2),
+        scored AS (SELECT k.vec_id, sum(l.dp) AS adc, sum(l.w2) AS rn2
+          FROM code k JOIN lut l ON l.s = k.s AND l.c = k.c GROUP BY 1)
+        SELECT s.vec_id, round(s.adc / (sqrt(s.rn2) * qn.n), 6) AS cos_pq
+        FROM scored s, qn ORDER BY cos_pq DESC, s.vec_id LIMIT 10"""))
+  }
+
   // ---------------------------------------------------------------- x81
   /** Temperature-based mixture weights (the multilingual-sampling rule of
     * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
@@ -682,6 +737,7 @@ object CurationQueries {
 
   val all: Map[String, Q] = Map(
     "x85_ann_ivf_det" -> x85AnnIvfDet,
+    "x90_pq_adc" -> x90PqAdc,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,

@@ -1,0 +1,260 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compressed-vector layer of the ANN
+  * stack (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the IVF-PQ composition is the FAISS
+  * `IndexIVFPQ` shape re-expressed Spark-first).
+  *
+  * Why it exists at 100 TB: the [[Similarity.ivfProbe]] path prunes the
+  * scan to nProbe cells, but still reads 4·dim bytes per surviving
+  * vector. PQ splits each dim-float embedding into `m` subspaces,
+  * quantizes each to one of `k` codewords, and stores only the m code
+  * ids (+ one double for the reconstruction norm): ~(4m+8) bytes per
+  * vector — 5.3× smaller at the shipped (dim=64, m=8) shape, 10–30× at
+  * production dims — and probe-side scoring becomes m table lookups per
+  * row ([[graft.functions.PqAdcF]]) instead of dim multiply-adds, with
+  * the query→codeword lookup table built ONCE per probe on the driver
+  * (m × k doubles — broadcast-sized by construction).
+  *
+  * Composition, not duplication: a PQ-encoded index IS an
+  * [[Similarity.IvfIndex]] whose `assigned` frame carries
+  * `(id, cell, codes, recon_norm)` instead of the raw embedding — the
+  * entire maintenance layer ([[Similarity.ivfSave]]/`ivfLoad`/
+  * `ivfAppendSave`/`ivfDelete`/`ivfCompact`/`ivfMaybeCompact`, all
+  * column-agnostic) applies verbatim. This file adds only what PQ
+  * itself needs: codebooks (trained + deterministic + persisted),
+  * encode, ADC scoring, and the ADC probe.
+  *
+  * Determinism: codebook→code assignment ties break to the lowest code
+  * ([[graft.functions.NearestCentroidF]]'s MLlib-KMeans rule); ADC
+  * cosines round at 6 with id tie-breaks (the x34/x85 convention), so
+  * x90's deterministic-codebook form hash-matches DuckDB — both codegen
+  * kernels (encode argmin, ADC fold) are oracle-checked cross-engine.
+  */
+object Pq {
+
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+
+  /** PQ codebooks: `cents(s)(c)` is subspace `s`'s codeword `c`
+    * (subDim doubles). Plain data — round-trips through parquet
+    * ([[codebooksSave]]/[[codebooksLoad]]) so an encoded index never
+    * needs the training corpus again. */
+  final case class PqCodebooks(dim: Int, m: Int,
+      cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) {
+    require(m >= 1 && dim % m == 0,
+      s"PQ subspaces must tile the dimension: dim=$dim, m=$m")
+    require(cents.length == m && cents.forall(_.nonEmpty) &&
+      cents.forall(_.forall(_.length == dim / m)),
+      "codebook shape must be m x k x (dim/m)")
+    def k: Int = cents.head.length
+    def subDim: Int = dim / m
+    /** ‖cent_{s,c}‖² per codeword (sequential element fold — the shared
+      * accumulation order both engines' recon-norm paths mirror). */
+    lazy val normSq: IndexedSeq[IndexedSeq[Double]] =
+      cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
+  /** Deterministic data-independent codebooks: seed-fixed pseudo-random
+    * codewords in [-1, 1] (the [[Similarity.hyperplanes]] convention).
+    * No training pass, reproducible across sessions AND engines — which
+    * is what lets x90 generate the codeword literals into its DuckDB
+    * oracle and hash-check the encode+ADC kernels bit for bit. Untrained
+    * codewords quantize coarsely (higher reconstruction error than
+    * [[trainedCodebooks]]); production uses the trained form and
+    * correctness rides on the shared kernels. */
+  def deterministicCodebooks(dim: Int, m: Int, k: Int,
+      seed: Long = 42L): PqCodebooks = {
+    val rnd = new scala.util.Random(seed)
+    val sub = dim / m
+    PqCodebooks(dim, m, IndexedSeq.fill(m)(IndexedSeq.fill(k)(
+      IndexedSeq.fill(sub)(rnd.nextDouble() * 2 - 1))))
+  }
+
+  /** Trained codebooks: per-subspace MLlib KMeans, fixed seed ⇒
+    * deterministic (seed + s per subspace so subspaces don't share init
+    * draws). One projection pass materializes all m sub-vectors and is
+    * cached ONCE; the m fits iterate over that cached projection, never
+    * re-reading the corpus. At 100 TB train on a sample — a codebook
+    * needs ~1e3·k vectors, not the corpus — by passing
+    * `corpus.sample(f)`: fit cost follows the sample, encode stays
+    * full-corpus linear either way. */
+  def trainedCodebooks(corpus: DataFrame, embCol: String, dim: Int,
+      m: Int, k: Int, seed: Long = 42L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val proj = corpus.select((0 until m).map { s =>
+      array_to_vector(transform(slice(col(embCol), s * sub + 1, sub),
+        x => x.cast("double"))).as(s"_v$s")
+    }: _*).cache()
+    try {
+      val cents = (0 until m).map { s =>
+        new KMeans().setK(k).setSeed(seed + s)
+          .setFeaturesCol(s"_v$s").setPredictionCol("_c")
+          .fit(proj).clusterCenters
+          .map(_.toArray.toIndexedSeq).toIndexedSeq
+      }
+      PqCodebooks(dim, m, cents)
+    } finally { proj.unpersist(); () }
+  }
+
+  /** Persist codebooks as one tiny parquet (m × k rows of
+    * `(sub, code, cent)`) next to the index they encode. */
+  def codebooksSave(spark: SparkSession, cb: PqCodebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (w, c) => (s, c, w) }
+    }.toDF("sub", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen persisted codebooks. Codes are dense 0..k-1 per subspace by
+    * construction ([[codebooksSave]] writes them that way); the sort
+    * restores `cents(s)(c)` positional addressing. */
+  def codebooksLoad(spark: SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cent"))
+      .collect() // m × k rows — bounded by codebook size, never corpus
+    val bySub = rows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+    val cents = bySub.map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).toIndexedSeq
+        .map(_.getSeq[Number](2).map(_.doubleValue).toIndexedSeq)
+    }
+    PqCodebooks(cents.head.head.length * cents.length, cents.length, cents)
+  }
+
+  /** Encode: append `codes ARRAY<INT>` (per-subspace argmin over each
+    * embedding slice — m codegen'd [[graft.functions.NearestCentroidF]]
+    * loops, zero row expansion, constant per row) and `recon_norm
+    * DOUBLE` (= ‖x̂‖, the reconstruction's norm, a per-codeword CONSTANT
+    * looked up by code — what lets probes rank by approximate COSINE
+    * rather than only L2). One pass, stays inside whole-stage codegen;
+    * a null embedding yields null codes/null recon_norm and
+    * [[graft.functions.PqAdcF]] propagates the null at probe time. */
+  def pqEncode(df: DataFrame, embCol: String, cb: PqCodebooks): DataFrame = {
+    val tmp = (0 until cb.m).foldLeft(df) { (acc, s) =>
+      acc.withColumn(s"_pq$s", toCol(graft.functions.NearestCentroidF(
+        toExpr(slice(col(embCol), s * cb.subDim + 1, cb.subDim)),
+        cb.cents(s))))
+    }
+    tmp
+      .withColumn("codes", array((0 until cb.m).map(s => col(s"_pq$s")): _*))
+      .withColumn("recon_norm", sqrt((0 until cb.m).map { s =>
+        element_at(array(cb.normSq(s).map(lit(_)): _*), col(s"_pq$s") + 1)
+      }.reduce(_ + _)))
+      .drop((0 until cb.m).map(s => s"_pq$s"): _*)
+  }
+
+  /** Query-side ADC lookup table: `lut(s)(c) = q_s · cent_{s,c}` —
+    * m × k doubles, built on the driver once per probe (sequential
+    * element fold, the [[graft.functions.DotF32]] order). */
+  def adcLut(q: IndexedSeq[Double], cb: PqCodebooks)
+      : IndexedSeq[IndexedSeq[Double]] = {
+    require(q.length == cb.dim,
+      s"query dim ${q.length} != codebook dim ${cb.dim}")
+    cb.cents.zipWithIndex.map { case (cws, s) =>
+      cws.map { w =>
+        var acc = 0.0
+        var j = 0
+        while (j < cb.subDim) { acc += q(s * cb.subDim + j) * w(j); j += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Approximate cosine of each encoded row against a driver-side query
+    * vector: `adc_dot / (recon_norm · ‖q‖)` where `adc_dot =
+    * Σ_s lut(s)(code_s) = q · x̂` — the [[graft.functions.PqAdcF]]
+    * kernel over the codes column. UNROUNDED; callers round at 6 for
+    * the cross-engine rank rule. */
+  def adcCosine(codes: Column, reconNorm: Column, q: IndexedSeq[Double],
+      cb: PqCodebooks): Column = {
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    toCol(graft.functions.PqAdcF(toExpr(codes), adcLut(q, cb))) /
+      (reconNorm * lit(qn))
+  }
+
+  /** PQ top-k by approximate cosine over an ENCODED frame — the scan
+    * reads `codes` + `recon_norm` only (≈(4m+8) bytes/row vs 4·dim for
+    * the raw index; at dim=64, m=8 that is 5.3× fewer index bytes, and
+    * the parquet ReadSchema shows the embedding column is never
+    * touched). Shape: shuffle-free scan + TakeOrdered, the
+    * [[Similarity.bruteForceTopK]] skeleton with ADC in place of the
+    * exact dot.
+    *
+    * `rerankWith` = the full-precision frame (id + embedding): take
+    * `rerankFactor`·k ADC candidates, join them back (broadcast — the
+    * candidate set is bounded at rerankFactor·k ids by construction),
+    * exact-cosine top-k. The standard two-stage IVF-PQ read: compressed
+    * scan does the heavy pruning, full vectors are fetched for a
+    * bounded handful. */
+  def pqTopK(encoded: DataFrame, cb: PqCodebooks, query: IndexedSeq[Double],
+      idCol: String, k: Int = 10, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4, embCol: String = "embedding"): DataFrame = {
+    val scored = encoded.withColumn("cos_pq",
+      round(adcCosine(col("codes"), col("recon_norm"), query, cb), 6))
+    rerankWith match {
+      case None =>
+        scored.orderBy(col("cos_pq").desc, col(idCol))
+          .select(col(idCol), col("cos_pq")).limit(k)
+      case Some(full) =>
+        val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
+          .select(col(idCol)).limit(k * rerankFactor)
+        val qlit = array(query.map(lit(_)): _*)
+        val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+        full.join(broadcast(cand), Seq(idCol))
+          .withColumn("cos", round(
+            Similarity.dot(col(embCol), qlit) /
+              (Similarity.norm(col(embCol)) * lit(qn)), 6))
+          .orderBy(col("cos").desc, col(idCol))
+          .select(col(idCol), col("cos")).limit(k)
+    }
+  }
+
+  /** Encode an IVF index's assigned frame into its PQ form: same
+    * `IvfIndex` type, `assigned` = `(idCol, cell, codes, recon_norm)` —
+    * feed it straight to [[Similarity.ivfSave]] /
+    * [[Similarity.ivfAppendSave]] / the whole maintenance layer, which
+    * never looks at the payload columns. */
+  def ivfPqEncode(index: Similarity.IvfIndex, cb: PqCodebooks,
+      idCol: String, embCol: String = "embedding"): Similarity.IvfIndex =
+    Similarity.IvfIndex(
+      pqEncode(index.assigned, embCol, cb)
+        .select(col(idCol), col("cell"), col("codes"), col("recon_norm")),
+      index.centroids)
+
+  /** IVF-PQ probe: rank cells on the broadcast-sized centroid frame
+    * exactly as [[Similarity.ivfProbe]] (same collect-bounded
+    * `cell IN (…)` pruning against a bucketed index), then ADC-score
+    * ONLY the probed cells' codes. `query` is a 1-row frame; its
+    * embedding is collected to build the LUT — bounded at dim doubles,
+    * the same driver-side bound as the probe-cell list. Optional exact
+    * re-rank as in [[pqTopK]]. */
+  def ivfPqProbe(index: Similarity.IvfIndex, cb: PqCodebooks,
+      query: DataFrame, idCol: String, embCol: String = "embedding",
+      nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame = {
+    val qRow = query.select(transform(col(embCol), x => x.cast("double"))
+      .as("q")).head // 1-row query frame — dim doubles, bounded
+    val q = qRow.getSeq[Double](0).toIndexedSeq
+    val probeCells = index.centroids
+      .select(col("cell").cast("int"), col("cent")).collect()
+      .map { r =>
+        val cent = r.getSeq[Number](1).map(_.doubleValue)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(cent.length, q.length)
+        while (i < n) { val d = cent(i) - q(i); acc += d * d; i += 1 }
+        (r.getInt(0), acc)
+      }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
+    val pruned = index.assigned.filter(col("cell").isin(probeCells: _*))
+    pqTopK(pruned, cb, q, idCol, k, rerankWith, rerankFactor, embCol)
+  }
+}

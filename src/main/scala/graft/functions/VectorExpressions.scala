@@ -347,6 +347,87 @@ case class NearestCentroidF(child: Expression,
     copy(child = newChild)
 }
 
+/** Native product-quantization ADC (asymmetric distance computation)
+  * fold: Σ_s `lut(s)(codes(s))` over an `ARRAY<INT>` of PQ sub-codes —
+  * the probe-side scoring kernel of IVF-PQ ([[graft.ext.Pq]]). The
+  * query-specific lookup table (m × k doubles, built driver-side once
+  * per probe) rides in the expression as a reference object, so scoring
+  * a corpus row is m array reads + adds instead of dim multiply-adds
+  * over the full embedding — and the scan only ever touches the codes
+  * column (m ints), never the dim-float embedding. That byte ratio is
+  * the whole point of PQ at 100 TB: the index scan reads ~(4m+8) bytes
+  * per vector instead of 4·dim.
+  *
+  * Accumulation is a sequential double fold in subspace order (the
+  * [[DotF32]] convention). Null input → null; a null CODE SLOT → null
+  * result (the code array is built from null-safe argmins over a
+  * possibly-nullable embedding — propagating beats silently scoring
+  * slot 0, the [[WeightSumF]] lesson). A code outside [0, k) throws
+  * with the function name: an encode/codebook mismatch (wrong m, wrong
+  * k, foreign index) must fail loudly, not rank garbage. */
+case class PqAdcF(child: Expression, lut: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+  require(lut.nonEmpty && lut.forall(_.length == lut.head.length) &&
+    lut.head.nonEmpty, "graft_pq_adc: LUT must be a non-empty m x k matrix")
+  // Seq field ⇒ value-based case-class equality (the WeightSumF rule);
+  // primitive matrix rebuilt once for the hot loops
+  private lazy val lArr: Array[Array[Double]] = lut.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects array<int> PQ codes, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  // a null code slot nulls the result even when the input array itself
+  // is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lArr.length)
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= lArr(s).length)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c at subspace $s outside [0, ${lArr(s).length}) " +
+            "— codes were encoded with a different codebook")
+      acc += lArr(s)(c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val lRef = ctx.addReferenceObj("pqLut", lArr, "double[][]")
+      val (n, acc, s, c) = (ctx.freshName("n"), ctx.freshName("acc"),
+        ctx.freshName("s"), ctx.freshName("c"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $lRef.length);
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  if ($a.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |  int $c = $a.getInt($s);
+         |  if ($c < 0 || $c >= $lRef[$s].length)
+         |    throw new IllegalArgumentException(
+         |      "graft_pq_adc: code " + $c + " at subspace " + $s +
+         |      " outside [0, " + $lRef[$s].length +
+         |      ") - codes were encoded with a different codebook");
+         |  $acc += $lRef[$s][$c];
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashF {
   private val SPACE = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val digestTL =

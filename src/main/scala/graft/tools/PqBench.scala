@@ -1,0 +1,153 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Similarity}
+
+/** IVF-PQ measurement (the x90/PqSpec capability's honest numbers):
+  * index bytes, probe wall-clock, and recall@10 for the compressed ADC
+  * path vs the raw-embedding IVF probe on the SAME corpus, cells and
+  * queries — plus the trained-vs-deterministic codebook recall gap and
+  * the rerank-factor curve.
+  *
+  * Corpus: the sf embeddings replicated `reps`× with a deterministic
+  * per-replica sinusoidal perturbation (no RNG — reruns bit-stable).
+  * Small perturbations cluster replicas around their originals, which
+  * is the clustered shape real embedding corpora have (and the shape
+  * PQ/IVF exploit); the raw sf corpus alone is i.i.d.-random — PQ's
+  * worst case, carried in the output as the `unclustered_` fields for
+  * honesty.
+  *
+  * Usage: runMain graft.tools.PqBench [sfDir] [reps] [nQueries]
+  */
+object PqBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 50
+    val nQ = if (args.length > 2) args(2).toInt else 20
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val maxId = base.agg(max("vec_id")).head.getLong(0) + 1
+    val corpus = base.crossJoin(
+        spark.range(reps).select(col("id").cast("int").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * maxId).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") +
+            sin(col("vec_id") * 131 + col("rep") * 17 + i) * 0.05)
+            .cast("float")).as("embedding"))
+      .cache()
+    val n = corpus.count()
+    val dim = 64
+    val nCells = 16
+
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+    // queries: every (n/nQ)-th original vector, searched corpus excludes them
+    val qIds = (0 until nQ).map(_.toLong * 7L)
+    val searched = corpus.filter(!col("vec_id").isin(qIds: _*)).cache()
+    searched.count()
+    def queryDf(q: Long): DataFrame =
+      corpus.filter(col("vec_id") === q).select("embedding")
+
+    val truth: Map[Long, Set[Long]] = qIds.map { q =>
+      q -> ids(Similarity.bruteForceTopK(searched, queryDf(q), "vec_id"))
+    }.toMap
+    def recallOf(top: Map[Long, Set[Long]]): Double =
+      qIds.map(q => truth(q).intersect(top(q)).size / 10.0).sum / qIds.length
+
+    // one coarse quantizer + one codebook set, shared by every variant
+    val cbTrained = Pq.trainedCodebooks(
+      corpus.sample(withReplacement = false, math.min(1.0, 20000.0 / n),
+        seed = 42), "embedding", dim, m = 8, k = 16)
+    val cbDet = Pq.deterministicCodebooks(dim, m = 8, k = 16)
+    val (built, buildSec) = time {
+      val idx = Similarity.ivfBuild(searched, nCells = nCells)
+      idx.assigned.cache().count(); idx
+    }
+
+    // persisted footprint: raw vs PQ-encoded assigned table
+    val tmp = java.nio.file.Files.createTempDirectory("pqbench").toString
+    Similarity.ivfSave(built, "pqb_raw", s"$tmp/raw", nCells)
+    Similarity.ivfSave(
+      Pq.ivfPqEncode(built, cbTrained, "vec_id"), "pqb_pq", s"$tmp/pq", nCells)
+    val rawBytes = dirBytes(s"$tmp/raw/assigned")
+    val pqBytes = dirBytes(s"$tmp/pq/assigned")
+
+    val rawIdx = Similarity.ivfLoad(spark, "pqb_raw", s"$tmp/raw")
+    val pqIdx = Similarity.ivfLoad(spark, "pqb_pq", s"$tmp/pq")
+
+    def probeAll(f: Long => DataFrame): (Map[Long, Set[Long]], Double) =
+      time { qIds.map(q => q -> ids(f(q))).toMap }
+
+    val (exactTop, exactSec) = probeAll(q =>
+      Similarity.ivfProbe(rawIdx, queryDf(q), "vec_id", nProbe = 2))
+    val (adcTop, adcSec) = probeAll(q =>
+      Pq.ivfPqProbe(pqIdx, cbTrained, queryDf(q), "vec_id", nProbe = 2))
+    val (rrTop, rrSec) = probeAll(q =>
+      Pq.ivfPqProbe(pqIdx, cbTrained, queryDf(q), "vec_id", nProbe = 2,
+        rerankWith = Some(searched), rerankFactor = 4))
+
+    // rerank-factor curve (ADC candidates are nested prefixes — recall
+    // is monotone; the curve shows where it saturates)
+    val factorCurve = Seq(2, 4, 8, 16).map { f =>
+      val (top, sec) = probeAll(q =>
+        Pq.ivfPqProbe(pqIdx, cbTrained, queryDf(q), "vec_id", nProbe = 2,
+          rerankWith = Some(searched), rerankFactor = f))
+      f"""{"factor":$f,"recall":${recallOf(top)}%.3f,"sec":$sec%.2f}"""
+    }
+
+    // trained-vs-deterministic codebooks on the UNCLUSTERED raw sf
+    // corpus (PQ's worst case — reported for honesty, full-scan ADC)
+    val rawSearched = base.filter(col("vec_id") =!= 0)
+    val rawTruth = ids(Similarity.bruteForceTopK(rawSearched,
+      base.filter(col("vec_id") === 0).select("embedding"), "vec_id"))
+    val rawQ = base.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+      .head.getSeq[Double](0).toIndexedSeq
+    def rawRecall(cb: Pq.PqCodebooks): Double = {
+      val top = ids(Pq.pqTopK(Pq.pqEncode(rawSearched, "embedding", cb),
+        cb, rawQ, "vec_id", k = 10, rerankWith = Some(rawSearched),
+        rerankFactor = 4))
+      rawTruth.intersect(top).size / 10.0
+    }
+    val cbTrainedRaw = Pq.trainedCodebooks(rawSearched, "embedding", dim,
+      m = 8, k = 16)
+
+    println(
+      f"""{"metric":"pq_bench","sf":"$dir","n_vectors":$n,"n_queries":$nQ,""" +
+      f""""n_cells":$nCells,"m":8,"k":16,"build_sec":$buildSec%.2f,""" +
+      f""""raw_index_bytes":$rawBytes,"pq_index_bytes":$pqBytes,""" +
+      f""""bytes_ratio":${rawBytes.toDouble / pqBytes}%.2f,""" +
+      f""""probe_exact_sec":$exactSec%.2f,"probe_adc_sec":$adcSec%.2f,""" +
+      f""""probe_rerank4_sec":$rrSec%.2f,""" +
+      f""""recall_exact":${recallOf(exactTop)}%.3f,""" +
+      f""""recall_adc":${recallOf(adcTop)}%.3f,""" +
+      f""""recall_rerank4":${recallOf(rrTop)}%.3f,""" +
+      s""""rerank_curve":[${factorCurve.mkString(",")}],""" +
+      f""""unclustered_trained_recall":${rawRecall(cbTrainedRaw)}%.3f,""" +
+      f""""unclustered_det_recall":${rawRecall(cbDet)}%.3f}""")
+
+    spark.sql("DROP TABLE IF EXISTS pqb_raw")
+    spark.sql("DROP TABLE IF EXISTS pqb_pq")
+    spark.stop()
+  }
+}
