@@ -122,6 +122,8 @@ object Pq {
     val rows = spark.read.parquet(path)
       .select(col("sub").cast("int"), col("code").cast("int"), col("cent"))
       .collect() // m × k rows — bounded by codebook size, never corpus
+    require(rows.nonEmpty,
+      s"codebooksLoad: no codebook rows under $path — not a codebooksSave dir")
     val bySub = rows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
     val cents = bySub.map { case (_, rs) =>
       rs.sortBy(_.getInt(1)).toIndexedSeq
@@ -241,9 +243,12 @@ object Pq {
       query: DataFrame, idCol: String, embCol: String = "embedding",
       nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
       rerankFactor: Int = 4): DataFrame = {
-    val qRow = query.select(transform(col(embCol), x => x.cast("double"))
-      .as("q")).head // 1-row query frame — dim doubles, bounded
-    val q = qRow.getSeq[Double](0).toIndexedSeq
+    val qRows = query.select(transform(col(embCol), x => x.cast("double"))
+      .as("q")).take(1) // 1-row query frame — dim doubles, bounded
+    require(qRows.nonEmpty,
+      "ivfPqProbe: empty query frame — the ADC LUT needs exactly one " +
+        "query embedding")
+    val q = qRows(0).getSeq[Double](0).toIndexedSeq
     val probeCells = index.centroids
       .select(col("cell").cast("int"), col("cent")).collect()
       .map { r =>

@@ -156,10 +156,18 @@ object IndexIngest {
     * offline artifact the whole IVF contract revolves around.
     *
     * Same exactly-once protocol as [[bandIndexSink]] (same sink journal;
-    * there is no inner index journal to heal on this side). */
+    * there is no inner index journal to heal on this side).
+    *
+    * `encode` transforms the assigned batch before the bucketed append —
+    * identity for a raw index; [[graft.ext.Pq.pqEncode]] + payload
+    * projection for a PQ-compressed one (the maintained table then holds
+    * `(id, cell, codes, recon_norm)`; assignment still runs on the raw
+    * embedding against the shared coarse quantizer, so cells are
+    * IDENTICAL to the raw index's and the replay protocol — which counts
+    * rows, not columns — is untouched). */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
-      nCells: Int,
-      maxFilesPerCell: Int = 0): (DataFrame, Long) => Unit = {
+      nCells: Int, maxFilesPerCell: Int = 0,
+      encode: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit = {
     // the coarse quantizer is a STATIC offline artifact: load it once
     // per sink, not once per micro-batch (ivfLoad re-reads + the assign
     // collects the centroid parquet every call). The first load performs
@@ -190,7 +198,7 @@ object IndexIngest {
         val pre = spark.table(table).count()
         val batchN = b.count()
         writeStreamJournal(spark, path, batchId, pre, batchN)
-        Similarity.ivfAppendSave(assigned, table, path, nCells)
+        Similarity.ivfAppendSave(encode(assigned), table, path, nCells)
       }
       finishBatch(spark, path, batchId)
       // post-epoch, same rationale as bandIndexSink's cadence hook

@@ -248,4 +248,65 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
         "replayed IVF batch double-appended")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_t")
   }
+
+  test("streamed IVF-PQ appends: the encode hook maintains a compressed " +
+      "index ≡ batch pqEncode, probeable, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Pq
+    val dir = java.nio.file.Files.createTempDirectory("pq-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq-ckpt").toString
+    val nCells = 8
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    val cb = Pq.trainedCodebooks(embs, "embedding", dim = 64, m = 8, k = 16)
+    val enc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Pq.pqEncode(df, "embedding", cb)
+        .select(col("vec_id"), col("cell"), col("codes"), col("recon_norm"))
+    Similarity.ivfSave(
+      Pq.ivfPqEncode(Similarity.ivfBuild(half, nCells = nCells), cb, "vec_id"),
+      "pq_stream_t", dir, nCells)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "pq_stream_t", dir, nCells, encode = enc))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = Similarity.ivfLoad(spark, "pq_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count())
+      // streamed codes + recon_norm ≡ the batch encode of the same rows
+      // against the same codebooks (assignment against the shared coarse
+      // quantizer, encode against cb — both deterministic)
+      val expect = enc(Similarity.ivfAssign(streamed,
+          embs.filter(col("vec_id") % 2 =!= 0), "vec_id"))
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      val got = streamed.assigned.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "streamed PQ encode diverged from the batch path")
+      // a streamed vector is its own ADC nearest neighbor after rerank
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      val top = Pq.ivfPqProbe(streamed, cb, qv, "vec_id", k = 1,
+        rerankWith = Some(embs)).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+      // replay guard holds through the encode hook
+      val sink = IndexIngest.ivfSink("vec_id", "embedding", "pq_stream_t",
+        dir, nCells, encode = enc)
+      val n = spark.table("pq_stream_t").count()
+      sink(b2.toDF("vec_id", "embedding", "label"), 1L)
+      assert(spark.table("pq_stream_t").count() == n,
+        "replayed PQ batch double-appended")
+    } finally spark.sql("DROP TABLE IF EXISTS pq_stream_t")
+  }
 }
