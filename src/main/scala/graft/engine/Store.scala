@@ -437,6 +437,80 @@ object Store {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append a Z-order (Morton) value column `_z` interleaving the bits
+    * of two-or-more numeric/timestamp columns, each min–max scaled to
+    * `bits` bits. Built entirely from codegen'd Column arithmetic (the
+    * "compose existing ops" rung — no UDF, no custom expression): cell
+    * extraction is a shift/mask per bit and the interleave is a sum of
+    * disjoint bit positions. The min/max scalars ride as a lazy 1-row
+    * broadcast crossJoin (the x56/x68 device — no job fires until the
+    * caller acts). NULL in any z-column ⇒ NULL `_z` (range-partitions
+    * first, harmless for clustering). */
+  private[graft] def withZValue(df: DataFrame, cols: Seq[String],
+      bits: Int = 16): DataFrame = {
+    require(cols.size >= 2, "z-order interleaving needs >= 2 columns")
+    require(cols.size * bits <= 62,
+      s"z-value would overflow a long: ${cols.size} cols x $bits bits")
+    val numeric = cols.map { c =>
+      val base = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_millis(col(c))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ has no epoch conversion without a zone; bit-scaling only
+          // needs ORDER, so the naive UTC reinterpretation is correct
+          unix_millis(col(c).cast("timestamp"))
+        case _ => col(c)
+      }
+      base.cast("double")
+    }
+    val aggs = numeric.zipWithIndex.flatMap { case (n, i) =>
+      Seq(min(n).as(s"_zmn$i"), max(n).as(s"_zmx$i")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val maxCell = (1L << bits) - 1
+    val cells = numeric.zipWithIndex.map { case (n, i) =>
+      val (mn, mx) = (col(s"_zmn$i"), col(s"_zmx$i"))
+      when(mx > mn,
+        floor((n - mn) / (mx - mn) * lit(maxCell.toDouble)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val nCols = cols.size
+    val z = (0 until bits).flatMap { b =>
+      cells.zipWithIndex.map { case (cell, j) =>
+        shiftleft(shiftright(cell, b).bitwiseAND(lit(1L)), b * nCols + j)
+      }
+    }.reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", z)
+      .drop((0 until nCols).flatMap(i => Seq(s"_zmn$i", s"_zmx$i")): _*)
+  }
+
+  /** Write `df` Z-order-clustered on `cols` — the multi-dimensional
+    * file-skipping layout (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * capability, Spark-first). A linear `sortWithinPartitions(ts)`
+    * layout prunes ts predicates perfectly and key predicates not at
+    * all (every file spans every key); range-partitioning + sorting on
+    * the interleaved Morton value clusters BOTH dimensions, so
+    * per-file/row-group min–max stats are tight on every z-column at
+    * once and parquet's pushed-filter row-group skipping (plus any
+    * file-stats index at 100 TB) prunes point predicates on EITHER
+    * dimension to ~sqrt-ish of the data — the standard trade: each
+    * single dimension prunes somewhat worse than a layout sorted on it
+    * alone, every other dimension prunes enormously better.
+    * ZOrderSpec measures candidate-file counts from the written footer
+    * stats; `tools/ZOrderBench` carries the wall-clock/bytes evidence.
+    *
+    * One shuffle (the range partition on `_z`) at write time — layout
+    * cost identical in shape to [[save]]'s repartition. `nFiles` sizes
+    * the output; at 100 TB pick it from target file size (~1 GB), and
+    * combine with a coarse partition column exactly as [[save]]'s
+    * scaladoc describes. */
+  def saveZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 16, nFiles: Int = 32): Unit =
+    withZValue(df, cols, bits)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Compaction for a [[saveBucketed]]-style BUCKETED table — the
     * maintained-index hygiene step. Every index append
     * (`Dedup.bandIndexAppend`, `Similarity.ivfAppendSave`) adds one file

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Store, Tables}
+
+/** Z-order clustering ([[Store.saveZOrdered]]): interleave math pinned
+  * against a driver-side reference, row preservation, and the layout's
+  * actual pruning evidence — candidate-file counts computed from the
+  * written files' min–max stats (what parquet row-group skipping / a
+  * file-stats index prunes with) for predicates on EACH dimension,
+  * z-ordered vs linear-sorted. */
+class ZOrderSpec extends AnyFunSuite with SparkTestBase {
+
+  test("morton interleave matches the reference bit-interleave; cells use " +
+      "the exact scaling arithmetic; monotone per dimension at fixed other") {
+    val bits = 6
+    val n = 40L
+    val df = spark.range(n).select(col("id").as("x"))
+      .crossJoin(spark.range(n).select(col("id").as("y")))
+    val rows = Store.withZValue(df, Seq("x", "y"), bits = bits)
+      .select("x", "y", "_z").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // replicate the EXACT double arithmetic (same IEEE ops in the same
+    // order as the Column expression) so expectations are bit-identical
+    val maxCell = (1L << bits) - 1
+    def cell(v: Long): Long =
+      math.floor((v.toDouble - 0.0) / (n - 1).toDouble * maxCell.toDouble).toLong
+    def morton(cx: Long, cy: Long): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc + (((cx >> b) & 1L) << (b * 2)) + (((cy >> b) & 1L) << (b * 2 + 1))
+      }
+    for (x <- 0L until n; y <- 0L until n)
+      assert(rows((x, y)) == morton(cell(x), cell(y)),
+        s"z mismatch at ($x, $y)")
+    // per-dimension monotonicity at a fixed other coordinate (cells are
+    // monotone in v; interleaving preserves per-dimension order)
+    for (y <- Seq(0L, 17L, n - 1)) {
+      val zs = (0L until n).map(x => rows((x, y)))
+      assert(zs == zs.sorted, s"z not monotone in x at y=$y")
+    }
+  }
+
+  test("saveZOrdered preserves rows exactly and prunes BOTH dimensions: " +
+      "fewer candidate files than a ts-linear layout for key predicates, " +
+      "still-partial pruning for ts predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 16
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // linear baseline: the Store.save convention (ts-sorted), same file
+    // count so candidate counts are comparable
+    ev.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    Store.saveZOrdered(ev, s"$dir/z", Seq("user_id", "ts"), nFiles = nFiles)
+
+    val zBack = spark.read.parquet(s"$dir/z")
+    assert(zBack.count() == ev.count() &&
+      zBack.except(ev).isEmpty && ev.except(zBack).isEmpty,
+      "z-ordered rewrite must preserve rows exactly")
+
+    // per-file [min, max] stats — the information row-group skipping
+    // and file-stats indexes prune with
+    def fileStats(path: String): Seq[(Long, Long, Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.startsWith("part-")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min(col("user_id").cast("long")),
+              max(col("user_id").cast("long")),
+              min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+            .head
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    }
+    val linStats = fileStats(s"$dir/linear")
+    val zStats = fileStats(s"$dir/z")
+    assert(linStats.size == nFiles && zStats.size == nFiles)
+
+    // key point predicate: a ts-linear layout spreads every user over
+    // every file (all candidates); z-order must beat it decisively
+    val users = ev.select(col("user_id").cast("long")).distinct()
+      .orderBy("user_id").collect().map(_.getLong(0))
+    def keyCand(stats: Seq[(Long, Long, Long, Long)], u: Long) =
+      stats.count { case (mn, mx, _, _) => mn <= u && u <= mx }
+    val probes = Seq(users.head, users(users.length / 2), users.last)
+    probes.foreach { u =>
+      val (lin, z) = (keyCand(linStats, u), keyCand(zStats, u))
+      assert(z < lin, s"user $u: z-order candidates $z !< linear $lin")
+      assert(z <= nFiles / 2,
+        s"user $u: z-order should prune at least half the files, got $z")
+    }
+
+    // ts range predicate (2-day window): linear remains optimal; z-order
+    // must still prune SOME files — the documented trade, not a collapse
+    val (tsMn, tsMx) = {
+      val r = ev.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (lo, hi) = (tsMn, tsMn + (tsMx - tsMn) / 15)
+    def tsCand(stats: Seq[(Long, Long, Long, Long)]) =
+      stats.count { case (_, _, mn, mx) => mn <= hi && lo <= mx }
+    val (linTs, zTs) = (tsCand(linStats), tsCand(zStats))
+    assert(linTs <= zTs,
+      s"a ts-sorted layout cannot be worse than z-order on ts: $linTs vs $zTs")
+    assert(zTs < nFiles,
+      s"z-order must still prune some files on ts, got $zTs/$nFiles")
+  }
+
+  test("withZValue guards: < 2 columns and bit overflow refuse loudly; " +
+      "constant column degrades to cell 0 (no division blowup)") {
+    val df = spark.range(10).select(col("id").as("a"), lit(5L).as("b"),
+      col("id").as("c"))
+    intercept[IllegalArgumentException] {
+      Store.withZValue(df, Seq("a"), bits = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Store.withZValue(df, Seq("a", "b", "c"), bits = 21)
+    }
+    // constant column: max == min → every cell 0, z degrades to the
+    // remaining dimension's interleave — defined, null-free
+    val zRows = Store.withZValue(df, Seq("a", "b"), bits = 4)
+      .select("_z").collect()
+    assert(zRows.forall(!_.isNullAt(0)))
+    assert(zRows.map(_.getLong(0)).distinct.length == 10)
+  }
+}
