@@ -445,7 +445,13 @@ object Store {
     * disjoint bit positions. The min/max scalars ride as a lazy 1-row
     * broadcast crossJoin (the x56/x68 device — no job fires until the
     * caller acts). NULL in any z-column ⇒ NULL `_z` (range-partitions
-    * first, harmless for clustering). */
+    * first, harmless for clustering).
+    *
+    * Min–max scaling is OUTLIER-SENSITIVE: one extreme value compresses
+    * every other row into a few cells and the dimension stops
+    * discriminating. For heavy-tailed columns pre-transform (log) or
+    * rank-bucket before z-ordering — the range-partition-id variant is
+    * the robust upgrade path if a corpus needs it. */
   private[graft] def withZValue(df: DataFrame, cols: Seq[String],
       bits: Int = 16): DataFrame = {
     require(cols.size >= 2, "z-order interleaving needs >= 2 columns")

@@ -164,7 +164,10 @@ object IndexIngest {
     * `(id, cell, codes, recon_norm)`; assignment still runs on the raw
     * embedding against the shared coarse quantizer, so cells are
     * IDENTICAL to the raw index's and the replay protocol — which counts
-    * rows, not columns — is untouched). */
+    * rows, not columns — is untouched). `encode` MUST be 1:1
+    * row-preserving: the crash-window classification compares physical
+    * row counts against the journaled batch size, so a filtering or
+    * exploding transform would misclassify every replay. */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int, maxFilesPerCell: Int = 0,
       encode: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit = {
