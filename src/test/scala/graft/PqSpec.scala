@@ -193,4 +193,53 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       ()
     }
   }
+
+  test("PQ index delete/compact lifecycle: tombstones hide vectors from " +
+      "ADC probes immediately, compact folds them physically, pruning " +
+      "survives — the raw-index machinery really is column-agnostic") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-del").toString
+    val nCells = 8
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    val built = Similarity.ivfBuild(corpus, nCells = nCells)
+    Similarity.ivfSave(Pq.ivfPqEncode(built, cb, "vec_id"),
+      "pq_del_t", dir, nCells)
+    try {
+      val q = corpus.filter(col("vec_id") === 1).select("embedding")
+      import spark.implicits._
+      // vector 1 is its own exact nearest neighbor pre-delete (rerank
+      // against the full-precision corpus, the two-stage read)
+      val before = Pq.ivfPqProbe(Similarity.ivfLoad(spark, "pq_del_t", dir),
+        cb, q, "vec_id", k = 1, rerankWith = Some(corpus)).collect()
+      assert(before.head.getAs[Number]("vec_id").longValue() == 1L)
+      // tombstone it (plus an id that was never indexed — must be
+      // skipped, not staged)
+      val n = Similarity.ivfDelete(Seq(1L, 999999L).toDF("vec_id"),
+        "vec_id", "pq_del_t", dir)
+      assert(n == 1, s"expected exactly the indexed id tombstoned, got $n")
+      val afterDel = Pq.ivfPqProbe(Similarity.ivfLoad(spark, "pq_del_t", dir),
+        cb, q, "vec_id", k = 1, rerankWith = Some(corpus)).collect()
+      assert(afterDel.head.getAs[Number]("vec_id").longValue() != 1L,
+        "tombstoned vector still probeable")
+      // compact folds the tombstone into the files and clears it;
+      // bucket metadata (and with it the probe's pushed cell pruning)
+      // must survive the bucketed-aware rewrite of the CODES table
+      Similarity.ivfCompact(spark, "pq_del_t", dir, nCells)
+      spark.catalog.refreshTable("pq_del_t")
+      val reloaded = Similarity.ivfLoad(spark, "pq_del_t", dir)
+      assert(reloaded.assigned.count() == corpus.count() - 1)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")),
+        "compact must clear folded tombstones")
+      val plan = Pq.ivfPqProbe(reloaded, cb, q, "vec_id")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(raw"In\(cell,".r.findFirstIn(
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString)
+        .isDefined, "cell pruning lost after compacting the PQ index")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_del_t")
+      ()
+    }
+  }
 }
