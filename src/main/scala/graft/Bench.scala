@@ -63,7 +63,10 @@ object Bench {
     "q40_range_join", "q41_incremental_resample", "x48_pack_sequences",
     "x50_embed_dedup", "x66_boilerplate", "x67_delta_dedup",
     "q50_bollinger", "x71_bm25", "x72_dsir", "x73_semantic_dedup",
-    "x80_dup_spans", "q56_atr")
+    "x80_dup_spans", "q56_atr",
+    // round-11: the PQ encode+ADC path (x90, sub-second) — tracked so
+    // codebook/kernel regressions surface in the per-round artifact
+    "x90_pq_adc")
 
   /** Per-query measurement summary: (median, min, max, first error). */
   private[graft] type Reading = (Double, Double, Double, Option[String])
