@@ -511,11 +511,69 @@ object Store {
     * scaladoc describes. */
   def saveZOrdered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, nFiles: Int = 32): Unit =
+    writeZ(df, path, cols, bits, nFiles, "overwrite")
+
+  private def writeZ(df: DataFrame, target: String, cols: Seq[String],
+      bits: Int, nFiles: Int, mode: String): Unit =
     withZValue(df, cols, bits)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(target)
+
+  /** Append a batch to a [[saveZOrdered]] directory. The batch is
+    * clustered over its OWN min–max — local scaling affects only
+    * clustering locality, never correctness (files carry the raw
+    * columns; the new files' stats bound exactly the batch) — and lands
+    * as `nFiles` extra files (default 1: a daily batch rarely merits
+    * more). Rot: appended files' stat ranges overlap the base layout's,
+    * so candidate-file counts creep with every append — re-cluster with
+    * [[compactZOrdered]] / [[maybeCompactZOrdered]], the same
+    * append-then-compact contract as the maintained indexes. */
+  def appendZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 16, nFiles: Int = 1): Unit =
+    writeZ(df, path, cols, bits, nFiles, "append")
+
+  /** Re-cluster a z-ordered directory in place: global min–max over the
+    * whole accumulated data (base + appends), rewritten to `nFiles`
+    * z-sorted files, swapped in with [[compact]]'s two-rename
+    * discipline (`__compacting`/`__old` markers — an interrupted swap
+    * heals through the SAME [[healInterruptedSwap]] every index load
+    * path uses; this method heals any prior debris before starting). */
+  def compactZOrdered(spark: SparkSession, path: String, cols: Seq[String],
+      bits: Int = 16, nFiles: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healInterruptedSwap(spark, path)
+    val tmp = new Path(path + "__compacting")
+    writeZ(spark.read.parquet(path), tmp.toString, cols, bits, nFiles,
+      "overwrite")
+    val old = new Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compactZOrdered: cannot clear stale backup $old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compactZOrdered: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the live dir before surfacing
+      throw new java.io.IOException(s"compactZOrdered: rename $tmp -> $p failed")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"compactZOrdered: cannot delete backup $old")
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Re-cluster only once file rot exceeds `maxFiles` — the z-order
+    * twin of the index compact-on-rot policies (one recursive listing,
+    * no file reads). Returns true iff a re-cluster ran. */
+  def maybeCompactZOrdered(spark: SparkSession, path: String,
+      cols: Seq[String], bits: Int = 16, nFiles: Int = 32,
+      maxFiles: Int = 64): Boolean = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    if (dataFileCount(spark, path) <= maxFiles) false
+    else { compactZOrdered(spark, path, cols, bits, nFiles); true }
+  }
 
   /** Compaction for a [[saveBucketed]]-style BUCKETED table — the
     * maintained-index hygiene step. Every index append

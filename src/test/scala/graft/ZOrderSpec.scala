@@ -110,6 +110,48 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       s"z-order must still prune some files on ts, got $zTs/$nFiles")
   }
 
+  test("z-order lifecycle: appends visible, re-cluster restores tight " +
+      "pruning and file count, interrupted swap heals, rot policy gates") {
+    val dir = java.nio.file.Files.createTempDirectory("zlife").toString
+    val path = s"$dir/events_z"
+    val nFiles = 8
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 =!= 0)
+    Store.saveZOrdered(half, path, Seq("user_id", "ts"), nFiles = nFiles)
+    // three appends: rows visible immediately, file rot accumulates
+    (0 until 3).foreach { i =>
+      Store.appendZOrdered(rest.filter(col("event_id") % 3 === i), path,
+        Seq("user_id", "ts"))
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() == ev.count() &&
+      back.except(ev).isEmpty && ev.except(back).isEmpty,
+      "appends must preserve the union exactly")
+    assert(Store.dataFileCount(spark, path) == nFiles + 3)
+    // under threshold → no-op; over → re-cluster back to nFiles
+    assert(!Store.maybeCompactZOrdered(spark, path, Seq("user_id", "ts"),
+      nFiles = nFiles, maxFiles = nFiles + 3))
+    assert(Store.maybeCompactZOrdered(spark, path, Seq("user_id", "ts"),
+      nFiles = nFiles, maxFiles = nFiles + 2))
+    assert(Store.dataFileCount(spark, path) == nFiles)
+    val after = spark.read.parquet(path)
+    assert(after.count() == ev.count() &&
+      after.except(ev).isEmpty && ev.except(after).isEmpty,
+      "re-cluster must preserve rows exactly")
+    // crash window: live renamed away, rewritten tree stranded at
+    // __compacting — the shared heal must roll the swap forward
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(p(path), p(path + "__compacting")))
+    assert(Store.healInterruptedSwap(spark, path))
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() == ev.count(),
+      "healed z-dir must serve the full data")
+  }
+
   test("withZValue guards: < 2 columns and bit overflow refuse loudly; " +
       "constant column degrades to cell 0 (no division blowup)") {
     val df = spark.range(10).select(col("id").as("a"), lit(5L).as("b"),
