@@ -250,6 +250,8 @@ object Pq {
         "query embedding")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
     val probeCells = index.centroids
+      // nCells × dim doubles — the broadcast-sized bound every probe and
+      // ivfAssign already rely on; never the corpus
       .select(col("cell").cast("int"), col("cent")).collect()
       .map { r =>
         val cent = r.getSeq[Number](1).map(_.doubleValue)

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Store
+import graft.ext.Pq
+
+/** ScalaCheck properties for the round-11 kernels — generated inputs,
+  * driver-side reference implementations that replicate the EXACT
+  * arithmetic (same IEEE ops in the same order), so expectations are
+  * bit-level, not tolerance-level, wherever the ops allow:
+  *
+  *  - PQ encode (`NearestCentroidF` over slices): codes equal the
+  *    reference argmin for arbitrary float vectors and codebooks;
+  *  - PQ ADC (`PqAdcF`): the scored approximate cosine equals the
+  *    reference LUT fold / (recon · ‖q‖);
+  *  - Z-order (`Store.withZValue`): the Morton value equals the
+  *    reference interleave of min–max-scaled cells for arbitrary long
+  *    pairs and bit widths.
+  *
+  * Sample counts small — every sample runs real Spark jobs. */
+class PqZPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, samples: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("property: PQ encode ≡ reference argmin; ADC cosine ≡ reference " +
+      "LUT fold, for arbitrary vectors and seeds") {
+    val dim = 8
+    val m = 2
+    val k = 3
+    val gen = for {
+      seed <- Gen.choose(0L, 1000L)
+      n <- Gen.choose(1, 12)
+      vecs <- Gen.listOfN(n,
+        Gen.listOfN(dim, Gen.choose(-1000, 1000).map(_ / 100.0f)))
+      q <- Gen.listOfN(dim, Gen.choose(-1000, 1000).map(_ / 100.0))
+    } yield (seed, vecs, q.toIndexedSeq)
+    check("pq", Prop.forAll(gen) { case (seed, vecs, q) =>
+      val cb = Pq.deterministicCodebooks(dim, m, k, seed)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "embedding")
+      val got = Pq.pqEncode(df, "embedding", cb)
+        .withColumn("s", Pq.adcCosine(col("codes"), col("recon_norm"), q, cb))
+        .select("id", "codes", "recon_norm", "s")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Int](1), r.getDouble(2), r.getDouble(3)))).toMap
+      val lut = Pq.adcLut(q, cb)
+      val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+      vecs.zipWithIndex.forall { case (v, i) =>
+        // reference argmin: same element-order double fold, first-min tie
+        val codes = (0 until m).map { s =>
+          val slice = v.slice(s * (dim / m), (s + 1) * (dim / m))
+          (0 until k).minBy { c =>
+            val cw = cb.cents(s)(c)
+            slice.zipWithIndex.foldLeft(0.0) { case (a, (x, j)) =>
+              val d = x.toDouble - cw(j); a + d * d }
+          } // minBy keeps the FIRST minimum — the NearestCentroidF rule
+        }
+        val recon = math.sqrt(codes.zipWithIndex
+          .foldLeft(0.0) { case (a, (c, s)) => a + cb.normSq(s)(c) })
+        val adc = codes.zipWithIndex
+          .foldLeft(0.0) { case (a, (c, s)) => a + lut(s)(c) }
+        val (gc, gr, gs) = got(i.toLong)
+        gc == codes && gr == recon &&
+          math.abs(gs - adc / (recon * qn)) <= 1e-12 * math.max(1.0, math.abs(gs))
+      }
+    })
+  }
+
+  test("property: z-order value ≡ reference interleave of min–max-scaled " +
+      "cells, for arbitrary long pairs and bit widths") {
+    val gen = for {
+      bits <- Gen.choose(2, 16)
+      n <- Gen.choose(2, 20)
+      xs <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      ys <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    } yield (bits, xs.zip(ys))
+    check("zorder", Prop.forAll(gen) { case (bits, pts) =>
+      val df = pts.toDF("x", "y")
+      val got = Store.withZValue(df, Seq("x", "y"), bits)
+        .select("x", "y", "_z").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val maxCell = ((1L << bits) - 1).toDouble
+      val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+      def cell(v: Long, mn: Long, mx: Long): Long =
+        if (mx > mn)
+          math.floor((v.toDouble - mn.toDouble) /
+            (mx.toDouble - mn.toDouble) * maxCell).toLong
+        else 0L
+      pts.forall { case (x, y) =>
+        val (cx, cy) = (cell(x, xs.min, xs.max), cell(y, ys.min, ys.max))
+        val ref = (0 until bits).foldLeft(0L) { (acc, b) =>
+          acc + (((cx >> b) & 1L) << (b * 2)) + (((cy >> b) & 1L) << (b * 2 + 1))
+        }
+        got((x, y)) == ref
+      }
+    })
+  }
+}
