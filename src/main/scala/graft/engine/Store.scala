@@ -20,6 +20,17 @@ object Store {
   /** PK of the OHLCV fact table (database_handler.py:110-122). */
   val pk: Seq[String] = Seq("ts", "symbol", "timeframe")
 
+  /** Filename of the streaming sinks' per-batch journal
+    * ([[graft.streaming.IndexIngest]]) — referenced by every compaction
+    * guard (band index, IVF, z-order) so none can drift from the sinks'
+    * literal. */
+  private[graft] val StreamJournal = "stream.journal"
+
+  /** Sibling meta dir holding a z-ordered data dir's streaming protocol
+    * files (`IndexIngest.zOrderSink`): markers cannot live INSIDE the
+    * dir — a bare parquet read would choke on them as data files. */
+  private[graft] def zStreamMeta(path: String): String = path + "__stream"
+
   /** S7 keyed upsert: `INSERT OR REPLACE` ≡ union + last-writer-wins dedup
     * on the PK (database_handler.py:215-218). `incoming` beats `existing`;
     * within `incoming`, the row with the highest `seqCol` wins when one is
@@ -546,6 +557,13 @@ object Store {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healInterruptedSwap(spark, path)
+    // refuse over an unhealed streaming-ingest journal: folding a
+    // crashed append's partial files into the re-clustered set would
+    // destroy the "drop files newer than the journal" repair path
+    // (z rows have no PK to dedup by)
+    require(!fs.exists(new Path(s"${zStreamMeta(path)}/$StreamJournal")),
+      s"unhealed interrupted stream ingest under $path: resume the " +
+        "stream (or repair and clear the journal) before re-clustering")
     val tmp = new Path(path + "__compacting")
     writeZ(spark.read.parquet(path), tmp.toString, cols, bits, nFiles,
       "overwrite")

@@ -385,7 +385,10 @@ object Dedup {
     * ([[graft.streaming.IndexIngest]]) — shared so the compaction
     * guards here and in [[graft.ext.Similarity.ivfCompact]] can never
     * silently drift from the name the sink actually writes. */
-  private[graft] val StreamJournal = "stream.journal"
+  // canonical definition lives in engine.Store (the layering direction
+  // ext → engine already flows); aliased here for the existing call
+  // sites and the shared compaction guards
+  private[graft] val StreamJournal = graft.engine.Store.StreamJournal
   private val DeletesDir = "deletes"
 
   /** Stage-and-rename file write. Journals are the FIRST mutation step,

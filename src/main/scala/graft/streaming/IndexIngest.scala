@@ -211,6 +211,59 @@ object IndexIngest {
     }
   }
 
+  /** `foreachBatch` sink maintaining a Z-ORDERED parquet directory
+    * ([[graft.engine.Store.saveZOrdered]]) from a row stream: each
+    * batch lands via [[graft.engine.Store.appendZOrdered]] (clustered
+    * over its own min–max, `nFilesPerBatch` files — O(1) per batch,
+    * constant in history) under the SAME exactly-once protocol as the
+    * index sinks (epoch marker + pre/batch row-count journal; physical
+    * counts are parquet-footer metadata). The directory must exist
+    * before the stream starts (an initial `saveZOrdered` — the same
+    * build-offline-then-stream contract as both indexes), and
+    * `maxFiles > 0` runs [[graft.engine.Store.maybeCompactZOrdered]]
+    * after each epoch commit so a long-running stream re-clusters
+    * itself and pruning stays tight.
+    *
+    * A torn append here is an operator stop (no PK ⇒ the sink cannot
+    * dedup a partial batch away): restore the directory from the
+    * source export and clear the journal. */
+  def zOrderSink(path: String, cols: Seq[String], bits: Int = 16,
+      nFilesPerBatch: Int = 1, reclusterNFiles: Int = 32,
+      maxFiles: Int = 0): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    // the index sinks' protocol files sit NEXT TO their data dirs; here
+    // `path` IS the bare parquet data dir, so epoch + journal live in a
+    // sibling meta dir (a marker inside the dir would be read as data).
+    // Store.zStreamMeta owns the suffix so the compactZOrdered guard
+    // cannot drift from it.
+    val meta = graft.engine.Store.zStreamMeta(path)
+    val epoch = committedEpoch(spark, meta)
+    if (batchId <= epoch) {
+      logSkip(meta, batchId, epoch)
+      clearStaleJournal(spark, meta, epoch)
+    } else {
+      val doAppend = classifyReplayCounted(spark, meta, batchId,
+        healBandJournal = None,
+        () => spark.read.parquet(path).count(),
+        "torn z-order append; restore the directory from its source " +
+          "export and clear the stream journal")
+      if (doAppend) Dedup.withRddCleanup(spark) {
+        // materialize once: the pre/batch counts and the append write
+        // would each re-evaluate the source otherwise
+        val b = batch.localCheckpoint()
+        val pre = spark.read.parquet(path).count()
+        val batchN = b.count()
+        writeStreamJournal(spark, meta, batchId, pre, batchN)
+        graft.engine.Store.appendZOrdered(b, path, cols, bits,
+          nFilesPerBatch)
+      }
+      finishBatch(spark, meta, batchId)
+      if (maxFiles > 0)
+        graft.engine.Store.maybeCompactZOrdered(spark, path, cols, bits,
+          reclusterNFiles, maxFiles)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // The exactly-once machinery shared by both sinks.
   //
@@ -284,7 +337,20 @@ object IndexIngest {
     * physical-count-based and independent of it). */
   private def classifyReplay(spark: SparkSession, table: String,
       path: String, batchId: Long,
-      healBandJournal: Option[() => String]): Boolean = {
+      healBandJournal: Option[() => String]): Boolean =
+    classifyReplayCounted(spark, path, batchId, healBandJournal,
+      () => spark.table(table).count(),
+      "torn append, rebuild or compact the index")
+
+  /** [[classifyReplay]] with the physical row count abstracted — the
+    * z-order sink has a bare parquet directory, not a catalog table
+    * (`spark.read.parquet(path).count()` is footer metadata, same cost
+    * class as the table count), and a torn append there needs different
+    * operator advice (no PK ⇒ no dedup-by-rebuild). */
+  private def classifyReplayCounted(spark: SparkSession,
+      path: String, batchId: Long,
+      healBandJournal: Option[() => String],
+      rowCount: () => Long, tornAdvice: String): Boolean = {
     val fs = fsOf(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     healBandJournal.foreach { heal =>
@@ -299,14 +365,13 @@ object IndexIngest {
       journal.split(' ') match {
         case Array(jid, pre, n) if jid.toLong == batchId =>
           // crashed attempt of THIS batch: did its rows land?
-          val actual = spark.table(table).count()
+          val actual = rowCount()
           if (actual == pre.toLong + n.toLong) false
           else if (actual == pre.toLong) { fs.delete(p(StreamJournal), false); true }
           else throw new IllegalStateException(
             s"stream ingest under $path: physical row count $actual " +
               s"matches neither pre ($pre) nor pre+batch (${pre.toLong + n.toLong}) " +
-              "for the journaled batch — torn append, rebuild or compact " +
-              "the index")
+              s"for the journaled batch — $tornAdvice")
         case Array(jid, _, _) if jid.toLong < batchId =>
           // stale journal: that batch's epoch committed (we are past it)
           // but the crash hit before the journal clear — discard

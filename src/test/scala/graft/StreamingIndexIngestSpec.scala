@@ -309,4 +309,62 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
         "replayed PQ batch double-appended")
     } finally spark.sql("DROP TABLE IF EXISTS pq_stream_t")
   }
+
+  test("streamed z-order appends: rows land exactly-once, replay is a " +
+      "no-op, the rot policy re-clusters in-stream, compaction refuses " +
+      "over a live journal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.engine.{Store, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("z-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("z-ckpt").toString
+    val path = s"$dir/events_z"
+    val cols = Seq("user_id", "ts")
+    val nFiles = 4
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 =!= 0)
+    Store.saveZOrdered(half, path, cols, nFiles = nFiles)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    // aggressive rot budget: the stream must re-cluster itself
+    val q = input.toDF().toDF("event_id", "user_id", "ts", "value")
+      .writeStream
+      .foreachBatch(IndexIngest.zOrderSink(path, cols,
+        reclusterNFiles = nFiles, maxFiles = nFiles))
+      .option("checkpointLocation", ckpt).start()
+    val rows = rest
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val back = spark.read.parquet(path)
+    assert(back.count() == ev.count() &&
+      back.except(ev).isEmpty && ev.except(back).isEmpty,
+      "stream-maintained z-dir must hold exactly the union")
+    // rot budget held: every batch tripped the policy (nFiles + 1 >
+    // maxFiles), so the dir is freshly re-clustered
+    assert(Store.dataFileCount(spark, path) == nFiles,
+      "in-stream re-cluster must restore the file budget")
+    // replay: re-invoke with the last committed batch id — no-op
+    val sink = IndexIngest.zOrderSink(path, cols)
+    val n = spark.read.parquet(path).count()
+    sink(b2.toDF("event_id", "user_id", "ts", "value"), 1L)
+    assert(spark.read.parquet(path).count() == n,
+      "replayed z batch double-appended")
+    // a live stream journal must block operator-invoked re-clustering
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val jp = new org.apache.hadoop.fs.Path(
+      s"${path}__stream/${graft.ext.Dedup.StreamJournal}")
+    val out = fs.create(jp)
+    out.write("9 0 0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    try intercept[IllegalArgumentException] {
+      Store.compactZOrdered(spark, path, cols, nFiles = nFiles)
+    } finally fs.delete(jp, false)
+  }
 }
