@@ -589,6 +589,10 @@ object Store {
       cols: Seq[String], bits: Int = 16, nFiles: Int = 32,
       maxFiles: Int = 64): Boolean = {
     require(maxFiles >= 1, "maxFiles must be >= 1")
+    // heal BEFORE the rot count: during an interrupted swap no live dir
+    // exists and dataFileCount would report 0 — silently skipping the
+    // compaction that would have repaired the layout
+    healInterruptedSwap(spark, path)
     if (dataFileCount(spark, path) <= maxFiles) false
     else { compactZOrdered(spark, path, cols, bits, nFiles); true }
   }

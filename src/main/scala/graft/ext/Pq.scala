@@ -52,6 +52,15 @@ object Pq {
     require(cents.length == m && cents.forall(_.nonEmpty) &&
       cents.forall(_.forall(_.length == dim / m)),
       "codebook shape must be m x k x (dim/m)")
+    // all subspaces must share one k: MLlib KMeans can return fewer
+    // than k centers on degenerate data, and a ragged trained codebook
+    // would otherwise surface only at probe time as PqAdcF's misleading
+    // "m x k matrix" rejection, far from the cause
+    require(cents.forall(_.length == cents.head.length),
+      s"ragged codebook: subspace codeword counts " +
+        s"${cents.map(_.length).mkString(",")} differ — KMeans returned " +
+        "fewer centers than k on at least one subspace (degenerate or " +
+        "too-small training data)")
     def k: Int = cents.head.length
     def subDim: Int = dim / m
     /** ‖cent_{s,c}‖² per codeword (sequential element fold — the shared
@@ -255,10 +264,15 @@ object Pq {
       .select(col("cell").cast("int"), col("cent")).collect()
       .map { r =>
         val cent = r.getSeq[Number](1).map(_.doubleValue)
+        // mirror adcLut's dim check: a wrong-dim index paired with a
+        // matching-dim codebook would otherwise rank probe cells on a
+        // silent prefix of the dimensions
+        require(cent.length == q.length,
+          s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
+            s"${q.length} — the index was built over different embeddings")
         var acc = 0.0
         var i = 0
-        val n = math.min(cent.length, q.length)
-        while (i < n) { val d = cent(i) - q(i); acc += d * d; i += 1 }
+        while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
         (r.getInt(0), acc)
       }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
     val pruned = index.assigned.filter(col("cell").isin(probeCells: _*))

@@ -386,7 +386,15 @@ case class PqAdcF(child: Expression, lut: IndexedSeq[IndexedSeq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), lArr.length)
+    // a codes array whose length differs from the LUT's m was encoded
+    // with a different codebook m — a partial/truncated sum would rank
+    // garbage silently (the same loud-failure contract as the
+    // out-of-range code check below)
+    if (codes.numElements() != lArr.length)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: ${codes.numElements()} codes vs LUT m=${lArr.length} " +
+          "— codes were encoded with a different codebook m")
+    val n = lArr.length
     var acc = 0.0
     var s = 0
     while (s < n) {
@@ -408,7 +416,11 @@ case class PqAdcF(child: Expression, lut: IndexedSeq[IndexedSeq[Double]])
       val (n, acc, s, c) = (ctx.freshName("n"), ctx.freshName("acc"),
         ctx.freshName("s"), ctx.freshName("c"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $lRef.length);
+         |if ($a.numElements() != $lRef.length)
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_adc: " + $a.numElements() + " codes vs LUT m=" +
+         |    $lRef.length + " - codes were encoded with a different codebook m");
+         |int $n = $lRef.length;
          |double $acc = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
          |  if ($a.isNullAt($s)) { ${ev.isNull} = true; break; }

@@ -46,7 +46,12 @@ import graft.ext.{Dedup, Similarity}
   * mutation pays — banded append = batch-sized shuffle + small sizes
   * merge, never a history scan; IVF assign = one codegen argmin pass,
   * zero row expansion — so stream ingest cost is linear in stream volume
-  * and constant in index history. The one-file-per-bucket-per-batch
+  * and constant in index ROWS. The exactly-once protocol's per-batch
+  * physical count, however, is O(#FILES): parquet-footer metadata only
+  * (no data scan), but every epoch lists and opens each data file's
+  * footer — which is exactly why the compact-on-rot budgets below
+  * should stay enabled on long-running streams: they bound file count,
+  * and with it the per-epoch protocol cost, at a constant. The one-file-per-bucket-per-batch
   * accumulation is folded automatically when the sinks are given a rot
   * budget (`maxFilesPerBucket` / `maxFilesPerCell` — the
   * [[graft.ext.Dedup.maybeCompactBandIndex]] /
@@ -231,6 +236,13 @@ object IndexIngest {
       nFilesPerBatch: Int = 1, reclusterNFiles: Int = 32,
       maxFiles: Int = 0): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
+    // a crash between compactZOrdered's two renames (the in-stream
+    // rot compaction below triggers them) leaves NO live data dir;
+    // unlike the index sinks there is no load path to heal it lazily —
+    // without this, every restart batch dies in the pre-count's
+    // spark.read.parquet(path) with a raw path-not-found. Cheap
+    // existence checks when no crash window is open.
+    graft.engine.Store.healInterruptedSwap(spark, path)
     // the index sinks' protocol files sit NEXT TO their data dirs; here
     // `path` IS the bare parquet data dir, so epoch + journal live in a
     // sibling meta dir (a marker inside the dir would be read as data).
