@@ -729,25 +729,56 @@ object Store {
     * crash debris, `_manifest`, dot-dirs) are excluded — Spark's own
     * data-file convention — so an uncommitted write never counts as
     * data. */
-  def dataFileCount(spark: SparkSession, path: String): Int = {
+  def dataFileCount(spark: SparkSession, path: String): Int =
+    dataFileList(spark, path).size
+
+  /** The committed parquet data files under `path` as RELATIVE paths
+    * (same traversal and hidden-component rules as [[dataFileCount]]).
+    * Namenode metadata only; the list is O(#files) — bounded wherever a
+    * compact-on-rot policy runs. The streaming z-order sink stages this
+    * as its pre-append manifest: a torn append's repair is then "delete
+    * every data file NOT in the manifest", which restores exactly the
+    * pre-append state. */
+  private[graft] def dataFileList(spark: SparkSession,
+      path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
+    if (!fs.exists(p)) Nil
     else {
       val base = fs.makeQualified(p).toString.stripSuffix("/")
       val it = fs.listFiles(p, true)
-      var n = 0
+      val out = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath
         // relative path below `path`: hidden components anywhere under
         // the base exclude the file; the base's own name may be hidden
-        val rel = f.toString.stripPrefix(base)
+        val rel = f.toString.stripPrefix(base).stripPrefix("/")
         val hidden = rel.split('/')
           .exists(s => s.startsWith("_") || s.startsWith("."))
-        if (f.getName.endsWith(".parquet") && !hidden) n += 1
+        if (f.getName.endsWith(".parquet") && !hidden) out += rel
       }
-      n
+      out.result()
     }
+  }
+
+  /** Delete every committed data file under `path` that is NOT in
+    * `keep` (relative paths from [[dataFileList]]) — the torn-append
+    * repair: files written by a crashed append are exactly the files
+    * absent from the pre-append manifest. Returns the number deleted. */
+  private[graft] def deleteFilesNotIn(spark: SparkSession, path: String,
+      keep: Set[String]): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    dataFileList(spark, path).foreach { rel =>
+      if (!keep.contains(rel)) {
+        if (!fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false))
+          throw new java.io.IOException(
+            s"torn-append repair: cannot delete partial file $path/$rel")
+        n += 1
+      }
+    }
+    n
   }
 
   /** S8 metadata derive (post-save refresh, database_handler.py:219-229). */

@@ -645,6 +645,97 @@ object CurationQueries {
         FROM scored s, qn ORDER BY cos_pq DESC, s.vec_id LIMIT 10"""))
   }
 
+  // ---------------------------------------------------------------- x91
+  /** Oracle-checked BULK IVF-PQ probe ([[Pq.ivfPqProbeBulk]] — VERDICT
+    * r11 #3): a batch of queries (the x88 fixed-budget sample: every
+    * 50th vector among the first 500) probed against one PQ-encoded
+    * index in a single distributed pass — per-query LUTs computed as
+    * data, joined to the probed cells, never built sequentially on the
+    * driver. Cells are the deterministic label quantizer with
+    * exact-decimal centroids (x85/x88 device) and the codebooks are the
+    * x90 seed-fixed deterministic set (m=2 × k=4, literals generated
+    * into the SQL), so the ENTIRE bulk path — per-query cell ranking,
+    * distributed LUT build, [[graft.functions.PqAdcPairF]] column-LUT
+    * scoring, per-query windowed top-k — hash-matches DuckDB. Cell
+    * distances round at 6 before ranking (the cross-engine rank rule);
+    * ADC cosines round at 6 with (q_id, vec_id) tie-breaks. */
+  val x91PqBulkProbe: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val queries = embs
+          .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val corpus = embs
+          .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
+        val ex = corpus.select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("i", "x")))
+        val cent = ex.groupBy(col("label"), col("i"))
+          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy("label").agg(
+            transform(array_sort(collect_list(struct(col("i"), col("c")))),
+              e => e.getField("c")).as("cent"))
+          .select(col("label").cast("int").as("cell"), col("cent"))
+        val assigned = Pq.pqEncode(corpus, "embedding", cb)
+          .select(col("vec_id"), col("label").cast("int").as("cell"),
+            col("codes"), col("recon_norm"))
+        Pq.ivfPqProbeBulk(Similarity.IvfIndex(assigned, cent), cb,
+          queries, "q_id", "vec_id", nProbe = 2, k = 10)
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+        corp AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 50 <> 0 OR vec_id >= 500),
+        ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i FROM corp),
+        qx AS (SELECT q_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
+            generate_subscripts(embedding, 1) AS i FROM q),
+        qn AS (SELECT q_id, sqrt(sum(qx * qx)) AS qn FROM qx GROUP BY 1),
+        cent AS (SELECT label, i,
+            CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+              / count(*) AS cm
+          FROM ex GROUP BY 1, 2),
+        cq AS (SELECT cent.label, qx.q_id,
+            round(sum((cent.cm - qx.qx) * (cent.cm - qx.qx)), 6) AS dist
+          FROM cent JOIN qx USING (i) GROUP BY 1, 2),
+        probe AS (SELECT label, q_id FROM (
+            SELECT label, q_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dist ASC, label ASC) AS rn FROM cq) WHERE rn <= 2),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        lut AS (SELECT q.q_id, cw.s, cw.c, sum(cw.w * q.qx) AS dp,
+            sum(cw.w * cw.w) AS w2
+          FROM cw JOIN qx q ON q.i = cw.i GROUP BY 1, 2, 3),
+        cellof AS (SELECT vec_id, label FROM corp),
+        scored AS (SELECT k.vec_id, p.q_id, sum(l.dp) AS adc,
+            sum(l.w2) AS rn2
+          FROM code k JOIN cellof cf USING (vec_id)
+          JOIN probe p ON p.label = cf.label
+          JOIN lut l ON l.q_id = p.q_id AND l.s = k.s AND l.c = k.c
+          GROUP BY 1, 2),
+        fin AS (SELECT s.q_id, s.vec_id,
+            round(s.adc / (sqrt(s.rn2) * qn.qn), 6) AS cos_pq
+          FROM scored s JOIN qn USING (q_id)),
+        rk AS (SELECT q_id, vec_id, cos_pq, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rn FROM fin)
+        SELECT q_id, vec_id, cos_pq FROM rk WHERE rn <= 10
+        ORDER BY q_id, cos_pq DESC, vec_id"""))
+  }
+
   // ---------------------------------------------------------------- x81
   /** Temperature-based mixture weights (the multilingual-sampling rule of
     * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
@@ -738,6 +829,7 @@ object CurationQueries {
   val all: Map[String, Q] = Map(
     "x85_ann_ivf_det" -> x85AnnIvfDet,
     "x90_pq_adc" -> x90PqAdc,
+    "x91_pq_bulk_probe" -> x91PqBulkProbe,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,

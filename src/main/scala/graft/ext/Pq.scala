@@ -247,35 +247,136 @@ object Pq {
     * ONLY the probed cells' codes. `query` is a 1-row frame; its
     * embedding is collected to build the LUT — bounded at dim doubles,
     * the same driver-side bound as the probe-cell list. Optional exact
-    * re-rank as in [[pqTopK]]. */
+    * re-rank as in [[pqTopK]].
+    *
+    * `superQ` switches cell ranking to the two-level quantizer
+    * ([[Similarity.ivfSuperBuild]] / [[Similarity.rankProbeCellsHier]]):
+    * rank `nProbeSuper` supers on the driver-held √nCells matrix, then
+    * only their children — the per-probe collect drops from nCells
+    * rows to ≈ nProbeSuper·nCells/nSuper, the bound that matters at a
+    * production 10⁴–10⁵-cell quantizer. */
   def ivfPqProbe(index: Similarity.IvfIndex, cb: PqCodebooks,
       query: DataFrame, idCol: String, embCol: String = "embedding",
       nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4, superQ: Option[Similarity.IvfSuper] = None,
+      nProbeSuper: Int = 2): DataFrame = {
     val qRows = query.select(transform(col(embCol), x => x.cast("double"))
       .as("q")).take(1) // 1-row query frame — dim doubles, bounded
     require(qRows.nonEmpty,
       "ivfPqProbe: empty query frame — the ADC LUT needs exactly one " +
         "query embedding")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
-    val probeCells = index.centroids
-      // nCells × dim doubles — the broadcast-sized bound every probe and
-      // ivfAssign already rely on; never the corpus
-      .select(col("cell").cast("int"), col("cent")).collect()
-      .map { r =>
-        val cent = r.getSeq[Number](1).map(_.doubleValue)
-        // mirror adcLut's dim check: a wrong-dim index paired with a
-        // matching-dim codebook would otherwise rank probe cells on a
-        // silent prefix of the dimensions
-        require(cent.length == q.length,
-          s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
-            s"${q.length} — the index was built over different embeddings")
-        var acc = 0.0
-        var i = 0
-        while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
-        (r.getInt(0), acc)
-      }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
+    val probeCells = superQ match {
+      case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
+      case None => index.centroids
+        // nCells × dim doubles — the broadcast-sized bound every probe and
+        // ivfAssign already rely on; never the corpus
+        .select(col("cell").cast("int"), col("cent")).collect()
+        .map { r =>
+          val cent = r.getSeq[Number](1).map(_.doubleValue)
+          // mirror adcLut's dim check: a wrong-dim index paired with a
+          // matching-dim codebook would otherwise rank probe cells on a
+          // silent prefix of the dimensions
+          require(cent.length == q.length,
+            s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
+              s"${q.length} — the index was built over different embeddings")
+          var acc = 0.0
+          var i = 0
+          while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
+          (r.getInt(0), acc)
+        }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
+    }
     val pruned = index.assigned.filter(col("cell").isin(probeCells: _*))
     pqTopK(pruned, cb, q, idCol, k, rerankWith, rerankFactor, embCol)
+  }
+
+  /** The codebook as a tiny DataFrame — m × k rows of
+    * `(sub, code, cent)`, the distributable twin of the driver-side
+    * `cents` matrix (same layout as [[codebooksSave]]'s parquet). */
+  private def codebookDf(spark: SparkSession, cb: PqCodebooks): DataFrame = {
+    import spark.implicits._
+    cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (w, c) => (s, c, w) }
+    }.toDF("sub", "code", "cent")
+  }
+
+  /** Bulk IVF-PQ probe — a BATCH of queries against one encoded index
+    * in one distributed pass (VERDICT r11 #3: the x89 bulk-band-probe
+    * shape applied to ADC scoring). [[ivfPqProbe]] builds one LUT on
+    * the driver per query: right for an ad-hoc probe, a sequential
+    * driver round-trip per query for a retrieval workload of
+    * thousands. Here every per-query step is data-parallel:
+    *
+    *  1. cell ranking: queries × the broadcast centroid frame
+    *     (Q·nCells rows), squared-L2 fold, top-`nProbe` per query by
+    *     (dist, cell) — distances rounded at 6 before ranking, the
+    *     cross-engine rank rule (x85/x88 convention);
+    *  2. LUTs: queries × the broadcast m·k-row codebook frame,
+    *     `dp = q_sub · cent` through the codegen [[graft.functions.DotF32]]
+    *     (the [[adcLut]] fold order), collected per query into ONE
+    *     flattened row-major m·k array — never to the driver;
+    *  3. scoring: the probed cells' codes joined to the broadcast
+    *     (query, cell, lut) frame — `cell IN (…)` prunes the scan to
+    *     the union of probed cells (bucket-pruned against an
+    *     [[Similarity.ivfSave]]d layout; the IN list is collected,
+    *     bounded at nCells ints) — ADC via the column-LUT kernel
+    *     [[graft.functions.PqAdcPairF]], top-k per query by windowed
+    *     rank.
+    *
+    * Scale shape: the corpus-sized side is touched once (the pruned
+    * codes scan); everything per-query is Q·nCells / Q·m·k /
+    * Q·nProbe-bounded and broadcast-sized per executor. Work is
+    * Σ_cells |cell|·(queries probing that cell) — the IVF-PQ bulk
+    * contract. Result ≡ running [[ivfPqProbe]] per query (PqSpec pins
+    * it); output ordered (query, cos_pq desc, id). */
+  def ivfPqProbeBulk(index: Similarity.IvfIndex, cb: PqCodebooks,
+      queries: DataFrame, qidCol: String, idCol: String,
+      embCol: String = "embedding", nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val qd = queries.select(col(qidCol),
+        transform(col(embCol), x => x.cast("double")).as("_q"))
+      .withColumn("_qn", sqrt(Similarity.dot(col("_q"), col("_q"))))
+    val cents = broadcast(index.centroids
+      .select(col("cell").cast("int").as("cell"),
+        transform(col("cent"), x => x.cast("double")).as("_cent")))
+    val wRank = Window.partitionBy(qidCol)
+      .orderBy(col("_dist").asc, col("cell").asc)
+    val probe = qd.crossJoin(cents)
+      .withColumn("_dist", round(aggregate(
+        zip_with(col("_cent"), col("_q"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("_rn", row_number().over(wRank))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qidCol), col("cell"))
+    val lut = qd.crossJoin(broadcast(codebookDf(spark, cb)))
+      .withColumn("_dp", Similarity.dot(
+        slice(col("_q"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+        col("cent")))
+      .groupBy(qidCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("_dp")))),
+        s => s.getField("_dp")).as("_lut"))
+    val probedLut = probe
+      .join(lut, qidCol)
+      .join(qd.select(col(qidCol), col("_qn")), qidCol)
+      .localCheckpoint() // Q·nProbe rows of m·k doubles — query-bounded
+    // literal IN list for bucket/file pruning of the index scan —
+    // bounded at nCells ints, the ivfProbe collect bound
+    val probedCells = probedLut.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = Window.partitionBy(qidCol)
+      .orderBy(col("cos_pq").desc, col(idCol).asc)
+    index.assigned.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probedLut), "cell")
+      .withColumn("cos_pq", round(
+        toCol(graft.functions.PqAdcPairF(toExpr(col("codes")),
+          toExpr(col("_lut")), cb.k)) /
+          (col("recon_norm") * col("_qn")), 6))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("cos_pq"))
+      .orderBy(col(qidCol), col("cos_pq").desc, col(idCol))
   }
 }

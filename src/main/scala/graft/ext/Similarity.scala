@@ -233,6 +233,15 @@ object Similarity {
       // index's integer width (physical layouts have drifted before —
       // TESTDATA.md "Physical layout drift")
       .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
+    probeCellsScan(index, query, idCol, embCol, probeCells, k)
+  }
+
+  /** The exact in-cell search every probe variant shares: pruned
+    * `cell IN (…)` scan (bucket-pruned against an [[ivfSave]]d layout)
+    * + broadcast 1-row query + TakeOrdered. */
+  private def probeCellsScan(index: IvfIndex, query: DataFrame,
+      idCol: String, embCol: String, probeCells: Seq[Int],
+      k: Int): DataFrame = {
     val qb = broadcast(query.select(col(embCol).as("q_emb"))
       .withColumn("_qn", norm(col("q_emb"))))
     index.assigned.filter(col("cell").isin(probeCells: _*))
@@ -242,6 +251,145 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .select(col(idCol), col("cell"), col("cos"))
       .limit(k)
+  }
+
+  /** Two-level coarse quantizer over an existing IVF index: the nCells
+    * centroids are themselves clustered into `nSuper` (≈√nCells)
+    * super-cells. Why it exists: [[ivfAssign]] and every probe's cell
+    * ranking hold the FULL centroid table as driver state
+    * (nCells × dim doubles) and scan it flat per row/probe — bounded at
+    * the shipped nCells=16, but at a production 100 TB quantizer
+    * (nCells 10⁴–10⁵, dim ~10³) that reference object is GB-scale and
+    * the flat argmin dominates encode. With the hierarchy, driver-held
+    * state shrinks to the nSuper × dim super-centroids; the full
+    * centroid set travels as the `children` DATA frame (broadcast-sized
+    * like any dimension table, never expression state), and per-row /
+    * per-probe cost drops to O((nSuper + nCells/nSuper)·dim) — minimized
+    * at nSuper = √nCells.
+    *
+    * `superIds` ↔ `superCents` are position-aligned and cover ONLY
+    * supers that own ≥1 centroid (KMeans can leave a cluster empty —
+    * an empty super must never be assignable, [[graft.functions.NearestInArrayF]]
+    * would meet an absent children row). `children` is
+    * `(super INT, cands ARRAY<STRUCT<cell INT, cent ARRAY<DOUBLE>>>)`,
+    * cands sorted by cell id so argmin ties break to the lowest cell —
+    * the [[ivfAssign]] / MLlib first-min rule. */
+  final case class IvfSuper(superIds: IndexedSeq[Int],
+      superCents: IndexedSeq[IndexedSeq[Double]], children: DataFrame) {
+    require(superIds.length == superCents.length && superIds.nonEmpty,
+      "super ids and centroids must align and be non-empty")
+  }
+
+  /** Fit the super-quantizer: MLlib KMeans over the (tiny, nCells-row)
+    * centroid frame, fixed seed ⇒ deterministic. An offline step run
+    * once per [[ivfBuild]] — the fit input is the centroid table, never
+    * the corpus. */
+  def ivfSuperBuild(index: IvfIndex, nSuper: Int,
+      seed: Long = 42L): IvfSuper = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = index.centroids
+      .select(col("cell").cast("int").as("cell"), d(col("cent")).as("cent"))
+      .withColumn("_v", array_to_vector(col("cent")))
+    if (nSuper == 1) {
+      // degenerate-but-legal hierarchy (and the exhaustive ≡-flat pin):
+      // one super owns every cell; MLlib refuses k=1, and no fit is
+      // needed — any super-centroid works since level 1 has one choice
+      val children = featured.drop("_v")
+        .groupBy(lit(0).as("super"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("cent"))))
+          .as("cands"))
+      val dim = index.centroids.select(size(col("cent"))).head.getInt(0)
+      IvfSuper(IndexedSeq(0), IndexedSeq(IndexedSeq.fill(dim)(0.0)), children)
+    } else {
+      val model = new KMeans().setK(nSuper).setSeed(seed)
+        .setFeaturesCol("_v").setPredictionCol("_super").fit(featured)
+      val children = model.transform(featured)
+        .groupBy(col("_super").cast("int").as("super"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("cent"))))
+          .as("cands"))
+      val present = children.select("super").collect()
+        .map(_.getInt(0)).sorted.toIndexedSeq
+      val cents = model.clusterCenters.map(_.toArray.toIndexedSeq)
+      IvfSuper(present, present.map(cents(_)), children)
+    }
+  }
+
+  /** Hierarchical cell assignment — [[ivfAssign]] through the two-level
+    * quantizer: level 1 is a codegen argmin against the nSuper
+    * super-centroids (the only driver-collected matrix), level 2 a
+    * broadcast join to the super's children and a codegen argmin over
+    * that CANDIDATE COLUMN ([[graft.functions.NearestInArrayF]]). Zero
+    * row expansion, two whole-stage-codegen loops per row.
+    *
+    * The hierarchy is the QUANTIZER: a row's cell is the nearest child
+    * of its nearest super — which differs from the flat argmin exactly
+    * when the globally-nearest cell hides under a non-nearest super
+    * (the standard hierarchical-quantizer approximation; FAISS' coarse
+    * quantizers make the same trade). Self-consistency is what matters:
+    * assign and probe rank through the SAME hierarchy, so an assigned
+    * vector is always found by the super-path that assigned it.
+    * With nSuper=1 the hierarchy is exhaustive and ≡ [[ivfAssign]]
+    * bit-for-bit (IvfIndexSpec pins it). */
+  def ivfAssignHier(superQ: IvfSuper, vecs: DataFrame, idCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    require(vecs.filter(col(embCol).isNull).isEmpty,
+      s"ivfAssignHier: batch contains null $embCol rows — a null " +
+        "embedding has no nearest cell; filter or repair them first")
+    val pos = toCol(graft.functions.NearestCentroidF(toExpr(col(embCol)),
+      superQ.superCents))
+    vecs
+      .withColumn("_super",
+        element_at(array(superQ.superIds.map(lit(_)): _*), pos + 1))
+      .join(broadcast(superQ.children),
+        col("_super") === superQ.children("super"))
+      .withColumn("cell", toCol(graft.functions.NearestInArrayF(
+        toExpr(col(embCol)), toExpr(col("cands")))))
+      .drop("_super", "super", "cands")
+  }
+
+  /** Rank probe cells through the hierarchy and return the nProbe
+    * nearest cell ids: rank supers on the driver-held super-centroids
+    * (nSuper distance folds), collect ONLY the top-`nProbeSuper`
+    * supers' children (≈ nProbeSuper·nCells/nSuper rows — the
+    * per-probe driver bound that replaces the full-centroid collect),
+    * rank those, take nProbe. Same (dist asc, cell asc) rule as
+    * [[ivfProbe]]'s flat ranking; with nProbeSuper = nSuper every cell
+    * is considered and the ranking ≡ the flat one. */
+  private[graft] def rankProbeCellsHier(superQ: IvfSuper,
+      q: IndexedSeq[Double], nProbeSuper: Int, nProbe: Int): Seq[Int] = {
+    def d2(cent: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(cent.length, q.length)
+      while (i < n) { val dd = cent(i) - q(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val topSupers = superQ.superIds.zip(superQ.superCents)
+      .map { case (s, c) => (s, d2(c)) }
+      .sortBy { case (s, dist) => (dist, s) }
+      .take(nProbeSuper).map(_._1)
+    superQ.children.filter(col("super").isin(topSupers: _*))
+      .select(explode(col("cands")).as("c"))
+      .select(col("c.cell"), col("c.cent")).collect()
+      .map(r => (r.getInt(0), d2(r.getSeq[Number](1).map(_.doubleValue))))
+      .sortBy { case (c, dist) => (dist, c) }
+      .take(nProbe).map(_._1).toSeq
+  }
+
+  /** [[ivfProbe]] through the two-level quantizer: hierarchical cell
+    * ranking ([[rankProbeCellsHier]]) + the same pruned exact in-cell
+    * scan. The nested-probe recall trade is tunable: `nProbeSuper`
+    * supers considered, `nProbe` cells scanned; nProbeSuper = nSuper
+    * recovers the flat ranking exactly. */
+  def ivfProbeHier(index: IvfIndex, superQ: IvfSuper, query: DataFrame,
+      idCol: String, embCol: String = "embedding", nProbeSuper: Int = 2,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val qRows = query.select(d(col(embCol)).as("q")).take(1)
+    require(qRows.nonEmpty, "ivfProbeHier: empty query frame")
+    val q = qRows(0).getSeq[Double](0).toIndexedSeq
+    probeCellsScan(index, query, idCol, embCol,
+      rankProbeCellsHier(superQ, q, nProbeSuper, nProbe), k)
   }
 
   /** One-shot IVF top-k — [[ivfBuild]] + [[ivfProbe]] composed, for ad-hoc

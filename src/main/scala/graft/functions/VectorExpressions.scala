@@ -347,6 +347,122 @@ case class NearestCentroidF(child: Expression,
     copy(child = newChild)
 }
 
+/** Native nearest-candidate argmin over a CANDIDATE COLUMN: squared-L2
+  * distance of the input vector (`left`, `ARRAY<FLOAT|DOUBLE>`) against
+  * every `(cell, cent)` struct of a candidate array COLUMN (`right`,
+  * `ARRAY<STRUCT<cell INT, cent ARRAY<DOUBLE>>>`), returning the `cell`
+  * id of the nearest candidate; ties → FIRST in array order (callers
+  * sort candidates by cell id, so ties break to the lowest cell — the
+  * same rule as [[NearestCentroidF]] over an id-sorted matrix).
+  *
+  * This is the second level of the two-level coarse quantizer: level 1
+  * is a [[NearestCentroidF]] against the √nCells super-centroids (a
+  * small driver reference object), level 2 joins each row to its
+  * super-cell's children and argmins over THIS COLUMN — so the full
+  * nCells × dim centroid set rides through Spark's broadcast machinery
+  * as data, never as driver-collected expression state, and per-row
+  * cost is O((√nCells + nCells/√nCells)·dim) instead of O(nCells·dim).
+  *
+  * Distance arithmetic is the same element-order double fold as
+  * [[NearestCentroidF]] (shorter of vector/centroid wins defensively);
+  * null vector or null candidate array → null; an EMPTY candidate
+  * array throws (a super-cell with no children is a broken quantizer —
+  * scoring nothing must fail loudly); null struct slots are skipped
+  * defensively (collect_list never emits them). */
+case class NearestInArrayF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def vecElem: Option[DataType] = left.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+  private def candsOk: Boolean = right.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 =>
+      fields(0).dataType == org.apache.spark.sql.types.IntegerType &&
+        (fields(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElem.isDefined && candsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_nearest_in expects (array<float|double>, " +
+        "array<struct<cell int, cent array<double>>>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private lazy val isFloat = vecElem.contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cands = b.asInstanceOf[ArrayData]
+    if (cands.numElements() == 0)
+      throw new IllegalArgumentException(
+        "graft_nearest_in: empty candidate list — a super-cell with no " +
+          "children cannot assign")
+    val f = isFloat
+    var best = Int.MinValue
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < cands.numElements()) {
+      if (!cands.isNullAt(c)) {
+        val row = cands.getStruct(c, 2)
+        val cent = row.getArray(1)
+        val n = math.min(v.numElements(), cent.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) -
+            cent.getDouble(i)
+          acc += x * x
+          i += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = row.getInt(0) }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (best, bestDist, c, row, cent, n, acc, i, x) =
+        (ctx.freshName("best"), ctx.freshName("bestDist"), ctx.freshName("c"),
+          ctx.freshName("row"), ctx.freshName("cent"), ctx.freshName("n"),
+          ctx.freshName("acc"), ctx.freshName("i"), ctx.freshName("x"))
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |if ($b.numElements() == 0)
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_in: empty candidate list - a super-cell with " +
+         |    "no children cannot assign");
+         |int $best = Integer.MIN_VALUE;
+         |double $bestDist = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $b.numElements(); $c++) {
+         |  if ($b.isNullAt($c)) continue;
+         |  InternalRow $row = $b.getStruct($c, 2);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $row.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $get - $cent.getDouble($i);
+         |    $acc += $x * $x;
+         |  }
+         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $row.getInt(0); }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Native product-quantization ADC (asymmetric distance computation)
   * fold: Σ_s `lut(s)(codes(s))` over an `ARRAY<INT>` of PQ sub-codes —
   * the probe-side scoring kernel of IVF-PQ ([[graft.ext.Pq]]). The
@@ -438,6 +554,100 @@ case class PqAdcF(child: Expression, lut: IndexedSeq[IndexedSeq[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native PQ ADC fold over a PER-ROW LUT COLUMN: Σ_s `lut(s·k +
+  * codes(s))` where `left` is the `ARRAY<INT>` codes column and `right`
+  * a FLATTENED m×k LUT (`ARRAY<DOUBLE>`, row-major: subspace s's k
+  * entries at [s·k, (s+1)·k)). The bulk-probe twin of [[PqAdcF]]: that
+  * expression bakes ONE query's LUT into the task binary — right for a
+  * single-query probe, a driver round-trip per query for a retrieval
+  * workload. Here the LUT is DATA: a batch of queries computes its LUTs
+  * distributively, broadcasts them as a frame, and one join scores
+  * every (query, candidate) pair — thousands of queries in one pass,
+  * zero sequential driver LUT builds ([[graft.ext.Pq.ivfPqProbeBulk]]).
+  *
+  * Same contracts as [[PqAdcF]], enforced per pair: codes length must
+  * equal the LUT's m (= lut.length / k) — a mismatch is a foreign
+  * codebook and throws; a code outside [0, k) throws; a null code slot
+  * or null LUT slot → null result; null codes / null LUT → null.
+  * Accumulation is the same sequential double fold in subspace order. */
+case class PqAdcPairF(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, "graft_pq_adc_pair: k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+        ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc_pair expects (array<int> codes, array<double> " +
+        s"flat LUT), got ${other._1.simpleString}, ${other._2.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    if (lut.numElements() % k != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc_pair: LUT length ${lut.numElements()} is not a " +
+          s"multiple of k=$k")
+    val m = lut.numElements() / k
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc_pair: ${codes.numElements()} codes vs LUT m=$m " +
+          "— codes were encoded with a different codebook m")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc_pair: code $c at subspace $s outside [0, $k) " +
+            "— codes were encoded with a different codebook")
+      if (lut.isNullAt(s * k + c)) return null
+      acc += lut.getDouble(s * k + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (m, acc, s, c, idx) = (ctx.freshName("m"), ctx.freshName("acc"),
+        ctx.freshName("s"), ctx.freshName("c"), ctx.freshName("idx"))
+      s"""
+         |if ($b.numElements() % $k != 0)
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_adc_pair: LUT length " + $b.numElements() +
+         |    " is not a multiple of k=" + $k);
+         |int $m = $b.numElements() / $k;
+         |if ($a.numElements() != $m)
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_adc_pair: " + $a.numElements() + " codes vs LUT m=" +
+         |    $m + " - codes were encoded with a different codebook m");
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  if ($a.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |  int $c = $a.getInt($s);
+         |  if ($c < 0 || $c >= $k)
+         |    throw new IllegalArgumentException(
+         |      "graft_pq_adc_pair: code " + $c + " at subspace " + $s +
+         |      " outside [0, " + $k + ") - codes were encoded with a " +
+         |      "different codebook");
+         |  int $idx = $s * $k + $c;
+         |  if ($b.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $acc += $b.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 object ShingleHashF {

@@ -229,9 +229,17 @@ object IndexIngest {
     * after each epoch commit so a long-running stream re-clusters
     * itself and pruning stays tight.
     *
-    * A torn append here is an operator stop (no PK ⇒ the sink cannot
-    * dedup a partial batch away): restore the directory from the
-    * source export and clear the journal. */
+    * A torn append (a crash INSIDE the append's job commit — some of
+    * the batch's files renamed into place, some not) self-heals on
+    * restart: the sink stages a MANIFEST of the pre-append data files
+    * (relative names, staged atomically alongside the journal BEFORE
+    * the mutation), and the replay's repair deletes exactly the files
+    * absent from it — the partial batch — restoring the pre-append
+    * state before re-appending. Rows have no PK, so "which files are
+    * the partial batch" is the only recoverable identity; the manifest
+    * pins it. Only if the manifest itself is missing/mismatched (a
+    * manually-cleared meta dir) does the sink fall back to the loud
+    * operator stop. */
   def zOrderSink(path: String, cols: Seq[String], bits: Int = 16,
       nFilesPerBatch: Int = 1, reclusterNFiles: Int = 32,
       maxFiles: Int = 0): (DataFrame, Long) => Unit = { (batch, batchId) =>
@@ -257,12 +265,30 @@ object IndexIngest {
       val doAppend = classifyReplayCounted(spark, meta, batchId,
         healBandJournal = None,
         () => spark.read.parquet(path).count(),
-        "torn z-order append; restore the directory from its source " +
-          "export and clear the stream journal")
+        "torn z-order append and no usable pre-append manifest; restore " +
+          "the directory from its source export and clear the stream " +
+          "journal",
+        repairTorn = Some { jid =>
+          readManifest(spark, meta) match {
+            case Some((mid, files)) if mid == jid =>
+              val n = graft.engine.Store.deleteFilesNotIn(spark, path,
+                files.toSet)
+              spark.catalog.refreshByPath(path)
+              System.err.println(s"[index-ingest] torn z-order append " +
+                s"for batch $jid under $path: deleted $n partial files " +
+                "via the pre-append manifest")
+              true
+            case _ => false
+          }
+        })
       if (doAppend) Dedup.withRddCleanup(spark) {
         // materialize once: the pre/batch counts and the append write
         // would each re-evaluate the source otherwise
         val b = batch.localCheckpoint()
+        // manifest BEFORE journal BEFORE mutation: a crash after the
+        // journal always finds a manifest for its batch id
+        writeManifest(spark, meta, batchId,
+          graft.engine.Store.dataFileList(spark, path))
         val pre = spark.read.parquet(path).count()
         val batchN = b.count()
         writeStreamJournal(spark, meta, batchId, pre, batchN)
@@ -323,6 +349,12 @@ object IndexIngest {
         .split(' ').head.toLong finally in.close()
       if (jid <= epoch) fs.delete(p, false)
     }
+    // a manifest stranded by the same crashed-after-epoch window is
+    // equally superseded
+    readManifest(spark, path).foreach { case (mid, _) =>
+      if (mid <= epoch) fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$StreamManifest"), false)
+    }
   }
 
   private def writeStreamJournal(spark: SparkSession, path: String,
@@ -331,14 +363,44 @@ object IndexIngest {
       new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"),
       s"$batchId $pre $batchN")
 
-  /** Epoch commit + journal clear, in THAT order: a crash between the
-    * two leaves a stale journal that the next batch detects (its id is
-    * behind the epoch) and discards. */
+  /** Pre-append data-file manifest for sinks whose rows have no PK
+    * (the z-order sink): batch id + the relative data-file names
+    * present BEFORE the append, staged atomically. A torn append's
+    * repair deletes every file not listed here. O(#files) text — the
+    * same bound as the epoch counts, held down by compact-on-rot. */
+  private[graft] val StreamManifest = "stream.manifest"
+
+  private def writeManifest(spark: SparkSession, path: String,
+      batchId: Long, files: Seq[String]): Unit =
+    Dedup.writeFileAtomic(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/$StreamManifest"),
+      (batchId.toString +: files).mkString("\n"))
+
+  private def readManifest(spark: SparkSession,
+      path: String): Option[(Long, Seq[String])] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/$StreamManifest")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in)
+        .getLines().toIndexedSeq finally in.close()
+      lines.headOption.flatMap(h => scala.util.Try(h.trim.toLong).toOption)
+        .map(id => (id, lines.tail.filter(_.nonEmpty)))
+    }
+  }
+
+  /** Epoch commit + journal/manifest clear, in THAT order: a crash
+    * between the commit and the clears leaves stale protocol files that
+    * the next batch detects (their ids are behind the epoch) and
+    * discards. */
   private def finishBatch(spark: SparkSession, path: String,
       batchId: Long): Unit = {
     commitEpoch(spark, path, batchId)
     fsOf(spark, path).delete(
       new org.apache.hadoop.fs.Path(s"$path/$StreamJournal"), false)
+    fsOf(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/$StreamManifest"), false)
   }
 
   /** Decide whether a (possibly replayed) batch must still run its
@@ -358,11 +420,16 @@ object IndexIngest {
     * z-order sink has a bare parquet directory, not a catalog table
     * (`spark.read.parquet(path).count()` is footer metadata, same cost
     * class as the table count), and a torn append there needs different
-    * operator advice (no PK ⇒ no dedup-by-rebuild). */
+    * operator advice (no PK ⇒ no dedup-by-rebuild). `repairTorn`, when
+    * present, is offered the torn window first (z-order: delete the
+    * partial batch's files via the pre-append manifest); it returns
+    * true iff it repaired, after which the count must equal `pre` or
+    * the sink still stops loudly. */
   private def classifyReplayCounted(spark: SparkSession,
       path: String, batchId: Long,
       healBandJournal: Option[() => String],
-      rowCount: () => Long, tornAdvice: String): Boolean = {
+      rowCount: () => Long, tornAdvice: String,
+      repairTorn: Option[Long => Boolean] = None): Boolean = {
     val fs = fsOf(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     healBandJournal.foreach { heal =>
@@ -380,6 +447,10 @@ object IndexIngest {
           val actual = rowCount()
           if (actual == pre.toLong + n.toLong) false
           else if (actual == pre.toLong) { fs.delete(p(StreamJournal), false); true }
+          else if (repairTorn.exists(_(batchId)) && rowCount() == pre.toLong) {
+            // repaired back to the pre-append state — replay the append
+            fs.delete(p(StreamJournal), false); true
+          }
           else throw new IllegalStateException(
             s"stream ingest under $path: physical row count $actual " +
               s"matches neither pre ($pre) nor pre+batch (${pre.toLong + n.toLong}) " +

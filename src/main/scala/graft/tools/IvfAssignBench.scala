@@ -83,7 +83,22 @@ object IvfAssignBench {
         val joinSec = med((1 to reps).map(_ => time(force(viaJoin))))
         f""","join_sec":$joinSec%.3f"""
       } else ""","join_sec":null"""
-      f""""n$nCells":{"argmin_sec":$exprSec%.3f$joinPart}"""
+      // two-level form (VERDICT r11 #2): nSuper = √nCells; per-row work
+      // is O((√n + n/√n)·dim) vs the flat form's O(n·dim), and the
+      // driver-held matrix shrinks to √nCells×dim. Agreement with the
+      // flat argmin is reported, not required — the hierarchy is its
+      // own (self-consistent) quantizer and boundary rows may differ.
+      val nSuper = math.max(2, math.sqrt(nCells.toDouble).round.toInt)
+      val sq = Similarity.ivfSuperBuild(idx, nSuper)
+      val viaHier = Similarity.ivfAssignHier(sq, batch, "vec_id")
+        .select("vec_id", "cell")
+      val hierSec = med((1 to reps).map(_ => time(force(viaHier))))
+      val agree = Similarity.ivfAssignHier(sq, sample, "vec_id")
+        .select("vec_id", "cell")
+        .intersect(Similarity.ivfAssign(idx, sample, "vec_id")
+          .select("vec_id", "cell")).count().toDouble / sampleN
+      f""""n$nCells":{"argmin_sec":$exprSec%.3f,"hier_sec":$hierSec%.3f,""" +
+        f""""hier_nsuper":$nSuper,"hier_agree":$agree%.4f$joinPart}"""
     }
     println(s"""{"metric":"ivf_assign","n_batch":$nBatch,"dim":$dim,""" +
       s""""reps":$reps,${lines.mkString(",")}}""")

@@ -224,6 +224,65 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_rot_t")
   }
 
+  test("two-level quantizer: exhaustive settings reproduce the flat " +
+      "forms exactly; hier assignment is self-consistent") {
+    val nCells = 8
+    val built = Similarity.ivfBuild(corpus, nCells = nCells)
+
+    // 1. nSuper=1 ⇒ one super holds every cell ⇒ level 2 argmins over
+    // ALL centroids in cell order — bit-identical to the flat ivfAssign
+    val one = Similarity.ivfSuperBuild(built, nSuper = 1)
+    val hier1 = Similarity.ivfAssignHier(one, corpus, "vec_id")
+      .select("vec_id", "cell")
+    val flat = Similarity.ivfAssign(built, corpus, "vec_id")
+      .select("vec_id", "cell")
+    assert(hier1.except(flat).count() + flat.except(hier1).count() == 0,
+      "nSuper=1 hier assignment must equal the flat argmin exactly")
+
+    // 2. probe with nProbeSuper = nSuper considers every cell ⇒ the
+    // hierarchical cell ranking equals the flat one, results identical
+    val sq = Similarity.ivfSuperBuild(built, nSuper = 3)
+    val q = corpus.filter(col("vec_id") === 1).select("embedding")
+    val flatProbe = Similarity.ivfProbe(built, q, "vec_id").collect().toSeq
+    val hierProbe = Similarity.ivfProbeHier(built, sq, q, "vec_id",
+      nProbeSuper = 3).collect().toSeq
+    assert(hierProbe == flatProbe,
+      "nProbeSuper = nSuper hier probe must equal the flat probe")
+
+    // 3. self-consistency at a REAL hierarchy (nSuper √-ish, probe 1
+    // super): every assigned cell is a child of the row's level-1 super
+    // (the quantizer's defining invariant), and an assigned vector is
+    // found by the same super-path that assigned it
+    val assigned = Similarity.ivfAssignHier(sq, corpus, "vec_id")
+    val childPairs = sq.children
+      .select(col("super"), explode(col("cands")).as("c"))
+      .select(col("super").as("_sup2"), col("c.cell").as("cell"))
+    val withSuper = corpus
+      .withColumn("_pos", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NearestCentroidF(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          sq.superCents)))
+      .withColumn("_sup", element_at(
+        array(sq.superIds.map(lit(_)): _*), col("_pos") + 1))
+      .select(col("vec_id"), col("_sup"))
+    // each cell is owned by exactly ONE super; the row's assigned cell
+    // must be owned by the row's nearest super
+    assert(childPairs.groupBy("cell").count().filter(col("count") > 1)
+      .isEmpty, "a cell must belong to exactly one super")
+    val broken = assigned.select("vec_id", "cell").join(withSuper, "vec_id")
+      .join(childPairs, "cell")
+      .filter(col("_sup") =!= col("_sup2"))
+    assert(broken.isEmpty, "every assigned cell must be owned by the " +
+      "row's nearest super")
+    val self = Similarity.ivfProbeHier(
+      Similarity.IvfIndex(assigned, built.centroids), sq,
+      corpus.filter(col("vec_id") === 7).select("embedding"), "vec_id",
+      nProbeSuper = 1, nProbe = 1, k = 1).collect()
+    assert(self.length == 1 &&
+      self(0).getAs[Number]("vec_id").longValue() == 7L,
+      s"hier-assigned vector must be reachable through the hier probe: ${self.toSeq}")
+  }
+
   test("tombstone delete: probes skip deleted vectors immediately; " +
       "double-delete is a no-op; compact folds physically") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString

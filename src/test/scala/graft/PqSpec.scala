@@ -194,6 +194,65 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bulk ADC probe ≡ per-query ivfPqProbe; hier cell ranking plugs " +
+      "into the single-query probe; PqAdcPairF contracts") {
+    val nCells = 8
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    val qids = Seq(0L, 7L, 21L, 42L)
+    val searched = corpus.filter(!col("vec_id").isin(qids: _*))
+    val built = Similarity.ivfBuild(searched, nCells = nCells)
+    val encIdx = Pq.ivfPqEncode(built, cb, "vec_id")
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+
+    // 1. the bulk probe must reproduce the sequential per-query probes
+    // exactly — same cells probed, same ADC scores, same top-k
+    val bulk = Pq.ivfPqProbeBulk(encIdx, cb, queries, "q_id", "vec_id",
+        nProbe = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val seq = qids.sorted.flatMap { q =>
+      Pq.ivfPqProbe(encIdx, cb,
+        corpus.filter(col("vec_id") === q).select("embedding"),
+        "vec_id", nProbe = 2, k = 10).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(bulk == seq,
+      s"bulk != sequential:\n bulk=${bulk.take(5)}\n seq=${seq.take(5)}")
+
+    // 2. hierarchical cell ranking: with nProbeSuper = nSuper the probe
+    // considers every cell — identical to the flat single-query probe
+    val sq = Similarity.ivfSuperBuild(built, nSuper = 3)
+    val q0 = corpus.filter(col("vec_id") === 0).select("embedding")
+    assert(
+      Pq.ivfPqProbe(encIdx, cb, q0, "vec_id", superQ = Some(sq),
+        nProbeSuper = 3).collect().toSeq ==
+        Pq.ivfPqProbe(encIdx, cb, q0, "vec_id").collect().toSeq,
+      "exhaustive hier ranking must equal the flat ADC probe")
+
+    // 3. PqAdcPairF contracts: wrong-m codes throw; a null code slot
+    // nulls the score instead of scoring garbage
+    import spark.implicits._
+    def adc(codes: org.apache.spark.sql.Column,
+        lut: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PqAdcPairF(
+          org.apache.spark.sql.GraftBridge.expression(codes),
+          org.apache.spark.sql.GraftBridge.expression(lut), 2))
+    val lut4 = array(Seq(1.0, 2.0, 3.0, 4.0).map(lit(_)): _*) // m=2, k=2
+    val ok = Seq((0, 1)).toDF("a", "b")
+      .select(adc(array(col("a"), col("b")), lut4).as("s")).head.getDouble(0)
+    assert(ok == 1.0 + 4.0)
+    val e = intercept[Exception] {
+      Seq((0, 1, 0)).toDF("a", "b", "c")
+        .select(adc(array(col("a"), col("b"), col("c")), lut4)).head
+    }
+    assert(e.getMessage.contains("different codebook m"), e.getMessage)
+    val nullSlot = Seq(1).toDF("a")
+      .select(adc(array(col("a"), lit(null).cast("int")), lut4).as("s"))
+      .head
+    assert(nullSlot.isNullAt(0), "null code slot must null the ADC score")
+  }
+
   test("PQ index delete/compact lifecycle: tombstones hide vectors from " +
       "ADC probes immediately, compact folds them physically, pruning " +
       "survives — the raw-index machinery really is column-agnostic") {

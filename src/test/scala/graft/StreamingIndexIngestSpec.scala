@@ -367,4 +367,78 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
       Store.compactZOrdered(spark, path, cols, nFiles = nFiles)
     } finally fs.delete(jp, false)
   }
+
+  test("z-order sink crash windows: a torn append heals via the " +
+      "pre-append manifest (rows ≡ batch-only replay); an interrupted " +
+      "compact swap heals at sink entry; no-manifest still stops loudly") {
+    import graft.engine.{Store, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("z-torn").toString
+    val path = s"$dir/events_z"
+    val meta = s"${path}__stream"
+    val cols = Seq("user_id", "ts")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val batch = ev.filter(col("event_id") % 2 =!= 0)
+    Store.saveZOrdered(base, path, cols, nFiles = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+    // --- simulate a crash INSIDE batch 0's append job commit: manifest
+    // and journal staged (what the sink writes pre-mutation), then only
+    // PART of the batch's files landed
+    val preFiles = Store.dataFileList(spark, path)
+    val pre = base.count()
+    val batchN = batch.count()
+    graft.ext.Dedup.writeFileAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$meta/stream.manifest"),
+      ("0" +: preFiles).mkString("\n"))
+    graft.ext.Dedup.writeFileAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$meta/${graft.ext.Dedup.StreamJournal}"),
+      s"0 $pre $batchN")
+    Store.appendZOrdered(batch.limit((batchN / 3).toInt), path, cols)
+    val tornCount = spark.read.parquet(path).count()
+    assert(tornCount != pre && tornCount != pre + batchN,
+      "test setup must be a genuinely torn state")
+
+    // --- restart replays batch 0: the sink must delete the partial
+    // files via the manifest and re-append exactly once
+    IndexIngest.zOrderSink(path, cols)(batch, 0L)
+    val healed = spark.read.parquet(path)
+    assert(healed.count() == ev.count() &&
+      healed.except(ev).isEmpty && ev.except(healed).isEmpty,
+      "torn append must heal to exactly base + batch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$meta/stream.manifest")), "manifest must clear after the commit")
+
+    // --- an interrupted compact swap (live dir renamed away, rewrite
+    // complete) heals at the next sink invocation instead of dying in
+    // the pre-count (the r11 advisory)
+    val p = new org.apache.hadoop.fs.Path(path)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "__compacting")))
+    IndexIngest.zOrderSink(path, cols)(batch.limit(5), 1L)
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() == ev.count() + 5,
+      "sink must heal the swap debris, then append batch 1")
+
+    // --- same torn window with NO manifest: still a loud operator stop
+    val pre2Files = Store.dataFileList(spark, path)
+    val pre2 = ev.count() + 5
+    graft.ext.Dedup.writeFileAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$meta/${graft.ext.Dedup.StreamJournal}"),
+      s"2 $pre2 $batchN")
+    Store.appendZOrdered(batch.limit(7), path, cols)
+    val e = intercept[IllegalStateException] {
+      IndexIngest.zOrderSink(path, cols)(batch, 2L)
+    }
+    assert(e.getMessage.contains("no usable pre-append manifest"),
+      e.getMessage)
+    // manual repair path still works: restore pre state + clear journal
+    Store.deleteFilesNotIn(spark, path, pre2Files.toSet)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$meta/${graft.ext.Dedup.StreamJournal}"), false)
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() == pre2)
+  }
 }
