@@ -206,11 +206,18 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
 
     /** Drop ALL engine state a previous measurement may have left: SQL
-      * caches and RDD-level persisted blocks (localCheckpoints). */
+      * caches and RDD-level persisted blocks (localCheckpoints).
+      * BLOCKING unpersist (r12, the q56/x80 watch item): with
+      * `blocking = false` a localCheckpoint-heavy neighbor's blocks are
+      * still draining through the BlockManager when the next query's
+      * rep starts — the flagged queries' driver medians carried exactly
+      * that signature two rounds running. Blocking makes each rep's
+      * starting state deterministic; the wait is a uniform few ms paid
+      * by every rep, not a per-query bias. */
     def clearState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
 
     /** One timed, state-isolated execution. */

@@ -460,11 +460,20 @@ object Store {
     *
     * Min–max scaling is OUTLIER-SENSITIVE: one extreme value compresses
     * every other row into a few cells and the dimension stops
-    * discriminating. For heavy-tailed columns pre-transform (log) or
-    * rank-bucket before z-ordering — the range-partition-id variant is
-    * the robust upgrade path if a corpus needs it. */
+    * discriminating. `rank = true` switches the cell function to
+    * QUANTILE buckets (the range-partition-id form): per column, an
+    * approximate-quantile sketch (`approxQuantile`, one pass over all
+    * z-columns together — the same sampling machinery
+    * repartitionByRange uses) yields 2^bits−1 boundaries, and the cell
+    * is a codegen'd upper-bound binary search
+    * ([[graft.functions.BucketIdF]]). Equal-population cells on ANY
+    * distribution — a heavy tail costs nothing (ZOrderSpec carries the
+    * fixture where min–max stops pruning and rank keeps it). The trade:
+    * the sketch pass is an EAGER job at call time (min–max stays a lazy
+    * 1-row crossJoin), and boundaries are approximate — which only
+    * shifts cell edges, never correctness (files carry raw columns). */
   private[graft] def withZValue(df: DataFrame, cols: Seq[String],
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, rank: Boolean = false): DataFrame = {
     require(cols.size >= 2, "z-order interleaving needs >= 2 columns")
     require(cols.size * bits <= 62,
       s"z-value would overflow a long: ${cols.size} cols x $bits bits")
@@ -479,25 +488,47 @@ object Store {
       }
       base.cast("double")
     }
-    val aggs = numeric.zipWithIndex.flatMap { case (n, i) =>
-      Seq(min(n).as(s"_zmn$i"), max(n).as(s"_zmx$i")) }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
-    val maxCell = (1L << bits) - 1
-    val cells = numeric.zipWithIndex.map { case (n, i) =>
-      val (mn, mx) = (col(s"_zmn$i"), col(s"_zmx$i"))
-      when(mx > mn,
-        floor((n - mn) / (mx - mn) * lit(maxCell.toDouble)).cast("long"))
-        .otherwise(lit(0L))
-    }
     val nCols = cols.size
-    val z = (0 until bits).flatMap { b =>
-      cells.zipWithIndex.map { case (cell, j) =>
-        shiftleft(shiftright(cell, b).bitwiseAND(lit(1L)), b * nCols + j)
+    def interleave(cells: Seq[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column =
+      (0 until bits).flatMap { b =>
+        cells.zipWithIndex.map { case (cell, j) =>
+          shiftleft(shiftright(cell, b).bitwiseAND(lit(1L)), b * nCols + j)
+        }
+      }.reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
+    if (rank) {
+      val nBuckets = 1 << bits
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      // one sketch pass for ALL z-columns; relative error only blurs
+      // cell EDGES (clustering locality), never row contents
+      val relErr = math.max(1e-4, 0.25 / nBuckets)
+      val bnds = df
+        .select(numeric.zipWithIndex.map { case (n, i) => n.as(s"_zq$i") }: _*)
+        .stat.approxQuantile(
+          (0 until nCols).map(i => s"_zq$i").toArray, probs, relErr)
+      val cells = numeric.zipWithIndex.map { case (n, i) =>
+        if (bnds(i).isEmpty) lit(0L) // empty input: no boundaries, one cell
+        else org.apache.spark.sql.GraftBridge.column(
+          graft.functions.BucketIdF(
+            org.apache.spark.sql.GraftBridge.expression(n),
+            bnds(i).toIndexedSeq)).cast("long")
       }
-    }.reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
-    df.crossJoin(broadcast(stats))
-      .withColumn("_z", z)
-      .drop((0 until nCols).flatMap(i => Seq(s"_zmn$i", s"_zmx$i")): _*)
+      df.withColumn("_z", interleave(cells))
+    } else {
+      val aggs = numeric.zipWithIndex.flatMap { case (n, i) =>
+        Seq(min(n).as(s"_zmn$i"), max(n).as(s"_zmx$i")) }
+      val stats = df.agg(aggs.head, aggs.tail: _*)
+      val maxCell = (1L << bits) - 1
+      val cells = numeric.zipWithIndex.map { case (n, i) =>
+        val (mn, mx) = (col(s"_zmn$i"), col(s"_zmx$i"))
+        when(mx > mn,
+          floor((n - mn) / (mx - mn) * lit(maxCell.toDouble)).cast("long"))
+          .otherwise(lit(0L))
+      }
+      df.crossJoin(broadcast(stats))
+        .withColumn("_z", interleave(cells))
+        .drop((0 until nCols).flatMap(i => Seq(s"_zmn$i", s"_zmx$i")): _*)
+    }
   }
 
   /** Write `df` Z-order-clustered on `cols` — the multi-dimensional
@@ -521,12 +552,12 @@ object Store {
     * combine with a coarse partition column exactly as [[save]]'s
     * scaladoc describes. */
   def saveZOrdered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, nFiles: Int = 32): Unit =
-    writeZ(df, path, cols, bits, nFiles, "overwrite")
+      bits: Int = 16, nFiles: Int = 32, rank: Boolean = false): Unit =
+    writeZ(df, path, cols, bits, nFiles, "overwrite", rank)
 
   private def writeZ(df: DataFrame, target: String, cols: Seq[String],
-      bits: Int, nFiles: Int, mode: String): Unit =
-    withZValue(df, cols, bits)
+      bits: Int, nFiles: Int, mode: String, rank: Boolean = false): Unit =
+    withZValue(df, cols, bits, rank)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
@@ -542,8 +573,8 @@ object Store {
     * [[compactZOrdered]] / [[maybeCompactZOrdered]], the same
     * append-then-compact contract as the maintained indexes. */
   def appendZOrdered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, nFiles: Int = 1): Unit =
-    writeZ(df, path, cols, bits, nFiles, "append")
+      bits: Int = 16, nFiles: Int = 1, rank: Boolean = false): Unit =
+    writeZ(df, path, cols, bits, nFiles, "append", rank)
 
   /** Re-cluster a z-ordered directory in place: global min–max over the
     * whole accumulated data (base + appends), rewritten to `nFiles`
@@ -552,7 +583,7 @@ object Store {
     * heals through the SAME [[healInterruptedSwap]] every index load
     * path uses; this method heals any prior debris before starting). */
   def compactZOrdered(spark: SparkSession, path: String, cols: Seq[String],
-      bits: Int = 16, nFiles: Int = 32): Unit = {
+      bits: Int = 16, nFiles: Int = 32, rank: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -566,7 +597,7 @@ object Store {
         "stream (or repair and clear the journal) before re-clustering")
     val tmp = new Path(path + "__compacting")
     writeZ(spark.read.parquet(path), tmp.toString, cols, bits, nFiles,
-      "overwrite")
+      "overwrite", rank)
     val old = new Path(path + "__old")
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
@@ -587,14 +618,14 @@ object Store {
     * no file reads). Returns true iff a re-cluster ran. */
   def maybeCompactZOrdered(spark: SparkSession, path: String,
       cols: Seq[String], bits: Int = 16, nFiles: Int = 32,
-      maxFiles: Int = 64): Boolean = {
+      maxFiles: Int = 64, rank: Boolean = false): Boolean = {
     require(maxFiles >= 1, "maxFiles must be >= 1")
     // heal BEFORE the rot count: during an interrupted swap no live dir
     // exists and dataFileCount would report 0 — silently skipping the
     // compaction that would have repaired the layout
     healInterruptedSwap(spark, path)
     if (dataFileCount(spark, path) <= maxFiles) false
-    else { compactZOrdered(spark, path, cols, bits, nFiles); true }
+    else { compactZOrdered(spark, path, cols, bits, nFiles, rank); true }
   }
 
   /** Compaction for a [[saveBucketed]]-style BUCKETED table — the

@@ -650,6 +650,62 @@ case class PqAdcPairF(left: Expression, right: Expression, k: Int)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native quantile-bucket id: upper-bound binary search of a double
+  * value in a sorted boundary array riding as a reference object —
+  * `bucket = #{b : b <= v}`, i.e. 0 below the first boundary,
+  * boundaries.length at/above the last. The rank-bucketed z-order
+  * variant's cell function ([[graft.engine.Store.withZValue]] with
+  * `rank = true`): min–max scaling collapses under one extreme value
+  * (every normal row lands in a handful of cells and the dimension
+  * stops discriminating); quantile boundaries give equal-POPULATION
+  * cells on any distribution — the range-partition-id form. The
+  * explicit upper-bound loop (not `Arrays.binarySearch`) makes the
+  * duplicate-boundary case deterministic: repeated quantiles (heavy
+  * tails produce them) all map to the bucket after the last duplicate.
+  * Null input → null (the min–max form's NULL rule). */
+case class BucketIdF(child: Expression, boundaries: IndexedSeq[Double])
+    extends UnaryExpression {
+  require(boundaries.nonEmpty, "graft_bucket_id: boundaries must be non-empty")
+  // Seq field ⇒ value-based equality (the WeightSumF rule)
+  private lazy val bArr: Array[Double] = boundaries.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bucket_id expects double, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    BucketIdF.bucketOf(input.asInstanceOf[Double], bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bRef = ctx.addReferenceObj("zBnds", bArr, "double[]")
+      s"""
+         |${ev.value} = graft.functions.BucketIdF.bucketOf($a, $bRef);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BucketIdF {
+  /** Upper bound: first index whose boundary exceeds `v` (shared by
+    * interpreted eval and codegen — one implementation, the
+    * [[ShingleHashF.hashAll]] pattern). */
+  def bucketOf(v: Double, b: Array[Double]): Int = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 object ShingleHashF {
   private val SPACE = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val digestTL =

@@ -242,7 +242,8 @@ object IndexIngest {
     * operator stop. */
   def zOrderSink(path: String, cols: Seq[String], bits: Int = 16,
       nFilesPerBatch: Int = 1, reclusterNFiles: Int = 32,
-      maxFiles: Int = 0): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      maxFiles: Int = 0,
+      rank: Boolean = false): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     // a crash between compactZOrdered's two renames (the in-stream
     // rot compaction below triggers them) leaves NO live data dir;
@@ -293,12 +294,12 @@ object IndexIngest {
         val batchN = b.count()
         writeStreamJournal(spark, meta, batchId, pre, batchN)
         graft.engine.Store.appendZOrdered(b, path, cols, bits,
-          nFilesPerBatch)
+          nFilesPerBatch, rank)
       }
       finishBatch(spark, meta, batchId)
       if (maxFiles > 0)
         graft.engine.Store.maybeCompactZOrdered(spark, path, cols, bits,
-          reclusterNFiles, maxFiles)
+          reclusterNFiles, maxFiles, rank)
     }
   }
 

@@ -132,6 +132,30 @@ object PqBench {
     val cbTrainedRaw = Pq.trainedCodebooks(rawSearched, "embedding", dim,
       m = 8, k = 16)
 
+    // bulk ADC probe race (VERDICT r11 #3): a 100-query retrieval
+    // workload — sequential per-query driver-LUT probes vs ONE
+    // distributed bulk pass. Results must agree row-for-row (the
+    // PqSpec equivalence, re-asserted here on the bench corpus).
+    val bulkIds = (0 until 100).map(i => i.toLong * 3L + 1L)
+    val bulkQueries = corpus.filter(col("vec_id").isin(bulkIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding")).cache()
+    val nBulkQ = bulkQueries.count()
+    val (seqTop, seqSec) = time {
+      bulkIds.map { q =>
+        q -> ids(Pq.ivfPqProbe(pqIdx, cbTrained,
+          corpus.filter(col("vec_id") === q).select("embedding"),
+          "vec_id", nProbe = 2))
+      }.toMap
+    }
+    val (bulkRows, bulkSec) = time {
+      Pq.ivfPqProbeBulk(pqIdx, cbTrained, bulkQueries, "q_id", "vec_id",
+        nProbe = 2).collect()
+    }
+    val bulkTop = bulkRows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val bulkAgree = bulkIds.count(q =>
+      bulkTop.getOrElse(q, Set.empty) == seqTop(q)).toDouble / bulkIds.size
+
     println(
       f"""{"metric":"pq_bench","sf":"$dir","n_vectors":$n,"n_queries":$nQ,""" +
       f""""n_cells":$nCells,"m":8,"k":16,"build_sec":$buildSec%.2f,""" +
@@ -144,7 +168,11 @@ object PqBench {
       f""""recall_rerank4":${recallOf(rrTop)}%.3f,""" +
       s""""rerank_curve":[${factorCurve.mkString(",")}],""" +
       f""""unclustered_trained_recall":${rawRecall(cbTrainedRaw)}%.3f,""" +
-      f""""unclustered_det_recall":${rawRecall(cbDet)}%.3f}""")
+      f""""unclustered_det_recall":${rawRecall(cbDet)}%.3f,""" +
+      f""""bulk_n_queries":$nBulkQ,"bulk_seq_sec":$seqSec%.2f,""" +
+      f""""bulk_bulk_sec":$bulkSec%.2f,""" +
+      f""""bulk_speedup":${seqSec / bulkSec}%.1f,""" +
+      f""""bulk_agree":$bulkAgree%.3f}""")
 
     spark.sql("DROP TABLE IF EXISTS pqb_raw")
     spark.sql("DROP TABLE IF EXISTS pqb_pq")

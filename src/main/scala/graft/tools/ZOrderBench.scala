@@ -96,10 +96,53 @@ object ZOrderBench {
       a.filter(pred(a)).count() == b.filter(pred(b)).count()
     }
 
+    // heavy-tailed fixture (VERDICT r11 #5): `value` uniform plus one
+    // 1e15 outlier — min–max z collapses that dimension to cell 0 and
+    // every file becomes a candidate for a normal-range value
+    // predicate; the rank-bucketed form keeps equal-population cells.
+    // Candidate files counted from footer min–max stats and bytes read
+    // from the executed scan.
+    val ht = spark.range(rows / 5).select(
+      col("id").as("event_id"),
+      when(col("id") === 0, lit(1e15))
+        .otherwise((col("id") * 7919L % 100000L).cast("double")).as("v"),
+      (col("id") * 104729L % 100000L).as("b"))
+    Store.saveZOrdered(ht, s"$dir/ht_mm", Seq("v", "b"), nFiles = nFiles)
+    Store.saveZOrdered(ht, s"$dir/ht_rank", Seq("v", "b"), nFiles = nFiles,
+      rank = true)
+    def vCand(path: String, lo: Double, hi: Double): Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.startsWith("part-")).count { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min(col("v")), max(col("v"))).head
+          r.getDouble(0) <= hi && lo <= r.getDouble(1)
+        }
+    }
+    val (vLo, vHi) = (50000.0, 50500.0)
+    val htOut = Seq("ht_mm", "ht_rank").map { layout =>
+      val df = spark.read.parquet(s"$dir/$layout")
+      val runs = (0 to reps).map { _ =>
+        timed(df.filter(col("v") >= vLo && col("v") <= vHi).count())
+      }.drop(1)
+      f""""${layout}_v_range":{"rows":${runs.head._1},""" +
+        f""""sec":${median(runs.map(_._2))}%.3f,""" +
+        f""""mb_read":${median(runs.map(_._3.toDouble / 1e6))}%.1f,""" +
+        f""""cand_files":${vCand(s"$dir/$layout", vLo, vHi)}}"""
+    }
+    val htAgree = {
+      val a = spark.read.parquet(s"$dir/ht_mm")
+      val b = spark.read.parquet(s"$dir/ht_rank")
+      a.filter(col("v") >= vLo && col("v") <= vHi).count() ==
+        b.filter(col("v") >= vLo && col("v") <= vHi).count()
+    }
+
     println(
       s"""{"metric":"zorder_bench","rows":$rows,"users":$users,""" +
       s""""n_files":$nFiles,"reps":$reps,"counts_agree":$countsAgree,""" +
-      out.mkString(",") + "}")
+      s""""ht_counts_agree":$htAgree,""" +
+      (out ++ htOut).mkString(",") + "}")
     spark.stop()
   }
 }

@@ -152,6 +152,61 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       "healed z-dir must serve the full data")
   }
 
+  test("rank-bucketed z-order: a heavy-tailed column keeps pruning where " +
+      "min–max collapses; rows preserved; lifecycle takes the rank flag") {
+    val dir = java.nio.file.Files.createTempDirectory("zrank").toString
+    val nFiles = 16
+    val n = 20000L
+    // fixture: `a` uniform-ish 0..9999 plus ONE extreme outlier —
+    // min–max scaling maps every normal value to cell 0 (the scaladoc'd
+    // failure); `b` decorrelated uniform
+    val df = spark.range(n).select(
+      when(col("id") === 0, lit(1e15))
+        .otherwise((col("id") * 7919 % 10000).cast("double")).as("a"),
+      (col("id") * 104729 % 10000).as("b"))
+    Store.saveZOrdered(df, s"$dir/mm", Seq("a", "b"), nFiles = nFiles)
+    Store.saveZOrdered(df, s"$dir/rank", Seq("a", "b"), nFiles = nFiles,
+      rank = true)
+    val back = spark.read.parquet(s"$dir/rank")
+    assert(back.count() == n &&
+      back.except(df).isEmpty && df.except(back).isEmpty,
+      "rank-bucketed rewrite must preserve rows exactly")
+
+    def aStats(path: String): Seq[(Double, Double)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.startsWith("part-")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min(col("a")), max(col("a"))).head
+          (r.getDouble(0), r.getDouble(1))
+        }
+    }
+    val (lo, hi) = (5000.0, 5100.0)
+    def cand(stats: Seq[(Double, Double)]) =
+      stats.count { case (mn, mx) => mn <= hi && lo <= mx }
+    val (mmCand, rkCand) = (cand(aStats(s"$dir/mm")), cand(aStats(s"$dir/rank")))
+    // min–max: every normal `a` shares cell 0, so the a-dimension stops
+    // discriminating and every file spans the normal a-range
+    assert(mmCand >= nFiles - 1,
+      s"fixture sanity: min–max should have collapsed, got $mmCand/$nFiles")
+    assert(rkCand < mmCand && rkCand <= nFiles / 2,
+      s"rank-bucketed z must prune the heavy-tailed dimension: " +
+        s"$rkCand vs min–max $mmCand of $nFiles")
+
+    // lifecycle: append + rot-policy re-cluster under rank mode
+    Store.appendZOrdered(df.limit(500), s"$dir/rank", Seq("a", "b"),
+      rank = true)
+    assert(Store.maybeCompactZOrdered(spark, s"$dir/rank", Seq("a", "b"),
+      nFiles = nFiles, maxFiles = nFiles, rank = true))
+    val after = spark.read.parquet(s"$dir/rank")
+    assert(after.count() == n + 500,
+      "rank-mode append + re-cluster must preserve rows")
+    assert(cand(aStats(s"$dir/rank")) <= nFiles / 2,
+      "re-clustered rank layout must restore tight pruning")
+  }
+
   test("withZValue guards: < 2 columns and bit overflow refuse loudly; " +
       "constant column degrades to cell 0 (no division blowup)") {
     val df = spark.range(10).select(col("id").as("a"), lit(5L).as("b"),
