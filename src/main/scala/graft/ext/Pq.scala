@@ -327,29 +327,26 @@ object Pq {
     * codes scan); everything per-query is Q·nCells / Q·m·k /
     * Q·nProbe-bounded and broadcast-sized per executor. Work is
     * Σ_cells |cell|·(queries probing that cell) — the IVF-PQ bulk
-    * contract. Result ≡ running [[ivfPqProbe]] per query (PqSpec pins
-    * it); output ordered (query, cos_pq desc, id). */
+    * contract. `superQ` switches the cell ranking to the two-level
+    * quantizer ([[Similarity.bulkProbeCells]]'s hierarchical form —
+    * Q·nProbeSuper·nCells/nSuper ranking rows instead of Q·nCells).
+    * Result ≡ running [[ivfPqProbe]] per query (PqSpec pins it);
+    * output ordered (query, cos_pq desc, id). */
   def ivfPqProbeBulk(index: Similarity.IvfIndex, cb: PqCodebooks,
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, superQ: Option[Similarity.IvfSuper] = None,
+      nProbeSuper: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val qd = queries.select(col(qidCol),
         transform(col(embCol), x => x.cast("double")).as("_q"))
       .withColumn("_qn", sqrt(Similarity.dot(col("_q"), col("_q"))))
-    val cents = broadcast(index.centroids
-      .select(col("cell").cast("int").as("cell"),
-        transform(col("cent"), x => x.cast("double")).as("_cent")))
-    val wRank = Window.partitionBy(qidCol)
-      .orderBy(col("_dist").asc, col("cell").asc)
-    val probe = qd.crossJoin(cents)
-      .withColumn("_dist", round(aggregate(
-        zip_with(col("_cent"), col("_q"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v), 6))
-      .withColumn("_rn", row_number().over(wRank))
-      .filter(col("_rn") <= nProbe)
-      .select(col(qidCol), col("cell"))
+    // per-query top-nProbe cells — flat, or hierarchical when superQ is
+    // given (Q·nProbeSuper·nCells/nSuper intermediate rows instead of
+    // Q·nCells; same shared builder as the raw bulk probe)
+    val probe = Similarity.bulkProbeCells(index, qd, qidCol, nProbe,
+      superQ, nProbeSuper)
     val lut = qd.crossJoin(broadcast(codebookDf(spark, cb)))
       .withColumn("_dp", Similarity.dot(
         slice(col("_q"), col("sub") * cb.subDim + 1, lit(cb.subDim)),

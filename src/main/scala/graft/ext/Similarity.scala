@@ -392,6 +392,96 @@ object Similarity {
       rankProbeCellsHier(superQ, q, nProbeSuper, nProbe), k)
   }
 
+  /** Distributed per-query cell ranking for the BULK probes: returns
+    * `(qidCol, cell)` — each query's top-`nProbe` cells by
+    * (squared-L2 distance rounded at 6, cell) — from a query frame
+    * `qd` that carries `_q ARRAY<DOUBLE>`. Flat form: queries × the
+    * broadcast centroid frame (Q·nCells rows). Hierarchical form
+    * (`superQ`): queries × the nSuper super-centroids first, then only
+    * the top-`nProbeSuper` supers' children explode —
+    * Q·nProbeSuper·(nCells/nSuper) rows instead of Q·nCells, the same
+    * √-reduction the single-query hier probe gets, but fully
+    * distributed (no driver collect at any cell count). Rounding
+    * before ranking is the cross-engine rank rule (x91's oracle
+    * mirrors it); with nProbeSuper = nSuper the hierarchical ranking
+    * ≡ the flat one. */
+  private[graft] def bulkProbeCells(index: IvfIndex, qd: DataFrame,
+      qidCol: String, nProbe: Int, superQ: Option[IvfSuper] = None,
+      nProbeSuper: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d2(a: Column, b: Column): Column = round(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+    val wCell = Window.partitionBy(qidCol)
+      .orderBy(col("_dist").asc, col("cell").asc)
+    superQ match {
+      case None =>
+        val cents = broadcast(index.centroids
+          .select(col("cell").cast("int").as("cell"),
+            transform(col("cent"), x => x.cast("double")).as("_cent")))
+        qd.crossJoin(cents)
+          .withColumn("_dist", d2(col("_cent"), col("_q")))
+          .withColumn("_rn", row_number().over(wCell))
+          .filter(col("_rn") <= nProbe)
+          .select(col(qidCol), col("cell"))
+      case Some(sq) =>
+        val spark = qd.sparkSession
+        import spark.implicits._
+        val supers = broadcast(sq.superIds.zip(sq.superCents)
+          .map { case (s, c) => (s, c.toArray) }.toDF("super", "_scent"))
+        val wSuper = Window.partitionBy(qidCol)
+          .orderBy(col("_sdist").asc, col("super").asc)
+        qd.crossJoin(supers)
+          .withColumn("_sdist", d2(col("_scent"), col("_q")))
+          .withColumn("_srn", row_number().over(wSuper))
+          .filter(col("_srn") <= nProbeSuper)
+          .join(broadcast(sq.children), "super")
+          .select(col(qidCol), col("_q"), explode(col("cands")).as("c"))
+          .select(col(qidCol), col("_q"),
+            col("c.cell").as("cell"), col("c.cent").as("_cent"))
+          .withColumn("_dist", d2(col("_cent"), col("_q")))
+          .withColumn("_rn", row_number().over(wCell))
+          .filter(col("_rn") <= nProbe)
+          .select(col(qidCol), col("cell"))
+    }
+  }
+
+  /** Bulk raw-IVF probe — a BATCH of queries against one index in one
+    * distributed pass (the exact-cosine twin of
+    * [[graft.ext.Pq.ivfPqProbeBulk]]): per-query cell ranking through
+    * [[bulkProbeCells]] (flat or hierarchical), then ONE pruned scan of
+    * the union of probed cells joined to the broadcast (query, cell)
+    * pairs, exact cosine, windowed top-k per query. Work is
+    * Σ_cells |cell|·(queries probing that cell); the corpus-sized side
+    * is touched once. Result ≡ running [[ivfProbe]] per query
+    * (spec-pinned); output ordered (query, cos desc, id). */
+  def ivfProbeBulk(index: IvfIndex, queries: DataFrame, qidCol: String,
+      idCol: String, embCol: String = "embedding", nProbe: Int = 2,
+      k: Int = 10, superQ: Option[IvfSuper] = None,
+      nProbeSuper: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qd = queries.select(col(qidCol), d(col(embCol)).as("_q"))
+      .withColumn("_qn", sqrt(dot(col("_q"), col("_q"))))
+    val pairs = bulkProbeCells(index, qd, qidCol, nProbe, superQ,
+        nProbeSuper)
+      .join(qd, qidCol)
+      .localCheckpoint() // Q·nProbe rows of dim doubles — query-bounded
+    // literal IN list: bucket/file pruning of the index scan, bounded
+    // at nCells ints (the ivfProbe collect bound)
+    val cells = pairs.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = Window.partitionBy(qidCol)
+      .orderBy(col("cos").desc, col(idCol).asc)
+    index.assigned.filter(col("cell").isin(cells: _*))
+      .join(broadcast(pairs), "cell")
+      .withColumn("cos", round(
+        dot(col(embCol), col("_q")) / (norm(col(embCol)) * col("_qn")), 6))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("cell"), col("cos"))
+      .orderBy(col(qidCol), col("cos").desc, col(idCol))
+  }
+
   /** One-shot IVF top-k — [[ivfBuild]] + [[ivfProbe]] composed, for ad-hoc
     * single queries. Anything issuing repeated probes should build (and
     * usually [[ivfSave]]) once and call [[ivfProbe]] per query. */

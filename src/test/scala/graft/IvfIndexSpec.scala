@@ -283,6 +283,49 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"hier-assigned vector must be reachable through the hier probe: ${self.toSeq}")
   }
 
+  test("bulk raw-IVF probe ≡ per-query ivfProbe; hierarchical bulk " +
+      "ranking ≡ flat at exhaustive settings") {
+    val nCells = 8
+    val qids = Seq(1L, 7L, 21L, 42L)
+    val searched = corpus.filter(!col("vec_id").isin(qids: _*))
+    val built = Similarity.ivfBuild(searched, nCells = nCells)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+
+    val bulk = Similarity.ivfProbeBulk(built, queries, "q_id", "vec_id",
+        nProbe = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val seq = qids.sorted.flatMap { q =>
+      Similarity.ivfProbe(built,
+        corpus.filter(col("vec_id") === q).select("embedding"),
+        "vec_id", nProbe = 2, k = 10).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(2))).toSeq
+    }
+    assert(bulk == seq,
+      s"bulk != sequential:\n bulk=${bulk.take(5)}\n seq=${seq.take(5)}")
+
+    // hierarchical ranking with nProbeSuper = nSuper considers every
+    // cell — bulk results identical to the flat bulk form
+    val sq = Similarity.ivfSuperBuild(built, nSuper = 3)
+    val hier = Similarity.ivfProbeBulk(built, queries, "q_id", "vec_id",
+      nProbe = 2, k = 10, superQ = Some(sq), nProbeSuper = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(hier == bulk,
+      "exhaustive hier bulk ranking must equal the flat bulk probe")
+
+    // and the PQ bulk probe takes the same hierarchy
+    val cb = graft.ext.Pq.trainedCodebooks(searched, "embedding",
+      dim = 64, m = 8, k = 16)
+    val encIdx = graft.ext.Pq.ivfPqEncode(built, cb, "vec_id")
+    val pqFlat = graft.ext.Pq.ivfPqProbeBulk(encIdx, cb, queries,
+      "q_id", "vec_id", nProbe = 2).collect().toSeq
+    val pqHier = graft.ext.Pq.ivfPqProbeBulk(encIdx, cb, queries,
+      "q_id", "vec_id", nProbe = 2, superQ = Some(sq), nProbeSuper = 3)
+      .collect().toSeq
+    assert(pqHier == pqFlat,
+      "exhaustive hier ranking must equal the flat PQ bulk probe")
+  }
+
   test("tombstone delete: probes skip deleted vectors immediately; " +
       "double-delete is a no-op; compact folds physically") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
