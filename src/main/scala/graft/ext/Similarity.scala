@@ -283,7 +283,11 @@ object Similarity {
   /** Fit the super-quantizer: MLlib KMeans over the (tiny, nCells-row)
     * centroid frame, fixed seed ⇒ deterministic. An offline step run
     * once per [[ivfBuild]] — the fit input is the centroid table, never
-    * the corpus. */
+    * the corpus. No persistence layer is needed: rebuilding from a
+    * reloaded index ([[ivfLoad]] → this) reproduces the IDENTICAL
+    * hierarchy — same centroids in, same seeded fit — at nCells-row
+    * cost, so the super-quantizer is derived state, not a second
+    * artifact whose drift would need its own journal. */
   def ivfSuperBuild(index: IvfIndex, nSuper: Int,
       seed: Long = 42L): IvfSuper = {
     import org.apache.spark.ml.clustering.KMeans

@@ -86,6 +86,24 @@ object IvfRecallBench {
       f"""{"nProbe":$nProbe,"recall":$rec%.3f,"probe_sec_total":$sec%.2f}"""
     }
 
+    // two-level ranking (r12): what the hierarchy's approximation
+    // costs in recall at the SAME nProbe — the flat ranking considers
+    // all 16 cells, the hier form only the top-nProbeSuper supers'
+    // children. nProbeSuper = nSuper (4) is exhaustive ⇒ must match
+    // the flat nProbe=2 point exactly.
+    val sq = Similarity.ivfSuperBuild(idx, nSuper = 4)
+    val hierPoints = Seq(1, 2, 4).map { nps =>
+      val (tops, sec) = time {
+        queryRows.map { r =>
+          r.getAs[Number]("vec_id").longValue() ->
+            ids(Similarity.ivfProbeHier(idx, sq, oneQuery(r), "vec_id",
+              nProbeSuper = nps, nProbe = 2, k = k))
+        }.toMap
+      }
+      f"""{"nProbeSuper":$nps,"recall":${recallOf(tops)}%.3f,""" +
+        f""""probe_sec_total":$sec%.2f}"""
+    }
+
     val lshRecall = recallOf { q =>
       val r = queryRows.find(
         _.getAs[Number]("vec_id").longValue() == q).get
@@ -100,7 +118,8 @@ object IvfRecallBench {
       f""""n_queries":${queryRows.length},""" +
       f""""label_cells_nprobe2_recall":$x88%.3f,""" +
       f""""lsh_8plane_recall":$lshRecall%.3f,""" +
-      s""""kmeans_ivf_points":[${points.mkString(",")}]}""")
+      s""""kmeans_ivf_points":[${points.mkString(",")}],""" +
+      s""""hier_nsuper4_nprobe2_points":[${hierPoints.mkString(",")}]}""")
     spark.stop()
   }
 }
