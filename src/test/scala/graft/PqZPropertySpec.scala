@@ -102,4 +102,87 @@ class PqZPropertySpec extends AnyFunSuite with SparkTestBase {
       }
     })
   }
+
+  // ------------------------------------------------------------ round 12
+
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def toExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
+  test("property: BucketIdF ≡ reference upper bound, including duplicate " +
+      "boundaries and values exactly ON a boundary") {
+    val gen = for {
+      raw <- Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0))
+      // values drawn from the boundary pool (exact hits) and off-grid
+      vs <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.oneOf(raw), Gen.choose(-1500, 1500).map(_ / 100.0)))
+    } yield (raw.sorted.toIndexedSeq, vs)
+    check("bucketid", Prop.forAll(gen) { case (bnds, vs) =>
+      val got = vs.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("id", "v")
+        .withColumn("b", toCol(graft.functions.BucketIdF(
+          toExpr(col("v")), bnds)))
+        .select("id", "b").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      vs.zipWithIndex.forall { case (v, i) =>
+        got(i) == bnds.count(_ <= v) // upper bound, duplicates included
+      }
+    })
+  }
+
+  test("property: NearestInArrayF over a candidate column ≡ " +
+      "NearestCentroidF over the same matrix (id-sorted candidates, " +
+      "first-min ties)") {
+    val dim = 4
+    val gen = for {
+      nc <- Gen.choose(1, 6)
+      cents <- Gen.listOfN(nc,
+        Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0)))
+      n <- Gen.choose(1, 8)
+      // draw vectors from the centroid pool too: exact ties exercise
+      // the first-min rule in both kernels
+      vecs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf(cents), Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0))))
+    } yield (cents.map(_.toIndexedSeq).toIndexedSeq, vecs)
+    check("nearestInArray", Prop.forAll(gen) { case (cents, vecs) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "emb")
+        .withColumn("emb", transform(col("emb"), x => x.cast("double")))
+      val cands = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cell"),
+          array(c.map(lit(_)): _*).as("cent"))
+      }: _*)
+      val got = df
+        .withColumn("a", toCol(graft.functions.NearestInArrayF(
+          toExpr(col("emb")), toExpr(cands))))
+        .withColumn("b", toCol(graft.functions.NearestCentroidF(
+          toExpr(col("emb")), cents)))
+        .select("a", "b").collect()
+      got.forall(r => r.getInt(0) == r.getInt(1))
+    })
+  }
+
+  test("property: PqAdcPairF over a LUT column ≡ PqAdcF with the same " +
+      "LUT as a reference object, for arbitrary codes") {
+    val gen = for {
+      m <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 5)
+      lut <- Gen.listOfN(m,
+        Gen.listOfN(k, Gen.choose(-1000, 1000).map(_ / 100.0)))
+      n <- Gen.choose(1, 8)
+      codes <- Gen.listOfN(n, Gen.listOfN(m, Gen.choose(0, k - 1)))
+    } yield (m, k, lut.map(_.toIndexedSeq).toIndexedSeq, codes)
+    check("adcPair", Prop.forAll(gen) { case (m, k, lut, codes) =>
+      val flat = array(lut.flatten.map(lit(_)): _*)
+      val got = codes.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("id", "codes")
+        .withColumn("a", toCol(graft.functions.PqAdcPairF(
+          toExpr(col("codes")), toExpr(flat), k)))
+        .withColumn("b", toCol(graft.functions.PqAdcF(
+          toExpr(col("codes")), lut)))
+        .select("a", "b").collect()
+      // bit-identical: both fold lut(s)(code_s) in ascending s
+      got.forall(r => r.getDouble(0) == r.getDouble(1))
+    })
+  }
 }
