@@ -736,6 +736,97 @@ object CurationQueries {
         ORDER BY q_id, cos_pq DESC, vec_id"""))
   }
 
+  // ---------------------------------------------------------------- x92
+  /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
+    * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
+    * probe's approximate dot adds the per-cell `q·cent` constant, with
+    * `recon_norm = ‖cent + decode(codes)‖` assembled from the per-cell
+    * constant folds. Same x90/x91 devices — deterministic m=2 × k=4
+    * codebooks as generated literals, exact-decimal label centroids as
+    * the coarse quantizer, single query vec 0 — so the ENTIRE residual
+    * path (residual computation, residual argmin encode, centdot/cnorm2
+    * constant assembly, q·cent + ADC scoring) hash-matches DuckDB.
+    * Cell ranking is the production unrounded (dist, cell) rule: label
+    * cells are well-separated, so the engines' ulp-level distance
+    * differences cannot reorder them. */
+  val x92PqResidual: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val corpus = embs.filter(col("vec_id") =!= 0)
+        val ex = corpus.select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("i", "x")))
+        val cent = ex.groupBy(col("label"), col("i"))
+          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy("label").agg(
+            transform(array_sort(collect_list(struct(col("i"), col("c")))),
+              e => e.getField("c")).as("cent"))
+          .select(col("label").cast("int").as("cell"), col("cent"))
+        val idx = Similarity.IvfIndex(
+          corpus.withColumn("cell", col("label").cast("int")), cent)
+        val encIdx = Pq.ivfPqEncodeResidual(idx, cb, "vec_id")
+        Pq.ivfPqProbeResidual(encIdx, cb,
+          embs.filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", nProbe = 2, k = 10)
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+        cent AS (SELECT label, i,
+            CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+              / count(*) AS cm
+          FROM ex GROUP BY 1, 2),
+        cq AS (SELECT cent.label,
+            sum((cent.cm - qx.qx) * (cent.cm - qx.qx)) AS dist
+          FROM cent JOIN qx USING (i) GROUP BY 1),
+        probe AS (SELECT label FROM cq ORDER BY dist ASC, label ASC LIMIT 2),
+        rx AS (SELECT e.vec_id, e.label, e.i, e.x - cent.cm AS r
+          FROM ex e JOIN cent USING (label, i) JOIN probe USING (label)),
+        dist2 AS (SELECT r.vec_id, cw.s, cw.c,
+            sum((r.r - cw.w) * (r.r - cw.w)) AS d
+          FROM rx r JOIN cw ON cw.i = r.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist2) WHERE rn = 1),
+        cd AS (SELECT cent.label, cw.s, cw.c, sum(cent.cm * cw.w) AS cd
+          FROM cw JOIN cent ON cent.i = cw.i JOIN probe
+            ON probe.label = cent.label GROUP BY 1, 2, 3),
+        cn2 AS (SELECT label, sum(cm * cm) AS cn2 FROM cent GROUP BY 1),
+        ns AS (SELECT s, c, sum(w * w) AS ns FROM cw GROUP BY 1, 2),
+        lut AS (SELECT cw.s, cw.c, sum(cw.w * q.qx) AS dp
+          FROM cw JOIN qx q ON q.i = cw.i GROUP BY 1, 2),
+        qc AS (SELECT cent.label, sum(cent.cm * qx.qx) AS qc
+          FROM cent JOIN qx USING (i) GROUP BY 1),
+        cellof AS (SELECT DISTINCT vec_id, label FROM ex),
+        scored AS (SELECT k.vec_id, cf.label, sum(l.dp) AS adc,
+            sum(cd.cd) AS cdot, sum(ns.ns) AS nsum
+          FROM code k JOIN cellof cf USING (vec_id)
+          JOIN lut l ON l.s = k.s AND l.c = k.c
+          JOIN cd ON cd.label = cf.label AND cd.s = k.s AND cd.c = k.c
+          JOIN ns ON ns.s = k.s AND ns.c = k.c
+          GROUP BY 1, 2),
+        fin AS (SELECT s.vec_id, round((qc.qc + s.adc) /
+            (sqrt(cn2.cn2 + 2 * s.cdot + s.nsum) * qn.n), 6) AS cos_pq
+          FROM scored s JOIN qc ON qc.label = s.label
+          JOIN cn2 ON cn2.label = s.label, qn)
+        SELECT vec_id, cos_pq FROM fin
+        ORDER BY cos_pq DESC, vec_id LIMIT 10"""))
+  }
+
   // ---------------------------------------------------------------- x81
   /** Temperature-based mixture weights (the multilingual-sampling rule of
     * XLM-R/mBERT): q_l ∝ p_l^α with α = 0.3 over the `lang` dimension —
@@ -830,6 +921,7 @@ object CurationQueries {
     "x85_ann_ivf_det" -> x85AnnIvfDet,
     "x90_pq_adc" -> x90PqAdc,
     "x91_pq_bulk_probe" -> x91PqBulkProbe,
+    "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
     "x80_dup_spans" -> x80DupSpans,

@@ -268,23 +268,11 @@ object Pq {
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
     val probeCells = superQ match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
-      case None => index.centroids
-        // nCells × dim doubles — the broadcast-sized bound every probe and
-        // ivfAssign already rely on; never the corpus
-        .select(col("cell").cast("int"), col("cent")).collect()
-        .map { r =>
-          val cent = r.getSeq[Number](1).map(_.doubleValue)
-          // mirror adcLut's dim check: a wrong-dim index paired with a
-          // matching-dim codebook would otherwise rank probe cells on a
-          // silent prefix of the dimensions
-          require(cent.length == q.length,
-            s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
-              s"${q.length} — the index was built over different embeddings")
-          var acc = 0.0
-          var i = 0
-          while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
-          (r.getInt(0), acc)
-        }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
+      // nCells × dim doubles collected — the broadcast-sized bound every
+      // probe and ivfAssign already rely on; never the corpus. The dim
+      // check inside mirrors adcLut's (a wrong-dim index must not rank
+      // cells on a silent prefix of the dimensions).
+      case None => rankCellsFlat(index, q, nProbe)
     }
     val pruned = index.assigned.filter(col("cell").isin(probeCells: _*))
     pqTopK(pruned, cb, q, idCol, k, rerankWith, rerankFactor, embCol)
@@ -299,6 +287,180 @@ object Pq {
       cws.zipWithIndex.map { case (w, c) => (s, c, w) }
     }.toDF("sub", "code", "cent")
   }
+
+  /** Per-cell constants for RESIDUAL encoding/decoding, computed
+    * distributively from the (tiny, nCells-row) centroid frame:
+    * `_cent` (double centroid), `_cnorm2` = ‖cent‖², and `_centdot` —
+    * the flattened m·k array `cent[slice s] · w_{s,c}` at [s·k + c].
+    * These are exactly the constants that make the reconstruction norm
+    * of a residual-encoded vector a per-row CONSTANT lookup:
+    * ‖cent + decode(codes)‖² = ‖cent‖² + 2·Σ_s centdot[s·k+code_s] +
+    * Σ_s ‖w_{s,code_s}‖² — the first fold is [[graft.functions.PqAdcPairF]]
+    * over the joined `_centdot` column, the second
+    * [[graft.functions.PqAdcF]] over the constant `normSq` table. */
+  private[graft] def residualCellConsts(index: Similarity.IvfIndex,
+      cb: PqCodebooks): DataFrame = {
+    val centD = transform(col("cent"), x => x.cast("double"))
+    index.centroids
+      .select(col("cell").cast("int").as("_ccell"), centD.as("_cent"))
+      .withColumn("_cnorm2", Similarity.dot(col("_cent"), col("_cent")))
+      .withColumn("_centdot", array((0 until cb.m).flatMap { s =>
+        (0 until cb.k).map { c =>
+          Similarity.dot(
+            slice(col("_cent"), s * cb.subDim + 1, cb.subDim),
+            array(cb.cents(s)(c).map(lit(_)): _*))
+        }
+      }: _*))
+  }
+
+  /** RESIDUAL PQ encode — the FAISS `IndexIVFPQ` default (IVFADC,
+    * Jégou et al. §IV-A): quantize `x − cent(cell)` instead of `x`.
+    * Residuals concentrate around zero with far less variance than raw
+    * vectors, so the same (m, k) budget quantizes them with much lower
+    * reconstruction error — measurably higher ADC recall at identical
+    * index bytes (PQ_BENCH_r12 carries the number). Requires the
+    * batch to be cell-ASSIGNED already (the `cell` column), i.e. runs
+    * after [[Similarity.ivfAssign]]/`ivfAssignHier` — exactly where
+    * [[ivfPqEncode]] sits in the pipeline.
+    *
+    * Output schema is IDENTICAL to [[pqEncode]]'s (`codes`,
+    * `recon_norm` appended): `recon_norm` = ‖cent + decode(codes)‖,
+    * assembled from the per-cell constants of [[residualCellConsts]]
+    * (broadcast join on cell — nCells rows) + two codegen constant-fold
+    * kernels; one pass, no extra shuffle. A residual-encoded index
+    * therefore rides the ENTIRE maintenance layer unchanged — but must
+    * be probed with [[ivfPqProbeResidual]] (scoring adds the per-cell
+    * `q·cent` term that raw-ADC scoring doesn't have); the codebooks
+    * must be trained on RESIDUALS ([[trainedResidualCodebooks]]) or be
+    * the deterministic set. */
+  def pqEncodeResidual(assigned: DataFrame, embCol: String,
+      cb: PqCodebooks, index: Similarity.IvfIndex): DataFrame = {
+    val joined = assigned
+      .join(broadcast(residualCellConsts(index, cb)),
+        col("cell").cast("int") === col("_ccell"))
+      .withColumn("_resid", zip_with(
+        transform(col(embCol), x => x.cast("double")), col("_cent"),
+        (x, y) => x - y))
+    val tmp = (0 until cb.m).foldLeft(joined) { (acc, s) =>
+      acc.withColumn(s"_pq$s", toCol(graft.functions.NearestCentroidF(
+        toExpr(slice(col("_resid"), s * cb.subDim + 1, cb.subDim)),
+        cb.cents(s))))
+    }
+    tmp
+      .withColumn("codes", array((0 until cb.m).map(s => col(s"_pq$s")): _*))
+      .withColumn("recon_norm", sqrt(
+        col("_cnorm2")
+          + lit(2.0) * toCol(graft.functions.PqAdcPairF(
+            toExpr(col("codes")), toExpr(col("_centdot")), cb.k))
+          + toCol(graft.functions.PqAdcF(toExpr(col("codes")), cb.normSq))))
+      .drop((0 until cb.m).map(s => s"_pq$s"): _*)
+      .drop("_ccell", "_cent", "_cnorm2", "_centdot", "_resid")
+  }
+
+  /** Train codebooks on the RESIDUALS of an assigned corpus — the fit
+    * companion of [[pqEncodeResidual]] ([[trainedCodebooks]] over a
+    * materialized residual column; sample the corpus for the fit
+    * exactly as there). */
+  def trainedResidualCodebooks(assigned: DataFrame, embCol: String,
+      index: Similarity.IvfIndex, dim: Int, m: Int, k: Int,
+      seed: Long = 42L): PqCodebooks = {
+    val centD = transform(col("cent"), x => x.cast("double"))
+    val withResid = assigned
+      .join(broadcast(index.centroids
+        .select(col("cell").cast("int").as("_ccell"), centD.as("_cent"))),
+        col("cell").cast("int") === col("_ccell"))
+      .withColumn("_resid", zip_with(
+        transform(col(embCol), x => x.cast("double")), col("_cent"),
+        (x, y) => x - y))
+    trainedCodebooks(withResid, "_resid", dim, m, k, seed)
+  }
+
+  /** [[ivfPqEncode]] in residual form: same `IvfIndex` composition,
+    * `assigned` = `(idCol, cell, codes, recon_norm)` with codes
+    * quantizing the residual. */
+  def ivfPqEncodeResidual(index: Similarity.IvfIndex, cb: PqCodebooks,
+      idCol: String, embCol: String = "embedding"): Similarity.IvfIndex =
+    Similarity.IvfIndex(
+      pqEncodeResidual(index.assigned, embCol, cb, index)
+        .select(col(idCol), col("cell"), col("codes"), col("recon_norm")),
+      index.centroids)
+
+  /** Probe a RESIDUAL-encoded index: identical cell ranking (flat or
+    * hierarchical) and pruning to [[ivfPqProbe]], but the approximate
+    * dot gains the per-cell constant — `q·x̂ = q·cent_cell +
+    * Σ_s lutR(s)(code_s)` where lutR is [[adcLut]] on the residual
+    * codebooks and `q·cent` is driver-computed for ONLY the probed
+    * cells (nProbe dot products — the same bound as the probe-cell
+    * list). Scoring stays a scan of codes+recon_norm; optional exact
+    * rerank as in [[pqTopK]]. */
+  def ivfPqProbeResidual(index: Similarity.IvfIndex, cb: PqCodebooks,
+      query: DataFrame, idCol: String, embCol: String = "embedding",
+      nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4, superQ: Option[Similarity.IvfSuper] = None,
+      nProbeSuper: Int = 2): DataFrame = {
+    val qRows = query.select(transform(col(embCol), x => x.cast("double"))
+      .as("q")).take(1)
+    require(qRows.nonEmpty, "ivfPqProbeResidual: empty query frame")
+    val q = qRows(0).getSeq[Double](0).toIndexedSeq
+    val probeCells = superQ match {
+      case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
+      case None => rankCellsFlat(index, q, nProbe)
+    }
+    // q·cent for the probed cells only — nProbe rows collected
+    val qcent: Map[Int, Double] = index.centroids
+      .select(col("cell").cast("int"), col("cent"))
+      .filter(col("cell").isin(probeCells: _*)).collect()
+      .map { r =>
+        val cent = r.getSeq[Number](1).map(_.doubleValue)
+        require(cent.length == q.length,
+          s"ivfPqProbeResidual: centroid dim ${cent.length} != query dim ${q.length}")
+        var acc = 0.0
+        var i = 0
+        while (i < q.length) { acc += q(i) * cent(i); i += 1 }
+        r.getInt(0) -> acc
+      }.toMap
+    val qcentCol = probeCells.foldLeft(lit(null).cast("double")) { (acc, c) =>
+      when(col("cell").cast("int") === c, lit(qcent(c))).otherwise(acc)
+    }
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    val scored = index.assigned.filter(col("cell").isin(probeCells: _*))
+      .withColumn("cos_pq", round(
+        (qcentCol + toCol(graft.functions.PqAdcF(
+          toExpr(col("codes")), adcLut(q, cb)))) /
+          (col("recon_norm") * lit(qn)), 6))
+    rerankWith match {
+      case None =>
+        scored.orderBy(col("cos_pq").desc, col(idCol))
+          .select(col(idCol), col("cos_pq")).limit(k)
+      case Some(full) =>
+        val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
+          .select(col(idCol)).limit(k * rerankFactor)
+        val qlit = array(q.map(lit(_)): _*)
+        full.join(broadcast(cand), Seq(idCol))
+          .withColumn("cos", round(
+            Similarity.dot(col(embCol), qlit) /
+              (Similarity.norm(col(embCol)) * lit(qn)), 6))
+          .orderBy(col("cos").desc, col(idCol))
+          .select(col(idCol), col("cos")).limit(k)
+    }
+  }
+
+  /** The flat driver-side cell ranking [[ivfPqProbe]] uses, factored
+    * for reuse by the residual probe (dist asc, cell asc; dim-checked). */
+  private def rankCellsFlat(index: Similarity.IvfIndex,
+      q: IndexedSeq[Double], nProbe: Int): Seq[Int] =
+    index.centroids
+      .select(col("cell").cast("int"), col("cent")).collect()
+      .map { r =>
+        val cent = r.getSeq[Number](1).map(_.doubleValue)
+        require(cent.length == q.length,
+          s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
+            s"${q.length} — the index was built over different embeddings")
+        var acc = 0.0
+        var i = 0
+        while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
+        (r.getInt(0), acc)
+      }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
 
   /** Bulk IVF-PQ probe — a BATCH of queries against one encoded index
     * in one distributed pass (VERDICT r11 #3: the x89 bulk-band-probe

@@ -132,6 +132,25 @@ object PqBench {
     val cbTrainedRaw = Pq.trainedCodebooks(rawSearched, "embedding", dim,
       m = 8, k = 16)
 
+    // residual encoding (r12 — the FAISS IVFADC form): same (m, k)
+    // budget, codes quantize x − cent(cell). Report ADC recall and the
+    // rerank point against the raw-PQ numbers above, plus index bytes
+    // (expected ≈ equal — the schema is identical).
+    val cbRes = Pq.trainedResidualCodebooks(
+      built.assigned.sample(withReplacement = false,
+        math.min(1.0, 20000.0 / n), seed = 42),
+      "embedding", built, dim, m = 8, k = 16)
+    val resIdx = Pq.ivfPqEncodeResidual(built, cbRes, "vec_id")
+    Similarity.ivfSave(resIdx, "pqb_res", s"$tmp/res", nCells)
+    val resBytes = dirBytes(s"$tmp/res/assigned")
+    val resLoaded = Similarity.ivfLoad(spark, "pqb_res", s"$tmp/res")
+    val (resTop, resSec) = probeAll(q =>
+      Pq.ivfPqProbeResidual(resLoaded, cbRes, queryDf(q), "vec_id",
+        nProbe = 2))
+    val (resRrTop, resRrSec) = probeAll(q =>
+      Pq.ivfPqProbeResidual(resLoaded, cbRes, queryDf(q), "vec_id",
+        nProbe = 2, rerankWith = Some(searched), rerankFactor = 4))
+
     // bulk ADC probe race (VERDICT r11 #3): a 100-query retrieval
     // workload — sequential per-query driver-LUT probes vs ONE
     // distributed bulk pass. Results must agree row-for-row (the
@@ -172,10 +191,16 @@ object PqBench {
       f""""bulk_n_queries":$nBulkQ,"bulk_seq_sec":$seqSec%.2f,""" +
       f""""bulk_bulk_sec":$bulkSec%.2f,""" +
       f""""bulk_speedup":${seqSec / bulkSec}%.1f,""" +
-      f""""bulk_agree":$bulkAgree%.3f}""")
+      f""""bulk_agree":$bulkAgree%.3f,""" +
+      f""""residual_index_bytes":$resBytes,""" +
+      f""""recall_adc_residual":${recallOf(resTop)}%.3f,""" +
+      f""""recall_rerank4_residual":${recallOf(resRrTop)}%.3f,""" +
+      f""""probe_adc_residual_sec":$resSec%.2f,""" +
+      f""""probe_rerank4_residual_sec":$resRrSec%.2f}""")
 
     spark.sql("DROP TABLE IF EXISTS pqb_raw")
     spark.sql("DROP TABLE IF EXISTS pqb_pq")
+    spark.sql("DROP TABLE IF EXISTS pqb_res")
     spark.stop()
   }
 }

@@ -253,6 +253,119 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(nullSlot.isNullAt(0), "null code slot must null the ADC score")
   }
 
+  test("residual encoding (IVFADC): recon_norm equals the exact " +
+      "reconstructed norm; probe scores equal the driver reference; " +
+      "residual reconstruction beats raw at equal (m, k); persistence " +
+      "rides the maintenance layer") {
+    val nCells = 8
+    val dim = 64
+    val built = Similarity.ivfBuild(corpus, nCells = nCells)
+    val cbRes = Pq.trainedResidualCodebooks(built.assigned, "embedding",
+      built, dim, m = 8, k = 16)
+    val encIdx = Pq.ivfPqEncodeResidual(built, cbRes, "vec_id")
+
+    // driver-side centroid map (cells are ints, cents doubles)
+    val cents: Map[Int, IndexedSeq[Double]] = built.centroids
+      .select(col("cell").cast("int"), col("cent")).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Number](1).map(_.doubleValue).toIndexedSeq).toMap
+
+    // 1. recon_norm ≡ ‖cent + decode(codes)‖ via the SAME constant
+    // folds (cnorm2 + 2·centdot-fold + normSq-fold, then sqrt) —
+    // bit-identical, not tolerance-level
+    val rows = encIdx.assigned
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("codes"), col("recon_norm")).collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      val cent = cents(r.getInt(1))
+      val codes = r.getSeq[Int](2)
+      val cnorm2 = cent.foldLeft(0.0)((a, x) => a + x * x)
+      val centdot = codes.zipWithIndex.foldLeft(0.0) { case (a, (c, s)) =>
+        var acc = 0.0
+        var j = 0
+        while (j < cbRes.subDim) {
+          acc += cent(s * cbRes.subDim + j) * cbRes.cents(s)(c)(j); j += 1
+        }
+        a + acc
+      }
+      val nsq = codes.zipWithIndex.foldLeft(0.0) { case (a, (c, s)) =>
+        a + cbRes.normSq(s)(c) }
+      val expect = math.sqrt(cnorm2 + 2.0 * centdot + nsq)
+      assert(r.getDouble(3) == expect,
+        s"recon_norm mismatch at vec ${r.get(0)}: ${r.getDouble(3)} vs $expect")
+    }
+
+    // 2. probe scores ≡ driver reference: with nProbe = nCells every
+    // vector is scored; cos_pq must equal
+    // round((q·cent + Σ lutR(code)) / (recon · ‖q‖), 6)
+    val q = queryVec(0L)
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    val lutR = Pq.adcLut(q, cbRes)
+    val got = Pq.ivfPqProbeResidual(encIdx, cbRes,
+      corpus.filter(col("vec_id") === 0).select("embedding"), "vec_id",
+      nProbe = nCells, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byId = rows.map(r => r.getAs[Number](0).longValue() ->
+      ((r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    got.foreach { case (id, cosPq) =>
+      val (cell, codes, recon) = byId(id)
+      val cent = cents(cell)
+      var qc = 0.0
+      var i = 0
+      while (i < dim) { qc += q(i) * cent(i); i += 1 }
+      val adc = codes.zipWithIndex.foldLeft(0.0) { case (a, (c, s)) =>
+        a + lutR(s)(c) }
+      val expect = BigDecimal(
+        (qc + adc) / (recon * qn)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cosPq - expect) < 1e-9,
+        s"cos_pq mismatch at $id: $cosPq vs $expect")
+    }
+
+    // 3. the point of residuals: lower reconstruction error than raw
+    // PQ at the same (m, k) budget — decode both driver-side
+    val cbRaw = Pq.trainedCodebooks(corpus, "embedding", dim, m = 8, k = 16)
+    val rawCodes = Pq.pqEncode(built.assigned, "embedding", cbRaw)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Int](1)).toMap
+    val embMap = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1)).toMap
+    def err(id: Long, xhat: Int => Double): Double = {
+      val x = embMap(id)
+      (0 until dim).foldLeft(0.0) { (a, i) =>
+        val d = x(i) - xhat(i); a + d * d }
+    }
+    val (resErr, rawErr) = byId.foldLeft((0.0, 0.0)) {
+      case ((re, ra), (id, (cell, codes, _))) =>
+        val cent = cents(cell)
+        val resHat = (i: Int) =>
+          cent(i) + cbRes.cents(i / cbRes.subDim)(codes(i / cbRes.subDim))(i % cbRes.subDim)
+        val rc = rawCodes(id)
+        val rawHat = (i: Int) =>
+          cbRaw.cents(i / cbRaw.subDim)(rc(i / cbRaw.subDim))(i % cbRaw.subDim)
+        (re + err(id, resHat), ra + err(id, rawHat))
+    }
+    assert(resErr < rawErr,
+      f"residual reconstruction must beat raw: $resErr%.2f vs $rawErr%.2f")
+
+    // 4. persistence: the residual index rides ivfSave/ivfLoad; probe
+    // over the reopened index ≡ in-memory
+    val dir = java.nio.file.Files.createTempDirectory("pq-res").toString
+    Similarity.ivfSave(encIdx, "pq_res_t", dir, nCells)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "pq_res_t", dir)
+      val qdf = corpus.filter(col("vec_id") === 0).select("embedding")
+      assert(Pq.ivfPqProbeResidual(loaded, cbRes, qdf, "vec_id")
+        .collect().toSeq ==
+        Pq.ivfPqProbeResidual(encIdx, cbRes, qdf, "vec_id")
+          .collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_res_t")
+  }
+
   test("PQ index delete/compact lifecycle: tombstones hide vectors from " +
       "ADC probes immediately, compact folds them physically, pruning " +
       "survives — the raw-index machinery really is column-agnostic") {
