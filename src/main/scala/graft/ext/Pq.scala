@@ -492,13 +492,18 @@ object Pq {
     * contract. `superQ` switches the cell ranking to the two-level
     * quantizer ([[Similarity.bulkProbeCells]]'s hierarchical form —
     * Q·nProbeSuper·nCells/nSuper ranking rows instead of Q·nCells).
-    * Result ≡ running [[ivfPqProbe]] per query (PqSpec pins it);
-    * output ordered (query, cos_pq desc, id). */
+    * `residual = true` scores a RESIDUAL-encoded index
+    * ([[pqEncodeResidual]]): pass the residual codebooks as `cb`, and
+    * the per-(query, probed-cell) `q·cent` constant joins onto the
+    * pairs frame distributively — the bulk twin of
+    * [[ivfPqProbeResidual]]'s driver-side map. Result ≡ running
+    * [[ivfPqProbe]] / [[ivfPqProbeResidual]] per query (PqSpec pins
+    * both); output ordered (query, cos_pq desc, id). */
   def ivfPqProbeBulk(index: Similarity.IvfIndex, cb: PqCodebooks,
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[Similarity.IvfSuper] = None,
-      nProbeSuper: Int = 2): DataFrame = {
+      nProbeSuper: Int = 2, residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val qd = queries.select(col(qidCol),
@@ -517,9 +522,21 @@ object Pq {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("_dp")))),
         s => s.getField("_dp")).as("_lut"))
-    val probedLut = probe
-      .join(lut, qidCol)
-      .join(qd.select(col(qidCol), col("_qn")), qidCol)
+    // residual scoring adds the per-(query, probed-cell) q·cent
+    // constant — computed distributively on the Q·nProbe pairs frame
+    // (the bulk twin of ivfPqProbeResidual's driver-side qcent map)
+    val withQcent: DataFrame => DataFrame =
+      if (!residual) identity
+      else _.join(broadcast(index.centroids
+          .select(col("cell").cast("int").as("cell"),
+            transform(col("cent"), x => x.cast("double")).as("_cc"))),
+          "cell")
+        .withColumn("_qcent", Similarity.dot(col("_q"), col("_cc")))
+        .drop("_cc")
+    val probedLut = withQcent(probe
+        .join(lut, qidCol)
+        .join(qd, qidCol))
+      .drop("_q")
       .localCheckpoint() // Q·nProbe rows of m·k doubles — query-bounded
     // literal IN list for bucket/file pruning of the index scan —
     // bounded at nCells ints, the ivfProbe collect bound
@@ -529,10 +546,14 @@ object Pq {
       .orderBy(col("cos_pq").desc, col(idCol).asc)
     index.assigned.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probedLut), "cell")
-      .withColumn("cos_pq", round(
-        toCol(graft.functions.PqAdcPairF(toExpr(col("codes")),
-          toExpr(col("_lut")), cb.k)) /
-          (col("recon_norm") * col("_qn")), 6))
+      .withColumn("cos_pq", {
+        val adc = toCol(graft.functions.PqAdcPairF(
+          toExpr(col("codes")), toExpr(col("_lut")), cb.k))
+        // the raw form's arithmetic is untouched (x91's oracle mirrors
+        // it term for term); residual prepends the q·cent constant
+        val num = if (residual) col("_qcent") + adc else adc
+        round(num / (col("recon_norm") * col("_qn")), 6)
+      })
       .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") <= k)
       .select(col(qidCol), col(idCol), col("cos_pq"))

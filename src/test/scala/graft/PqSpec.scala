@@ -229,6 +229,23 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
         Pq.ivfPqProbe(encIdx, cb, q0, "vec_id").collect().toSeq,
       "exhaustive hier ranking must equal the flat ADC probe")
 
+    // 2b. residual bulk: same equivalence against the sequential
+    // residual probes (the q·cent term rides the pairs frame)
+    val cbRes = Pq.trainedResidualCodebooks(built.assigned, "embedding",
+      built, dim = 64, m = 8, k = 16)
+    val resIdx = Pq.ivfPqEncodeResidual(built, cbRes, "vec_id")
+    val resBulk = Pq.ivfPqProbeBulk(resIdx, cbRes, queries, "q_id",
+        "vec_id", nProbe = 2, k = 10, residual = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val resSeq = qids.sorted.flatMap { q =>
+      Pq.ivfPqProbeResidual(resIdx, cbRes,
+        corpus.filter(col("vec_id") === q).select("embedding"),
+        "vec_id", nProbe = 2, k = 10).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(resBulk == resSeq,
+      s"residual bulk != sequential:\n bulk=${resBulk.take(5)}\n seq=${resSeq.take(5)}")
+
     // 3. PqAdcPairF contracts: wrong-m codes throw; a null code slot
     // nulls the score instead of scoring garbage
     import spark.implicits._
