@@ -368,8 +368,11 @@ object Dedup {
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     // a [[compactBandIndex]] killed between its two directory renames
     // leaves no live banded dir — roll the completed rewrite forward
-    if (graft.engine.Store.healInterruptedSwap(spark, s"$path/banded") &&
-        spark.catalog.tableExists(table))
+    graft.engine.Store.healInterruptedSwap(spark, s"$path/banded")
+    // ALWAYS refresh (the ivfLoad rule): appends written by another
+    // session — a streaming-cloned foreachBatch sink — stay invisible
+    // to a session holding a cached file listing of this table
+    if (spark.catalog.tableExists(table))
       spark.catalog.refreshTable(table)
     if (fs.exists(p(AppendJournal))) healInterruptedAppend(spark, table, path)
     else if (!fs.exists(p("sizes"))) {

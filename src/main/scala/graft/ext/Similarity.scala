@@ -148,8 +148,14 @@ object Similarity {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     // an [[ivfCompact]] killed between its two directory renames leaves
     // no live assigned dir — roll the completed rewrite forward
-    if (graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned") &&
-        spark.catalog.tableExists(table))
+    graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned")
+    // ALWAYS refresh, not only after a heal: a session that previously
+    // read this table caches its file listing, and appends written by
+    // ANOTHER session (a foreachBatch sink runs in a streaming-cloned
+    // session) stay invisible to it — a reopened index must see the
+    // current files (one catalog invalidation; the probe is about to
+    // list anyway)
+    if (spark.catalog.tableExists(table))
       spark.catalog.refreshTable(table)
     val base = spark.table(table)
     val assigned =

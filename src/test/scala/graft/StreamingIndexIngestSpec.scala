@@ -310,6 +310,58 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS pq_stream_t")
   }
 
+  test("streamed RESIDUAL IVF-PQ appends: the residual encode hook " +
+      "(closing over the static centroids) ≡ batch pqEncodeResidual, " +
+      "probeable through the residual probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Pq
+    val dir = java.nio.file.Files.createTempDirectory("pqres-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pqres-ckpt").toString
+    val nCells = 8
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    val built = Similarity.ivfBuild(half, nCells = nCells)
+    val cbRes = Pq.trainedResidualCodebooks(built.assigned, "embedding",
+      built, dim = 64, m = 8, k = 16)
+    Similarity.ivfSave(Pq.ivfPqEncodeResidual(built, cbRes, "vec_id"),
+      "pqres_stream_t", dir, nCells)
+    try {
+      // the hook closes over the saved index's STATIC centroid frame —
+      // the same offline-artifact contract as the sink's own quantizer
+      val idx = Similarity.ivfLoad(spark, "pqres_stream_t", dir)
+      val enc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => Pq.pqEncodeResidual(df, "embedding", cbRes, idx)
+          .select(col("vec_id"), col("cell"), col("codes"), col("recon_norm"))
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "pqres_stream_t", dir, nCells, encode = enc))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      try { input.addData(rest); q.processAllAvailable() } finally q.stop()
+
+      val streamed = Similarity.ivfLoad(spark, "pqres_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count())
+      val expect = enc(Similarity.ivfAssign(streamed,
+          embs.filter(col("vec_id") % 2 =!= 0), "vec_id"))
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      val got = streamed.assigned.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "streamed residual encode diverged from the batch path")
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      val top = Pq.ivfPqProbeResidual(streamed, cbRes, qv, "vec_id", k = 1,
+        rerankWith = Some(embs)).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+    } finally spark.sql("DROP TABLE IF EXISTS pqres_stream_t")
+  }
+
   test("streamed z-order appends: rows land exactly-once, replay is a " +
       "no-op, the rot policy re-clusters in-stream, compaction refuses " +
       "over a live journal") {
