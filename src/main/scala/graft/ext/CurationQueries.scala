@@ -791,7 +791,7 @@ object CurationQueries {
               / count(*) AS cm
           FROM ex GROUP BY 1, 2),
         cq AS (SELECT cent.label,
-            sum((cent.cm - qx.qx) * (cent.cm - qx.qx)) AS dist
+            round(sum((cent.cm - qx.qx) * (cent.cm - qx.qx)), 6) AS dist
           FROM cent JOIN qx USING (i) GROUP BY 1),
         probe AS (SELECT label FROM cq ORDER BY dist ASC, label ASC LIMIT 2),
         rx AS (SELECT e.vec_id, e.label, e.i, e.x - cent.cm AS r

@@ -208,25 +208,35 @@ object Pq {
     * bounded handful. */
   def pqTopK(encoded: DataFrame, cb: PqCodebooks, query: IndexedSeq[Double],
       idCol: String, k: Int = 10, rerankWith: Option[DataFrame] = None,
-      rerankFactor: Int = 4, embCol: String = "embedding"): DataFrame = {
-    val scored = encoded.withColumn("cos_pq",
-      round(adcCosine(col("codes"), col("recon_norm"), query, cb), 6))
-    rerankWith match {
-      case None =>
-        scored.orderBy(col("cos_pq").desc, col(idCol))
-          .select(col(idCol), col("cos_pq")).limit(k)
-      case Some(full) =>
-        val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
-          .select(col(idCol)).limit(k * rerankFactor)
-        val qlit = array(query.map(lit(_)): _*)
-        val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
-        full.join(broadcast(cand), Seq(idCol))
-          .withColumn("cos", round(
-            Similarity.dot(col(embCol), qlit) /
-              (Similarity.norm(col(embCol)) * lit(qn)), 6))
-          .orderBy(col("cos").desc, col(idCol))
-          .select(col(idCol), col("cos")).limit(k)
-    }
+      rerankFactor: Int = 4, embCol: String = "embedding"): DataFrame =
+    scoredTopK(
+      encoded.withColumn("cos_pq",
+        round(adcCosine(col("codes"), col("recon_norm"), query, cb), 6)),
+      query, idCol, k, rerankWith, rerankFactor, embCol)
+
+  /** The ordering/rerank tail every single-query ADC scorer shares
+    * (plain and residual probes): top-k of an already-`cos_pq`-scored
+    * frame, or the two-stage exact rerank over k·factor candidates.
+    * One implementation so the rounding rule, (score desc, id)
+    * tie-break, candidate bound, and output shape cannot drift between
+    * the two scoring forms. */
+  private def scoredTopK(scored: DataFrame, query: IndexedSeq[Double],
+      idCol: String, k: Int, rerankWith: Option[DataFrame],
+      rerankFactor: Int, embCol: String): DataFrame = rerankWith match {
+    case None =>
+      scored.orderBy(col("cos_pq").desc, col(idCol))
+        .select(col(idCol), col("cos_pq")).limit(k)
+    case Some(full) =>
+      val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
+        .select(col(idCol)).limit(k * rerankFactor)
+      val qlit = array(query.map(lit(_)): _*)
+      val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+      full.join(broadcast(cand), Seq(idCol))
+        .withColumn("cos", round(
+          Similarity.dot(col(embCol), qlit) /
+            (Similarity.norm(col(embCol)) * lit(qn)), 6))
+        .orderBy(col("cos").desc, col(idCol))
+        .select(col(idCol), col("cos")).limit(k)
   }
 
   /** Encode an IVF index's assigned frame into its PQ form: same
@@ -313,6 +323,19 @@ object Pq {
       }: _*))
   }
 
+  /** The residual column, defined ONCE: join the (tiny) per-cell frame
+    * `consts` — which must carry `_ccell` and `_cent` — and append
+    * `_resid = double(x) − cent`. Shared by the train and encode paths
+    * so the residual definition cannot drift between them (a silent
+    * recall regression if it did). */
+  private def withResidual(assigned: DataFrame, embCol: String,
+      consts: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(consts), col("cell").cast("int") === col("_ccell"))
+      .withColumn("_resid", zip_with(
+        transform(col(embCol), x => x.cast("double")), col("_cent"),
+        (x, y) => x - y))
+
   /** RESIDUAL PQ encode — the FAISS `IndexIVFPQ` default (IVFADC,
     * Jégou et al. §IV-A): quantize `x − cent(cell)` instead of `x`.
     * Residuals concentrate around zero with far less variance than raw
@@ -335,12 +358,7 @@ object Pq {
     * the deterministic set. */
   def pqEncodeResidual(assigned: DataFrame, embCol: String,
       cb: PqCodebooks, index: Similarity.IvfIndex): DataFrame = {
-    val joined = assigned
-      .join(broadcast(residualCellConsts(index, cb)),
-        col("cell").cast("int") === col("_ccell"))
-      .withColumn("_resid", zip_with(
-        transform(col(embCol), x => x.cast("double")), col("_cent"),
-        (x, y) => x - y))
+    val joined = withResidual(assigned, embCol, residualCellConsts(index, cb))
     val tmp = (0 until cb.m).foldLeft(joined) { (acc, s) =>
       acc.withColumn(s"_pq$s", toCol(graft.functions.NearestCentroidF(
         toExpr(slice(col("_resid"), s * cb.subDim + 1, cb.subDim)),
@@ -365,14 +383,10 @@ object Pq {
       index: Similarity.IvfIndex, dim: Int, m: Int, k: Int,
       seed: Long = 42L): PqCodebooks = {
     val centD = transform(col("cent"), x => x.cast("double"))
-    val withResid = assigned
-      .join(broadcast(index.centroids
-        .select(col("cell").cast("int").as("_ccell"), centD.as("_cent"))),
-        col("cell").cast("int") === col("_ccell"))
-      .withColumn("_resid", zip_with(
-        transform(col(embCol), x => x.cast("double")), col("_cent"),
-        (x, y) => x - y))
-    trainedCodebooks(withResid, "_resid", dim, m, k, seed)
+    val consts = index.centroids
+      .select(col("cell").cast("int").as("_ccell"), centD.as("_cent"))
+    trainedCodebooks(withResidual(assigned, embCol, consts), "_resid",
+      dim, m, k, seed)
   }
 
   /** [[ivfPqEncode]] in residual form: same `IvfIndex` composition,
@@ -428,38 +442,20 @@ object Pq {
         (qcentCol + toCol(graft.functions.PqAdcF(
           toExpr(col("codes")), adcLut(q, cb)))) /
           (col("recon_norm") * lit(qn)), 6))
-    rerankWith match {
-      case None =>
-        scored.orderBy(col("cos_pq").desc, col(idCol))
-          .select(col(idCol), col("cos_pq")).limit(k)
-      case Some(full) =>
-        val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
-          .select(col(idCol)).limit(k * rerankFactor)
-        val qlit = array(q.map(lit(_)): _*)
-        full.join(broadcast(cand), Seq(idCol))
-          .withColumn("cos", round(
-            Similarity.dot(col(embCol), qlit) /
-              (Similarity.norm(col(embCol)) * lit(qn)), 6))
-          .orderBy(col("cos").desc, col(idCol))
-          .select(col(idCol), col("cos")).limit(k)
-    }
+    scoredTopK(scored, q, idCol, k, rerankWith, rerankFactor, embCol)
   }
 
   /** The flat driver-side cell ranking [[ivfPqProbe]] uses, factored
-    * for reuse by the residual probe (dist asc, cell asc; dim-checked). */
+    * for reuse by the residual probe: (rounded dist asc, cell asc) —
+    * the one shared cell-ranking rule ([[Similarity.rankDist]], which
+    * also dim-checks). */
   private def rankCellsFlat(index: Similarity.IvfIndex,
       q: IndexedSeq[Double], nProbe: Int): Seq[Int] =
     index.centroids
       .select(col("cell").cast("int"), col("cent")).collect()
       .map { r =>
-        val cent = r.getSeq[Number](1).map(_.doubleValue)
-        require(cent.length == q.length,
-          s"ivfPqProbe: index centroid dim ${cent.length} != query dim " +
-            s"${q.length} — the index was built over different embeddings")
-        var acc = 0.0
-        var i = 0
-        while (i < q.length) { val d = cent(i) - q(i); acc += d * d; i += 1 }
-        (r.getInt(0), acc)
+        (r.getInt(0), Similarity.rankDist(
+          r.getSeq[Number](1).map(_.doubleValue), q, "ivfPqProbe"))
       }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
 
   /** Bulk IVF-PQ probe — a BATCH of queries against one encoded index

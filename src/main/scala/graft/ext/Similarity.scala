@@ -230,16 +230,37 @@ object Similarity {
   def ivfProbe(index: IvfIndex, query: DataFrame, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2, k: Int = 10): DataFrame = {
     val qv = broadcast(query.select(d(col(embCol)).as("q_v")))
+    // distances round at 6 before ranking — the ONE cell-ranking rule
+    // every probe variant shares (flat/hier/bulk, driver or
+    // distributed), so "bulk ≡ per-query" and "hier-exhaustive ≡ flat"
+    // hold on near-tie centroids too, and the oracle rows can mirror
+    // the ranking deterministically (r12 review finding #1)
     val probeCells = index.centroids.crossJoin(qv)
-      .withColumn("dist", aggregate(
+      .withColumn("dist", round(aggregate(
         zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v))
+        lit(0.0), (acc, v) => acc + v), 6))
       .orderBy(col("dist").asc, col("cell")).limit(nProbe)
       // cast before collect: the probe must not assume the persisted
       // index's integer width (physical layouts have drifted before —
       // TESTDATA.md "Physical layout drift")
       .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
     probeCellsScan(index, query, idCol, embCol, probeCells, k)
+  }
+
+  /** The shared driver-side distance: squared-L2 fold in element order,
+    * rounded at 6 exactly as the Column rankings round (Spark's round =
+    * HALF_UP on the double's decimal representation — BigDecimal(d) in
+    * Scala is the same valueOf form). Dim mismatch throws: ranking on a
+    * silent dimension prefix returns plausible garbage. */
+  private[graft] def rankDist(cent: Seq[Double], q: IndexedSeq[Double],
+      what: String): Double = {
+    require(cent.length == q.length,
+      s"$what: centroid dim ${cent.length} != query dim ${q.length} — " +
+        "the index was built over different embeddings")
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { val dd = cent(i) - q(i); acc += dd * dd; i += 1 }
+    BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** The exact in-cell search every probe variant shares: pruned
@@ -298,8 +319,16 @@ object Similarity {
       seed: Long = 42L): IvfSuper = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // one cell-sorted partition before the fit: seeded KMeans is only
+    // deterministic for a fixed data partitioning/order, and a RELOADED
+    // index's centroid frame is partitioned by the parquet read, not by
+    // the groupBy that first produced it — without this, the
+    // rebuild-reproduces-the-identical-hierarchy contract below would
+    // silently depend on where the frame came from. nCells rows: a
+    // single partition is free.
     val featured = index.centroids
       .select(col("cell").cast("int").as("cell"), d(col("cent")).as("cent"))
+      .orderBy("cell").coalesce(1)
       .withColumn("_v", array_to_vector(col("cent")))
     if (nSuper == 1) {
       // degenerate-but-legal hierarchy (and the exhaustive ≡-flat pin):
@@ -368,21 +397,16 @@ object Similarity {
     * is considered and the ranking ≡ the flat one. */
   private[graft] def rankProbeCellsHier(superQ: IvfSuper,
       q: IndexedSeq[Double], nProbeSuper: Int, nProbe: Int): Seq[Int] = {
-    def d2(cent: Seq[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      val n = math.min(cent.length, q.length)
-      while (i < n) { val dd = cent(i) - q(i); acc += dd * dd; i += 1 }
-      acc
-    }
     val topSupers = superQ.superIds.zip(superQ.superCents)
-      .map { case (s, c) => (s, d2(c)) }
+      .map { case (s, c) => (s, rankDist(c, q, "rankProbeCellsHier")) }
       .sortBy { case (s, dist) => (dist, s) }
       .take(nProbeSuper).map(_._1)
     superQ.children.filter(col("super").isin(topSupers: _*))
       .select(explode(col("cands")).as("c"))
       .select(col("c.cell"), col("c.cent")).collect()
-      .map(r => (r.getInt(0), d2(r.getSeq[Number](1).map(_.doubleValue))))
+      .map(r => (r.getInt(0),
+        rankDist(r.getSeq[Number](1).map(_.doubleValue), q,
+          "rankProbeCellsHier")))
       .sortBy { case (c, dist) => (dist, c) }
       .take(nProbe).map(_._1).toSeq
   }

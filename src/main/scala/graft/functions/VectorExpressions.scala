@@ -407,6 +407,7 @@ case class NearestInArrayF(left: Expression, right: Expression)
           "children cannot assign")
     val f = isFloat
     var best = Int.MinValue
+    var found = false
     var bestDist = Double.MaxValue
     var c = 0
     while (c < cands.numElements()) {
@@ -422,26 +423,32 @@ case class NearestInArrayF(left: Expression, right: Expression)
           acc += x * x
           i += 1
         }
-        if (acc < bestDist) { bestDist = acc; best = row.getInt(0) }
+        if (!found || acc < bestDist) { bestDist = acc; best = row.getInt(0) }
+        found = true
       }
       c += 1
     }
+    // all-null slots must fail like the empty array: returning the
+    // never-updated sentinel would assign a nonexistent cell that no
+    // probe's `cell IN (…)` filter ever selects — silently invisible
+    if (!found)
+      throw new IllegalArgumentException(
+        "graft_nearest_in: empty candidate list — a super-cell with no " +
+          "children cannot assign")
     best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (best, bestDist, c, row, cent, n, acc, i, x) =
+      val (best, bestDist, c, row, cent, n, acc, i, x, found) =
         (ctx.freshName("best"), ctx.freshName("bestDist"), ctx.freshName("c"),
           ctx.freshName("row"), ctx.freshName("cent"), ctx.freshName("n"),
-          ctx.freshName("acc"), ctx.freshName("i"), ctx.freshName("x"))
+          ctx.freshName("acc"), ctx.freshName("i"), ctx.freshName("x"),
+          ctx.freshName("found"))
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
-         |if ($b.numElements() == 0)
-         |  throw new IllegalArgumentException(
-         |    "graft_nearest_in: empty candidate list - a super-cell with " +
-         |    "no children cannot assign");
          |int $best = Integer.MIN_VALUE;
+         |boolean $found = false;
          |double $bestDist = Double.MAX_VALUE;
          |for (int $c = 0; $c < $b.numElements(); $c++) {
          |  if ($b.isNullAt($c)) continue;
@@ -453,8 +460,13 @@ case class NearestInArrayF(left: Expression, right: Expression)
          |    double $x = $get - $cent.getDouble($i);
          |    $acc += $x * $x;
          |  }
-         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $row.getInt(0); }
+         |  if (!$found || $acc < $bestDist) { $bestDist = $acc; $best = $row.getInt(0); }
+         |  $found = true;
          |}
+         |if (!$found)
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_in: empty candidate list - a super-cell with " +
+         |    "no children cannot assign");
          |${ev.value} = $best;
        """.stripMargin
     })

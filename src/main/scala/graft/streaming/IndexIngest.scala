@@ -448,14 +448,25 @@ object IndexIngest {
           val actual = rowCount()
           if (actual == pre.toLong + n.toLong) false
           else if (actual == pre.toLong) { fs.delete(p(StreamJournal), false); true }
-          else if (repairTorn.exists(_(batchId)) && rowCount() == pre.toLong) {
-            // repaired back to the pre-append state — replay the append
-            fs.delete(p(StreamJournal), false); true
+          else {
+            // torn: offer the repair, then RECOUNT — the error below must
+            // describe the directory as it is NOW, and say whether a
+            // repair already deleted files (diagnosing from the stale
+            // pre-repair count would be actively misleading)
+            val repaired = repairTorn.exists(_(batchId))
+            val now = if (repaired) rowCount() else actual
+            if (repaired && now == pre.toLong) {
+              // repaired back to the pre-append state — replay the append
+              fs.delete(p(StreamJournal), false); true
+            } else throw new IllegalStateException(
+              s"stream ingest under $path: physical row count $now" +
+                (if (repaired)
+                  s" (AFTER manifest repair deleted the partial batch's " +
+                    s"files; pre-repair count was $actual)"
+                 else "") +
+                s" matches neither pre ($pre) nor pre+batch (${pre.toLong + n.toLong}) " +
+                s"for the journaled batch — $tornAdvice")
           }
-          else throw new IllegalStateException(
-            s"stream ingest under $path: physical row count $actual " +
-              s"matches neither pre ($pre) nor pre+batch (${pre.toLong + n.toLong}) " +
-              s"for the journaled batch — $tornAdvice")
         case Array(jid, _, _) if jid.toLong < batchId =>
           // stale journal: that batch's epoch committed (we are past it)
           // but the crash hit before the journal clear — discard

@@ -93,10 +93,14 @@ object IvfAssignBench {
       val viaHier = Similarity.ivfAssignHier(sq, batch, "vec_id")
         .select("vec_id", "cell")
       val hierSec = med((1 to reps).map(_ => time(force(viaHier))))
+      // denominator = the sample's ACTUAL row count: with nBatch <
+      // sampleN the vec_id filter yields fewer rows than sampleN, and
+      // dividing by the constant would under-report agreement
       val agree = Similarity.ivfAssignHier(sq, sample, "vec_id")
         .select("vec_id", "cell")
         .intersect(Similarity.ivfAssign(idx, sample, "vec_id")
-          .select("vec_id", "cell")).count().toDouble / sampleN
+          .select("vec_id", "cell")).count().toDouble /
+        math.min(nBatch, sampleN)
       f""""n$nCells":{"argmin_sec":$exprSec%.3f,"hier_sec":$hierSec%.3f,""" +
         f""""hier_nsuper":$nSuper,"hier_agree":$agree%.4f$joinPart}"""
     }
