@@ -67,9 +67,10 @@ object Bench {
     // round-11: the PQ encode+ADC path (x90, sub-second) — tracked so
     // codebook/kernel regressions surface in the per-round artifact
     "x90_pq_adc",
-    // round-12: the bulk ADC probe (per-query LUTs as data) and the
-    // residual-encoding path — same rationale, both ~sub-second
-    "x91_pq_bulk_probe", "x92_pq_residual")
+    // round-12: the bulk ADC probe (per-query LUTs as data), the
+    // residual-encoding path, and the filtered probe — same rationale,
+    // all ~sub-second
+    "x91_pq_bulk_probe", "x92_pq_residual", "x93_filtered_ann")
 
   /** Per-query measurement summary: (median, min, max, first error). */
   private[graft] type Reading = (Double, Double, Double, Option[String])

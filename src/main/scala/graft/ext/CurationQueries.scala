@@ -590,6 +590,51 @@ object CurationQueries {
       FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
       ORDER BY cos DESC, d.vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- x93
+  /** Oracle-checked FILTERED ANN ([[Similarity.ivfProbe]]'s `pred`, on
+    * the x85 deterministic device): top-k restricted to candidates
+    * matching a metadata predicate (`vec_id % 3 = 1` — the stand-in for
+    * production `lang = 'en'` / `source IN (…)` retrieval filters).
+    * The split the SQL mirrors is the semantic contract: centroids and
+    * the cell ranking come from the FULL corpus (`ex`, unfiltered);
+    * the predicate conjoins ONLY the in-cell scan (`norms`/`dots`) —
+    * post-filtering ANN, the FAISS `IDSelector` shape. On a saved
+    * index the production path pushes the predicate into the pruned
+    * parquet scan next to the `cell IN (…)` bucket prune
+    * (plan-asserted in IvfIndexSpec). */
+  val x93FilteredAnn: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfDeterministicTopK(embs.filter(col("vec_id") =!= 0),
+        embs.filter(col("vec_id") === 0), "vec_id", "label",
+        nProbe = 2, k = 10, pred = Some(col("vec_id") % 3 === 1))
+    },
+    Some("""WITH ex AS (SELECT label, vec_id,
+          CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0),
+      cent AS (SELECT label, i,
+          CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*)
+            AS c
+        FROM ex GROUP BY 1, 2),
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      cj AS (SELECT label, sum(c * qx) AS dp, sqrt(sum(c * c)) AS cn
+        FROM cent JOIN qx USING (i) GROUP BY 1),
+      probe AS (SELECT label FROM cj, qn
+        ORDER BY round(dp / (cn * qn.n), 6) DESC, label LIMIT 2),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        FROM ex JOIN probe USING (label)
+        WHERE vec_id % 3 = 1 GROUP BY 1),
+      dots AS (SELECT ex.vec_id, ex.label, sum(ex.x * q.qx) AS dp
+        FROM ex JOIN probe USING (label) JOIN qx q ON q.i = ex.i
+        WHERE ex.vec_id % 3 = 1 GROUP BY 1, 2)
+      SELECT d.vec_id, d.label, round(d.dp / (nm.nrm * qn.n), 6) AS cos
+      FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+      ORDER BY cos DESC, d.vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- x90
   /** Oracle-checked product quantization ([[Pq]] — IVF-PQ's compression
     * layer): encode the corpus with DETERMINISTIC seed-fixed codebooks
@@ -919,6 +964,7 @@ object CurationQueries {
 
   val all: Map[String, Q] = Map(
     "x85_ann_ivf_det" -> x85AnnIvfDet,
+    "x93_filtered_ann" -> x93FilteredAnn,
     "x90_pq_adc" -> x90PqAdc,
     "x91_pq_bulk_probe" -> x91PqBulkProbe,
     "x92_pq_residual" -> x92PqResidual,

@@ -243,12 +243,18 @@ object Pq {
     * `IvfIndex` type, `assigned` = `(idCol, cell, codes, recon_norm)` —
     * feed it straight to [[Similarity.ivfSave]] /
     * [[Similarity.ivfAppendSave]] / the whole maintenance layer, which
-    * never looks at the payload columns. */
+    * never looks at the payload columns. `keep` names metadata columns
+    * from the assigned frame to carry into the encoded index — the
+    * columns a filtered probe's `pred` can reference (compression is
+    * per-column; keeping narrow metadata barely moves the PQ size
+    * win). */
   def ivfPqEncode(index: Similarity.IvfIndex, cb: PqCodebooks,
-      idCol: String, embCol: String = "embedding"): Similarity.IvfIndex =
+      idCol: String, embCol: String = "embedding",
+      keep: Seq[String] = Nil): Similarity.IvfIndex =
     Similarity.IvfIndex(
       pqEncode(index.assigned, embCol, cb)
-        .select(col(idCol), col("cell"), col("codes"), col("recon_norm")),
+        .select((Seq(idCol, "cell", "codes", "recon_norm") ++ keep)
+          .map(col): _*),
       index.centroids)
 
   /** IVF-PQ probe: rank cells on the broadcast-sized centroid frame
@@ -269,7 +275,7 @@ object Pq {
       query: DataFrame, idCol: String, embCol: String = "embedding",
       nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
       rerankFactor: Int = 4, superQ: Option[Similarity.IvfSuper] = None,
-      nProbeSuper: Int = 2): DataFrame = {
+      nProbeSuper: Int = 2, pred: Option[Column] = None): DataFrame = {
     val qRows = query.select(transform(col(embCol), x => x.cast("double"))
       .as("q")).take(1) // 1-row query frame — dim doubles, bounded
     require(qRows.nonEmpty,
@@ -284,7 +290,10 @@ object Pq {
       // cells on a silent prefix of the dimensions).
       case None => rankCellsFlat(index, q, nProbe)
     }
-    val pruned = index.assigned.filter(col("cell").isin(probeCells: _*))
+    // pred conjoins after the cell prune — the Similarity.ivfProbe
+    // filtered-search rule; it references columns the encode `keep`-ed
+    val pruned = pred.foldLeft(
+      index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
     pqTopK(pruned, cb, q, idCol, k, rerankWith, rerankFactor, embCol)
   }
 
@@ -391,12 +400,15 @@ object Pq {
 
   /** [[ivfPqEncode]] in residual form: same `IvfIndex` composition,
     * `assigned` = `(idCol, cell, codes, recon_norm)` with codes
-    * quantizing the residual. */
+    * quantizing the residual. `keep` carries metadata columns into the
+    * encoded index for filtered probes, as in [[ivfPqEncode]]. */
   def ivfPqEncodeResidual(index: Similarity.IvfIndex, cb: PqCodebooks,
-      idCol: String, embCol: String = "embedding"): Similarity.IvfIndex =
+      idCol: String, embCol: String = "embedding",
+      keep: Seq[String] = Nil): Similarity.IvfIndex =
     Similarity.IvfIndex(
       pqEncodeResidual(index.assigned, embCol, cb, index)
-        .select(col(idCol), col("cell"), col("codes"), col("recon_norm")),
+        .select((Seq(idCol, "cell", "codes", "recon_norm") ++ keep)
+          .map(col): _*),
       index.centroids)
 
   /** Probe a RESIDUAL-encoded index: identical cell ranking (flat or
@@ -411,7 +423,7 @@ object Pq {
       query: DataFrame, idCol: String, embCol: String = "embedding",
       nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
       rerankFactor: Int = 4, superQ: Option[Similarity.IvfSuper] = None,
-      nProbeSuper: Int = 2): DataFrame = {
+      nProbeSuper: Int = 2, pred: Option[Column] = None): DataFrame = {
     val qRows = query.select(transform(col(embCol), x => x.cast("double"))
       .as("q")).take(1)
     require(qRows.nonEmpty, "ivfPqProbeResidual: empty query frame")
@@ -437,7 +449,8 @@ object Pq {
       when(col("cell").cast("int") === c, lit(qcent(c))).otherwise(acc)
     }
     val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
-    val scored = index.assigned.filter(col("cell").isin(probeCells: _*))
+    val scored = pred.foldLeft(
+        index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
       .withColumn("cos_pq", round(
         (qcentCol + toCol(graft.functions.PqAdcF(
           toExpr(col("codes")), adcLut(q, cb)))) /
@@ -499,7 +512,8 @@ object Pq {
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[Similarity.IvfSuper] = None,
-      nProbeSuper: Int = 2, residual: Boolean = false): DataFrame = {
+      nProbeSuper: Int = 2, residual: Boolean = false,
+      pred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val qd = queries.select(col(qidCol),
@@ -540,7 +554,10 @@ object Pq {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(qidCol)
       .orderBy(col("cos_pq").desc, col(idCol).asc)
-    index.assigned.filter(col("cell").isin(probedCells: _*))
+    // pred conjoins after the cell prune — one shared filtered-search
+    // predicate for the whole batch (bulk ≡ per-query filtered)
+    pred.foldLeft(
+        index.assigned.filter(col("cell").isin(probedCells: _*)))(_.filter(_))
       .join(broadcast(probedLut), "cell")
       .withColumn("cos_pq", {
         val adc = toCol(graft.functions.PqAdcPairF(

@@ -226,9 +226,21 @@ object Similarity {
     * cells. The probe-cell ids are collected to the driver — bounded at
     * `nProbe` ints by construction — so the scan filter is literal
     * `cell IN (…)`: against an [[ivfSave]]d index that bucket-prunes the
-    * read to nProbe files out of nCells. */
+    * read to nProbe files out of nCells.
+    *
+    * `pred` is FILTERED search (the FAISS `IDSelector` shape): the
+    * predicate restricts CANDIDATES inside the probed cells —
+    * conjoined directly after the `cell IN (…)` filter, so on a saved
+    * index it reaches the parquet scan as a pushed filter alongside
+    * the bucket prune. Cell ranking is deliberately unaffected: the
+    * quantizer describes the FULL corpus, and re-ranking cells against
+    * a filtered subset would need per-predicate centroids. The trade
+    * every post-filtering ANN engine makes: a selective predicate can
+    * leave fewer than k matches inside nProbe cells — raise nProbe to
+    * recover recall, the filtered-search knob. */
   def ivfProbe(index: IvfIndex, query: DataFrame, idCol: String,
-      embCol: String = "embedding", nProbe: Int = 2, k: Int = 10): DataFrame = {
+      embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
+      pred: Option[Column] = None): DataFrame = {
     val qv = broadcast(query.select(d(col(embCol)).as("q_v")))
     // distances round at 6 before ranking — the ONE cell-ranking rule
     // every probe variant shares (flat/hier/bulk, driver or
@@ -244,7 +256,7 @@ object Similarity {
       // index's integer width (physical layouts have drifted before —
       // TESTDATA.md "Physical layout drift")
       .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
-    probeCellsScan(index, query, idCol, embCol, probeCells, k)
+    probeCellsScan(index, query, idCol, embCol, probeCells, k, pred)
   }
 
   /** The shared driver-side distance: squared-L2 fold in element order,
@@ -265,13 +277,16 @@ object Similarity {
 
   /** The exact in-cell search every probe variant shares: pruned
     * `cell IN (…)` scan (bucket-pruned against an [[ivfSave]]d layout)
-    * + broadcast 1-row query + TakeOrdered. */
+    * + broadcast 1-row query + TakeOrdered. `pred` conjoins the
+    * filtered-search predicate right after the cell prune ([[ivfProbe]]
+    * documents the semantics). */
   private def probeCellsScan(index: IvfIndex, query: DataFrame,
       idCol: String, embCol: String, probeCells: Seq[Int],
-      k: Int): DataFrame = {
+      k: Int, pred: Option[Column] = None): DataFrame = {
     val qb = broadcast(query.select(col(embCol).as("q_emb"))
       .withColumn("_qn", norm(col("q_emb"))))
-    index.assigned.filter(col("cell").isin(probeCells: _*))
+    pred.foldLeft(
+        index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
       .crossJoin(qb)
       .withColumn("cos", round(
         dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
@@ -418,12 +433,12 @@ object Similarity {
     * recovers the flat ranking exactly. */
   def ivfProbeHier(index: IvfIndex, superQ: IvfSuper, query: DataFrame,
       idCol: String, embCol: String = "embedding", nProbeSuper: Int = 2,
-      nProbe: Int = 2, k: Int = 10): DataFrame = {
+      nProbe: Int = 2, k: Int = 10, pred: Option[Column] = None): DataFrame = {
     val qRows = query.select(d(col(embCol)).as("q")).take(1)
     require(qRows.nonEmpty, "ivfProbeHier: empty query frame")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
     probeCellsScan(index, query, idCol, embCol,
-      rankProbeCellsHier(superQ, q, nProbeSuper, nProbe), k)
+      rankProbeCellsHier(superQ, q, nProbeSuper, nProbe), k, pred)
   }
 
   /** Distributed per-query cell ranking for the BULK probes: returns
@@ -492,7 +507,7 @@ object Similarity {
   def ivfProbeBulk(index: IvfIndex, queries: DataFrame, qidCol: String,
       idCol: String, embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[IvfSuper] = None,
-      nProbeSuper: Int = 2): DataFrame = {
+      nProbeSuper: Int = 2, pred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qd = queries.select(col(qidCol), d(col(embCol)).as("_q"))
       .withColumn("_qn", sqrt(dot(col("_q"), col("_q"))))
@@ -506,7 +521,11 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(qidCol)
       .orderBy(col("cos").desc, col(idCol).asc)
-    index.assigned.filter(col("cell").isin(cells: _*))
+    // pred conjoins after the cell prune — same filtered-search rule as
+    // ivfProbe (one shared predicate for the whole batch; bulk ≡
+    // per-query filtered, spec-pinned)
+    pred.foldLeft(
+        index.assigned.filter(col("cell").isin(cells: _*)))(_.filter(_))
       .join(broadcast(pairs), "cell")
       .withColumn("cos", round(
         dot(col(embCol), col("_q")) / (norm(col(embCol)) * col("_qn")), 6))
@@ -741,7 +760,7 @@ object Similarity {
     * TakeOrdered. */
   def ivfDeterministicTopK(embs: DataFrame, query: DataFrame, idCol: String,
       labelCol: String, embCol: String = "embedding", nProbe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, pred: Option[Column] = None): DataFrame = {
     val q = broadcast(query.select(col(embCol).as("q_emb"))
       .withColumn("_qn", norm(col("q_emb"))))
     val ex = embs.select(col(labelCol),
@@ -758,7 +777,10 @@ object Similarity {
           (sqrt(dotHof(col("cent"), col("cent"))) * norm(col("q_emb"))), 6))
       .orderBy(col("cell_cos").desc, col(labelCol)).limit(nProbe)
       .select(col(labelCol))
-    embs.join(broadcast(probed), labelCol)
+    // pred filters the in-cell scan only — centroids above come from
+    // the FULL corpus, the ivfProbe filtered-search rule (x93 mirrors
+    // exactly this split cross-engine)
+    pred.foldLeft(embs.join(broadcast(probed), labelCol))(_.filter(_))
       .crossJoin(q)
       .withColumn("cos", round(
         dot(col(embCol), col("q_emb")) / (norm(col(embCol)) * col("_qn")), 6))
