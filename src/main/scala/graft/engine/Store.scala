@@ -628,6 +628,37 @@ object Store {
     else { compactZOrdered(spark, path, cols, bits, nFiles, rank); true }
   }
 
+  /** A numeric column's [min, max] from one parquet file's FOOTER
+    * statistics — the metadata a file-stats index / row-group skipper
+    * prunes with, read without touching a data page (one footer seek
+    * per file, vs the full-file scan the evidence tooling previously
+    * paid — ADVICE r12). Unions all row groups; None when the column
+    * has no non-null stats. Long/int/double/float footer mins all
+    * surface as `Comparable` boxed numbers, hence the Number fold. */
+  private[graft] def footerMinMax(spark: SparkSession, file: String,
+      column: String): Option[(Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val stats = reader.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == column)
+        .map(_.getStatistics)
+        .filter(s => s != null && s.hasNonNullValue)
+      def d(v: Any): Double = v match {
+        case n: java.lang.Number => n.doubleValue
+        case other => sys.error(
+          s"footerMinMax($column): non-numeric footer statistic $other")
+      }
+      if (stats.isEmpty) None
+      else Some((stats.map(s => d(s.genericGetMin)).min,
+        stats.map(s => d(s.genericGetMax)).max))
+    } finally reader.close()
+  }
+
   /** Compaction for a [[saveBucketed]]-style BUCKETED table — the
     * maintained-index hygiene step. Every index append
     * (`Dedup.bandIndexAppend`, `Similarity.ivfAppendSave`) adds one file

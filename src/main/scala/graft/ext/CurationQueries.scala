@@ -791,9 +791,10 @@ object CurationQueries {
     * the coarse quantizer, single query vec 0 — so the ENTIRE residual
     * path (residual computation, residual argmin encode, centdot/cnorm2
     * constant assembly, q·cent + ADC scoring) hash-matches DuckDB.
-    * Cell ranking is the production unrounded (dist, cell) rule: label
-    * cells are well-separated, so the engines' ulp-level distance
-    * differences cannot reorder them. */
+    * Cell ranking follows the one production rule shared by every
+    * probe variant — (dist rounded at 6, cell) — and the SQL oracle
+    * rounds identically; label cells are well-separated besides, so
+    * the rounding can never be what decides the order here. */
   val x92PqResidual: Q = {
     val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
     val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>

@@ -282,7 +282,10 @@ object Pq {
       "ivfPqProbe: empty query frame — the ADC LUT needs exactly one " +
         "query embedding")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
-    val probeCells = superQ match {
+    // above AutoHierCells the index supplies its auto-built hierarchy
+    // when the caller passes none (Similarity.IvfIndex.autoSuper) —
+    // scale ranking by default, exact flat ranking for small indexes
+    val probeCells = superQ.orElse(index.autoSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
       // nCells × dim doubles collected — the broadcast-sized bound every
       // probe and ivfAssign already rely on; never the corpus. The dim
@@ -347,10 +350,17 @@ object Pq {
 
   /** RESIDUAL PQ encode — the FAISS `IndexIVFPQ` default (IVFADC,
     * Jégou et al. §IV-A): quantize `x − cent(cell)` instead of `x`.
-    * Residuals concentrate around zero with far less variance than raw
-    * vectors, so the same (m, k) budget quantizes them with much lower
-    * reconstruction error — measurably higher ADC recall at identical
-    * index bytes (PQ_BENCH_r12 carries the number). Requires the
+    * WHEN the corpus actually clusters, residuals concentrate around
+    * zero with far less variance than raw vectors, so the same (m, k)
+    * budget quantizes them with lower reconstruction error. Measured
+    * honestly (PQ_BENCH): on a genuinely clustered corpus the
+    * residual form's ADC recall beats plain PQ at the same bytes
+    * (`clustered_recall_adc_residual` vs `clustered_recall_adc`); on
+    * the harness's weak-cluster synthetic embeddings residuals ≈ raw
+    * vectors minus a near-constant, so r12 showed NO win (ADC 0.780
+    * residual vs 0.815 plain at byte parity, 894 KB vs 912 KB) and
+    * exact re-rank recovered 0.890 either way — the corpus, not the
+    * kernel, decides. Requires the
     * batch to be cell-ASSIGNED already (the `cell` column), i.e. runs
     * after [[Similarity.ivfAssign]]/`ivfAssignHier` — exactly where
     * [[ivfPqEncode]] sits in the pipeline.
@@ -428,7 +438,8 @@ object Pq {
       .as("q")).take(1)
     require(qRows.nonEmpty, "ivfPqProbeResidual: empty query frame")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
-    val probeCells = superQ match {
+    // same auto-hier fallback as ivfPqProbe (IvfIndex.autoSuper)
+    val probeCells = superQ.orElse(index.autoSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
       case None => rankCellsFlat(index, q, nProbe)
     }
@@ -445,9 +456,12 @@ object Pq {
         while (i < q.length) { acc += q(i) * cent(i); i += 1 }
         r.getInt(0) -> acc
       }.toMap
-    val qcentCol = probeCells.foldLeft(lit(null).cast("double")) { (acc, c) =>
-      when(col("cell").cast("int") === c, lit(qcent(c))).otherwise(acc)
-    }
+    // flat map-literal lookup (missing cell → null, same as the old
+    // null-based fold): an O(nProbe)-deep when/otherwise chain risked
+    // codegen-size fallback at large nProbe (ADVICE r12)
+    val qcentCol = element_at(
+      map(probeCells.flatMap(c => Seq(lit(c), lit(qcent(c)))): _*),
+      col("cell").cast("int"))
     val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
     val scored = pred.foldLeft(
         index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
@@ -507,7 +521,13 @@ object Pq {
     * pairs frame distributively — the bulk twin of
     * [[ivfPqProbeResidual]]'s driver-side map. Result ≡ running
     * [[ivfPqProbe]] / [[ivfPqProbeResidual]] per query (PqSpec pins
-    * both); output ordered (query, cos_pq desc, id). */
+    * both); output ordered (query, cos_pq desc, id).
+    *
+    * The per-query LUT frame is `localCheckpoint`ed (query-bounded
+    * blocks) and stays persisted until the ContextCleaner GCs it — a
+    * long-lived service issuing many bulk probes should wrap each call
+    * + result materialization in [[graft.ext.Dedup.withRddCleanup]] so
+    * the blocks release deterministically (ADVICE r12). */
   def ivfPqProbeBulk(index: Similarity.IvfIndex, cb: PqCodebooks,
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2,

@@ -103,7 +103,32 @@ object Similarity {
     * parquet ([[ivfSave]]/[[ivfLoad]]) and a probe NEVER re-fits the
     * quantizer (VERDICT r7 item 7: the old one-shot [[ivfTopK]] re-ran
     * KMeans per call). */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame) {
+    /** Cell count, counted once per handle (nCells-row frame). */
+    private[graft] lazy val cellCount: Long = centroids.count()
+
+    /** The super-quantizer the probe entry points fall back to when the
+      * caller passes none: auto-built at √nCells supers once the index
+      * crosses [[AutoHierCells]] cells, None below it. Makes the SCALE
+      * path the default path (VERDICT r12 #6) — at production cell
+      * counts a probe should never flat-rank nCells centroids just
+      * because the caller didn't read SCALING.md — while small indexes
+      * keep the exact flat ranking. Lazy and cached per index handle:
+      * the fit input is the nCells-row centroid frame ([[ivfSuperBuild]]
+      * — derived state, deterministic), so a long-lived handle pays it
+      * once, and a handle that never probes a big index pays nothing. */
+    private[graft] lazy val autoSuper: Option[IvfSuper] =
+      if (cellCount <= AutoHierCells) None
+      else Some(ivfSuperBuild(this,
+        math.ceil(math.sqrt(cellCount.toDouble)).toInt))
+  }
+
+  /** Above this many cells the probe entry points default to
+    * hierarchical cell ranking (see [[IvfIndex.autoSuper]]). 256 ≈
+    * where the flat form's nCells-row ranking pass starts to dominate
+    * sub-second probes (IVF_ASSIGN_BENCH_r12: flat linear in nCells,
+    * hier flat). */
+  private[graft] val AutoHierCells = 256L
 
   /** IVF index build (the expensive offline step, run once per corpus):
     * distributed MLlib KMeans coarse quantizer, fixed seed ⇒
@@ -237,27 +262,40 @@ object Similarity {
     * a filtered subset would need per-predicate centroids. The trade
     * every post-filtering ANN engine makes: a selective predicate can
     * leave fewer than k matches inside nProbe cells — raise nProbe to
-    * recover recall, the filtered-search knob. */
+    * recover recall, the filtered-search knob.
+    *
+    * Above [[AutoHierCells]] cells the ranking goes through the
+    * auto-built two-level quantizer ([[IvfIndex.autoSuper]]) with
+    * `nProbeSuper` supers considered — the hierarchical-quantizer
+    * recall trade documented at [[ivfAssignHier]]; pass the index to
+    * [[ivfProbeHier]] with `nProbeSuper = nSuper` to recover the flat
+    * ranking exactly at any size. Below the threshold the ranking is
+    * the exact flat one, unchanged. */
   def ivfProbe(index: IvfIndex, query: DataFrame, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
-      pred: Option[Column] = None): DataFrame = {
-    val qv = broadcast(query.select(d(col(embCol)).as("q_v")))
-    // distances round at 6 before ranking — the ONE cell-ranking rule
-    // every probe variant shares (flat/hier/bulk, driver or
-    // distributed), so "bulk ≡ per-query" and "hier-exhaustive ≡ flat"
-    // hold on near-tie centroids too, and the oracle rows can mirror
-    // the ranking deterministically (r12 review finding #1)
-    val probeCells = index.centroids.crossJoin(qv)
-      .withColumn("dist", round(aggregate(
-        zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v), 6))
-      .orderBy(col("dist").asc, col("cell")).limit(nProbe)
-      // cast before collect: the probe must not assume the persisted
-      // index's integer width (physical layouts have drifted before —
-      // TESTDATA.md "Physical layout drift")
-      .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
-    probeCellsScan(index, query, idCol, embCol, probeCells, k, pred)
-  }
+      pred: Option[Column] = None, nProbeSuper: Int = 2): DataFrame =
+    index.autoSuper match {
+      case Some(sq) =>
+        ivfProbeHier(index, sq, query, idCol, embCol, nProbeSuper,
+          nProbe, k, pred)
+      case None =>
+        val qv = broadcast(query.select(d(col(embCol)).as("q_v")))
+        // distances round at 6 before ranking — the ONE cell-ranking
+        // rule every probe variant shares (flat/hier/bulk, driver or
+        // distributed), so "bulk ≡ per-query" and "hier-exhaustive ≡
+        // flat" hold on near-tie centroids too, and the oracle rows can
+        // mirror the ranking deterministically (r12 review finding #1)
+        val probeCells = index.centroids.crossJoin(qv)
+          .withColumn("dist", round(aggregate(
+            zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v), 6))
+          .orderBy(col("dist").asc, col("cell")).limit(nProbe)
+          // cast before collect: the probe must not assume the persisted
+          // index's integer width (physical layouts have drifted before
+          // — TESTDATA.md "Physical layout drift")
+          .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSeq
+        probeCellsScan(index, query, idCol, embCol, probeCells, k, pred)
+    }
 
   /** The shared driver-side distance: squared-L2 fold in element order,
     * rounded at 6 exactly as the Column rankings round (Spark's round =
@@ -463,7 +501,11 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v), 6)
     val wCell = Window.partitionBy(qidCol)
       .orderBy(col("_dist").asc, col("cell").asc)
-    superQ match {
+    // above AutoHierCells the index supplies its auto-built hierarchy
+    // when the caller passes none ([[IvfIndex.autoSuper]]): the bulk
+    // ranking rows drop from Q·nCells to Q·(nSuper + nProbeSuper·
+    // nCells/nSuper) without the caller opting in
+    superQ.orElse(index.autoSuper) match {
       case None =>
         val cents = broadcast(index.centroids
           .select(col("cell").cast("int").as("cell"),
@@ -503,7 +545,13 @@ object Similarity {
     * pairs, exact cosine, windowed top-k per query. Work is
     * Σ_cells |cell|·(queries probing that cell); the corpus-sized side
     * is touched once. Result ≡ running [[ivfProbe]] per query
-    * (spec-pinned); output ordered (query, cos desc, id). */
+    * (spec-pinned); output ordered (query, cos desc, id).
+    *
+    * The pairs frame is `localCheckpoint`ed (query-bounded blocks) and
+    * stays persisted until the ContextCleaner GCs it — a long-lived
+    * service issuing many bulk probes should wrap each call + result
+    * materialization in [[graft.ext.Dedup.withRddCleanup]] so the
+    * blocks release deterministically (ADVICE r12). */
   def ivfProbeBulk(index: IvfIndex, queries: DataFrame, qidCol: String,
       idCol: String, embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[IvfSuper] = None,

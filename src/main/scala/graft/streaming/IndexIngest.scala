@@ -154,11 +154,19 @@ object IndexIngest {
   }
 
   /** `foreachBatch` sink maintaining a persisted IVF index from an
-    * embedding stream: re-fit-free [[graft.ext.Similarity.ivfAssign]]
-    * (codegen argmin against the saved centroids) + bucketed append. The
-    * index must be built and saved ([[graft.ext.Similarity.ivfBuild]] /
-    * `ivfSave`) before the stream starts — the coarse quantizer is the
-    * offline artifact the whole IVF contract revolves around.
+    * embedding stream: re-fit-free cell assignment against the saved
+    * centroids + bucketed append. The index must be built and saved
+    * ([[graft.ext.Similarity.ivfBuild]] / `ivfSave`) before the stream
+    * starts — the coarse quantizer is the offline artifact the whole
+    * IVF contract revolves around. Assignment follows the index's auto
+    * rule by default (`nSuper = 0`): flat codegen argmin
+    * ([[graft.ext.Similarity.ivfAssign]]) below
+    * `Similarity.AutoHierCells` cells, the two-level quantizer
+    * ([[graft.ext.Similarity.ivfAssignHier]]) above it — per-epoch
+    * driver state √nCells instead of the full centroid matrix, the
+    * bound that matters in the one caller that runs unattended forever.
+    * `nSuper >= 2` forces an explicit hierarchy; `nSuper = 1` the
+    * degenerate one-super form (≡ flat bit-for-bit).
     *
     * Same exactly-once protocol as [[bandIndexSink]] (same sink journal;
     * there is no inner index journal to heal on this side).
@@ -175,7 +183,8 @@ object IndexIngest {
     * exploding transform would misclassify every replay. */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int, maxFilesPerCell: Int = 0,
-      encode: DataFrame => DataFrame = identity): (DataFrame, Long) => Unit = {
+      encode: DataFrame => DataFrame = identity,
+      nSuper: Int = 0): (DataFrame, Long) => Unit = {
     // the coarse quantizer is a STATIC offline artifact: load it once
     // per sink, not once per micro-batch (ivfLoad re-reads + the assign
     // collects the centroid parquet every call). The first load performs
@@ -185,6 +194,18 @@ object IndexIngest {
     // (Only the centroid side is reused; the assigned frame is re-read
     // per append by the physical-count classification anyway.)
     var centroids: Similarity.IvfIndex = null
+    // the per-epoch assignment path (VERDICT r12 #3): the sink is the
+    // one caller that runs FOREVER, so its assignment must not
+    // re-collect the full nCells×dim centroid matrix per epoch once
+    // cell counts grow — exactly the bound r12 removed for batch
+    // callers. nSuper = 0 (default) follows the index's auto rule
+    // (hierarchical above Similarity.AutoHierCells cells, flat below);
+    // nSuper >= 2 forces an explicit hierarchy; nSuper = 1 forces the
+    // degenerate one-super hierarchy, which is ≡ flat bit-for-bit
+    // (IvfIndexSpec pins it) through the hier machinery. Derived state,
+    // built once per sink from the loaded centroids — same lifetime as
+    // `centroids` itself.
+    var superQ: Option[Similarity.IvfSuper] = None
     (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
@@ -195,14 +216,21 @@ object IndexIngest {
       val doAppend = classifyReplay(spark, table, path, batchId,
         healBandJournal = None)
       if (doAppend) Dedup.withRddCleanup(spark) {
-        if (centroids == null)
+        if (centroids == null) {
           centroids = Similarity.ivfLoad(spark, table, path)
+          superQ =
+            if (nSuper == 0) centroids.autoSuper
+            else Some(Similarity.ivfSuperBuild(centroids, nSuper))
+        }
         // materialize the batch once: the null-guard scan inside
         // ivfAssign, the journal count, and the append write would each
         // re-evaluate it (3× source I/O on a file-backed stream) — same
         // discipline as bandIndexSink's sigs checkpoint
         val b = batch.localCheckpoint()
-        val assigned = Similarity.ivfAssign(centroids, b, idCol, embCol)
+        val assigned = superQ match {
+          case Some(sq) => Similarity.ivfAssignHier(sq, b, idCol, embCol)
+          case None => Similarity.ivfAssign(centroids, b, idCol, embCol)
+        }
         val pre = spark.table(table).count()
         val batchN = b.count()
         writeStreamJournal(spark, path, batchId, pre, batchN)

@@ -155,10 +155,15 @@ object PqBench {
     // workload — sequential per-query driver-LUT probes vs ONE
     // distributed bulk pass. Results must agree row-for-row (the
     // PqSpec equivalence, re-asserted here on the bench corpus).
-    val bulkIds = (0 until 100).map(i => i.toLong * 3L + 1L)
-    val bulkQueries = corpus.filter(col("vec_id").isin(bulkIds: _*))
+    // candidate ids filtered through the corpus FIRST (ADVICE r12): a
+    // corpus lacking any hard-coded id would abort the sequential side
+    // on ivfPqProbe's 'empty query frame' require
+    val bulkCandidates = (0 until 100).map(i => i.toLong * 3L + 1L)
+    val bulkQueries = corpus.filter(col("vec_id").isin(bulkCandidates: _*))
       .select(col("vec_id").as("q_id"), col("embedding")).cache()
-    val nBulkQ = bulkQueries.count()
+    val bulkIds = bulkQueries.select("q_id").collect()
+      .map(_.getLong(0)).sorted.toIndexedSeq
+    val nBulkQ = bulkIds.length.toLong
     val (seqTop, seqSec) = time {
       bulkIds.map { q =>
         q -> ids(Pq.ivfPqProbe(pqIdx, cbTrained,
@@ -174,6 +179,60 @@ object PqBench {
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val bulkAgree = bulkIds.count(q =>
       bulkTop.getOrElse(q, Set.empty) == seqTop(q)).toDouble / bulkIds.size
+
+    // ---- clustered fixture (VERDICT r12 #4): a corpus where residual
+    // encoding MUST win, so the pqEncodeResidual recall claim is backed
+    // by a measured number. 16 well-separated deterministic centers
+    // (magnitude 10) + small intra-cluster noise (0.3): raw vectors'
+    // variance is dominated by the center offsets, so plain PQ spends
+    // its whole (m, k) budget spanning centers and cannot resolve
+    // within-cluster neighbors; residuals remove the centers and the
+    // same budget quantizes the 0.3-scale noise. Same m/k/nProbe as the
+    // main fixture; no RNG — sinusoidal, reruns bit-stable.
+    val nClu = 50000L
+    val cluCorpus = spark.range(nClu).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (sin((col("id") % 16) * 37 + i * 13) * 10.0 +
+            sin(col("id") * 131 + i * 7) * 0.3).cast("float"))
+          .as("embedding"))
+      .cache()
+    cluCorpus.count()
+    val cluQIds = (0 until nQ).map(i => i.toLong * 41L + 1L)
+    val cluSearched = cluCorpus.filter(!col("vec_id").isin(cluQIds: _*))
+      .cache()
+    cluSearched.count()
+    def cluQueryDf(q: Long): DataFrame =
+      cluCorpus.filter(col("vec_id") === q).select("embedding")
+    val cluTruth: Map[Long, Set[Long]] = cluQIds.map { q =>
+      q -> ids(Similarity.bruteForceTopK(cluSearched, cluQueryDf(q),
+        "vec_id"))
+    }.toMap
+    def cluRecallOf(top: Map[Long, Set[Long]]): Double =
+      cluQIds.map(q => cluTruth(q).intersect(top(q)).size / 10.0)
+        .sum / cluQIds.length
+    val cluBuilt = {
+      val idx = Similarity.ivfBuild(cluSearched, nCells = nCells)
+      idx.assigned.cache().count(); idx
+    }
+    val cluSample = cluBuilt.assigned.sample(withReplacement = false,
+      math.min(1.0, 20000.0 / nClu), seed = 42)
+    val cluCbPlain = Pq.trainedCodebooks(cluSample, "embedding", dim,
+      m = 8, k = 16)
+    val cluCbRes = Pq.trainedResidualCodebooks(cluSample, "embedding",
+      cluBuilt, dim, m = 8, k = 16)
+    val cluPlainIdx = Pq.ivfPqEncode(cluBuilt, cluCbPlain, "vec_id")
+    val cluResIdx = Pq.ivfPqEncodeResidual(cluBuilt, cluCbRes, "vec_id")
+    cluPlainIdx.assigned.cache().count()
+    cluResIdx.assigned.cache().count()
+    def cluProbeAll(f: Long => DataFrame): Map[Long, Set[Long]] =
+      cluQIds.map(q => q -> ids(f(q))).toMap
+    val cluPlainTop = cluProbeAll(q =>
+      Pq.ivfPqProbe(cluPlainIdx, cluCbPlain, cluQueryDf(q), "vec_id",
+        nProbe = 2))
+    val cluResTop = cluProbeAll(q =>
+      Pq.ivfPqProbeResidual(cluResIdx, cluCbRes, cluQueryDf(q), "vec_id",
+        nProbe = 2))
 
     println(
       f"""{"metric":"pq_bench","sf":"$dir","n_vectors":$n,"n_queries":$nQ,""" +
@@ -196,7 +255,10 @@ object PqBench {
       f""""recall_adc_residual":${recallOf(resTop)}%.3f,""" +
       f""""recall_rerank4_residual":${recallOf(resRrTop)}%.3f,""" +
       f""""probe_adc_residual_sec":$resSec%.2f,""" +
-      f""""probe_rerank4_residual_sec":$resRrSec%.2f}""")
+      f""""probe_rerank4_residual_sec":$resRrSec%.2f,""" +
+      f""""clustered_n_vectors":$nClu,""" +
+      f""""clustered_recall_adc":${cluRecallOf(cluPlainTop)}%.3f,""" +
+      f""""clustered_recall_adc_residual":${cluRecallOf(cluResTop)}%.3f}""")
 
     spark.sql("DROP TABLE IF EXISTS pqb_raw")
     spark.sql("DROP TABLE IF EXISTS pqb_pq")

@@ -113,11 +113,12 @@ object ZOrderBench {
     def vCand(path: String, lo: Double, hi: Double): Int = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      // footer statistics, not a data scan — the same metadata the
+      // pruning reads, at one footer seek per file (ADVICE r12)
       fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(_.getPath.getName.startsWith("part-")).count { f =>
-          val r = spark.read.parquet(f.getPath.toString)
-            .agg(min(col("v")), max(col("v"))).head
-          r.getDouble(0) <= hi && lo <= r.getDouble(1)
+          Store.footerMinMax(spark, f.getPath.toString, "v")
+            .exists { case (mn, mx) => mn <= hi && lo <= mx }
         }
     }
     val (vLo, vHi) = (50000.0, 50500.0)

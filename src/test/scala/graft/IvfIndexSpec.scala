@@ -283,6 +283,52 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"hier-assigned vector must be reachable through the hier probe: ${self.toSeq}")
   }
 
+  test("auto-hier: probe entry points default to hierarchical ranking " +
+      "above AutoHierCells and stay flat below; exhaustive auto ≡ flat") {
+    import spark.implicits._
+    // below the threshold: no auto hierarchy — the flat path unchanged
+    assert(Similarity.ivfBuild(corpus, nCells = 8).autoSuper.isEmpty,
+      "a small index must not auto-build a hierarchy")
+
+    // a >AutoHierCells quantizer, constructed directly (the auto rule
+    // depends only on the centroid frame — no 300-cell KMeans needed):
+    // 300 deterministic well-spread centroids, corpus assigned flat
+    val nCells = 300
+    val cents = (0 until nCells).map { c =>
+      (c, (0 until 64).map(i => math.sin(c * 37 + i * 13) * 5.0).toArray)
+    }.toDF("cell", "cent")
+    val proto = Similarity.IvfIndex(spark.emptyDataFrame, cents)
+    val index = Similarity.IvfIndex(
+      Similarity.ivfAssign(proto, corpus, "vec_id"), cents)
+    val auto = index.autoSuper
+    assert(auto.isDefined,
+      "the auto hierarchy must build above AutoHierCells")
+
+    // exhaustive nProbeSuper considers every super ⇒ the auto-hier
+    // ranking ≡ flat; the flat reference is the ≡-pinned one-super
+    // hierarchy (the degenerate form the first test above pins ≡ flat)
+    val nSupers = auto.get.superIds.length
+    val q = corpus.filter(col("vec_id") === 1).select("embedding")
+    val flatRef = Similarity.ivfProbeHier(index,
+      Similarity.ivfSuperBuild(index, 1), q, "vec_id",
+      nProbeSuper = 1, nProbe = 3).collect().toSeq
+    val autoProbe = Similarity.ivfProbe(index, q, "vec_id", nProbe = 3,
+      nProbeSuper = nSupers).collect().toSeq
+    assert(autoProbe == flatRef,
+      "exhaustive auto-hier single probe must equal the flat ranking")
+
+    // the bulk path takes the same auto fallback
+    val queries = corpus.filter(col("vec_id").isin(1L, 7L))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val bulkFlat = Similarity.ivfProbeBulk(index, queries, "q_id",
+      "vec_id", nProbe = 3, superQ = Some(Similarity.ivfSuperBuild(index, 1)),
+      nProbeSuper = 1).collect().toSeq
+    val bulkAuto = Similarity.ivfProbeBulk(index, queries, "q_id",
+      "vec_id", nProbe = 3, nProbeSuper = nSupers).collect().toSeq
+    assert(bulkAuto == bulkFlat,
+      "exhaustive auto-hier bulk probe must equal the flat ranking")
+  }
+
   test("bulk raw-IVF probe ≡ per-query ivfProbe; hierarchical bulk " +
       "ranking ≡ flat at exhaustive settings") {
     val nCells = 8

@@ -249,6 +249,67 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_t")
   }
 
+  test("streamed IVF appends through the hierarchical quantizer " +
+      "(nSuper): stream ≡ batch ivfAssignHier, replay still a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ivfh-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfh-ckpt").toString
+    val nCells = 8
+    val nSuper = 2
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfSave(Similarity.ivfBuild(half, nCells = nCells),
+      "ivfh_stream_t", dir, nCells)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "ivfh_stream_t", dir, nCells, nSuper = nSuper))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = Similarity.ivfLoad(spark, "ivfh_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count(),
+        "stream-maintained index must hold the full corpus")
+      // the sink's hierarchy is DERIVED state: rebuilding it from the
+      // reloaded centroids reproduces the identical quantizer
+      // (ivfSuperBuild's contract), so the batch twin of what the sink
+      // did per epoch is ivfAssignHier through that rebuild — same
+      // rows, same cells
+      val hq = Similarity.ivfSuperBuild(streamed, nSuper)
+      val expect = Similarity.ivfAssignHier(hq,
+        embs.filter(col("vec_id") % 2 =!= 0), "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      val got = streamed.assigned
+        .filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "streamed cell assignment diverged from batch ivfAssignHier")
+      // a streamed vector is reachable through the hier probe path
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      val top = Similarity.ivfProbeHier(streamed, hq, qv, "vec_id",
+        nProbeSuper = nSuper, k = 1).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+
+      // replay protocol is untouched by the assignment path: re-invoke
+      // with the last committed batch id — no double-append
+      val sink = IndexIngest.ivfSink("vec_id", "embedding",
+        "ivfh_stream_t", dir, nCells, nSuper = nSuper)
+      val n = spark.table("ivfh_stream_t").count()
+      sink(b2.toDF("vec_id", "embedding", "label"), 1L)
+      assert(spark.table("ivfh_stream_t").count() == n,
+        "replayed hier-assigned IVF batch double-appended")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfh_stream_t")
+  }
+
   test("streamed IVF-PQ appends: the encode hook maintains a compressed " +
       "index ≡ batch pqEncode, probeable, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -60,7 +60,10 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       "z-ordered rewrite must preserve rows exactly")
 
     // per-file [min, max] stats — the information row-group skipping
-    // and file-stats indexes prune with
+    // and file-stats indexes prune with. The ts side must SCAN, not
+    // read footers: Spark writes timestamps as INT96 by default and
+    // INT96 footer statistics are absent by spec (verified on this
+    // build); user_id rides the same scan for one pass
     def fileStats(path: String): Seq[(Long, Long, Long, Long)] = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -172,16 +175,13 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       back.except(df).isEmpty && df.except(back).isEmpty,
       "rank-bucketed rewrite must preserve rows exactly")
 
+    // footer statistics, not a data scan — the metadata pruning reads
     def aStats(path: String): Seq[(Double, Double)] = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
       fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(_.getPath.getName.startsWith("part-")).toSeq
-        .map { f =>
-          val r = spark.read.parquet(f.getPath.toString)
-            .agg(min(col("a")), max(col("a"))).head
-          (r.getDouble(0), r.getDouble(1))
-        }
+        .map(f => Store.footerMinMax(spark, f.getPath.toString, "a").get)
     }
     val (lo, hi) = (5000.0, 5100.0)
     def cand(stats: Seq[(Double, Double)]) =
