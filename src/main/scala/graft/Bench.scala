@@ -218,10 +218,15 @@ object Bench {
       * that signature two rounds running. Blocking makes each rep's
       * starting state deterministic; the wait is a uniform few ms paid
       * by every rep, not a per-query bias. */
+    // SPARK_GRAFT_UNPERSIST_BLOCKING=0 reverts to the pre-r12
+    // non-blocking form — a controlled-race knob only (BENCH_NOTES r13
+    // drift decomposition), never the measured default
+    val unpersistBlocking =
+      !sys.env.get("SPARK_GRAFT_UNPERSIST_BLOCKING").contains("0")
     def clearState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+        .foreach(_.unpersist(blocking = unpersistBlocking))
     }
 
     /** One timed, state-isolated execution. */
@@ -304,11 +309,20 @@ object Bench {
     // driver wall-clock (rc 124, no artifact). It stays measured in
     // BENCH_LOCAL/SCALING evidence; opt in with SPARK_GRAFT_EXTRA_Q62=1.
     val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
+    // SPARK_GRAFT_DROP_EXTRAS=a,b,c → exclude named extras. Exists for
+    // CONTROLLED drift races (BENCH_NOTES r13: replay a prior round's
+    // query list on the current tree to isolate round-robin neighbor
+    // pressure from code drift), not for routine runs — the driver
+    // artifact must keep the full list.
+    val dropExtras = sys.env.get("SPARK_GRAFT_DROP_EXTRAS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val extraNames = (if (skipExtras) Seq.empty[String]
     else defaultExtras ++
       (if (sys.env.get("SPARK_GRAFT_EXTRA_Q62").contains("1"))
          Seq("q62_correlation_full") else Seq.empty))
       .filter(SparkEntry.queries.contains)
+      .filterNot(dropExtras)
     extraNames.foreach { n =>
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
