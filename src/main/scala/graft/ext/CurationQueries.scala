@@ -781,6 +781,75 @@ object CurationQueries {
         ORDER BY q_id, cos_pq DESC, vec_id"""))
   }
 
+  // ---------------------------------------------------------------- x94
+  /** Oracle-checked BULK raw-IVF probe ([[Similarity.ivfProbeBulk]] —
+    * the exact-cosine twin of x91's PQ bulk form, previously pinned
+    * only by IvfIndexSpec's bulk-≡-sequential case): the x91 query
+    * batch (every 50th vector among the first 500) probed against the
+    * deterministic label-cell index in ONE distributed pass —
+    * per-query cell ranking as data (queries × broadcast centroids,
+    * windowed top-nProbe by (dist rounded at 6, cell)), one pruned
+    * scan of the probed-cell union, exact cosine, per-query windowed
+    * top-k. Exact-decimal label centroids (the x85/x88 device) make
+    * the whole path — ranking, pruning, scoring, tie-breaks —
+    * hash-match DuckDB. */
+  val x94IvfBulkProbe: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val corpus = embs
+        .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
+      val ex = corpus.select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("i", "x")))
+      val cent = ex.groupBy(col("label"), col("i"))
+        .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            e => e.getField("c")).as("cent"))
+        .select(col("label").cast("int").as("cell"), col("cent"))
+      val assigned = corpus.select(col("vec_id"),
+        col("label").cast("int").as("cell"), col("embedding"))
+      Similarity.ivfProbeBulk(Similarity.IvfIndex(assigned, cent),
+        queries, "q_id", "vec_id", nProbe = 2, k = 10)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE vec_id % 50 = 0 AND vec_id < 500),
+      corp AS (SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 50 <> 0 OR vec_id >= 500),
+      ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i FROM corp),
+      qx AS (SELECT q_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i FROM q),
+      qn AS (SELECT q_id, sqrt(sum(qx * qx)) AS qn FROM qx GROUP BY 1),
+      cent AS (SELECT label, i,
+          CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+            / count(*) AS cm
+        FROM ex GROUP BY 1, 2),
+      cq AS (SELECT cent.label, qx.q_id,
+          round(sum((cent.cm - qx.qx) * (cent.cm - qx.qx)), 6) AS dist
+        FROM cent JOIN qx USING (i) GROUP BY 1, 2),
+      probe AS (SELECT label, q_id FROM (
+          SELECT label, q_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY dist ASC, label ASC) AS rn FROM cq) WHERE rn <= 2),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        FROM ex GROUP BY 1),
+      dots AS (SELECT e.vec_id, e.label, p.q_id, sum(e.x * qx.qx) AS dp
+        FROM ex e JOIN probe p ON p.label = e.label
+        JOIN qx ON qx.q_id = p.q_id AND qx.i = e.i
+        GROUP BY 1, 2, 3),
+      fin AS (SELECT d.q_id, d.vec_id, CAST(d.label AS INT) AS cell,
+          round(d.dp / (n.nrm * qn.qn), 6) AS cos
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        JOIN qn ON qn.q_id = d.q_id),
+      rk AS (SELECT q_id, vec_id, cell, cos, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM fin)
+      SELECT q_id, vec_id, cell, cos FROM rk WHERE rn <= 10
+      ORDER BY q_id, cos DESC, vec_id"""))
+
   // ---------------------------------------------------------------- x92
   /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
     * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
@@ -968,6 +1037,7 @@ object CurationQueries {
     "x93_filtered_ann" -> x93FilteredAnn,
     "x90_pq_adc" -> x90PqAdc,
     "x91_pq_bulk_probe" -> x91PqBulkProbe,
+    "x94_ivf_bulk_probe" -> x94IvfBulkProbe,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
