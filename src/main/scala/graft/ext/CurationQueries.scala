@@ -850,6 +850,102 @@ object CurationQueries {
       SELECT q_id, vec_id, cell, cos FROM rk WHERE rn <= 10
       ORDER BY q_id, cos DESC, vec_id"""))
 
+  // ---------------------------------------------------------------- x95
+  /** Oracle-checked HIERARCHICAL probe ([[Similarity.ivfProbeHier]] /
+    * [[Similarity.rankProbeCellsHier]] — previously pinned only by
+    * IvfIndexSpec's exhaustive-≡-flat and self-consistency cases): the
+    * two-level cell ranking itself, cross-engine. The production
+    * super-quantizer is a seeded KMeans fit (not SQL-reproducible), so
+    * the device here CONSTRUCTS the hierarchy deterministically —
+    * supers are `cell / 5` label groups, super-centroids the
+    * exact-decimal element-wise mean of the member label centroids
+    * (the x85 decimal(20,7) convention, one level up) — and both
+    * engines walk the same two-step ranking: top-`nProbeSuper` supers
+    * by (squared-L2 rounded at 6, super asc), then only their
+    * children ranked by the same rule, then the exact in-cell scan.
+    * With nProbeSuper = 1 the probe deliberately considers ONLY the
+    * nearest super's cells — the hierarchical-quantizer approximation
+    * is the measured semantics here, not flat-equality. */
+  val x95HierProbe: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val query = embs.filter(col("vec_id") === 0).select("embedding")
+      val corpus = embs.filter(col("vec_id") =!= 0)
+      val ex = corpus.select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("i", "x")))
+      val cent = ex.groupBy(col("label"), col("i"))
+        .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            e => e.getField("c")).as("cent"))
+        .select(col("label").cast("int").as("cell"), col("cent"))
+      val withSuper = cent
+        .withColumn("super", (col("cell") / lit(5)).cast("int"))
+      val children = withSuper.groupBy("super")
+        .agg(sort_array(collect_list(struct(col("cell"), col("cent"))))
+          .as("cands"))
+      // super-centroids: exact-decimal element-wise mean of the child
+      // centroids — nSuper rows collected (the bounded driver matrix
+      // the hierarchy is FOR)
+      val sc = withSuper
+        .select(col("super"), posexplode(col("cent")).as(Seq("i", "c")))
+        .groupBy("super", "i")
+        .agg((sum(round(col("c"), 7).cast("decimal(20,7)")).cast("double") /
+          count(lit(1))).as("sc"))
+        .groupBy("super").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("sc")))),
+            e => e.getField("sc")).as("scent"))
+        .orderBy("super").collect()
+      val superQ = Similarity.IvfSuper(
+        sc.map(_.getInt(0)).toIndexedSeq,
+        sc.map(_.getSeq[Number](1).map(_.doubleValue).toIndexedSeq)
+          .toIndexedSeq,
+        children)
+      val assigned = corpus.select(col("vec_id"),
+        col("label").cast("int").as("cell"), col("embedding"))
+      Similarity.ivfProbeHier(Similarity.IvfIndex(assigned, cent),
+        superQ, query, "vec_id", nProbeSuper = 1, nProbe = 2, k = 10)
+    },
+    Some("""WITH ex AS (SELECT label, vec_id,
+          CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0),
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      cent AS (SELECT label, i,
+          CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+            / count(*) AS cm
+        FROM ex GROUP BY 1, 2),
+      sup AS (SELECT label // 5 AS super, i,
+          CAST(sum(CAST(round(cm, 7) AS DECIMAL(20,7))) AS DOUBLE)
+            / count(*) AS sc
+        FROM cent GROUP BY 1, 2),
+      sq AS (SELECT super,
+          round(sum((sc - qx.qx) * (sc - qx.qx)), 6) AS dist
+        FROM sup JOIN qx USING (i) GROUP BY 1),
+      topsup AS (SELECT super FROM sq ORDER BY dist ASC, super ASC
+        LIMIT 1),
+      cq AS (SELECT cent.label,
+          round(sum((cm - qx.qx) * (cm - qx.qx)), 6) AS dist
+        FROM cent JOIN qx USING (i)
+        WHERE cent.label // 5 IN (SELECT super FROM topsup)
+        GROUP BY 1),
+      probe AS (SELECT label FROM cq ORDER BY dist ASC, label ASC
+        LIMIT 2),
+      norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        FROM ex JOIN probe USING (label) GROUP BY 1),
+      dots AS (SELECT ex.vec_id, ex.label, sum(ex.x * q.qx) AS dp
+        FROM ex JOIN probe USING (label) JOIN qx q ON q.i = ex.i
+        GROUP BY 1, 2)
+      SELECT d.vec_id, CAST(d.label AS INT) AS cell,
+        round(d.dp / (nm.nrm * qn.n), 6) AS cos
+      FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+      ORDER BY cos DESC, d.vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- x92
   /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
     * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
@@ -1038,6 +1134,7 @@ object CurationQueries {
     "x90_pq_adc" -> x90PqAdc,
     "x91_pq_bulk_probe" -> x91PqBulkProbe,
     "x94_ivf_bulk_probe" -> x94IvfBulkProbe,
+    "x95_hier_probe" -> x95HierProbe,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
