@@ -889,6 +889,62 @@ object Dedup {
     else { compactBandIndex(spark, table, path, nBuckets); true }
   }
 
+  /** Read-only observability over a persisted band index — the twin of
+    * [[graft.ext.Similarity.ivfDescribe]], with the same contract:
+    * never heals, never refreshes, never rewrites (a monitoring job can
+    * call it while another session mutates), and never scans the banded
+    * table — bucket statistics come from the MAINTAINED `sizes` frame
+    * (bucket-count rows, the same frame the `maxBucket` cap reads), so
+    * the cost is independent of corpus size.
+    *
+    * One row: `buckets` (occupied (band_idx, h) buckets); `banded_rows`
+    * (sum of maintained bucket sizes — LIVE rows: [[bandIndexDelete]]
+    * decrements sizes, so this is the count the `maxBucket` cap
+    * semantics see); `max_bucket`/`avg_bucket` (hot-bucket
+    * signal: a bucket near `maxBucket` is about to be refused by
+    * capped candidate joins); `tombstoned_ids` (pending
+    * [[bandIndexDelete]] work [[compactBandIndex]] folds);
+    * `data_files` (append rot — [[maybeCompactBandIndex]]'s trigger);
+    * `append_journal` (an UNHEALED mutation: every mutation entry point
+    * refuses until a [[bandIndexLoad]] heals and reports the
+    * disposition); `stream_journal` (pending streaming-ingest replay);
+    * `sizes_present` (false only inside a crashed sizes-swap window —
+    * the size-derived columns are null then, and a load will roll the
+    * staged/backup frame forward). */
+  def bandIndexDescribe(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def exists(s: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s"))
+    require(exists("banded"),
+      s"no readable band index under $path (an interrupted compact " +
+        "leaves no live banded dir — reopen with bandIndexLoad, which " +
+        "heals, before describing)")
+    val sizeStats: Option[(Long, Long, Long, Double)] =
+      if (!exists("sizes")) None
+      else {
+        val s = spark.read.parquet(s"$path/sizes")
+          .agg(count(lit(1)).as("b"), sum("bsz").as("r"),
+            max("bsz").as("mx"), avg("bsz").as("av")).head
+        if (s.isNullAt(1)) Some((0L, 0L, 0L, 0.0))
+        else Some((s.getLong(0), s.getLong(1), s.getLong(2),
+          s.getDouble(3)))
+      }
+    val tombstoned =
+      if (exists(DeletesDir))
+        spark.read.parquet(s"$path/$DeletesDir").count()
+      else 0L
+    val files = graft.engine.Store.dataFileCount(spark, s"$path/banded")
+    Seq((sizeStats.map(_._1), sizeStats.map(_._2), sizeStats.map(_._3),
+        sizeStats.map(_._4), tombstoned, files, exists(AppendJournal),
+        exists(StreamJournal), sizeStats.isDefined))
+      .toDF("buckets", "banded_rows", "max_bucket", "avg_bucket",
+        "tombstoned_ids", "data_files", "append_journal",
+        "stream_journal", "sizes_present")
+  }
+
   /** Exact Jaccard over candidate pairs (verification stage): each doc's
     * distinct shingle-hash SET is assembled once (`collect_set` — one
     * shuffle; input may be the raw multiset, the set agg dedups), then each

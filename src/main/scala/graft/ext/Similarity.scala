@@ -737,6 +737,77 @@ object Similarity {
     else { ivfCompact(spark, table, path, nCells); true }
   }
 
+  /** Read-only observability over a persisted IVF index — the numbers an
+    * operator needs to decide WHEN to act (compact? replay a crashed
+    * stream? re-train a drifted quantizer?) without mutating anything.
+    * Unlike [[ivfLoad]] it never heals, never refreshes the catalog, and
+    * never rewrites, so it is safe to call from a monitoring job while
+    * another session is mutating the index.
+    *
+    * Cost is metadata-bounded at any corpus size: the row count is
+    * parquet footer metadata (no data pages), the centroid and tombstone
+    * frames are tiny by construction, and file rot is one namenode
+    * listing — the corpus is only scanned (one pruned `cell` column)
+    * when `cellBalance` is requested.
+    *
+    * One row: `n_cells`/`dim` (quantizer shape); `physical_rows` (rows
+    * in the assigned files INCLUDING rows a tombstone hides — the live
+    * count needs the anti-join a probe does; with unique ids it equals
+    * `physical_rows - tombstoned_ids`); `tombstoned_ids` (pending
+    * [[ivfDelete]] work a compact folds away); `data_files` /
+    * `files_per_cell` (append rot — [[ivfMaybeCompact]] fires above its
+    * `maxFilesPerCell`); `stream_journal` (an unhealed streaming ingest
+    * is pending — replay the stream before compacting); `auto_hier`
+    * (whether probes default to hierarchical cell ranking,
+    * [[IvfIndex.autoSuper]]).
+    *
+    * `cellBalance = true` appends quantizer-balance columns —
+    * `occupied_cells`, `cell_rows_min`/`max`/`avg`, `cell_skew`
+    * (max/avg) — from one column-pruned scan of `cell`: empty cells
+    * waste probes, and a hot cell makes an nProbe=1 probe corpus-sized;
+    * both say "re-train the quantizer", which no maintenance op here
+    * does automatically (cells are the physical layout). */
+  def ivfDescribe(spark: org.apache.spark.sql.SparkSession, path: String,
+      cellBalance: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def exists(s: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s"))
+    require(exists("assigned") && exists("centroids"),
+      s"no readable IVF index under $path (an interrupted compact " +
+        "leaves no live assigned dir — reopen with ivfLoad, which " +
+        "heals, before describing)")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val nCells = centroids.count()
+    val dim = centroids.select("cent").head.getSeq[Double](0).size
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val physicalRows = assigned.count()
+    val tombstoned =
+      if (exists("deletes")) spark.read.parquet(s"$path/deletes").count()
+      else 0L
+    val files = graft.engine.Store.dataFileCount(spark, s"$path/assigned")
+    val base = Seq((nCells, dim, physicalRows, tombstoned, files,
+        files.toDouble / nCells, exists(graft.ext.Dedup.StreamJournal),
+        nCells > AutoHierCells))
+      .toDF("n_cells", "dim", "physical_rows", "tombstoned_ids",
+        "data_files", "files_per_cell", "stream_journal", "auto_hier")
+    if (!cellBalance) base
+    else {
+      // one pruned scan of the cell column; the roll-up is a single row
+      // (bounded collect) appended as literals — no 1×1 join
+      val s = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("occ"), min("n").as("mn"),
+          max("n").as("mx"), avg("n").as("av")).head
+      base
+        .withColumn("occupied_cells", lit(s.getLong(0)))
+        .withColumn("cell_rows_min", lit(s.getLong(1)))
+        .withColumn("cell_rows_max", lit(s.getLong(2)))
+        .withColumn("cell_rows_avg", lit(s.getDouble(3)))
+        .withColumn("cell_skew", lit(s.getLong(2) / s.getDouble(3)))
+    }
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     * corpus (here: deterministic random-hyperplane LSH buckets — at scale
     * the bucket is the storage partition key, and an IVF/KMeans cell works

@@ -478,4 +478,44 @@ class BandIndexSpec extends AnyFunSuite with SparkTestBase {
       assert(after == before && after.nonEmpty)
     } finally spark.sql("DROP TABLE IF EXISTS band_idx_rot_t")
   }
+
+  test("bandIndexDescribe: sizes-frame health report, zero banded scans, " +
+      "READ-ONLY over an unhealed journal") {
+    val dir = java.nio.file.Files.createTempDirectory("band-desc").toString
+    val idx = Dedup.bandIndexBuild(oldCorpus, "doc_id")
+    Dedup.bandIndexSave(idx, "band_desc_t", dir, nBuckets = 8)
+    try {
+      import spark.implicits._
+      val victims = oldCorpus.select("doc_id").limit(2)
+      val removedIds = victims.collect().map(_.getLong(0)).toSet
+      assert(Dedup.bandIndexDelete(victims, "doc_id", "band_desc_t", dir) > 0L)
+
+      val d = Dedup.bandIndexDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Boolean]("sizes_present"))
+      assert(!d.getAs[Boolean]("append_journal")
+        && !d.getAs[Boolean]("stream_journal"))
+      assert(d.getAs[Long]("tombstoned_ids") == removedIds.size.toLong)
+      // banded_rows comes from the MAINTAINED sizes frame and must agree
+      // with the live banded table post-delete (sizes were decremented)
+      val live = spark.read.parquet(s"$dir/banded")
+        .join(broadcast(victims.select(col("doc_id").as("id_old"))),
+          Seq("id_old"), "left_anti").count()
+      assert(d.getAs[Long]("banded_rows") == live,
+        "sizes roll-up must match the live banded table")
+      assert(d.getAs[Long]("buckets") > 0
+        && d.getAs[Long]("max_bucket") >= 1L
+        && d.getAs[Double]("avg_bucket") > 0.0)
+      assert(d.getAs[Int]("data_files") >= 1)
+
+      // an unhealed mutation journal is REPORTED, not healed: mutations
+      // refuse over it, describe still answers and leaves it in place
+      val jrnl = new java.io.File(s"$dir/append.journal")
+      java.nio.file.Files.writeString(jrnl.toPath, "10 5")
+      val d2 = Dedup.bandIndexDescribe(spark, dir).collect()(0)
+      assert(d2.getAs[Boolean]("append_journal"),
+        "pending heal not surfaced")
+      assert(jrnl.exists, "describe must not heal the journal")
+      assert(d2.getAs[Long]("banded_rows") == d.getAs[Long]("banded_rows"))
+    } finally spark.sql("DROP TABLE IF EXISTS band_desc_t")
+  }
 }

@@ -426,4 +426,55 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         == before, "probe results must survive a tombstone-folding compact")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_del_t")
   }
+
+  test("ivfDescribe: metadata health report is accurate and READ-ONLY " +
+      "(journal and tombstones untouched by a describe)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-desc").toString
+    val nCells = 8
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.ivfSave(Similarity.ivfBuild(half, nCells = nCells),
+      "ivf_desc_t", dir, nCells)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "ivf_desc_t", dir)
+      Similarity.ivfAppendSave(Similarity.ivfAssign(loaded, rest, "vec_id"),
+        "ivf_desc_t", dir, nCells)
+      import spark.implicits._
+      val victims = Seq(4L).toDF("vec_id")
+      assert(Similarity.ivfDelete(victims, "vec_id", "ivf_desc_t", dir) == 1L)
+      // stage a streaming-ingest journal the way the sink does, so the
+      // report must surface pending-replay state
+      val jrnl = new java.io.File(s"$dir/${graft.ext.Dedup.StreamJournal}")
+      java.nio.file.Files.writeString(jrnl.toPath, "0 1")
+
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == nCells.toLong)
+      assert(d.getAs[Int]("dim") == 64)
+      assert(d.getAs[Long]("physical_rows") == corpus.count(),
+        "physical rows include tombstone-hidden rows")
+      assert(d.getAs[Long]("tombstoned_ids") == 1L)
+      val files = d.getAs[Int]("data_files")
+      assert(files > nCells && files <= 2 * nCells,
+        s"save + one append must show rot between 1 and 2 files/cell: $files")
+      assert(d.getAs[Double]("files_per_cell") == files.toDouble / nCells)
+      assert(d.getAs[Boolean]("stream_journal"), "pending replay not surfaced")
+      assert(!d.getAs[Boolean]("auto_hier"), "8 cells is below the hier default")
+
+      val b = Similarity.ivfDescribe(spark, dir, cellBalance = true).collect()(0)
+      assert(b.getAs[Long]("occupied_cells") <= nCells.toLong
+        && b.getAs[Long]("occupied_cells") > 0)
+      assert(b.getAs[Long]("cell_rows_min") <= b.getAs[Long]("cell_rows_max"))
+      assert(math.abs(b.getAs[Double]("cell_rows_avg")
+          * b.getAs[Long]("occupied_cells") - corpus.count()) < 1e-6,
+        "balance stats must roll up to the physical row count")
+      assert(b.getAs[Double]("cell_skew") >= 1.0)
+
+      // read-only: both describes left the journal and tombstones in place
+      assert(jrnl.exists, "describe must not heal or clear a journal")
+      assert(spark.read.parquet(s"$dir/deletes").count() == 1L,
+        "describe must not fold tombstones")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_desc_t")
+    }
+  }
 }
