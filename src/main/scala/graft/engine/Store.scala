@@ -448,6 +448,32 @@ object Store {
       .format("parquet").saveAsTable(table)
   }
 
+  /** (Re-)register an external bucketed parquet table over files that
+    * ALREADY carry the bucket-id file naming (written by
+    * [[saveBucketed]] and possibly directory-renamed since) — no data
+    * movement, schema inferred from the footers. This is how a layout
+    * change commits to the catalog: `Similarity.ivfRetrain` swaps in an
+    * assigned tree bucketed under a NEW modulus, and the catalog's
+    * bucket spec must follow atomically-enough that a crash between
+    * drop and create is repairable (the caller re-runs; `ivfLoad`
+    * re-registers from the published centroid count). The spec MUST
+    * match how the files were physically written: a wrong `numBuckets`
+    * here makes bucket pruning silently select the wrong file groups —
+    * same failure [[compactBucketed]]'s guard exists for. */
+  private[graft] def registerBucketedExternal(spark: SparkSession,
+      table: String, path: String, numBuckets: Int,
+      bucketCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // bucketing DDL requires an explicit column list
+    // (SPECIFY_BUCKETING_IS_NOT_ALLOWED otherwise) — infer it from the
+    // footers of the files being registered
+    val schema = spark.read.parquet(path).schema
+    val cols = bucketCols.map(c => s"`$c`").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` (${schema.toDDL}) USING parquet " +
+      s"CLUSTERED BY ($cols) INTO $numBuckets BUCKETS " +
+      s"LOCATION '$path'")
+  }
+
   /** Append a Z-order (Morton) value column `_z` interleaving the bits
     * of two-or-more numeric/timestamp columns, each min–max scaled to
     * `bits` bits. Built entirely from codegen'd Column arithmetic (the
@@ -556,12 +582,32 @@ object Store {
     writeZ(df, path, cols, bits, nFiles, "overwrite", rank)
 
   private def writeZ(df: DataFrame, target: String, cols: Seq[String],
-      bits: Int, nFiles: Int, mode: String, rank: Boolean = false): Unit =
-    withZValue(df, cols, bits, rank)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode(mode).parquet(target)
+      bits: Int, nFiles: Int, mode: String, rank: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    // RangePartitioner's default 100 samples/input-partition makes the
+    // file boundaries — and with them every file's stat tightness —
+    // wobble with the sampling seed (which derives from the RDD id,
+    // i.e. session history). A clustering write exists FOR tight
+    // per-file stats, so pin the boundaries: 10k samples/partition is
+    // noise next to the shuffle itself and lands near-exact quantiles
+    // of `_z` at any scale. Saved/restored around the one eager write
+    // (sequential writers per session — the single-writer discipline
+    // every sink here already assumes).
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      math.max(prev.map(_.toInt).getOrElse(100), 10000).toString)
+    try {
+      withZValue(df, cols, bits, rank)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode).parquet(target)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Append a batch to a [[saveZOrdered]] directory. The batch is
     * clustered over its OWN min–max — local scaling affects only
@@ -626,6 +672,87 @@ object Store {
     healInterruptedSwap(spark, path)
     if (dataFileCount(spark, path) <= maxFiles) false
     else { compactZOrdered(spark, path, cols, bits, nFiles, rank); true }
+  }
+
+  /** Read-only observability over a [[saveZOrdered]] layout — the
+    * z-order member of the describe family
+    * ([[graft.ext.Similarity.ivfDescribe]],
+    * [[graft.ext.Dedup.bandIndexDescribe]]), same contract: never
+    * heals, metadata only (footer row counts + namenode listings — the
+    * data pages are untouched), safe from a monitoring job while a
+    * stream appends. One row: `data_files` (the
+    * [[maybeCompactZOrdered]] rot input), `rows` (footer metadata),
+    * `stream_journal` (an unhealed streaming append — the sink's next
+    * replay classifies and repairs it), `stream_manifest` (a pre-append
+    * file manifest is staged: an append is in flight or died — with the
+    * journal also present, replay repairs; alone it is stale debris the
+    * next sink epoch clears). The z columns/bits are a WRITE-time
+    * argument, not persisted state, so clustering quality is a separate
+    * question answered by [[zOrderClusterDepth]] for the columns you
+    * ask about. */
+  def zOrderDescribe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no z-ordered layout at $path (an interrupted re-cluster leaves " +
+        "no live dir — any load/compact path heals it first)")
+    val meta = zStreamMeta(path)
+    Seq((dataFileCount(spark, path),
+        spark.read.parquet(path).count(),
+        fs.exists(new Path(s"$meta/$StreamJournal")),
+        fs.exists(new Path(
+          s"$meta/${graft.streaming.IndexIngest.StreamManifest}"))))
+      .toDF("data_files", "rows", "stream_journal", "stream_manifest")
+  }
+
+  /** Clustering-quality ("depth") report for a z-ordered layout, from
+    * parquet FOOTERS only: for each requested column, the expected
+    * number of files a point query must read — a point drawn uniformly
+    * from the column's global range hits file `f` with probability
+    * `len_f / global_len`, so the expectation is the sum of per-file
+    * range fractions. Freshly clustered single-column layouts sit near
+    * 1.0; every [[appendZOrdered]] batch (clustered over its OWN
+    * min–max) overlaps the base files and pushes the number toward
+    * `data_files` — re-cluster when it drifts
+    * ([[compactZOrdered]] restores the floor). This is the
+    * measure-of-rot that FILE COUNT alone misses: 64 well-separated
+    * files are healthy, 8 fully-overlapping ones are not.
+    *
+    * One row per column: `column`, `avg_candidate_files`, `n_files`
+    * (files with usable stats for that column), `global_min`,
+    * `global_max`. Columns whose footers carry no numeric stats
+    * (INT96 timestamps, all-null) report null metrics rather than
+    * failing the whole describe. A degenerate global range (all files
+    * one value) reports `n_files` — every file is a candidate. Cost:
+    * one footer seek per file per column, driver-side — bounded
+    * wherever [[maybeCompactZOrdered]] keeps file counts bounded, the
+    * same assumption every heal/manifest path here already makes. */
+  def zOrderClusterDepth(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(cols.nonEmpty, "zOrderClusterDepth: pass the z columns")
+    val files = dataFileList(spark, path).map(rel => s"$path/$rel")
+    cols.map { c =>
+      // Try: non-NUMERIC footer stats (a string column) surface as
+      // sys.error in footerMinMax — downgrade to "no usable stats"
+      // here, like stats-free INT96 columns
+      val ranges = files.flatMap(f =>
+        scala.util.Try(footerMinMax(spark, f, c)).toOption.flatten)
+      if (ranges.isEmpty)
+        (c, None: Option[Double], 0, None: Option[Double],
+          None: Option[Double])
+      else {
+        val gMin = ranges.map(_._1).min
+        val gMax = ranges.map(_._2).max
+        val depth =
+          if (gMax == gMin) ranges.size.toDouble
+          else ranges.map { case (lo, hi) => (hi - lo) / (gMax - gMin) }.sum
+        (c, Some(depth), ranges.size, Some(gMin), Some(gMax))
+      }
+    }.toDF("column", "avg_candidate_files", "n_files", "global_min",
+      "global_max")
   }
 
   /** A numeric column's [min, max] from one parquet file's FOOTER

@@ -174,6 +174,10 @@ object Similarity {
     // an [[ivfCompact]] killed between its two directory renames leaves
     // no live assigned dir — roll the completed rewrite forward
     graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned")
+    // an [[ivfRetrain]] killed after its swap but before its commit left
+    // the new centroid frame staged INSIDE the swapped-in assigned tree
+    // — publish it (idempotent) before anything reads the stale frame
+    finalizeRetrain(spark, table, path)
     // ALWAYS refresh, not only after a heal: a session that previously
     // read this table caches its file listing, and appends written by
     // ANOTHER session (a foreachBatch sink runs in a streaming-cloned
@@ -182,6 +186,17 @@ object Similarity {
     // list anyway)
     if (spark.catalog.tableExists(table))
       spark.catalog.refreshTable(table)
+    else {
+      // no catalog entry — a crash between finalizeRetrain's drop and
+      // create, or a FRESH session whose catalog never saw this index.
+      // Re-register from the published centroid count, which equals the
+      // files' bucket modulus by construction (every writer buckets the
+      // assigned tree into exactly nCells): a load needs nothing from
+      // the session that wrote the index.
+      val n = spark.read.parquet(s"$path/centroids").count().toInt
+      graft.engine.Store.registerBucketedExternal(spark, table,
+        s"$path/assigned", n, Seq("cell"))
+    }
     val base = spark.table(table)
     val assigned =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
@@ -735,6 +750,120 @@ object Similarity {
     val files = graft.engine.Store.dataFileCount(spark, s"$path/assigned")
     if (files <= nCells.toLong * maxFilesPerCell) false
     else { ivfCompact(spark, table, path, nCells); true }
+  }
+
+  /** Re-fit the coarse quantizer of a persisted IVF index from its LIVE
+    * rows and rewrite the layout under the new cells — the action
+    * [[ivfDescribe]]'s `cell_skew` / `occupied_cells` columns call for,
+    * and the one lifecycle step no maintenance op here covers:
+    * [[ivfAppendSave]] keeps assigning against the ORIGINAL quantizer,
+    * so a corpus that drifts (or grows 100×) ends up with hot cells
+    * that make an nProbe=1 probe corpus-sized and empty cells that
+    * waste every probe's ranking work. `nCells` may differ from the
+    * current count — growing the cell count as the corpus grows is the
+    * point. Tombstones are folded (the quantizer is fit on live rows
+    * only) and cleared.
+    *
+    * Crash consistency: the new centroid frame is staged INSIDE the
+    * rewritten assigned tree (`assigned__compacting/_centroids` — an
+    * underscore component, invisible to parquet readers and the
+    * data-file listings), so [[graft.engine.Store.compactBucketed]]'s
+    * two-rename swap carries the ENTIRE retrained state as one
+    * directory: no crash can publish new cells under old centroids or
+    * vice versa. [[graft.engine.Store.healInterruptedSwap]] repairs a
+    * torn swap to a complete tree either way, and [[finalizeRetrain]]
+    * (idempotent, re-run by [[ivfLoad]]) completes the commit: register
+    * the catalog table under the new bucket modulus, publish the
+    * staged centroids, clear the folded tombstones. Single-writer, like
+    * every mutation here.
+    *
+    * Fit cost is one distributed KMeans over the live corpus — the same
+    * cost as the original [[ivfBuild]], run RARELY (when describe says
+    * so), never per-ingest. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String, nCells: Int, embCol: String = "embedding",
+      seed: Long = 42L): IvfIndex = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    require(!fs.exists(p(graft.ext.Dedup.StreamJournal)),
+      s"unhealed interrupted stream ingest under $path: replay the " +
+        "stream before retraining")
+    // enter from a healthy tree: repair any prior torn swap / commit
+    graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned")
+    finalizeRetrain(spark, table, path)
+    // live rows: current files minus tombstones, old quantizer state
+    // dropped (path read, not spark.table — the rewrite must not depend
+    // on catalog state it is about to replace)
+    val raw = spark.read.parquet(s"$path/assigned")
+    require(raw.columns.contains(embCol),
+      s"ivfRetrain: no `$embCol` column under $path/assigned — a " +
+        "PQ-encoded layout stores codes, not embeddings (and residual " +
+        "codes are defined against the OLD cells). Re-fit from the raw " +
+        "embedding frame instead: ivfBuild + ivfPqEncode[Residual] + " +
+        "ivfSave to a fresh path")
+    val live = (if (fs.exists(p("deletes"))) {
+      val del = spark.read.parquet(s"$path/deletes")
+      raw.join(broadcast(del), Seq(del.columns.head), "left_anti")
+    } else raw).drop("cell")
+    val newIdx = ivfBuild(live, embCol, nCells, seed)
+    // stage the full retrained state as ONE directory
+    val tmpTable = table + "__retraining"
+    graft.engine.Store.saveBucketed(newIdx.assigned, tmpTable,
+      s"$path/assigned__compacting", nCells, Seq("cell"))
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    newIdx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/assigned__compacting/_centroids")
+    // two-rename swap, compactBucketed's discipline
+    val live0 = p("assigned")
+    val tmp = p("assigned__compacting")
+    val old = p("assigned__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"ivfRetrain: cannot clear stale $old")
+    if (!fs.rename(live0, old))
+      throw new java.io.IOException(s"ivfRetrain: rename $live0 -> $old failed")
+    if (!fs.rename(tmp, live0)) {
+      if (!fs.rename(old, live0))
+        System.err.println(s"ivfRetrain: rollback $old -> $live0 also " +
+          "failed; healInterruptedSwap repairs on next load")
+      throw new java.io.IOException(s"ivfRetrain: rename $tmp -> $live0 failed")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"ivfRetrain: cannot delete backup $old")
+    finalizeRetrain(spark, table, path)
+    ivfLoad(spark, table, path)
+  }
+
+  /** Complete an [[ivfRetrain]] whose assigned tree has swapped in but
+    * whose commit has not finished — detectable by the staged centroid
+    * frame still sitting inside the live assigned tree. Idempotent and
+    * re-run by [[ivfLoad]], so every crash window after the swap heals
+    * on the next load. Order matters: the catalog is re-registered
+    * (from the STAGED frame's count — the new files' modulus) before
+    * the centroids publish, so a crash between the two re-enters here;
+    * the tombstone clear is last and harmless to lose (the rebuilt
+    * corpus contains no tombstoned ids, so leftovers anti-join
+    * nothing). Returns true iff a commit completed. */
+  private[graft] def finalizeRetrain(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/assigned/_centroids")
+    if (!fs.exists(staged)) return false
+    val n = spark.read.parquet(staged.toString).count().toInt
+    graft.engine.Store.registerBucketedExternal(spark, table,
+      s"$path/assigned", n, Seq("cell"))
+    val cent = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    if (fs.exists(cent) && !fs.delete(cent, true))
+      throw new java.io.IOException(
+        s"finalizeRetrain: cannot clear stale $cent")
+    if (!fs.rename(staged, cent))
+      throw new java.io.IOException(
+        s"finalizeRetrain: rename $staged -> $cent failed")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    spark.catalog.refreshTable(table)
+    true
   }
 
   /** Read-only observability over a persisted IVF index — the numbers an

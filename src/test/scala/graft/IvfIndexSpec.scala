@@ -477,4 +477,94 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ivf_desc_t")
     }
   }
+
+  test("ivfRetrain: quantizer re-fit on live rows under a NEW cell count; " +
+      "catalog bucket spec follows; tombstones folded; exhaustive probe exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-retrain").toString
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.ivfSave(Similarity.ivfBuild(half, nCells = 4),
+      "ivf_rt_t", dir, 4)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "ivf_rt_t", dir)
+      Similarity.ivfAppendSave(Similarity.ivfAssign(loaded, rest, "vec_id"),
+        "ivf_rt_t", dir, 4)
+      import spark.implicits._
+      assert(Similarity.ivfDelete(Seq(4L).toDF("vec_id"), "vec_id",
+        "ivf_rt_t", dir) == 1L)
+
+      val re = Similarity.ivfRetrain(spark, "ivf_rt_t", dir, nCells = 8)
+
+      assert(re.centroids.count() == 8L, "retrained quantizer shape")
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == 8L)
+      assert(d.getAs[Long]("tombstoned_ids") == 0L, "retrain folds tombstones")
+      assert(d.getAs[Int]("data_files") <= 8,
+        "at most one file per new bucket (empty hash buckets write none)")
+      assert(d.getAs[Long]("physical_rows") == corpus.count() - 1,
+        "live rows only: the tombstoned id is gone from the files")
+      assert(spark.read.parquet(s"$dir/assigned")
+        .filter(col("vec_id") === 4).isEmpty)
+      val desc = spark.sql("DESCRIBE FORMATTED `ivf_rt_t`")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0).trim -> r.getString(1).trim).toMap
+      assert(desc("Num Buckets").trim.toInt == 8,
+        "catalog bucket spec must follow the new modulus")
+      // exhaustive probing of the retrained index is EXACT regardless of
+      // where KMeans put the new cells: ≡ brute force over live rows
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      val brute = Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") =!= 4), q, "vec_id").collect().toSeq
+      val probed = Similarity.ivfProbe(re, q, "vec_id", nProbe = 8)
+        .drop("cell").collect().toSeq
+      assert(probed == brute, "exhaustive probe must be exact post-retrain")
+      // bucket pruning survives the re-registration (2 of 8 new buckets)
+      withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val plan = Similarity.ivfProbe(re, q, "vec_id")
+          .queryExecution.executedPlan.toString
+        assert(raw"SelectedBucketsCount:\s*2\s+out of\s+8".r
+          .findFirstIn(plan).isDefined,
+          s"expected bucket pruning in:\n$plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_rt_t")
+  }
+
+  test("ivfRetrain crash window: a swap that landed without its commit " +
+      "(staged centroids, stale published frame, no catalog entry) heals on load") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString
+    Similarity.ivfSave(Similarity.ivfBuild(corpus, nCells = 4),
+      "ivf_rc_t", dir, 4)
+    try {
+      import spark.implicits._
+      // keep the PRE-retrain centroid frame to play the stale survivor
+      val oldCent = spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Seq[Double])].collect().toSeq
+      Similarity.ivfRetrain(spark, "ivf_rc_t", dir, nCells = 8)
+      // reconstruct the worst crash point: new centroids still staged
+      // inside the assigned tree, the OLD frame back at the published
+      // location, and the catalog entry lost mid-re-registration
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids"),
+        new org.apache.hadoop.fs.Path(s"$dir/assigned/_centroids")))
+      oldCent.toDF("cell", "cent").coalesce(1).write.parquet(s"$dir/centroids")
+      spark.sql("DROP TABLE `ivf_rc_t`")
+
+      val healed = Similarity.ivfLoad(spark, "ivf_rc_t", dir)
+      assert(healed.centroids.count() == 8L,
+        "load must publish the staged (new) centroids over the stale frame")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/assigned/_centroids")), "staged frame must be consumed")
+      val desc = spark.sql("DESCRIBE FORMATTED `ivf_rc_t`")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0).trim -> r.getString(1).trim).toMap
+      assert(desc("Num Buckets").trim.toInt == 8,
+        "load must re-register the catalog under the new modulus")
+      val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      assert(Similarity.ivfProbe(healed, q, "vec_id", nProbe = 8)
+        .drop("cell").collect().toSeq
+        == Similarity.bruteForceTopK(corpus, q, "vec_id").collect().toSeq,
+        "healed index must probe exactly")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_rc_t")
+  }
 }

@@ -224,4 +224,70 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(zRows.forall(!_.isNullAt(0)))
     assert(zRows.map(_.getLong(0)).distinct.length == 10)
   }
+
+  test("zOrderDescribe + zOrderClusterDepth: footer-only health report; " +
+      "depth rises with appends, compaction restores it; READ-ONLY") {
+    val dir = java.nio.file.Files.createTempDirectory("zdesc").toString
+    val path = s"$dir/events_z"
+    val nFiles = 8
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 =!= 0)
+    Store.saveZOrdered(half, path, Seq("user_id", "ts"), nFiles = nFiles)
+
+    val d0 = Store.zOrderDescribe(spark, path).collect()(0)
+    assert(d0.getAs[Int]("data_files") == nFiles)
+    assert(d0.getAs[Long]("rows") == half.count())
+    assert(!d0.getAs[Boolean]("stream_journal")
+      && !d0.getAs[Boolean]("stream_manifest"))
+    val depth0 = Store.zOrderClusterDepth(spark, path, Seq("user_id"))
+      .collect()(0).getAs[Double]("avg_candidate_files")
+    // a 2-dim interleave at 8 files gives each file ~3 z-bits of
+    // extent; projected onto ONE dimension that is 1–2 bits, so the
+    // expected per-file range fraction sits near 0.5–0.6 (measured
+    // ~0.59 on this fixture) — well under full overlap (1.0/file),
+    // far above a 1-dim sort's ~1/nFiles
+    assert(depth0 < nFiles * 0.75,
+      s"a fresh two-dim z layout must beat full overlap: $depth0")
+
+    // three appends, each clustered over its own full user range —
+    // every appended file overlaps everything; expected depth grows by
+    // ~1 per append while the FLOOR stays what the fresh layout had
+    (0 until 3).foreach { i =>
+      Store.appendZOrdered(rest.filter(col("event_id") % 3 === i), path,
+        Seq("user_id", "ts"))
+    }
+    val depthRot = Store.zOrderClusterDepth(spark, path, Seq("user_id"))
+      .collect()(0)
+    assert(depthRot.getAs[Int]("n_files") == nFiles + 3)
+    assert(depthRot.getAs[Double]("avg_candidate_files") >= depth0 + 2.5,
+      "full-range appended files must each add ~1 expected candidate")
+
+    // re-cluster: depth returns to the fresh floor (global re-sort)
+    Store.compactZOrdered(spark, path, Seq("user_id", "ts"),
+      nFiles = nFiles)
+    val depthAfter = Store.zOrderClusterDepth(spark, path, Seq("user_id"))
+      .collect()(0).getAs[Double]("avg_candidate_files")
+    assert(depthAfter < depth0 + 1.0,
+      s"compaction must restore clustering depth: $depthAfter vs $depth0")
+
+    // stats-free column (INT96 ts) reports null metrics, not a failure
+    val tsRow = Store.zOrderClusterDepth(spark, path, Seq("ts")).collect()(0)
+    assert(tsRow.getAs[Int]("n_files") == 0 && tsRow.isNullAt(1))
+
+    // journals are REPORTED, never consumed
+    val meta = new java.io.File(path + "__stream")
+    assert(meta.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(meta, "stream.journal").toPath, "3")
+    java.nio.file.Files.writeString(
+      new java.io.File(meta, "stream.manifest").toPath, "3\n")
+    val d1 = Store.zOrderDescribe(spark, path).collect()(0)
+    assert(d1.getAs[Boolean]("stream_journal")
+      && d1.getAs[Boolean]("stream_manifest"))
+    assert(new java.io.File(meta, "stream.journal").exists
+      && new java.io.File(meta, "stream.manifest").exists,
+      "describe must not heal or clear stream state")
+  }
 }
