@@ -946,6 +946,73 @@ object CurationQueries {
       FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
       ORDER BY cos DESC, d.vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- x96
+  /** Oracle-checked two-stage ADC→exact RERANK ([[Pq.pqTopK]] with
+    * `rerankWith` — the FAISS "refine" read pattern, previously pinned
+    * only by PqSpec's covering-candidates contract): stage 1 scans
+    * codes+recon_norm and shortlists `rerankFactor·k` candidates by
+    * rounded ADC cosine (vec_id tie-break — the shortlist BOUNDARY is
+    * deterministic cross-engine); stage 2 broadcast-joins the bounded
+    * candidate set back to full precision and exact-cosine top-ks.
+    * This is the production compressed-index read at 100 TB: the
+    * corpus-sized scan touches ≈(4m+8) bytes/row, full vectors are
+    * fetched for 40 ids. Codebooks are the x90 deterministic set so
+    * BOTH stages — ADC ranking, the 40-candidate cut, the exact
+    * rerank — hash-match DuckDB end to end. */
+  val x96PqRerank: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val q = embs.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+          .head.getSeq[Double](0).toIndexedSeq
+        val corpus = embs.filter(col("vec_id") =!= 0)
+        Pq.pqTopK(Pq.pqEncode(corpus, "embedding", cb), cb, q, "vec_id",
+          k = 10, rerankWith = Some(corpus.select("vec_id", "embedding")),
+          rerankFactor = 4)
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+        lut AS (SELECT cw.s, cw.c, sum(cw.w * q.qx) AS dp,
+            sum(cw.w * cw.w) AS w2
+          FROM cw JOIN qx q ON q.i = cw.i GROUP BY 1, 2),
+        scored AS (SELECT k.vec_id, sum(l.dp) AS adc, sum(l.w2) AS rn2
+          FROM code k JOIN lut l ON l.s = k.s AND l.c = k.c GROUP BY 1),
+        adcr AS (SELECT s.vec_id,
+            round(s.adc / (sqrt(s.rn2) * qn.n), 6) AS cos_pq
+          FROM scored s, qn),
+        cand AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (
+            ORDER BY cos_pq DESC, vec_id ASC) AS rn FROM adcr)
+          WHERE rn <= 40),
+        norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+          FROM ex JOIN cand USING (vec_id) GROUP BY 1),
+        dots AS (SELECT e.vec_id, sum(e.x * q.qx) AS dp
+          FROM ex e JOIN cand USING (vec_id) JOIN qx q ON q.i = e.i
+          GROUP BY 1)
+        SELECT d.vec_id, round(d.dp / (nm.nrm * qn.n), 6) AS cos
+        FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
+        ORDER BY cos DESC, d.vec_id LIMIT 10"""))
+  }
+
   // ---------------------------------------------------------------- x92
   /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
     * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
@@ -1135,6 +1202,7 @@ object CurationQueries {
     "x91_pq_bulk_probe" -> x91PqBulkProbe,
     "x94_ivf_bulk_probe" -> x94IvfBulkProbe,
     "x95_hier_probe" -> x95HierProbe,
+    "x96_pq_rerank" -> x96PqRerank,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
