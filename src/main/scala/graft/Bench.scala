@@ -70,7 +70,11 @@ object Bench {
     // round-12: the bulk ADC probe (per-query LUTs as data), the
     // residual-encoding path, and the filtered probe — same rationale,
     // all ~sub-second
-    "x91_pq_bulk_probe", "x92_pq_residual", "x93_filtered_ann")
+    "x91_pq_bulk_probe", "x92_pq_residual", "x93_filtered_ann",
+    // round-13: the bulk raw-IVF probe, the hierarchical two-level
+    // ranking, and the two-stage ADC→exact rerank — same rationale,
+    // all ~sub-second
+    "x94_ivf_bulk_probe", "x95_hier_probe", "x96_pq_rerank")
 
   /** Per-query measurement summary: (median, min, max, first error). */
   private[graft] type Reading = (Double, Double, Double, Option[String])

@@ -866,6 +866,65 @@ object Similarity {
     true
   }
 
+  /** Policy wrapper over [[ivfRetrain]], the quantizer twin of
+    * [[ivfMaybeCompact]]: measure drift via [[ivfDescribe]]'s balance
+    * columns and re-fit only when a threshold is crossed, so an
+    * unattended maintenance job (or a streaming sink's epoch hook) can
+    * call it every cycle and pay the KMeans re-fit RARELY. Triggers,
+    * any one sufficient:
+    *
+    *  - `cell_skew > maxSkew` — a hot cell makes an nProbe=1 probe
+    *    corpus-sized (live max/avg rows per occupied cell);
+    *  - `occupied_cells < minOccupiedFrac · n_cells` — empty cells
+    *    waste every probe's ranking work;
+    *  - `targetRowsPerCell > 0` and live rows exceed
+    *    `2 · targetRowsPerCell · n_cells` — the corpus outgrew the
+    *    quantizer even if balanced: per-probe scan cost is rows/cell,
+    *    and appends never add cells.
+    *
+    * On firing, the new cell count is `ceil(live / targetRowsPerCell)`
+    * when a target is set (the quantizer GROWS with the corpus —
+    * retrain exists precisely because appends cannot do this), else
+    * the current count. Skew is computed over LIVE rows (tombstones
+    * folded out — a hot cell that is entirely deleted rows needs a
+    * compact, not a re-fit; describe's physical skew would over-fire).
+    * Cost when NOT firing: one pruned scan of (cell, id) — the
+    * describe(cellBalance) bound. Returns true iff a retrain ran. */
+  def ivfMaybeRetrain(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, maxSkew: Double = 4.0,
+      minOccupiedFrac: Double = 0.5, targetRowsPerCell: Long = 0L,
+      embCol: String = "embedding", seed: Long = 42L): Boolean = {
+    require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly even)")
+    require(minOccupiedFrac >= 0.0 && minOccupiedFrac <= 1.0,
+      "minOccupiedFrac is a fraction")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val nCells = spark.read.parquet(s"$path/centroids").count()
+    val raw = spark.read.parquet(s"$path/assigned")
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+        val del = spark.read.parquet(s"$path/deletes")
+        raw.join(broadcast(del), Seq(del.columns.head), "left_anti")
+      } else raw
+    // one pruned scan: per-cell live counts roll up to a single row
+    val s = live.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("occ"), max("n").as("mx"), sum("n").as("rows"))
+      .head
+    val (occ, mx, liveRows) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    if (liveRows == 0L) return false // nothing to fit a quantizer on
+    val skew = mx / (liveRows.toDouble / math.max(occ, 1L))
+    val outgrown = targetRowsPerCell > 0L &&
+      liveRows > 2L * targetRowsPerCell * nCells
+    if (skew <= maxSkew && occ >= minOccupiedFrac * nCells && !outgrown)
+      return false
+    val newCells =
+      if (targetRowsPerCell > 0L)
+        math.max(1L, (liveRows + targetRowsPerCell - 1) / targetRowsPerCell)
+      else nCells
+    ivfRetrain(spark, table, path, newCells.toInt, embCol, seed)
+    true
+  }
+
   /** Read-only observability over a persisted IVF index — the numbers an
     * operator needs to decide WHEN to act (compact? replay a crashed
     * stream? re-train a drifted quantizer?) without mutating anything.

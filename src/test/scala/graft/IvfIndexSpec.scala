@@ -529,6 +529,75 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_rt_t")
   }
 
+  test("ivfMaybeRetrain: no fire when balanced; skew measured over LIVE " +
+      "rows (tombstoned hot cell does not fire); fires on a live hot " +
+      "cell folding tombstones; growth trigger grows the cell count") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("ivf-mr").toString
+    Similarity.ivfSave(Similarity.ivfBuild(corpus, nCells = 4),
+      "ivf_mr_t", dir, 4)
+    try {
+      assert(!Similarity.ivfMaybeRetrain(spark, "ivf_mr_t", dir,
+        maxSkew = 2.5), "a freshly KMeans-fit index must not fire")
+
+      // a hot batch: every member of vec 1's cell, re-appended 12x —
+      // all land in ONE cell of the original quantizer
+      val loaded = Similarity.ivfLoad(spark, "ivf_mr_t", dir)
+      // snapshot the member set EAGERLY: `loaded.assigned` is the live
+      // catalog table, and a lazy frame would re-evaluate over the
+      // mutated index after each append below
+      val mem = loaded.assigned
+        .filter(col("cell") === loaded.assigned
+          .filter(col("vec_id") === 1).select("cell").head.getInt(0))
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+        .localCheckpoint()
+      def hotBatch(base: Long) = (0 until 6).map(r => mem.select(
+        (col("rn") + lit(base + 10000L * r)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ union _)
+
+      // batch A appended then fully tombstoned: PHYSICAL skew is heavy,
+      // LIVE rows are the balanced original — must NOT fire
+      val hotA = hotBatch(100000L)
+      Similarity.ivfAppendSave(
+        Similarity.ivfAssign(loaded, hotA, "vec_id"), "ivf_mr_t", dir, 4)
+      val nHot = hotA.count()
+      assert(Similarity.ivfDelete(hotA.select("vec_id"), "vec_id",
+        "ivf_mr_t", dir) == nHot)
+      assert(!Similarity.ivfMaybeRetrain(spark, "ivf_mr_t", dir,
+        maxSkew = 2.5),
+        "a hot cell that is entirely tombstones needs a compact, not a re-fit")
+
+      // batch B live: the hot cell is real now — fires, and the retrain
+      // folds batch A's tombstones away
+      Similarity.ivfAppendSave(
+        Similarity.ivfAssign(Similarity.ivfLoad(spark, "ivf_mr_t", dir),
+          hotBatch(200000L), "vec_id"), "ivf_mr_t", dir, 4)
+      assert(Similarity.ivfMaybeRetrain(spark, "ivf_mr_t", dir,
+        maxSkew = 2.5), "a live hot cell must fire")
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == 4L, "no target: cell count kept")
+      assert(d.getAs[Long]("tombstoned_ids") == 0L)
+      assert(d.getAs[Long]("physical_rows") == corpus.count() + nHot,
+        "live rows only: batch A gone, batch B present")
+
+      // growth trigger: live rows far above target*nCells — fires even
+      // balanced, and the quantizer GROWS to ceil(live/target)
+      val liveRows = corpus.count() + nHot
+      val target = liveRows / 16
+      assert(Similarity.ivfMaybeRetrain(spark, "ivf_mr_t", dir,
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        targetRowsPerCell = target), "outgrown quantizer must fire")
+      val d2 = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d2.getAs[Long]("n_cells") ==
+        (liveRows + target - 1) / target,
+        "cell count must grow to ceil(live/target)")
+      assert(!Similarity.ivfMaybeRetrain(spark, "ivf_mr_t", dir,
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        targetRowsPerCell = target), "freshly sized: no re-fire")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_mr_t")
+  }
+
   test("ivfRetrain crash window: a swap that landed without its commit " +
       "(staged centroids, stale published frame, no catalog entry) heals on load") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString
