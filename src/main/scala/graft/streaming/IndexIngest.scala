@@ -180,11 +180,26 @@ object IndexIngest {
     * rows, not columns — is untouched). `encode` MUST be 1:1
     * row-preserving: the crash-window classification compares physical
     * row counts against the journaled batch size, so a filtering or
-    * exploding transform would misclassify every replay. */
+    * exploding transform would misclassify every replay.
+    *
+    * `retrainMaxSkew` / `retrainRowsPerCell` (either > 0) arm the
+    * [[graft.ext.Similarity.ivfMaybeRetrain]] post-epoch hook — the
+    * sink is the one caller that runs unattended forever, which is
+    * exactly who the policy exists for: a drifting stream develops hot
+    * cells the append path can never fix, and a growing corpus
+    * outgrows its cell count. The hook runs AFTER the epoch commits;
+    * on firing, the sink drops its cached quantizer and re-derives the
+    * bucket modulus from the published centroid frame next epoch (the
+    * cell count legitimately changes under a growth re-fit — which is
+    * also why appends always bucket by the PUBLISHED count, validated
+    * against `nCells` at first load when the hook is off). Raw indexes
+    * only: [[graft.ext.Similarity.ivfRetrain]] refuses a PQ-encoded
+    * layout loudly (codes are defined against the old cells). */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int, maxFilesPerCell: Int = 0,
       encode: DataFrame => DataFrame = identity,
-      nSuper: Int = 0): (DataFrame, Long) => Unit = {
+      nSuper: Int = 0, retrainMaxSkew: Double = 0.0,
+      retrainRowsPerCell: Long = 0L): (DataFrame, Long) => Unit = {
     // the coarse quantizer is a STATIC offline artifact: load it once
     // per sink, not once per micro-batch (ivfLoad re-reads + the assign
     // collects the centroid parquet every call). The first load performs
@@ -206,6 +221,22 @@ object IndexIngest {
     // built once per sink from the loaded centroids — same lifetime as
     // `centroids` itself.
     var superQ: Option[Similarity.IvfSuper] = None
+    // the bucket modulus the appends/compacts must match. The PUBLISHED
+    // centroid frame is authoritative — with the retrain hook on, the
+    // cell count legitimately drifts mid-stream (growth re-fit), and
+    // after a sink restart the static `nCells` argument may be stale.
+    // Derived at each quantizer (re-)load; lazily read (one footer-
+    // bounded parquet count) on the rare epoch that compacts without
+    // having loaded. With the hook off, validated == nCells at first
+    // load so a caller's stale declaration fails loudly, not as a
+    // silently mis-bucketed append.
+    val retrainOn = retrainMaxSkew > 0.0 || retrainRowsPerCell > 0L
+    var nCellsCur: Int = 0
+    def modulus(spark: org.apache.spark.sql.SparkSession): Int = {
+      if (nCellsCur == 0)
+        nCellsCur = spark.read.parquet(s"$path/centroids").count().toInt
+      nCellsCur
+    }
     (batch, batchId) =>
     val spark = batch.sparkSession
     val epoch = committedEpoch(spark, path)
@@ -218,6 +249,11 @@ object IndexIngest {
       if (doAppend) Dedup.withRddCleanup(spark) {
         if (centroids == null) {
           centroids = Similarity.ivfLoad(spark, table, path)
+          nCellsCur = centroids.centroids.count().toInt
+          require(retrainOn || nCellsCur == nCells,
+            s"ivfSink: declared nCells=$nCells but the published " +
+              s"quantizer under $path has $nCellsCur cells — appends " +
+              "must bucket by the real modulus")
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))
@@ -234,13 +270,30 @@ object IndexIngest {
         val pre = spark.table(table).count()
         val batchN = b.count()
         writeStreamJournal(spark, path, batchId, pre, batchN)
-        Similarity.ivfAppendSave(encode(assigned), table, path, nCells)
+        Similarity.ivfAppendSave(encode(assigned), table, path,
+          modulus(spark))
       }
       finishBatch(spark, path, batchId)
       // post-epoch, same rationale as bandIndexSink's cadence hook
       if (maxFilesPerCell > 0)
-        Similarity.ivfMaybeCompact(spark, table, path, nCells,
+        Similarity.ivfMaybeCompact(spark, table, path, modulus(spark),
           maxFilesPerCell)
+      // retrain LAST (it folds tombstones and may grow the cell count):
+      // the journal is committed, so a crash anywhere inside heals via
+      // ivfRetrain's own swap/finalize machinery on the next load. On
+      // firing, the cached quantizer and modulus are stale — drop them
+      // so the next epoch re-loads (and re-derives) from the published
+      // state. RAW indexes only: a PQ-encoded layout stores codes, and
+      // ivfRetrain refuses it loudly.
+      if (retrainOn && Similarity.ivfMaybeRetrain(spark, table, path,
+          maxSkew = if (retrainMaxSkew > 0.0) retrainMaxSkew
+            else Double.MaxValue,
+          minOccupiedFrac = 0.0, targetRowsPerCell = retrainRowsPerCell,
+          embCol = embCol)) {
+        centroids = null
+        superQ = None
+        nCellsCur = 0
+      }
     }
   }
 

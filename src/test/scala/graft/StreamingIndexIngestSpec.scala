@@ -310,6 +310,79 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivfh_stream_t")
   }
 
+  test("streamed growth retrain: the ivfMaybeRetrain hook fires " +
+      "mid-stream, the quantizer grows, and the stream continues " +
+      "appending under the new modulus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ivfr-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfr-ckpt").toString
+    val nCells = 2
+    // small enough that epoch 1's live rows (half + b1) clear the
+    // 2·target·nCells growth bound, and the GROWN count's own bound
+    // stays above epoch 2's total — exactly one mid-stream fire
+    val target = 50L
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfSave(Similarity.ivfBuild(half, nCells = nCells),
+      "ivfr_stream_t", dir, nCells)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "ivfr_stream_t", dir, nCells,
+          retrainRowsPerCell = target))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      // epoch 1 committed half+b1 rows under 2 cells — far past the
+      // growth bound (live > 2·target·nCells) — so the hook re-fit to
+      // ceil(live/target) cells; epoch 2 then appended under the NEW
+      // modulus (well below ITS growth bound: no second fire)
+      val liveAtFire = half.count() + b1.size
+      val grown = (liveAtFire + target - 1) / target
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == grown,
+        s"mid-stream growth re-fit to ceil($liveAtFire/$target)")
+      val streamed = Similarity.ivfLoad(spark, "ivfr_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count(),
+        "stream-maintained index must hold the full corpus")
+      // b2 streamed AFTER the re-fit: its cells must be the batch
+      // assignment against the RETRAINED quantizer
+      val b2ids = b2.map(_._1)
+      val expect = Similarity.ivfAssign(streamed,
+        embs.filter(col("vec_id").isin(b2ids: _*)), "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      val got = streamed.assigned
+        .filter(col("vec_id").isin(b2ids: _*))
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "post-retrain streamed assignment diverged from batch ivfAssign")
+      // exhaustive probe over the grown quantizer is exact
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      assert(Similarity.ivfProbe(streamed, qv, "vec_id",
+          nProbe = grown.toInt, k = 5).drop("cell").collect().toSeq
+        == Similarity.bruteForceTopK(embs, qv, "vec_id", k = 5)
+          .collect().toSeq,
+        "exhaustive probe must stay exact across a mid-stream retrain")
+      // replay against the grown index: a fresh sink instance derives
+      // the modulus from the PUBLISHED count (the declared nCells=2 is
+      // stale by design here) and the no-op protocol holds
+      val sink = IndexIngest.ivfSink("vec_id", "embedding",
+        "ivfr_stream_t", dir, nCells, retrainRowsPerCell = target)
+      val n = spark.table("ivfr_stream_t").count()
+      sink(b2.toDF("vec_id", "embedding", "label"), 1L)
+      assert(spark.table("ivfr_stream_t").count() == n,
+        "replayed batch double-appended across a retrain")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfr_stream_t")
+  }
+
   test("streamed IVF-PQ appends: the encode hook maintains a compressed " +
       "index ≡ batch pqEncode, probeable, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
