@@ -1013,6 +1013,53 @@ object CurationQueries {
         ORDER BY cos DESC, d.vec_id LIMIT 10"""))
   }
 
+  // ---------------------------------------------------------------- x97
+  /** Oracle-checked SCALAR QUANTIZATION ([[Sq]] — the FAISS
+    * `ScalarQuantizer` QT_8bit shape, the ~4×-compression sibling of
+    * PQ's ~32×): per-dim min/max bounds trained on the corpus itself
+    * in one distributed pass, affine int8 codes via the codegen
+    * [[graft.functions.SqEncodeF]] (half-up `floor(t + 0.5)` — the one
+    * rounding rule both engines state identically on the non-negative
+    * scaled value), decode-and-score via [[graft.functions.SqDecodeF]]
+    * + the [[graft.functions.DotF32]] cosine against vec 0. DuckDB
+    * recomputes bounds, codes, reconstruction, and cosine from the
+    * same parquet — training, encode, decode, and scoring all
+    * hash-checked cross-engine (trained-param edge cases, persistence,
+    * IVF composition, and rerank are SqSpec's). Decode op order is
+    * pinned on both sides: `lo + c · ((hi - lo) / 255)`. */
+  val x97SqAdc: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val corpus = embs.filter(col("vec_id") =!= 0)
+      val p = Sq.sqTrain(corpus, "embedding")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+        .head.getSeq[Double](0).toIndexedSeq
+      Sq.sqTopK(Sq.sqEncode(corpus, "embedding", p), p, q, "vec_id", k = 10)
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0),
+      bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+      code AS (SELECT e.vec_id, e.i,
+          CASE WHEN b.hi = b.lo THEN 0
+            ELSE GREATEST(0, LEAST(255,
+              CAST(floor((e.x - b.lo) / (b.hi - b.lo) * 255 + 0.5)
+                AS INT))) END AS c
+        FROM ex e JOIN bounds b USING (i)),
+      dec AS (SELECT k.vec_id, k.i,
+          b.lo + k.c * ((b.hi - b.lo) / 255) AS xh
+        FROM code k JOIN bounds b USING (i)),
+      qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT sqrt(sum(qx * qx)) AS n FROM qx),
+      scored AS (SELECT d.vec_id, sum(d.xh * q.qx) AS dp,
+          sqrt(sum(d.xh * d.xh)) AS rn
+        FROM dec d JOIN qx q USING (i) GROUP BY 1)
+      SELECT s.vec_id, round(s.dp / (s.rn * qn.n), 6) AS cos_sq
+      FROM scored s, qn ORDER BY cos_sq DESC, s.vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- x92
   /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
     * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
@@ -1203,6 +1250,7 @@ object CurationQueries {
     "x94_ivf_bulk_probe" -> x94IvfBulkProbe,
     "x95_hier_probe" -> x95HierProbe,
     "x96_pq_rerank" -> x96PqRerank,
+    "x97_sq_adc" -> x97SqAdc,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,

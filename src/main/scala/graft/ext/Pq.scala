@@ -215,19 +215,21 @@ object Pq {
       query, idCol, k, rerankWith, rerankFactor, embCol)
 
   /** The ordering/rerank tail every single-query ADC scorer shares
-    * (plain and residual probes): top-k of an already-`cos_pq`-scored
-    * frame, or the two-stage exact rerank over k·factor candidates.
+    * (plain and residual PQ probes, and [[Sq.sqTopK]] — `scoreCol`
+    * names the approximate score): top-k of an already-scored frame,
+    * or the two-stage exact rerank over k·factor candidates.
     * One implementation so the rounding rule, (score desc, id)
     * tie-break, candidate bound, and output shape cannot drift between
-    * the two scoring forms. */
-  private def scoredTopK(scored: DataFrame, query: IndexedSeq[Double],
+    * the scoring forms. */
+  private[ext] def scoredTopK(scored: DataFrame, query: IndexedSeq[Double],
       idCol: String, k: Int, rerankWith: Option[DataFrame],
-      rerankFactor: Int, embCol: String): DataFrame = rerankWith match {
+      rerankFactor: Int, embCol: String,
+      scoreCol: String = "cos_pq"): DataFrame = rerankWith match {
     case None =>
-      scored.orderBy(col("cos_pq").desc, col(idCol))
-        .select(col(idCol), col("cos_pq")).limit(k)
+      scored.orderBy(col(scoreCol).desc, col(idCol))
+        .select(col(idCol), col(scoreCol)).limit(k)
     case Some(full) =>
-      val cand = scored.orderBy(col("cos_pq").desc, col(idCol))
+      val cand = scored.orderBy(col(scoreCol).desc, col(idCol))
         .select(col(idCol)).limit(k * rerankFactor)
       val qlit = array(query.map(lit(_)): _*)
       val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
@@ -476,7 +478,7 @@ object Pq {
     * for reuse by the residual probe: (rounded dist asc, cell asc) —
     * the one shared cell-ranking rule ([[Similarity.rankDist]], which
     * also dim-checks). */
-  private def rankCellsFlat(index: Similarity.IvfIndex,
+  private[ext] def rankCellsFlat(index: Similarity.IvfIndex,
       q: IndexedSeq[Double], nProbe: Int): Seq[Int] =
     index.centroids
       .select(col("cell").cast("int"), col("cent")).collect()

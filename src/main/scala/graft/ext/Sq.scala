@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ) — the per-DIMENSION affine compression
+  * point of the vector stack, between raw vectors (4 bytes/dim) and
+  * product quantization ([[Pq]], sub-byte/dim): each dimension is
+  * independently mapped to an int code in `[0, levels)` against
+  * train-time per-dim `lo`/`hi` bounds (FAISS's `ScalarQuantizer`,
+  * QT_8bit at the default `levels = 256` — 1 byte/dim of information;
+  * parquet's bit-packed INT32 encoding stores the 0..255 codes at
+  * ~1 byte on disk).
+  *
+  * Where PQ buys ~32× compression at a recall cost that needs an exact
+  * rerank stage, SQ buys ~4× at near-exact recall (quantization error
+  * ≤ step/2 per dim) — the right first step for a 100 TB embedding
+  * corpus whose raw vectors don't fit the cluster's scan budget but
+  * whose retrieval quality can't take the PQ hit.
+  *
+  * Scale shape:
+  *  - train is ONE distributed pass: `posexplode` + `groupBy(pos)`
+  *    min/max — both algebraic, so map-side partial aggregation bounds
+  *    the shuffle at numPartitions × dim rows (the explode itself
+  *    pipelines; nothing row-count-sized ever moves or is collected) —
+  *    and the driver holds 2·dim doubles of params, period;
+  *  - encode/decode are codegen expressions
+  *    ([[graft.functions.SqEncodeF]] / [[graft.functions.SqDecodeF]])
+  *    with the params riding as reference objects — no UDF, no
+  *    interpreted HOF lambdas, whole-stage codegen end to end;
+  *  - scoring REUSES the raw-vector cosine rule: unlike PQ, SQ decode
+  *    is a linear map with the same per-element cost as the dot
+  *    product, so probes decode inline and score through the one
+  *    [[graft.functions.DotF32]] fold — one scoring semantics across
+  *    raw and SQ-compressed vectors, no LUT machinery to keep
+  *    consistent;
+  *  - the encoded frame is schema-compatible with the PQ form
+  *    (`codes` + `recon_norm` payload columns), so the ENTIRE IVF
+  *    maintenance layer — save/load, append, tombstone delete,
+  *    compact, the streaming sink's encode hook — carries SQ indexes
+  *    unchanged.
+  *
+  * Encode/score are oracle-checked cross-engine end to end
+  * (x97_sq_adc: DuckDB recomputes the bounds, codes, reconstruction,
+  * and cosine from the same parquet); trained-param edge cases,
+  * persistence, IVF composition, and the exact-rerank contract are
+  * spec-pinned (SqSpec).
+  *
+  * Distinct from x53_quantize_embeddings (per-VECTOR min/max affine, a
+  * storage-fidelity report): per-DIM bounds trained once on the corpus
+  * make the decode ONE global linear map — codes from different rows
+  * are comparable under the same reconstruction, which is what lets
+  * the codes live inside an index and be scored against a query
+  * without per-row scale bookkeeping. Per-vector scaling can't back an
+  * ANN index; per-dim scaling is FAISS's choice for exactly this
+  * reason.
+  *
+  * Reference behavior anchor: the reference framework ships raw-float
+  * vector search only (binance_data_framework has no compression
+  * layer); SQ follows the public FAISS `ScalarQuantizer` design, cited
+  * as the index-family shape only. */
+object Sq {
+
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+
+  /** Train-time per-dim bounds. Plain data — round-trips through
+    * parquet ([[sqParamsSave]]/[[sqParamsLoad]]) so an encoded index
+    * never needs the training corpus again. `step` is THE decode
+    * multiplier, computed here exactly once as `(hi - lo) / (L-1)` —
+    * pinning the op order every scorer and the SQL oracle must share
+    * (`lo + c · ((hi - lo) / (L-1))`, never `(c · (hi - lo)) / (L-1)`:
+    * different IEEE result). A degenerate dimension (`hi == lo`) has
+    * `step = 0` and decodes to `lo` — the exact inverse of
+    * [[graft.functions.SqEncodeF]]'s degenerate-dim code 0. */
+  final case class SqParams(lo: IndexedSeq[Double], hi: IndexedSeq[Double],
+      levels: Int = 256) {
+    require(lo.nonEmpty && lo.length == hi.length,
+      s"SqParams: lo/hi dims differ (${lo.length} vs ${hi.length})")
+    require(levels >= 2 && levels <= 65536,
+      s"SqParams: levels must be in [2, 65536], got $levels")
+    require(lo.indices.forall(i => lo(i) <= hi(i)),
+      "SqParams: lo > hi on some dimension — not a min/max train result")
+    def dim: Int = lo.length
+    lazy val step: IndexedSeq[Double] =
+      lo.indices.map(i => (hi(i) - lo(i)) / (levels - 1))
+  }
+
+  /** Fit per-dim bounds in one distributed pass (see the object doc's
+    * scale shape — the collect is dim rows, the same bound as a PQ
+    * codebook load). A ragged embedding column (mixed dims) shows up
+    * as UNEQUAL per-position sample counts — a short row stops
+    * contributing at its own length, so a position past it sees fewer
+    * samples — and bounds fit on that mixture silently mis-encode
+    * every row, so it fails loudly here (same pass, no extra scan). */
+  def sqTrain(corpus: DataFrame, embCol: String = "embedding",
+      levels: Int = 256): SqParams = {
+    val rows = corpus
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect() // dim rows — never corpus-sized
+    require(rows.nonEmpty, "sqTrain: empty corpus (or all-empty embeddings)")
+    val byI = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+    val counts = rows.map(_.getLong(3)).distinct
+    require(counts.length == 1,
+      s"sqTrain: ragged embedding column — per-dim sample counts " +
+        s"range ${counts.min}..${counts.max} over ${byI.length} dims")
+    SqParams(byI.map(_._2), byI.map(_._3), levels)
+  }
+
+  /** Persist params as one tiny parquet (dim rows of
+    * `(i, lo, hi, levels)`) next to the index they encode. */
+  def sqParamsSave(spark: SparkSession, p: SqParams, path: String): Unit = {
+    import spark.implicits._
+    p.lo.indices.map(i => (i, p.lo(i), p.hi(i), p.levels))
+      .toDF("i", "lo", "hi", "levels")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen persisted params (dim-row collect, the codebooksLoad
+    * bound). */
+  def sqParamsLoad(spark: SparkSession, path: String): SqParams = {
+    val rows = spark.read.parquet(path)
+      .select(col("i").cast("int"), col("lo"), col("hi"),
+        col("levels").cast("int"))
+      .collect()
+    require(rows.nonEmpty,
+      s"sqParamsLoad: no param rows under $path — not a sqParamsSave dir")
+    val levels = rows.map(_.getInt(3)).distinct
+    require(levels.length == 1,
+      s"sqParamsLoad: inconsistent levels ${levels.mkString(",")} under $path")
+    val byI = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+    SqParams(byI.map(_._2), byI.map(_._3), levels(0))
+  }
+
+  /** Codegen encode column: `ARRAY<FLOAT|DOUBLE>` → `ARRAY<INT>` codes. */
+  def sqEncodeCol(emb: Column, p: SqParams): Column =
+    toCol(graft.functions.SqEncodeF(toExpr(emb), p.lo, p.hi, p.levels))
+
+  /** Codegen decode column: `ARRAY<INT>` codes → `ARRAY<DOUBLE>`
+    * reconstruction. */
+  def sqDecodeCol(codes: Column, p: SqParams): Column =
+    toCol(graft.functions.SqDecodeF(toExpr(codes), p.lo, p.step))
+
+  /** Encode a frame: adds `codes` and `recon_norm` (the reconstructed
+    * vector's L2 norm — same payload shape as [[Pq.pqEncode]], so the
+    * scorer divides by a stored per-row constant instead of re-folding
+    * the self-dot per probe, and the IVF layer sees an
+    * indistinguishable schema). The original embedding column is kept;
+    * index builders ([[ivfSqEncode]]) select it away. */
+  def sqEncode(df: DataFrame, embCol: String, p: SqParams): DataFrame = {
+    val withCodes = df.withColumn("codes", sqEncodeCol(col(embCol), p))
+    val dec = sqDecodeCol(col("codes"), p)
+    withCodes.withColumn("recon_norm", sqrt(Similarity.dot(dec, dec)))
+  }
+
+  /** SQ asymmetric top-k: decode each row's codes and score the exact
+    * cosine of the RECONSTRUCTION against the raw query — rounded at 6
+    * with id tie-breaks (the house scoring rule), optional two-stage
+    * exact rerank via the shared [[Pq.scoredTopK]] tail. */
+  def sqTopK(encoded: DataFrame, p: SqParams, query: IndexedSeq[Double],
+      idCol: String, k: Int = 10, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4, embCol: String = "embedding"): DataFrame = {
+    require(query.length == p.dim,
+      s"sqTopK: query dim ${query.length} != trained dim ${p.dim}")
+    val qlit = array(query.map(lit(_)): _*)
+    val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+    val scored = encoded.withColumn("cos_sq",
+      round(Similarity.dot(sqDecodeCol(col("codes"), p), qlit) /
+        (col("recon_norm") * lit(qn)), 6))
+    Pq.scoredTopK(scored, query, idCol, k, rerankWith, rerankFactor,
+      embCol, scoreCol = "cos_sq")
+  }
+
+  /** Encode an IVF index's assigned frame into its SQ form: same
+    * `IvfIndex` type, `assigned` = `(idCol, cell, codes, recon_norm)`
+    * (+ `keep` metadata for filtered probes) — feed it straight to
+    * [[Similarity.ivfSave]] / [[Similarity.ivfAppendSave]] / the whole
+    * maintenance layer, which never looks at the payload columns. */
+  def ivfSqEncode(index: Similarity.IvfIndex, p: SqParams,
+      idCol: String, embCol: String = "embedding",
+      keep: Seq[String] = Nil): Similarity.IvfIndex =
+    Similarity.IvfIndex(
+      sqEncode(index.assigned, embCol, p)
+        .select((Seq(idCol, "cell", "codes", "recon_norm") ++ keep)
+          .map(col): _*),
+      index.centroids)
+
+  /** IVF-SQ probe: rank cells exactly as [[Pq.ivfPqProbe]] (hierarchical
+    * above [[Similarity.IvfIndex.autoSuper]]'s threshold by default,
+    * flat below; `cell IN (…)` bucket pruning against a saved layout;
+    * optional `pred` conjoined after the cell prune — the filtered-ANN
+    * rule), then SQ-score only the probed cells' codes. */
+  def ivfSqProbe(index: Similarity.IvfIndex, p: SqParams,
+      query: DataFrame, idCol: String, embCol: String = "embedding",
+      nProbe: Int = 2, k: Int = 10, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4, superQ: Option[Similarity.IvfSuper] = None,
+      nProbeSuper: Int = 2, pred: Option[Column] = None): DataFrame = {
+    val qRows = query.select(transform(col(embCol), x => x.cast("double"))
+      .as("q")).take(1) // 1-row query frame — dim doubles, bounded
+    require(qRows.nonEmpty,
+      "ivfSqProbe: empty query frame — the scorer needs exactly one " +
+        "query embedding")
+    val q = qRows(0).getSeq[Double](0).toIndexedSeq
+    val probeCells = superQ.orElse(index.autoSuper) match {
+      case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
+      case None => Pq.rankCellsFlat(index, q, nProbe)
+    }
+    val pruned = pred.foldLeft(
+      index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
+    sqTopK(pruned, p, q, idCol, k, rerankWith, rerankFactor, embCol)
+  }
+}

@@ -662,6 +662,162 @@ case class PqAdcPairF(left: Expression, right: Expression, k: Int)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native scalar-quantization (SQ) encode — the per-dimension affine
+  * int-code compression of FAISS's `ScalarQuantizer` (QT_8bit form;
+  * Jégou et al.'s PQ is the sub-vector sibling, [[NearestCentroidF]]):
+  * `code_i = clamp(0, L-1, floor((x_i - lo_i) / (hi_i - lo_i) · (L-1)
+  * + 0.5))`, with a degenerate dimension (`hi_i == lo_i`, zero spread)
+  * encoding to 0. The train-time `lo`/`hi` per-dim bounds ride as
+  * reference objects (dim doubles each — the [[NearestCentroidF]]
+  * centroid-matrix bound, never corpus data). `floor(t + 0.5)` rather
+  * than a library `round`: half-up on the non-negative scaled value is
+  * the one rounding rule every engine states identically (Java
+  * `Math.round` and DuckDB `round` disagree on ties for negatives;
+  * `(x - lo) / (hi - lo) · (L-1)` is never negative for in-range x,
+  * and out-of-range x clamps anyway), which is what lets the encode
+  * hash-match a SQL oracle. Codes saturate at the bounds for
+  * out-of-range inputs (append-after-train drift) — the FAISS
+  * saturating-cast rule. Null input → null; vector shorter than the
+  * trained dim encodes its prefix defensively (the shorter-wins rule
+  * of every kernel here). */
+case class SqEncodeF(child: Expression, lo: IndexedSeq[Double],
+    hi: IndexedSeq[Double], levels: Int) extends UnaryExpression {
+  require(lo.nonEmpty && lo.length == hi.length,
+    s"graft_sq_encode: lo/hi dims differ (${lo.length} vs ${hi.length})")
+  require(levels >= 2 && levels <= 65536,
+    s"graft_sq_encode: levels must be in [2, 65536], got $levels")
+  // Seq fields ⇒ value-based equality (the WeightSumF rule); primitive
+  // arrays rebuilt once for the hot loop / codegen reference object
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val hiArr: Array[Double] = hi.toArray
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq_encode expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val f = isFloat
+    val n = math.min(v.numElements(), loArr.length)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = SqEncodeF.codeOf(x, loArr(i), hiArr(i), levels)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val loRef = ctx.addReferenceObj("sqLo", loArr, "double[]")
+      val hiRef = ctx.addReferenceObj("sqHi", hiArr, "double[]")
+      val (out, n, i, x) = (ctx.freshName("out"), ctx.freshName("n"),
+        ctx.freshName("i"), ctx.freshName("x"))
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), ${loArr.length});
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $out[$i] = graft.functions.SqEncodeF.codeOf(
+         |    $x, $loRef[$i], $hiRef[$i], $levels);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SqEncodeF {
+  /** The one code rule, shared by interpreted eval and generated code
+    * (the [[BucketIdF.bucketOf]] device): half-up on the non-negative
+    * scaled value, saturating clamp, degenerate dim → 0. */
+  def codeOf(x: Double, lo: Double, hi: Double, levels: Int): Int = {
+    val den = hi - lo
+    if (den == 0.0) 0
+    else {
+      val t = math.floor((x - lo) / den * (levels - 1) + 0.5)
+      if (t < 0.0) 0
+      else if (t > (levels - 1).toDouble) levels - 1
+      else t.toInt
+    }
+  }
+}
+
+/** Native SQ decode — the inverse affine map of [[SqEncodeF]]:
+  * `x̂_i = lo_i + code_i · step_i` with `step_i = (hi_i - lo_i) /
+  * (L-1)` precomputed once by the caller ([[graft.ext.Sq.SqParams]]
+  * owns the params; passing `step` rather than `hi` pins the exact
+  * multiply the scorer and any SQL oracle must share). Unlike PQ —
+  * whose decode is a codebook gather, so probes precompute LUTs —
+  * SQ reconstruction is a linear map, the same per-element cost as the
+  * dot product itself: probes simply decode and hand the
+  * reconstruction to the existing [[DotF32]]-based cosine, keeping ONE
+  * scoring rule across raw and SQ-compressed vectors. Null input →
+  * null; codes shorter than the trained dim decode their prefix. */
+case class SqDecodeF(child: Expression, lo: IndexedSeq[Double],
+    step: IndexedSeq[Double]) extends UnaryExpression {
+  require(lo.nonEmpty && lo.length == step.length,
+    s"graft_sq_decode: lo/step dims differ (${lo.length} vs ${step.length})")
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val stArr: Array[Double] = step.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq_decode expects array<int>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), loArr.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = loArr(i) + v.getInt(i) * stArr(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val loRef = ctx.addReferenceObj("sqdLo", loArr, "double[]")
+      val stRef = ctx.addReferenceObj("sqdStep", stArr, "double[]")
+      val (out, n, i) = (ctx.freshName("out"), ctx.freshName("n"),
+        ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), ${loArr.length});
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $loRef[$i] + $a.getInt($i) * $stRef[$i];
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native quantile-bucket id: upper-bound binary search of a double
   * value in a sorted boundary array riding as a reference object —
   * `bucket = #{b : b <= v}`, i.e. 0 below the first boundary,

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Similarity, Sq}
+
+/** Scalar quantization ([[Sq]]): code-rule semantics, the
+  * reconstruction-error bound, persistence, and the IVF composition
+  * over the column-agnostic index-maintenance layer. The
+  * train/encode/score path is hash-checked cross-engine by x97_sq_adc;
+  * these tests pin what the oracle can't see — the clamp/degenerate
+  * edges, the error bound the compression promises, the exact-rerank
+  * contract, and that an SQ index rides save/load + bucket-pruned
+  * probes unchanged. */
+class SqSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def queryVec(qid: Long): IndexedSeq[Double] =
+    corpus.filter(col("vec_id") === qid)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+      .head.getSeq[Double](0).toIndexedSeq
+
+  test("codeOf: half-up rounding, saturating clamp, degenerate dim") {
+    import graft.functions.SqEncodeF.codeOf
+    assert(codeOf(0.0, 0.0, 1.0, 256) == 0)
+    assert(codeOf(1.0, 0.0, 1.0, 256) == 255)
+    // 0.5 scales to 127.5 → half-up → 128 (the tie rule both engines
+    // share on non-negative values)
+    assert(codeOf(0.5, 0.0, 1.0, 256) == 128)
+    // the first half-step boundary rounds UP to code 1
+    assert(codeOf(0.5 / 255.0, 0.0, 1.0, 256) == 1)
+    // out-of-range saturates (append-after-train drift), never wraps
+    assert(codeOf(-3.0, 0.0, 1.0, 256) == 0)
+    assert(codeOf(42.0, 0.0, 1.0, 256) == 255)
+    // zero-spread dimension encodes to 0 (and decodes to lo: step 0)
+    assert(codeOf(5.0, 5.0, 5.0, 256) == 0)
+    // two-level quantizer degenerates to a sign bit
+    assert(codeOf(0.49, 0.0, 1.0, 2) == 0)
+    assert(codeOf(0.51, 0.0, 1.0, 2) == 1)
+  }
+
+  test("sqTrain: bounds are the exact per-dim min/max, partitioning-" +
+      "independent; ragged embeddings fail loudly") {
+    val p = Sq.sqTrain(corpus)
+    assert(p.dim == 64 && p.levels == 256)
+    val p2 = Sq.sqTrain(corpus.repartition(7))
+    assert(p == p2, "min/max must not depend on partitioning")
+    // spot-check dim 0 against a direct aggregate
+    val r = corpus.agg(
+      min(element_at(col("embedding"), 1).cast("double")),
+      max(element_at(col("embedding"), 1).cast("double"))).head
+    assert(p.lo(0) == r.getDouble(0) && p.hi(0) == r.getDouble(1))
+    val ragged = corpus.limit(10).select(col("vec_id"),
+      when(col("vec_id") % 2 === 0, slice(col("embedding"), 1, 32))
+        .otherwise(col("embedding")).as("embedding"))
+    val e = intercept[IllegalArgumentException](Sq.sqTrain(ragged))
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("reconstruction error: |x - decode(encode(x))| <= step/2 on " +
+      "every dimension of every in-range row (the SQ promise)") {
+    val p = Sq.sqTrain(corpus)
+    val rows = Sq.sqEncode(corpus, "embedding", p)
+      .select(transform(col("embedding"), x => x.cast("double")),
+        Sq.sqDecodeCol(col("codes"), p))
+      .collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      val x = r.getSeq[Double](0)
+      val xh = r.getSeq[Double](1)
+      assert(x.length == 64 && xh.length == 64)
+      (0 until 64).foreach { i =>
+        // half-up rounding puts x within half a step of its code's
+        // reconstruction; + 1e-12 for the scale/rescale fp slop
+        assert(math.abs(x(i) - xh(i)) <= p.step(i) / 2 + 1e-12,
+          s"dim $i: x=${x(i)} xh=${xh(i)} step=${p.step(i)}")
+      }
+    }
+  }
+
+  test("params: save/load round-trips exactly; recon_norm is the " +
+      "reconstruction's own L2 norm") {
+    val p = Sq.sqTrain(corpus, levels = 16)
+    val dir = java.nio.file.Files.createTempDirectory("sq-params").toString
+    Sq.sqParamsSave(spark, p, dir)
+    assert(Sq.sqParamsLoad(spark, dir) == p)
+    val r = Sq.sqEncode(corpus.limit(20), "embedding", p)
+      .select(col("recon_norm"), Sq.sqDecodeCol(col("codes"), p)).collect()
+    r.foreach { row =>
+      val xh = row.getSeq[Double](1)
+      assert(row.getDouble(0) ==
+        math.sqrt(xh.foldLeft(0.0)((a, v) => a + v * v)),
+        "stored recon_norm must equal the decode's sequential self-fold")
+    }
+  }
+
+  test("sqTopK at 256 levels: near-exact — top-10 ids overlap brute " +
+      "force >= 9/10 and the top-1 matches") {
+    val p = Sq.sqTrain(corpus)
+    val q = queryVec(0L)
+    val got = Sq.sqTopK(Sq.sqEncode(corpus.filter(col("vec_id") =!= 0),
+      "embedding", p), p, q, "vec_id", k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(corpus.filter(col("vec_id") =!= 0),
+      corpus.filter(col("vec_id") === 0), "vec_id", k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.head == exact.head, "SQ8 must not miss the top-1 neighbor")
+    assert(got.toSet.intersect(exact.toSet).size >= 9,
+      s"SQ8 top-10 drifted: got $got vs exact $exact")
+  }
+
+  test("rerank: covering candidates (factor spanning the corpus) " +
+      "reproduce the exact brute-force top-k bit for bit") {
+    val p = Sq.sqTrain(corpus)
+    val q = queryVec(0L)
+    val full = corpus.filter(col("vec_id") =!= 0)
+    val n = full.count().toInt
+    val got = Sq.sqTopK(Sq.sqEncode(full, "embedding", p), p, q, "vec_id",
+      k = 5, rerankWith = Some(full.select("vec_id", "embedding")),
+      rerankFactor = n) // shortlist = whole corpus ⇒ rerank ≡ exact
+    val exact = Similarity.bruteForceTopK(full,
+      corpus.filter(col("vec_id") === 0), "vec_id", k = 5)
+    assert(got.collect().toSeq == exact.collect().toSeq)
+  }
+
+  test("IVF-SQ: encoded index rides save/load + bucket-pruned probes; " +
+      "exhaustive probe == flat sqTopK; pred filters inside the cells") {
+    val full = corpus.filter(col("vec_id") =!= 0)
+    val p = Sq.sqTrain(full)
+    val nCells = 4
+    val index = Similarity.ivfBuild(full, nCells = nCells)
+    val dir = java.nio.file.Files.createTempDirectory("sq-ivf").toString
+    Similarity.ivfSave(Sq.ivfSqEncode(index, p, "vec_id"),
+      "sq_ivf_t", dir, nCells)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "sq_ivf_t", dir)
+      val qdf = corpus.filter(col("vec_id") === 0)
+      // exhaustive (nProbe = nCells) probe over the loaded index must
+      // equal the flat scorer over the full encoded corpus
+      val exhaustive = Sq.ivfSqProbe(loaded, p, qdf, "vec_id",
+        nProbe = nCells, k = 10).collect().toSeq
+      val flat = Sq.sqTopK(Sq.sqEncode(full, "embedding", p), p,
+        queryVec(0L), "vec_id", k = 10).collect().toSeq
+      assert(exhaustive == flat)
+      // filtered probe: every id satisfies the predicate, and the
+      // result equals post-filtering the exhaustive scorer
+      val filtered = Sq.ivfSqProbe(loaded, p, qdf, "vec_id",
+        nProbe = nCells, k = 10, pred = Some(col("vec_id") % 3 === 1))
+        .collect().toSeq
+      assert(filtered.nonEmpty && filtered.forall(_.getLong(0) % 3 == 1))
+      val flatFiltered = Sq.sqTopK(
+        Sq.sqEncode(full.filter(col("vec_id") % 3 === 1), "embedding", p),
+        p, queryVec(0L), "vec_id", k = 10).collect().toSeq
+      assert(filtered == flatFiltered)
+      // narrow probe scans only the probed cells' buckets (the prune
+      // is the point of the layout) and still finds in-cell neighbors
+      val narrow = Sq.ivfSqProbe(loaded, p, qdf, "vec_id",
+        nProbe = 1, k = 5).collect()
+      assert(narrow.length == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_ivf_t")
+  }
+}
