@@ -217,4 +217,28 @@ object Sq {
       index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
     sqTopK(pruned, p, q, idCol, k, rerankWith, rerankFactor, embCol)
   }
+
+  /** Bulk IVF-SQ probe — a BATCH of queries in one distributed pass.
+    * Because SQ scoring is "decode, then the raw cosine rule", the
+    * bulk form IS [[Similarity.ivfProbeBulk]] over a decoded VIEW of
+    * the index: one projection reconstructs `embCol` from the codes
+    * (codegen [[graft.functions.SqDecodeF]], fused into the same stage
+    * as the scoring fold — the codes column is what the pruned scan
+    * reads), and every bulk guarantee carries over verbatim — cell
+    * ranking as data, `cell IN (…)` bucket pruning, per-query windowed
+    * top-k, the shared `pred` rule. Scores are bit-identical to the
+    * per-query [[ivfSqProbe]] (spec-pinned): the probe's re-folded
+    * `norm(decode(codes))` is the same sequential self-fold
+    * [[sqEncode]] stored as `recon_norm`. Output: `(qidCol, idCol,
+    * cell, cos)` ordered (query, cos desc, id). */
+  def ivfSqProbeBulk(index: Similarity.IvfIndex, p: SqParams,
+      queries: DataFrame, qidCol: String, idCol: String,
+      embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
+      superQ: Option[Similarity.IvfSuper] = None, nProbeSuper: Int = 2,
+      pred: Option[Column] = None): DataFrame =
+    Similarity.ivfProbeBulk(
+      Similarity.IvfIndex(
+        index.assigned.withColumn(embCol, sqDecodeCol(col("codes"), p)),
+        index.centroids),
+      queries, qidCol, idCol, embCol, nProbe, k, superQ, nProbeSuper, pred)
 }

@@ -1,0 +1,147 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Similarity, Sq}
+
+/** Scalar-quantization measurement (the x97/SqSpec capability's honest
+  * numbers): index bytes and probe recall@10/wall-clock for the SQ8
+  * path against BOTH neighbors on the compression curve — the raw
+  * exact IVF probe (the quality ceiling) and IVF-PQ ADC (the
+  * compression ceiling) — on the same corpus, cells, and queries as
+  * PqBench's main fixture (replicated sf embeddings, deterministic
+  * sinusoidal perturbation, no RNG — reruns bit-stable). Also the
+  * bulk-vs-sequential race for [[Sq.ivfSqProbeBulk]] (agreement must
+  * be 100% — the SqSpec equivalence, re-asserted at bench scale).
+  *
+  * Usage: runMain graft.tools.SqBench [sfDir] [reps] [nQueries]
+  */
+object SqBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 50
+    val nQ = if (args.length > 2) args(2).toInt else 20
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val maxId = base.agg(max("vec_id")).head.getLong(0) + 1
+    val corpus = base.crossJoin(
+        spark.range(reps).select(col("id").cast("int").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * maxId).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") +
+            sin(col("vec_id") * 131 + col("rep") * 17 + i) * 0.05)
+            .cast("float")).as("embedding"))
+      .cache()
+    val n = corpus.count()
+    val dim = 64
+    val nCells = 16
+
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+    val qIds = (0 until nQ).map(_.toLong * 7L)
+    val searched = corpus.filter(!col("vec_id").isin(qIds: _*)).cache()
+    searched.count()
+    def queryDf(q: Long): DataFrame =
+      corpus.filter(col("vec_id") === q).select("embedding")
+
+    val truth: Map[Long, Set[Long]] = qIds.map { q =>
+      q -> ids(Similarity.bruteForceTopK(searched, queryDf(q), "vec_id"))
+    }.toMap
+    def recallOf(top: Map[Long, Set[Long]]): Double =
+      qIds.map(q => truth(q).intersect(top(q)).size / 10.0).sum / qIds.length
+
+    val built = {
+      val idx = Similarity.ivfBuild(searched, nCells = nCells)
+      idx.assigned.cache().count(); idx
+    }
+    val (p, trainSec) = time(Sq.sqTrain(searched))
+    val cbPq = Pq.trainedCodebooks(
+      corpus.sample(withReplacement = false, math.min(1.0, 20000.0 / n),
+        seed = 42), "embedding", dim, m = 8, k = 16)
+
+    val tmp = java.nio.file.Files.createTempDirectory("sqbench").toString
+    Similarity.ivfSave(built, "sqb_raw", s"$tmp/raw", nCells)
+    Similarity.ivfSave(Sq.ivfSqEncode(built, p, "vec_id"),
+      "sqb_sq", s"$tmp/sq", nCells)
+    Similarity.ivfSave(Pq.ivfPqEncode(built, cbPq, "vec_id"),
+      "sqb_pq", s"$tmp/pq", nCells)
+    val rawBytes = dirBytes(s"$tmp/raw/assigned")
+    val sqBytes = dirBytes(s"$tmp/sq/assigned")
+    val pqBytes = dirBytes(s"$tmp/pq/assigned")
+
+    val rawIdx = Similarity.ivfLoad(spark, "sqb_raw", s"$tmp/raw")
+    val sqIdx = Similarity.ivfLoad(spark, "sqb_sq", s"$tmp/sq")
+    val pqIdx = Similarity.ivfLoad(spark, "sqb_pq", s"$tmp/pq")
+
+    def probeAll(f: Long => DataFrame): (Map[Long, Set[Long]], Double) =
+      time { qIds.map(q => q -> ids(f(q))).toMap }
+
+    val (exactTop, exactSec) = probeAll(q =>
+      Similarity.ivfProbe(rawIdx, queryDf(q), "vec_id", nProbe = 2))
+    val (sqTop, sqSec) = probeAll(q =>
+      Sq.ivfSqProbe(sqIdx, p, queryDf(q), "vec_id", nProbe = 2))
+    val (sqRrTop, sqRrSec) = probeAll(q =>
+      Sq.ivfSqProbe(sqIdx, p, queryDf(q), "vec_id", nProbe = 2,
+        rerankWith = Some(searched), rerankFactor = 4))
+    val (pqTop, pqSec) = probeAll(q =>
+      Pq.ivfPqProbe(pqIdx, cbPq, queryDf(q), "vec_id", nProbe = 2))
+
+    // bulk-vs-sequential race (ids filtered through the corpus first)
+    val bulkCandidates = (0 until 100).map(i => i.toLong * 3L + 1L)
+    val bulkQueries = corpus.filter(col("vec_id").isin(bulkCandidates: _*))
+      .select(col("vec_id").as("q_id"), col("embedding")).cache()
+    val bulkIds = bulkQueries.select("q_id").collect()
+      .map(_.getLong(0)).sorted.toIndexedSeq
+    val (seqTop, seqSec) = time {
+      bulkIds.map { q =>
+        q -> ids(Sq.ivfSqProbe(sqIdx, p,
+          corpus.filter(col("vec_id") === q).select("embedding"),
+          "vec_id", nProbe = 2))
+      }.toMap
+    }
+    val (bulkRows, bulkSec) = time {
+      Sq.ivfSqProbeBulk(sqIdx, p, bulkQueries, "q_id", "vec_id",
+        nProbe = 2).collect()
+    }
+    val bulkTop = bulkRows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val bulkAgree = bulkIds.count(q =>
+      bulkTop.getOrElse(q, Set.empty) == seqTop(q)).toDouble / bulkIds.size
+
+    println(
+      f"""{"metric":"sq_bench","n":$n,"dim":$dim,"n_cells":$nCells,""" +
+      f""""n_queries":$nQ,"train_sec":$trainSec%.2f,""" +
+      f""""raw_bytes":$rawBytes,"sq_bytes":$sqBytes,"pq_bytes":$pqBytes,""" +
+      f""""sq_compression":${rawBytes.toDouble / sqBytes}%.2f,""" +
+      f""""pq_compression":${rawBytes.toDouble / pqBytes}%.2f,""" +
+      f""""recall_exact_probe":${recallOf(exactTop)}%.3f,""" +
+      f""""recall_sq":${recallOf(sqTop)}%.3f,""" +
+      f""""recall_sq_rerank":${recallOf(sqRrTop)}%.3f,""" +
+      f""""recall_pq_adc":${recallOf(pqTop)}%.3f,""" +
+      f""""probe_sec_exact":$exactSec%.2f,"probe_sec_sq":$sqSec%.2f,""" +
+      f""""probe_sec_sq_rerank":$sqRrSec%.2f,"probe_sec_pq":$pqSec%.2f,""" +
+      f""""bulk_queries":${bulkIds.length},"bulk_seq_sec":$seqSec%.2f,""" +
+      f""""bulk_sec":$bulkSec%.2f,""" +
+      f""""bulk_speedup":${seqSec / bulkSec}%.2f,""" +
+      f""""bulk_agreement":$bulkAgree%.3f}""")
+    spark.stop()
+  }
+}

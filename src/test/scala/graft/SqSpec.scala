@@ -158,6 +158,24 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       val narrow = Sq.ivfSqProbe(loaded, p, qdf, "vec_id",
         nProbe = 1, k = 5).collect()
       assert(narrow.length == 5)
+      // bulk ≡ per-query: same ids AND same scores for every query —
+      // the decoded view's re-folded norm is bit-identical to the
+      // stored recon_norm, so the equivalence is exact, not approximate
+      val qIds = Seq(1L, 7L, 13L, 100L)
+      val queries = full.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val bulk = Sq.ivfSqProbeBulk(loaded, p, queries, "q_id", "vec_id",
+        nProbe = 2, k = 5).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.map(r => (r.getLong(1), r.getDouble(3))).toSeq }
+      qIds.foreach { qid =>
+        val per = Sq.ivfSqProbe(loaded, p,
+          full.filter(col("vec_id") === qid), "vec_id", nProbe = 2, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(bulk(qid) == per,
+          s"bulk probe diverged from per-query at q=$qid")
+      }
     } finally spark.sql("DROP TABLE IF EXISTS sq_ivf_t")
   }
 }
