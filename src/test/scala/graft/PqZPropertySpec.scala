@@ -185,4 +185,52 @@ class PqZPropertySpec extends AnyFunSuite with SparkTestBase {
       got.forall(r => r.getDouble(0) == r.getDouble(1))
     })
   }
+
+  test("property: SqEncodeF ≡ reference codeOf per element (degenerate " +
+      "and out-of-range included); SqDecodeF is bit-exact; the " +
+      "quantization lattice is a fixpoint (re-encode of a decode is " +
+      "the identity on codes)") {
+    val gen = for {
+      dim <- Gen.choose(2, 8)
+      levels <- Gen.oneOf(2, 16, 256)
+      // bounds: lo <= hi, with a genuine chance of degenerate dims
+      bounds <- Gen.listOfN(dim, for {
+        lo <- Gen.choose(-1000, 1000).map(_ / 10.0)
+        w <- Gen.oneOf(Gen.const(0.0),
+          Gen.choose(1, 2000).map(_ / 10.0))
+      } yield (lo, lo + w))
+      n <- Gen.choose(1, 10)
+      // inputs scaled to land in-range, at the edges, and OUTSIDE
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.choose(-1500, 2500).map(_ / 1000.0f)))
+    } yield (bounds.toIndexedSeq, levels, vecs)
+    check("sq", Prop.forAll(gen) { case (bounds, levels, vecs) =>
+      val lo = bounds.map(_._1)
+      val hi = bounds.map(_._2)
+      val p = graft.ext.Sq.SqParams(lo, hi, levels)
+      // t in [-1.5, 2.5] maps each raw gen value across the dim's range
+      val scaled = vecs.map(v => v.zipWithIndex.map { case (t, i) =>
+        (lo(i) + t * (hi(i) - lo(i))).toFloat })
+      val got = scaled.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "embedding")
+        .withColumn("codes", graft.ext.Sq.sqEncodeCol(col("embedding"), p))
+        .withColumn("dec", graft.ext.Sq.sqDecodeCol(col("codes"), p))
+        .withColumn("recode", graft.ext.Sq.sqEncodeCol(col("dec"), p))
+        .select("id", "codes", "dec", "recode").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[Int](1), r.getSeq[Double](2), r.getSeq[Int](3)))).toMap
+      scaled.zipWithIndex.forall { case (v, i) =>
+        val (codes, dec, recode) = got(i.toLong)
+        codes.length == v.length && v.indices.forall { j =>
+          val c = graft.functions.SqEncodeF.codeOf(
+            v(j).toDouble, lo(j), hi(j), levels)
+          // encode matches the shared scalar rule; decode is the exact
+          // affine map; a lattice point re-encodes to ITSELF (the
+          // half-up window absorbs the scale/rescale fp error)
+          codes(j) == c && dec(j) == lo(j) + c * p.step(j) &&
+            recode(j) == c
+        }
+      }
+    })
+  }
 }
