@@ -72,9 +72,10 @@ object Bench {
     // all ~sub-second
     "x91_pq_bulk_probe", "x92_pq_residual", "x93_filtered_ann",
     // round-13: the bulk raw-IVF probe, the hierarchical two-level
-    // ranking, and the two-stage ADC→exact rerank — same rationale,
-    // all ~sub-second
-    "x94_ivf_bulk_probe", "x95_hier_probe", "x96_pq_rerank")
+    // ranking, the two-stage ADC→exact rerank, and the scalar-
+    // quantization encode/score path — same rationale, all ~sub-second
+    "x94_ivf_bulk_probe", "x95_hier_probe", "x96_pq_rerank",
+    "x97_sq_adc")
 
   /** Per-query measurement summary: (median, min, max, first error). */
   private[graft] type Reading = (Double, Double, Double, Option[String])

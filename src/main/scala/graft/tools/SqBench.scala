@@ -104,6 +104,20 @@ object SqBench {
     val (pqTop, pqSec) = probeAll(q =>
       Pq.ivfPqProbe(pqIdx, cbPq, queryDf(q), "vec_id", nProbe = 2))
 
+    // the QT_4bit point (levels = 16): half a byte of information per
+    // dim — where on the recall curve the next halving of code bytes
+    // lands, and how much the exact rerank recovers
+    val p4 = Sq.sqTrain(searched, levels = 16)
+    Similarity.ivfSave(Sq.ivfSqEncode(built, p4, "vec_id"),
+      "sqb_sq4", s"$tmp/sq4", nCells)
+    val sq4Bytes = dirBytes(s"$tmp/sq4/assigned")
+    val sq4Idx = Similarity.ivfLoad(spark, "sqb_sq4", s"$tmp/sq4")
+    val (sq4Top, sq4Sec) = probeAll(q =>
+      Sq.ivfSqProbe(sq4Idx, p4, queryDf(q), "vec_id", nProbe = 2))
+    val (sq4RrTop, sq4RrSec) = probeAll(q =>
+      Sq.ivfSqProbe(sq4Idx, p4, queryDf(q), "vec_id", nProbe = 2,
+        rerankWith = Some(searched), rerankFactor = 4))
+
     // bulk-vs-sequential race (ids filtered through the corpus first)
     val bulkCandidates = (0 until 100).map(i => i.toLong * 3L + 1L)
     val bulkQueries = corpus.filter(col("vec_id").isin(bulkCandidates: _*))
@@ -136,6 +150,11 @@ object SqBench {
       f""""recall_sq":${recallOf(sqTop)}%.3f,""" +
       f""""recall_sq_rerank":${recallOf(sqRrTop)}%.3f,""" +
       f""""recall_pq_adc":${recallOf(pqTop)}%.3f,""" +
+      f""""sq4_bytes":$sq4Bytes,""" +
+      f""""sq4_compression":${rawBytes.toDouble / sq4Bytes}%.2f,""" +
+      f""""recall_sq4":${recallOf(sq4Top)}%.3f,""" +
+      f""""recall_sq4_rerank":${recallOf(sq4RrTop)}%.3f,""" +
+      f""""probe_sec_sq4":$sq4Sec%.2f,"probe_sec_sq4_rerank":$sq4RrSec%.2f,""" +
       f""""probe_sec_exact":$exactSec%.2f,"probe_sec_sq":$sqSec%.2f,""" +
       f""""probe_sec_sq_rerank":$sqRrSec%.2f,"probe_sec_pq":$pqSec%.2f,""" +
       f""""bulk_queries":${bulkIds.length},"bulk_seq_sec":$seqSec%.2f,""" +

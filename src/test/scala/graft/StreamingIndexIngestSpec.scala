@@ -627,4 +627,67 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.refreshByPath(path)
     assert(spark.read.parquet(path).count() == pre2)
   }
+
+  test("streamed IVF-SQ appends: the SQ encode hook maintains a " +
+      "compressed index ≡ batch sqEncode, probeable, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Sq
+    val dir = java.nio.file.Files.createTempDirectory("sq-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sq-ckpt").toString
+    val nCells = 8
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    // bounds trained on the FULL corpus once, offline — streamed rows
+    // must encode in-range (out-of-range would saturate, not break)
+    val p = Sq.sqTrain(embs)
+    val enc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Sq.sqEncode(df, "embedding", p)
+        .select(col("vec_id"), col("cell"), col("codes"), col("recon_norm"))
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(half, nCells = nCells), p, "vec_id"),
+      "sq_stream_t", dir, nCells)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+        .foreachBatch(IndexIngest.ivfSink("vec_id", "embedding",
+          "sq_stream_t", dir, nCells, encode = enc))
+        .option("checkpointLocation", ckpt).start()
+      val rest = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("int"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = Similarity.ivfLoad(spark, "sq_stream_t", dir)
+      assert(streamed.assigned.count() == embs.count())
+      // streamed codes + recon_norm ≡ the batch encode of the same rows
+      // (assignment against the shared coarse quantizer, encode against
+      // the fixed bounds — both deterministic)
+      val expect = enc(Similarity.ivfAssign(streamed,
+          embs.filter(col("vec_id") % 2 =!= 0), "vec_id"))
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      val got = streamed.assigned.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "streamed SQ encode diverged from the batch path")
+      // a streamed vector is its own SQ nearest neighbor (no rerank
+      // needed — SQ8 reconstruction error can't displace a self-match)
+      val qv = embs.filter(col("vec_id") === 7).select("embedding")
+      val top = Sq.ivfSqProbe(streamed, p, qv, "vec_id", k = 1).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+      // replay guard holds through the encode hook
+      val sink = IndexIngest.ivfSink("vec_id", "embedding", "sq_stream_t",
+        dir, nCells, encode = enc)
+      val n = spark.table("sq_stream_t").count()
+      sink(b2.toDF("vec_id", "embedding", "label"), 1L)
+      assert(spark.table("sq_stream_t").count() == n,
+        "replayed batch double-appended through the SQ encode hook")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_stream_t")
+  }
 }
