@@ -114,6 +114,44 @@ object Sq {
     SqParams(byI.map(_._2), byI.map(_._3), levels)
   }
 
+  /** Quantile-trained bounds — the heavy-tail form of [[sqTrain]]
+    * (FAISS's `RangeStat_quantiles`; the same insight as the
+    * rank-bucketed z-order cells): min/max bounds spend the whole code
+    * range spanning outliers, so ONE extreme value in a dimension
+    * inflates its step and costs the bulk of the distribution its
+    * resolution. Quantile bounds (default middle 99%) keep the lattice
+    * where the mass is; the tails saturate at encode — [[
+    * graft.functions.SqEncodeF]]'s clamp, which exists for exactly
+    * this — costing only those rows their precision instead of taxing
+    * every row's. Same one-pass scale shape: `percentile_approx` is an
+    * aggregating sketch (map-side combined), the collect stays dim
+    * rows. Bounds are approximate by nature (the sketch's contract);
+    * encode/decode determinism is unaffected — the params, once
+    * fitted, are plain data like any other. */
+  def sqTrainQuantile(corpus: DataFrame, embCol: String = "embedding",
+      levels: Int = 256, lowQ: Double = 0.005, highQ: Double = 0.995,
+      accuracy: Int = 10000): SqParams = {
+    require(lowQ >= 0.0 && lowQ < highQ && highQ <= 1.0,
+      s"sqTrainQuantile: need 0 <= lowQ < highQ <= 1, got ($lowQ, $highQ)")
+    val rows = corpus
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(percentile_approx(col("x").cast("double"),
+          array(lit(lowQ), lit(highQ)), lit(accuracy)).as("b"),
+        count(lit(1)).as("n"))
+      .collect() // dim rows — never corpus-sized
+    require(rows.nonEmpty,
+      "sqTrainQuantile: empty corpus (or all-empty embeddings)")
+    val counts = rows.map(_.getLong(2)).distinct
+    require(counts.length == 1,
+      s"sqTrainQuantile: ragged embedding column — per-dim sample " +
+        s"counts range ${counts.min}..${counts.max} over ${rows.length} dims")
+    val byI = rows.map { r =>
+      val b = r.getSeq[Double](1); (r.getInt(0), b(0), b(1))
+    }.sortBy(_._1).toIndexedSeq
+    SqParams(byI.map(_._2), byI.map(_._3), levels)
+  }
+
   /** Persist params as one tiny parquet (dim rows of
     * `(i, lo, hi, levels)`) next to the index they encode. */
   def sqParamsSave(spark: SparkSession, p: SqParams, path: String): Unit = {

@@ -79,6 +79,39 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sqTrainQuantile under a heavy tail: one outlier no longer " +
+      "taxes every row's resolution — bulk reconstruction error drops " +
+      "by orders of magnitude; the outlier itself saturates") {
+    // poison dim 0 of ONE row with a value 1e6 — the z-order heavy-tail
+    // fixture's device applied to quantization
+    val poisoned = corpus.select(col("vec_id"),
+      when(col("vec_id") === 3,
+        concat(array(lit(1e6f)), slice(col("embedding"), 2, 63)))
+        .otherwise(col("embedding")).as("embedding"))
+    val pMinMax = Sq.sqTrain(poisoned)
+    val pQuant = Sq.sqTrainQuantile(poisoned, lowQ = 0.01, highQ = 0.99)
+    // min/max spends the code range spanning the outlier: step(0) is
+    // ~1e6/255; quantile bounds stay on the bulk (steps ~the clean
+    // corpus's scale)
+    assert(pQuant.step(0) < pMinMax.step(0) / 1000,
+      s"quantile step ${pQuant.step(0)} vs minmax ${pMinMax.step(0)}")
+    // bulk rows: MEAN dim-0 reconstruction error (the max is owned by
+    // the deliberately clipped 1% tails under quantile bounds, and by
+    // everything under min/max bounds — where the whole bulk collapses
+    // to code 0 and the error is each value's distance from lo)
+    def dim0Err(p: Sq.SqParams): Double =
+      Sq.sqEncode(poisoned.filter(col("vec_id") =!= 3), "embedding", p)
+        .select(abs(element_at(col("embedding"), 1).cast("double") -
+          element_at(Sq.sqDecodeCol(col("codes"), p), 1)).as("e"))
+        .agg(avg("e")).head.getDouble(0)
+    val (errMM, errQ) = (dim0Err(pMinMax), dim0Err(pQuant))
+    assert(errQ < errMM / 50, s"bulk err: quantile $errQ vs minmax $errMM")
+    // the poisoned row saturates at the upper bound instead of breaking
+    val out = Sq.sqEncode(poisoned.filter(col("vec_id") === 3),
+      "embedding", pQuant).select(element_at(col("codes"), 1)).head.getInt(0)
+    assert(out == 255, "out-of-range value must saturate at levels-1")
+  }
+
   test("params: save/load round-trips exactly; recon_norm is the " +
       "reconstruction's own L2 norm") {
     val p = Sq.sqTrain(corpus, levels = 16)
