@@ -535,7 +535,9 @@ object Pq {
       embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[Similarity.IvfSuper] = None,
       nProbeSuper: Int = 2, residual: Boolean = false,
-      pred: Option[Column] = None): DataFrame = {
+      pred: Option[Column] = None,
+      rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val qd = queries.select(col(qidCol),
@@ -578,7 +580,7 @@ object Pq {
       .orderBy(col("cos_pq").desc, col(idCol).asc)
     // pred conjoins after the cell prune — one shared filtered-search
     // predicate for the whole batch (bulk ≡ per-query filtered)
-    pred.foldLeft(
+    val scored = pred.foldLeft(
         index.assigned.filter(col("cell").isin(probedCells: _*)))(_.filter(_))
       .join(broadcast(probedLut), "cell")
       .withColumn("cos_pq", {
@@ -589,9 +591,20 @@ object Pq {
         val num = if (residual) col("_qcent") + adc else adc
         round(num / (col("recon_norm") * col("_qn")), 6)
       })
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") <= k)
-      .select(col(qidCol), col(idCol), col("cos_pq"))
-      .orderBy(col(qidCol), col("cos_pq").desc, col(idCol))
+    rerankWith match {
+      case None =>
+        scored.withColumn("_rn", row_number().over(wTop))
+          .filter(col("_rn") <= k)
+          .select(col(qidCol), col(idCol), col("cos_pq"))
+          .orderBy(col(qidCol), col("cos_pq").desc, col(idCol))
+      // the two-stage exact read at batch scale: per-query k·factor
+      // shortlists cut under the per-query ordering, one broadcast
+      // join back to full precision (the corpus-sized rerank side is
+      // touched once for the whole batch) — shared tail, so the
+      // boundary/rounding/tie rules are the per-query scoredTopK's
+      case Some(full) =>
+        Similarity.bulkRerankTail(scored, qd, full, qidCol, idCol,
+          embCol, k, rerankFactor, "cos_pq")
+    }
   }
 }

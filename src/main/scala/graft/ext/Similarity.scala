@@ -552,6 +552,38 @@ object Similarity {
     }
   }
 
+  /** The bulk twin of the single-query two-stage rerank tail
+    * ([[graft.ext.Pq.scoredTopK]]'s `rerankWith` arm) — shared by the
+    * raw/SQ and PQ bulk probes so the rounding rule, (score desc, id)
+    * tie-break, candidate bound, and output shape cannot drift from
+    * the per-query form. Stage 1's per-query shortlist is a windowed
+    * k·factor cut over the approximate scores (row_number under the
+    * same ordering the per-query `limit` uses — identical deterministic
+    * boundary); stage 2 broadcast-joins the Q·k·factor candidate ids
+    * back to full precision and exact-cosine top-ks per query. The
+    * corpus-sized side (`full`) is touched once, against a broadcast
+    * candidate set — the production compressed-read shape at any Q. */
+  private[ext] def bulkRerankTail(scored: DataFrame, qd: DataFrame,
+      full: DataFrame, qidCol: String, idCol: String, embCol: String,
+      k: Int, factor: Int, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCand = Window.partitionBy(qidCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val cand = scored.withColumn("_crn", row_number().over(wCand))
+      .filter(col("_crn") <= k * factor).select(col(qidCol), col(idCol))
+    val wTop = Window.partitionBy(qidCol)
+      .orderBy(col("cos").desc, col(idCol).asc)
+    full.select(col(idCol), col(embCol))
+      .join(broadcast(cand), idCol)
+      .join(broadcast(qd.select(col(qidCol), col("_q"), col("_qn"))), qidCol)
+      .withColumn("cos", round(
+        dot(col(embCol), col("_q")) / (norm(col(embCol)) * col("_qn")), 6))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("cos"))
+      .orderBy(col(qidCol), col("cos").desc, col(idCol))
+  }
+
   /** Bulk raw-IVF probe — a BATCH of queries against one index in one
     * distributed pass (the exact-cosine twin of
     * [[graft.ext.Pq.ivfPqProbeBulk]]): per-query cell ranking through
@@ -562,6 +594,13 @@ object Similarity {
     * is touched once. Result ≡ running [[ivfProbe]] per query
     * (spec-pinned); output ordered (query, cos desc, id).
     *
+    * `rerankWith` adds the two-stage exact read ([[bulkRerankTail]]):
+    * pointless for a raw index (stage 1 is already exact) but exactly
+    * what an SQ-compressed probe ([[graft.ext.Sq.ivfSqProbeBulk]],
+    * which delegates here over a decoded view) needs at aggressive
+    * `levels` — the in-cell scan scores reconstructions, the rerank
+    * restores full precision on k·factor candidates per query.
+    *
     * The pairs frame is `localCheckpoint`ed (query-bounded blocks) and
     * stays persisted until the ContextCleaner GCs it — a long-lived
     * service issuing many bulk probes should wrap each call + result
@@ -570,7 +609,9 @@ object Similarity {
   def ivfProbeBulk(index: IvfIndex, queries: DataFrame, qidCol: String,
       idCol: String, embCol: String = "embedding", nProbe: Int = 2,
       k: Int = 10, superQ: Option[IvfSuper] = None,
-      nProbeSuper: Int = 2, pred: Option[Column] = None): DataFrame = {
+      nProbeSuper: Int = 2, pred: Option[Column] = None,
+      rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qd = queries.select(col(qidCol), d(col(embCol)).as("_q"))
       .withColumn("_qn", sqrt(dot(col("_q"), col("_q"))))
@@ -587,15 +628,21 @@ object Similarity {
     // pred conjoins after the cell prune — same filtered-search rule as
     // ivfProbe (one shared predicate for the whole batch; bulk ≡
     // per-query filtered, spec-pinned)
-    pred.foldLeft(
+    val scored = pred.foldLeft(
         index.assigned.filter(col("cell").isin(cells: _*)))(_.filter(_))
       .join(broadcast(pairs), "cell")
       .withColumn("cos", round(
         dot(col(embCol), col("_q")) / (norm(col(embCol)) * col("_qn")), 6))
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") <= k)
-      .select(col(qidCol), col(idCol), col("cell"), col("cos"))
-      .orderBy(col(qidCol), col("cos").desc, col(idCol))
+    rerankWith match {
+      case None =>
+        scored.withColumn("_rn", row_number().over(wTop))
+          .filter(col("_rn") <= k)
+          .select(col(qidCol), col(idCol), col("cell"), col("cos"))
+          .orderBy(col(qidCol), col("cos").desc, col(idCol))
+      case Some(full) =>
+        bulkRerankTail(scored, qd, full, qidCol, idCol, embCol, k,
+          rerankFactor, "cos")
+    }
   }
 
   /** One-shot IVF top-k — [[ivfBuild]] + [[ivfProbe]] composed, for ad-hoc

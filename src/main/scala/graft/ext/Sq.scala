@@ -273,10 +273,12 @@ object Sq {
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
       superQ: Option[Similarity.IvfSuper] = None, nProbeSuper: Int = 2,
-      pred: Option[Column] = None): DataFrame =
+      pred: Option[Column] = None, rerankWith: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame =
     Similarity.ivfProbeBulk(
       Similarity.IvfIndex(
         index.assigned.withColumn(embCol, sqDecodeCol(col("codes"), p)),
         index.centroids),
-      queries, qidCol, idCol, embCol, nProbe, k, superQ, nProbeSuper, pred)
+      queries, qidCol, idCol, embCol, nProbe, k, superQ, nProbeSuper, pred,
+      rerankWith, rerankFactor)
 }

@@ -246,6 +246,22 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(resBulk == resSeq,
       s"residual bulk != sequential:\n bulk=${resBulk.take(5)}\n seq=${resSeq.take(5)}")
 
+    // 2c. bulk two-stage rerank ≡ per-query rerank, exactly: same
+    // k·factor shortlist boundary, same exact re-scoring, same output —
+    // the shared-tail contract (bulkRerankTail vs scoredTopK's arm)
+    val rrBulk = Pq.ivfPqProbeBulk(encIdx, cb, queries, "q_id", "vec_id",
+        nProbe = 2, k = 5, rerankWith = Some(searched), rerankFactor = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rrSeq = qids.sorted.flatMap { q =>
+      Pq.ivfPqProbe(encIdx, cb,
+        corpus.filter(col("vec_id") === q).select("embedding"),
+        "vec_id", nProbe = 2, k = 5, rerankWith = Some(searched),
+        rerankFactor = 3).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(rrBulk == rrSeq,
+      s"bulk rerank != sequential:\n bulk=${rrBulk.take(5)}\n seq=${rrSeq.take(5)}")
+
     // 3. PqAdcPairF contracts: wrong-m codes throw; a null code slot
     // nulls the score instead of scoring garbage
     import spark.implicits._

@@ -209,6 +209,19 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         assert(bulk(qid) == per,
           s"bulk probe diverged from per-query at q=$qid")
       }
+      // bulk two-stage rerank ≡ per-query rerank (the shared-tail
+      // contract carried through the decoded view)
+      val rrBulk = Sq.ivfSqProbeBulk(loaded, p, queries, "q_id", "vec_id",
+          nProbe = 2, k = 5, rerankWith = Some(full), rerankFactor = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val rrSeq = qIds.sorted.flatMap { qid =>
+        Sq.ivfSqProbe(loaded, p, full.filter(col("vec_id") === qid),
+          "vec_id", nProbe = 2, k = 5, rerankWith = Some(full),
+          rerankFactor = 3).collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(rrBulk == rrSeq, "bulk rerank diverged from per-query")
     } finally spark.sql("DROP TABLE IF EXISTS sq_ivf_t")
   }
 }
