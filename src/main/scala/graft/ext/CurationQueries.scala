@@ -1060,6 +1060,111 @@ object CurationQueries {
       SELECT s.vec_id, round(s.dp / (s.rn * qn.n), 6) AS cos_sq
       FROM scored s, qn ORDER BY cos_sq DESC, s.vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- x98
+  /** Oracle-checked BULK two-stage rerank ([[Pq.ivfPqProbeBulk]] with
+    * `rerankWith` — [[graft.ext.Similarity.bulkRerankTail]], r13): the
+    * x91 bulk-ADC fixture (deterministic label cells, exact-decimal
+    * centroids, x90 seed-fixed codebooks as generated literals, 10
+    * queries) with the production second stage appended — per-query
+    * k·factor = 30 shortlists cut under the (rounded ADC cosine,
+    * vec_id) ordering, then ONE broadcast join back to full precision
+    * and exact-cosine top-10 per query. Both the per-query shortlist
+    * BOUNDARY and the exact re-scoring hash-match DuckDB, so the
+    * shared bulk tail — the boundary rule, the rounding, the
+    * tie-breaks — is cross-engine-checked end to end (x96 pins the
+    * per-query form; PqSpec/SqSpec pin bulk ≡ per-query). */
+  val x98BulkRerank: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val queries = embs
+          .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val corpus = embs
+          .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
+        val ex = corpus.select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("i", "x")))
+        val cent = ex.groupBy(col("label"), col("i"))
+          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy("label").agg(
+            transform(array_sort(collect_list(struct(col("i"), col("c")))),
+              e => e.getField("c")).as("cent"))
+          .select(col("label").cast("int").as("cell"), col("cent"))
+        val assigned = Pq.pqEncode(corpus, "embedding", cb)
+          .select(col("vec_id"), col("label").cast("int").as("cell"),
+            col("codes"), col("recon_norm"))
+        Pq.ivfPqProbeBulk(Similarity.IvfIndex(assigned, cent), cb,
+          queries, "q_id", "vec_id", nProbe = 2, k = 10,
+          rerankWith = Some(corpus.select("vec_id", "embedding")),
+          rerankFactor = 3)
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+        corp AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 50 <> 0 OR vec_id >= 500),
+        ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i FROM corp),
+        qx AS (SELECT q_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
+            generate_subscripts(embedding, 1) AS i FROM q),
+        qn AS (SELECT q_id, sqrt(sum(qx * qx)) AS qn FROM qx GROUP BY 1),
+        cent AS (SELECT label, i,
+            CAST(sum(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+              / count(*) AS cm
+          FROM ex GROUP BY 1, 2),
+        cq AS (SELECT cent.label, qx.q_id,
+            round(sum((cent.cm - qx.qx) * (cent.cm - qx.qx)), 6) AS dist
+          FROM cent JOIN qx USING (i) GROUP BY 1, 2),
+        probe AS (SELECT label, q_id FROM (
+            SELECT label, q_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dist ASC, label ASC) AS rn FROM cq) WHERE rn <= 2),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        lut AS (SELECT q.q_id, cw.s, cw.c, sum(cw.w * q.qx) AS dp,
+            sum(cw.w * cw.w) AS w2
+          FROM cw JOIN qx q ON q.i = cw.i GROUP BY 1, 2, 3),
+        cellof AS (SELECT vec_id, label FROM corp),
+        scored AS (SELECT k.vec_id, p.q_id, sum(l.dp) AS adc,
+            sum(l.w2) AS rn2
+          FROM code k JOIN cellof cf USING (vec_id)
+          JOIN probe p ON p.label = cf.label
+          JOIN lut l ON l.q_id = p.q_id AND l.s = k.s AND l.c = k.c
+          GROUP BY 1, 2),
+        fin AS (SELECT s.q_id, s.vec_id,
+            round(s.adc / (sqrt(s.rn2) * qn.qn), 6) AS cos_pq
+          FROM scored s JOIN qn USING (q_id)),
+        cand AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rn
+            FROM fin) WHERE rn <= 30),
+        nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex
+          WHERE vec_id IN (SELECT DISTINCT vec_id FROM cand) GROUP BY 1),
+        dots AS (SELECT c.q_id, c.vec_id, sum(e.x * qq.qx) AS dp
+          FROM cand c JOIN ex e ON e.vec_id = c.vec_id
+          JOIN qx qq ON qq.q_id = c.q_id AND qq.i = e.i
+          GROUP BY 1, 2),
+        fin2 AS (SELECT d.q_id, d.vec_id,
+            round(d.dp / (n2.nrm * qn.qn), 6) AS cos
+          FROM dots d JOIN nrm n2 USING (vec_id) JOIN qn USING (q_id)),
+        rk2 AS (SELECT q_id, vec_id, cos, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM fin2)
+        SELECT q_id, vec_id, cos FROM rk2 WHERE rn <= 10
+        ORDER BY q_id, cos DESC, vec_id"""))
+  }
+
   // ---------------------------------------------------------------- x92
   /** Oracle-checked RESIDUAL IVF-PQ (IVFADC — [[Pq.pqEncodeResidual]] /
     * [[Pq.ivfPqProbeResidual]]): codes quantize `x − cent(cell)` and the
@@ -1251,6 +1356,7 @@ object CurationQueries {
     "x95_hier_probe" -> x95HierProbe,
     "x96_pq_rerank" -> x96PqRerank,
     "x97_sq_adc" -> x97SqAdc,
+    "x98_bulk_rerank" -> x98BulkRerank,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,
     "x83_source_dup_pressure" -> x83SourceDupPressure,
