@@ -479,12 +479,13 @@ object Pq {
     * the one shared cell-ranking rule ([[Similarity.rankDist]], which
     * also dim-checks). */
   private[ext] def rankCellsFlat(index: Similarity.IvfIndex,
-      q: IndexedSeq[Double], nProbe: Int): Seq[Int] =
+      q: IndexedSeq[Double], nProbe: Int,
+      caller: String = "ivfPqProbe"): Seq[Int] =
     index.centroids
       .select(col("cell").cast("int"), col("cent")).collect()
       .map { r =>
         (r.getInt(0), Similarity.rankDist(
-          r.getSeq[Number](1).map(_.doubleValue), q, "ivfPqProbe"))
+          r.getSeq[Number](1).map(_.doubleValue), q, caller))
       }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
 
   /** Bulk IVF-PQ probe — a BATCH of queries against one encoded index

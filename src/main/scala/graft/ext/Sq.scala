@@ -167,7 +167,7 @@ object Sq {
     val rows = spark.read.parquet(path)
       .select(col("i").cast("int"), col("lo"), col("hi"),
         col("levels").cast("int"))
-      .collect()
+      .collect() // dim rows — bounded by param size, never corpus
     require(rows.nonEmpty,
       s"sqParamsLoad: no param rows under $path — not a sqParamsSave dir")
     val levels = rows.map(_.getInt(3)).distinct
@@ -249,7 +249,7 @@ object Sq {
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
     val probeCells = superQ.orElse(index.autoSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
-      case None => Pq.rankCellsFlat(index, q, nProbe)
+      case None => Pq.rankCellsFlat(index, q, nProbe, "ivfSqProbe")
     }
     val pruned = pred.foldLeft(
       index.assigned.filter(col("cell").isin(probeCells: _*)))(_.filter(_))
