@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * ~1 byte on disk).
   *
   * Where PQ buys ~32× compression at a recall cost that needs an exact
-  * rerank stage, SQ buys ~4× at near-exact recall (quantization error
-  * ≤ step/2 per dim) — the right first step for a 100 TB embedding
-  * corpus whose raw vectors don't fit the cluster's scan budget but
-  * whose retrieval quality can't take the PQ hit.
+  * rerank stage, SQ buys ~4× (measured 3.4× parquet assigned bytes —
+  * SQ_BENCH_r13.json; the recon_norm double and layout overhead eat
+  * the gap to the 4× raw-byte bound) at near-exact recall
+  * (quantization error ≤ step/2 per dim; measured recall@10 EQUAL to
+  * the exact in-cell probe's, same artifact) — the right first step
+  * for a 100 TB embedding corpus whose raw vectors don't fit the
+  * cluster's scan budget but whose retrieval quality can't take the
+  * PQ hit.
   *
   * Scale shape:
   *  - train is ONE distributed pass: `posexplode` + `groupBy(pos)`

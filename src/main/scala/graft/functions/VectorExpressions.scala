@@ -746,7 +746,12 @@ case class SqEncodeF(child: Expression, lo: IndexedSeq[Double],
 object SqEncodeF {
   /** The one code rule, shared by interpreted eval and generated code
     * (the [[BucketIdF.bucketOf]] device): half-up on the non-negative
-    * scaled value, saturating clamp, degenerate dim → 0. */
+    * scaled value, saturating clamp, degenerate dim → 0. A NaN input
+    * element also lands on 0 (every NaN comparison is false, so
+    * neither clamp branch fires and `NaN.toInt` is 0) — stated, not
+    * special-cased: the embedding invariant is finite floats, and a
+    * deterministic fallback beats a per-element branch in the hot
+    * loop. */
   def codeOf(x: Double, lo: Double, hi: Double, levels: Int): Int = {
     val den = hi - lo
     if (den == 0.0) 0
