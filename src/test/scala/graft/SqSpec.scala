@@ -191,6 +191,18 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       val narrow = Sq.ivfSqProbe(loaded, p, qdf, "vec_id",
         nProbe = 1, k = 5).collect()
       assert(narrow.length == 5)
+      // scale evidence (the PqSpec assertion, SQ form): the probe's
+      // scan bucket-prunes via the pushed cell IN literal and never
+      // reads a raw embedding column — the 3.4× byte win IS the feature
+      val plan = Sq.ivfSqProbe(loaded, p, qdf, "vec_id", nProbe = 2)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString
+      assert(raw"In\(cell,".r.findFirstIn(pushed).isDefined,
+        s"expected pushed cell IN pruning in:\n$pushed")
+      assert(!plan.contains("embedding"),
+        "SQ probe plan references the raw embedding column")
       // bulk ≡ per-query: same ids AND same scores for every query —
       // the decoded view's re-folded norm is bit-identical to the
       // stored recon_norm, so the equivalence is exact, not approximate
