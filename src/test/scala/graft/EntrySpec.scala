@@ -62,19 +62,6 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
     assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
-  test("REGISTRY.txt is exactly the declared query set") {
-    // the driver's correctness gate checks REGISTRY ⊆ artifact; this
-    // pins the other directions locally — a query added without a
-    // registry line (the gate would silently not require it) or a
-    // registry line without a query (the gate would fail a round later)
-    // both fail HERE, at build time
-    val reg = scala.io.Source.fromFile("REGISTRY.txt").getLines()
-      .map(_.trim).filter(_.nonEmpty).toSet
-    assert(reg == SparkEntry.queries.keySet,
-      s"registry-only: ${reg -- SparkEntry.queries.keySet}; " +
-        s"unregistered: ${SparkEntry.queries.keySet -- reg}")
-  }
-
   test("every declared query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
