@@ -254,6 +254,14 @@ object IndexIngest {
             s"ivfSink: declared nCells=$nCells but the published " +
               s"quantizer under $path has $nCellsCur cells — appends " +
               "must bucket by the real modulus")
+          // fail FAST, not at whatever epoch the policy first fires:
+          // ivfRetrain re-fits from the index's own embedding column,
+          // which a compressed (PQ/SQ encode-hook) layout doesn't store
+          require(!retrainOn || centroids.assigned.columns.contains(embCol),
+            s"ivfSink: retrain policy armed but the published index " +
+              s"under $path has no `$embCol` column (compressed " +
+              "layout) — ivfRetrain would refuse at fire time; " +
+              "disarm retrain or maintain a raw index")
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))

@@ -628,6 +628,27 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(path).count() == pre2)
   }
 
+  test("retrain policy armed on a compressed sink fails FAST at first " +
+      "load, not at whatever epoch the policy first fires") {
+    import graft.ext.Sq
+    val dir = java.nio.file.Files.createTempDirectory("sqr-fast").toString
+    val p = Sq.sqTrain(embs)
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(embs, nCells = 4), p, "vec_id"),
+      "sqr_fast_t", dir, 4)
+    try {
+      val sink = IndexIngest.ivfSink("vec_id", "embedding", "sqr_fast_t",
+        dir, 4, encode = df => Sq.sqEncode(df, "embedding", p)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        retrainRowsPerCell = 1000000L) // armed, far from firing
+      val e = intercept[IllegalArgumentException] {
+        sink(embs.limit(3).toDF(), 0L)
+      }
+      assert(e.getMessage.contains("compressed"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqr_fast_t")
+  }
+
   test("streamed IVF-SQ appends: the SQ encode hook maintains a " +
       "compressed index ≡ batch sqEncode, probeable, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
