@@ -272,7 +272,14 @@ object Sq {
     * per-query [[ivfSqProbe]] (spec-pinned): the probe's re-folded
     * `norm(decode(codes))` is the same sequential self-fold
     * [[sqEncode]] stored as `recon_norm`. Output: `(qidCol, idCol,
-    * cell, cos)` ordered (query, cos desc, id). */
+    * cell, cos)` ordered (query, cos desc, id); with `rerankWith`, the
+    * per-query rerank shape `(qidCol, idCol, cos)` — `cell` is a
+    * stage-1 notion.
+    *
+    * The auto-hierarchy is resolved against the CALLER's index handle
+    * before wrapping: the decoded view is a fresh `IvfIndex`, and
+    * letting IT auto-build would re-fit the super-quantizer on every
+    * bulk call instead of once per long-lived handle. */
   def ivfSqProbeBulk(index: Similarity.IvfIndex, p: SqParams,
       queries: DataFrame, qidCol: String, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
@@ -283,6 +290,7 @@ object Sq {
       Similarity.IvfIndex(
         index.assigned.withColumn(embCol, sqDecodeCol(col("codes"), p)),
         index.centroids),
-      queries, qidCol, idCol, embCol, nProbe, k, superQ, nProbeSuper, pred,
+      queries, qidCol, idCol, embCol, nProbe, k,
+      superQ.orElse(index.autoSuper), nProbeSuper, pred,
       rerankWith, rerankFactor)
 }
