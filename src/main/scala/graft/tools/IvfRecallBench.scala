@@ -86,6 +86,26 @@ object IvfRecallBench {
       f"""{"nProbe":$nProbe,"recall":$rec%.3f,"probe_sec_total":$sec%.2f}"""
     }
 
+    // SQ8-compressed probes at the same nProbe points (r13): the claim
+    // "scalar quantization costs no recall" must hold at every probe
+    // width, not just the nProbe=2 point SQ_BENCH_r13 carries — the
+    // reconstruction error is per-dim bounded, but rank inversions
+    // near the top-k boundary are only excluded by measurement
+    val sqp = graft.ext.Sq.sqTrain(corpus)
+    val sqIdx = graft.ext.Sq.ivfSqEncode(idx, sqp, "vec_id")
+    sqIdx.assigned.cache().count()
+    val sqPoints = Seq(1, 2, 4, 8).map { nProbe =>
+      val (tops, sec) = time {
+        queryRows.map { r =>
+          r.getAs[Number]("vec_id").longValue() ->
+            ids(graft.ext.Sq.ivfSqProbe(sqIdx, sqp, oneQuery(r), "vec_id",
+              nProbe = nProbe, k = k))
+        }.toMap
+      }
+      f"""{"nProbe":$nProbe,"recall":${recallOf(tops)}%.3f,""" +
+        f""""probe_sec_total":$sec%.2f}"""
+    }
+
     // two-level ranking (r12): what the hierarchy's approximation
     // costs in recall at the SAME nProbe — the flat ranking considers
     // all 16 cells, the hier form only the top-nProbeSuper supers'
@@ -119,6 +139,7 @@ object IvfRecallBench {
       f""""label_cells_nprobe2_recall":$x88%.3f,""" +
       f""""lsh_8plane_recall":$lshRecall%.3f,""" +
       s""""kmeans_ivf_points":[${points.mkString(",")}],""" +
+      s""""sq8_ivf_points":[${sqPoints.mkString(",")}],""" +
       s""""hier_nsuper4_nprobe2_points":[${hierPoints.mkString(",")}]}""")
     spark.stop()
   }
