@@ -203,6 +203,14 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         s"expected pushed cell IN pruning in:\n$pushed")
       assert(!plan.contains("embedding"),
         "SQ probe plan references the raw embedding column")
+      // hierarchical cell ranking plugs into the SQ probe: exhaustive
+      // nProbeSuper (= nSuper) must equal the flat ranking exactly
+      val sup = Similarity.ivfSuperBuild(loaded, nSuper = 2)
+      assert(Sq.ivfSqProbe(loaded, p, qdf, "vec_id", nProbe = 2, k = 5,
+          superQ = Some(sup), nProbeSuper = 2).collect().toSeq ==
+        Sq.ivfSqProbe(loaded, p, qdf, "vec_id", nProbe = 2, k = 5)
+          .collect().toSeq,
+        "exhaustive hier ranking must equal the flat SQ probe")
       // bulk ≡ per-query: same ids AND same scores for every query —
       // the decoded view's re-folded norm is bit-identical to the
       // stored recon_norm, so the equivalence is exact, not approximate
