@@ -1060,6 +1060,46 @@ object CurationQueries {
       SELECT s.vec_id, round(s.dp / (s.rn * qn.n), 6) AS cos_sq
       FROM scored s, qn ORDER BY cos_sq DESC, s.vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- x99
+  /** Oracle-checked SQ CLAMP-SATURATION ([[Sq.sqSaturation]] — the SQ
+    * index's drift signal, VERDICT r13 #3): bounds trained on HALF the
+    * corpus (even vec_ids), the FULL corpus encoded against them, so
+    * the odd half saturates exactly where its values fall outside the
+    * trained per-dim min/max — the planted append-after-train drift.
+    * Output is the per-dim monitoring frame `(i, n, sat_lo, sat_hi,
+    * sat_rate)`; DuckDB re-derives bounds, the x97 encode rule
+    * (half-up, clamp, degenerate-dim 0), and the code-at-clamp counts
+    * from the same parquet, so the ENTIRE observability path —
+    * train-subset bounds, clamping encode, saturation roll-up — is
+    * hash-checked cross-engine. `i` is 0-based on both sides
+    * (posexplode's rule; the oracle shifts generate_subscripts). */
+  val x99SqSaturation: Q = Q(
+    (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val p = Sq.sqTrain(embs.filter(col("vec_id") % 2 === 0), "embedding")
+      Sq.sqSaturation(Sq.sqEncode(embs, "embedding", p), p.levels)
+    },
+    Some("""WITH tr AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id % 2 = 0),
+      bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM tr GROUP BY 1),
+      ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      code AS (SELECT e.i,
+          CASE WHEN b.hi = b.lo THEN 0
+            ELSE GREATEST(0, LEAST(255,
+              CAST(floor((e.x - b.lo) / (b.hi - b.lo) * 255 + 0.5)
+                AS INT))) END AS c
+        FROM ex e JOIN bounds b USING (i))
+      SELECT i - 1 AS i, count(*) AS n,
+        CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sat_lo,
+        CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT) AS sat_hi,
+        round((sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN c = 255 THEN 1 ELSE 0 END))
+          / CAST(count(*) AS DOUBLE), 6) AS sat_rate
+      FROM code GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- x98
   /** Oracle-checked BULK two-stage rerank ([[Pq.ivfPqProbeBulk]] with
     * `rerankWith` — [[graft.ext.Similarity.bulkRerankTail]], r13): the
@@ -1356,6 +1396,7 @@ object CurationQueries {
     "x95_hier_probe" -> x95HierProbe,
     "x96_pq_rerank" -> x96PqRerank,
     "x97_sq_adc" -> x97SqAdc,
+    "x99_sq_saturation" -> x99SqSaturation,
     "x98_bulk_rerank" -> x98BulkRerank,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,

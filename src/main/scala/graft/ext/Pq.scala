@@ -286,8 +286,10 @@ object Pq {
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
     // above AutoHierCells the index supplies its auto-built hierarchy
     // when the caller passes none (Similarity.IvfIndex.autoSuper) —
-    // scale ranking by default, exact flat ranking for small indexes
-    val probeCells = superQ.orElse(index.autoSuper) match {
+    // scale ranking by default, exact flat ranking for small indexes;
+    // nProbeSuper = 0 forces flat at any size (the shared opt-out)
+    val probeCells = Similarity.resolveSuper(index, superQ,
+        nProbeSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
       // nCells × dim doubles collected — the broadcast-sized bound every
       // probe and ivfAssign already rely on; never the corpus. The dim
@@ -440,8 +442,10 @@ object Pq {
       .as("q")).take(1)
     require(qRows.nonEmpty, "ivfPqProbeResidual: empty query frame")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
-    // same auto-hier fallback as ivfPqProbe (IvfIndex.autoSuper)
-    val probeCells = superQ.orElse(index.autoSuper) match {
+    // same auto-hier fallback + nProbeSuper = 0 flat opt-out as
+    // ivfPqProbe (Similarity.resolveSuper)
+    val probeCells = Similarity.resolveSuper(index, superQ,
+        nProbeSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
       case None => rankCellsFlat(index, q, nProbe)
     }

@@ -130,6 +130,23 @@ object Similarity {
     * hier flat). */
   private[graft] val AutoHierCells = 256L
 
+  /** The ONE resolution rule for which quantizer ranks probe cells,
+    * shared by every probe entry point (raw/PQ/residual/SQ, single and
+    * bulk): an explicit `superQ` wins; otherwise the index's auto-built
+    * hierarchy above [[AutoHierCells]] cells; flat below. `nProbeSuper
+    * = 0` is the per-call OPT-OUT (ADVICE r13): it forces the exact
+    * flat ranking at ANY cell count without paying a super-quantizer
+    * fit — the auto-hier default changed `superQ = None`'s meaning from
+    * "flat" to "auto" once an index crosses the threshold, and a caller
+    * comparing recall (or pinning exactness) needs flat back without
+    * rebuilding the index under the threshold. */
+  private[ext] def resolveSuper(index: IvfIndex, superQ: Option[IvfSuper],
+      nProbeSuper: Int): Option[IvfSuper] = {
+    require(nProbeSuper >= 0,
+      "nProbeSuper must be >= 0 (0 = force the exact flat cell ranking)")
+    if (nProbeSuper == 0) None else superQ.orElse(index.autoSuper)
+  }
+
   /** IVF index build (the expensive offline step, run once per corpus):
     * distributed MLlib KMeans coarse quantizer, fixed seed ⇒
     * deterministic cells. `assigned` carries the corpus + its `cell` id;
@@ -155,6 +172,17 @@ object Similarity {
     * data), the centroid frame as a single tiny parquet. */
   def ivfSave(index: IvfIndex, table: String, path: String,
       nCells: Int): Unit = {
+    // the published centroid count IS the bucket modulus contract:
+    // ivfLoad's fresh-session re-register derives the modulus from it,
+    // and a mismatch (KMeans can return FEWER than k centers on a
+    // corpus with fewer distinct points) would register a wrong bucket
+    // spec whose pruning silently selects the wrong file groups
+    // (ADVICE r13). Fail at save time, next to the cause.
+    require(index.cellCount == nCells.toLong,
+      s"ivfSave: centroid frame has ${index.cellCount} cells but the " +
+        s"requested bucket modulus is $nCells — KMeans returned fewer " +
+        "centers than k (degenerate/too-small corpus?); save with " +
+        "nCells = the actual centroid count")
     graft.engine.Store.saveBucketed(index.assigned, table,
       s"$path/assigned", nCells, Seq("cell"))
     index.centroids.coalesce(1).write.mode("overwrite")
@@ -282,14 +310,15 @@ object Similarity {
     * Above [[AutoHierCells]] cells the ranking goes through the
     * auto-built two-level quantizer ([[IvfIndex.autoSuper]]) with
     * `nProbeSuper` supers considered — the hierarchical-quantizer
-    * recall trade documented at [[ivfAssignHier]]; pass the index to
-    * [[ivfProbeHier]] with `nProbeSuper = nSuper` to recover the flat
-    * ranking exactly at any size. Below the threshold the ranking is
-    * the exact flat one, unchanged. */
+    * recall trade documented at [[ivfAssignHier]]. `nProbeSuper = 0`
+    * forces the exact flat ranking at ANY cell count (the per-call
+    * opt-out, [[resolveSuper]] — no super-quantizer fit is paid);
+    * below the threshold the ranking is the exact flat one either
+    * way. */
   def ivfProbe(index: IvfIndex, query: DataFrame, idCol: String,
       embCol: String = "embedding", nProbe: Int = 2, k: Int = 10,
       pred: Option[Column] = None, nProbeSuper: Int = 2): DataFrame =
-    index.autoSuper match {
+    resolveSuper(index, None, nProbeSuper) match {
       case Some(sq) =>
         ivfProbeHier(index, sq, query, idCol, embCol, nProbeSuper,
           nProbe, k, pred)
@@ -519,8 +548,9 @@ object Similarity {
     // above AutoHierCells the index supplies its auto-built hierarchy
     // when the caller passes none ([[IvfIndex.autoSuper]]): the bulk
     // ranking rows drop from Q·nCells to Q·(nSuper + nProbeSuper·
-    // nCells/nSuper) without the caller opting in
-    superQ.orElse(index.autoSuper) match {
+    // nCells/nSuper) without the caller opting in. nProbeSuper = 0
+    // forces flat (resolveSuper — the shared opt-out rule).
+    resolveSuper(index, superQ, nProbeSuper) match {
       case None =>
         val cents = broadcast(index.centroids
           .select(col("cell").cast("int").as("cell"),
@@ -829,7 +859,35 @@ object Similarity {
     * so), never per-ingest. */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
       path: String, nCells: Int, embCol: String = "embedding",
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L): IvfIndex =
+    retrainImpl(spark, table, path, nCells, embCol, seed,
+      reconstruct = raw => {
+        require(raw.columns.contains(embCol),
+          s"ivfRetrain: no `$embCol` column under $path/assigned — a " +
+            "compressed layout stores codes, not embeddings. An " +
+            "SQ-encoded index retrains via Sq.ivfSqRetrain (the decode " +
+            "is a lossless-enough reconstruction; codes survive " +
+            "unchanged). PQ residual codes are defined against the OLD " +
+            "cells: re-fit from the raw embedding frame instead — " +
+            "ivfBuild + ivfPqEncode[Residual] + ivfSave to a fresh path")
+        raw
+      },
+      project = identity)
+
+  /** The staged-swap retrain body [[ivfRetrain]] and
+    * [[graft.ext.Sq.ivfSqRetrain]] share. `reconstruct` gives the live
+    * frame an `embCol` to fit on (identity for a raw index; SQ decodes
+    * its codes — reconstruction error ≤ step/2 per dim, which the
+    * KMeans re-fit tolerates); `project` strips fit-only columns before
+    * the bucketed save (identity for raw; SQ drops the decoded view so
+    * the layout stays compressed — codes are NEVER re-encoded, only the
+    * `cell` column changes). The swap/commit choreography is identical
+    * either way, so the crash-window contract ([[finalizeRetrain]],
+    * spec-pinned) covers both forms by construction. */
+  private[ext] def retrainImpl(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nCells: Int, embCol: String,
+      seed: Long, reconstruct: DataFrame => DataFrame,
+      project: DataFrame => DataFrame): IvfIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
@@ -842,22 +900,30 @@ object Similarity {
     // live rows: current files minus tombstones, old quantizer state
     // dropped (path read, not spark.table — the rewrite must not depend
     // on catalog state it is about to replace)
-    val raw = spark.read.parquet(s"$path/assigned")
-    require(raw.columns.contains(embCol),
-      s"ivfRetrain: no `$embCol` column under $path/assigned — a " +
-        "PQ-encoded layout stores codes, not embeddings (and residual " +
-        "codes are defined against the OLD cells). Re-fit from the raw " +
-        "embedding frame instead: ivfBuild + ivfPqEncode[Residual] + " +
-        "ivfSave to a fresh path")
+    val raw = reconstruct(spark.read.parquet(s"$path/assigned"))
     val live = (if (fs.exists(p("deletes"))) {
       val del = spark.read.parquet(s"$path/deletes")
       raw.join(broadcast(del), Seq(del.columns.head), "left_anti")
     } else raw).drop("cell")
     val newIdx = ivfBuild(live, embCol, nCells, seed)
+    // bucket by the ACTUAL centroid count, not the requested one:
+    // KMeans can return fewer than k centers (fewer distinct points
+    // than cells), and finalizeRetrain registers the modulus from the
+    // staged centroid frame's count — a mismatch would publish a wrong
+    // bucket spec whose pruning silently selects the wrong file groups
+    // (ADVICE r13). Bucketing by the actual count makes modulus ==
+    // published count by construction; an unattended maintenance job
+    // keeps running with the honest (smaller) quantizer.
+    val actualCells = newIdx.cellCount.toInt
+    if (actualCells != nCells)
+      System.err.println(s"ivfRetrain: KMeans returned $actualCells " +
+        s"centers for requested nCells=$nCells (fewer distinct live " +
+        "points than cells) — publishing the actual count as the " +
+        "bucket modulus")
     // stage the full retrained state as ONE directory
     val tmpTable = table + "__retraining"
-    graft.engine.Store.saveBucketed(newIdx.assigned, tmpTable,
-      s"$path/assigned__compacting", nCells, Seq("cell"))
+    graft.engine.Store.saveBucketed(project(newIdx.assigned), tmpTable,
+      s"$path/assigned__compacting", actualCells, Seq("cell"))
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
     newIdx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/assigned__compacting/_centroids")
@@ -940,7 +1006,27 @@ object Similarity {
   def ivfMaybeRetrain(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, maxSkew: Double = 4.0,
       minOccupiedFrac: Double = 0.5, targetRowsPerCell: Long = 0L,
-      embCol: String = "embedding", seed: Long = 42L): Boolean = {
+      embCol: String = "embedding", seed: Long = 42L): Boolean =
+    retrainTrigger(spark, path, maxSkew, minOccupiedFrac,
+        targetRowsPerCell) match {
+      case Some(newCells) =>
+        ivfRetrain(spark, table, path, newCells, embCol, seed); true
+      case None => false
+    }
+
+  /** The drift policy [[ivfMaybeRetrain]] and
+    * [[graft.ext.Sq.ivfSqMaybeRetrain]] share: measure, and return
+    * `Some(newCellCount)` iff a trigger fired ([[ivfMaybeRetrain]]
+    * documents the three triggers). Pure measurement — no mutation —
+    * so both policy wrappers fire their OWN retrain form against one
+    * set of thresholds. A fully-empty (or fully-tombstoned) index
+    * never fires: the `occ == 0` guard runs before any aggregate
+    * extraction, because max/sum over zero groups aggregate to NULL
+    * and a naive getLong would NPE an unattended maintenance job
+    * instead of no-oping (ADVICE r13). */
+  private[ext] def retrainTrigger(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxSkew: Double, minOccupiedFrac: Double,
+      targetRowsPerCell: Long): Option[Int] = {
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly even)")
     require(minOccupiedFrac >= 0.0 && minOccupiedFrac <= 1.0,
       "minOccupiedFrac is a fraction")
@@ -957,19 +1043,18 @@ object Similarity {
     val s = live.groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("occ"), max("n").as("mx"), sum("n").as("rows"))
       .head
-    val (occ, mx, liveRows) = (s.getLong(0), s.getLong(1), s.getLong(2))
-    if (liveRows == 0L) return false // nothing to fit a quantizer on
-    val skew = mx / (liveRows.toDouble / math.max(occ, 1L))
+    val occ = s.getLong(0)
+    if (occ == 0L) return None // empty/fully-tombstoned: nothing to fit
+    val (mx, liveRows) = (s.getLong(1), s.getLong(2))
+    val skew = mx / (liveRows.toDouble / occ)
     val outgrown = targetRowsPerCell > 0L &&
       liveRows > 2L * targetRowsPerCell * nCells
     if (skew <= maxSkew && occ >= minOccupiedFrac * nCells && !outgrown)
-      return false
-    val newCells =
+      None
+    else Some((
       if (targetRowsPerCell > 0L)
         math.max(1L, (liveRows + targetRowsPerCell - 1) / targetRowsPerCell)
-      else nCells
-    ivfRetrain(spark, table, path, newCells.toInt, embCol, seed)
-    true
+      else nCells).toInt)
   }
 
   /** Read-only observability over a persisted IVF index — the numbers an
@@ -1034,7 +1119,17 @@ object Similarity {
       val s = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("occ"), min("n").as("mn"),
           max("n").as("mx"), avg("n").as("av")).head
-      base
+      if (s.getLong(0) == 0L)
+        // an empty assigned frame aggregates min/max/avg to NULL —
+        // surface honest null balance columns instead of an NPE in a
+        // read-only monitoring call (ADVICE r13)
+        base
+          .withColumn("occupied_cells", lit(0L))
+          .withColumn("cell_rows_min", lit(null).cast("bigint"))
+          .withColumn("cell_rows_max", lit(null).cast("bigint"))
+          .withColumn("cell_rows_avg", lit(null).cast("double"))
+          .withColumn("cell_skew", lit(null).cast("double"))
+      else base
         .withColumn("occupied_cells", lit(s.getLong(0)))
         .withColumn("cell_rows_min", lit(s.getLong(1)))
         .withColumn("cell_rows_max", lit(s.getLong(2)))

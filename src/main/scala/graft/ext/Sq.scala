@@ -251,7 +251,9 @@ object Sq {
       "ivfSqProbe: empty query frame — the scorer needs exactly one " +
         "query embedding")
     val q = qRows(0).getSeq[Double](0).toIndexedSeq
-    val probeCells = superQ.orElse(index.autoSuper) match {
+    // auto-hier fallback + nProbeSuper = 0 flat opt-out, the shared rule
+    val probeCells = Similarity.resolveSuper(index, superQ,
+        nProbeSuper) match {
       case Some(sq) => Similarity.rankProbeCellsHier(sq, q, nProbeSuper, nProbe)
       case None => Pq.rankCellsFlat(index, q, nProbe, "ivfSqProbe")
     }
@@ -291,6 +293,184 @@ object Sq {
         index.assigned.withColumn(embCol, sqDecodeCol(col("codes"), p)),
         index.centroids),
       queries, qidCol, idCol, embCol, nProbe, k,
-      superQ.orElse(index.autoSuper), nProbeSuper, pred,
-      rerankWith, rerankFactor)
+      Similarity.resolveSuper(index, superQ, nProbeSuper), nProbeSuper,
+      pred, rerankWith, rerankFactor)
+
+  /** [[Similarity.ivfRetrain]] for an SQ-ENCODED persisted index — the
+    * one lifecycle step the compressed layout was locked out of
+    * (VERDICT r13 #2): the coarse-quantizer re-fit needs an embedding
+    * column the compressed files don't store. SQ's decode is a global
+    * linear map with per-dim error ≤ step/2 — a full-precision-ORDER
+    * reconstruction the KMeans re-fit tolerates — so the fix is exact
+    * in shape: decode the codes into a fit-only view, re-fit cells on
+    * it, and save the SAME codes under the new `cell` column. Codes
+    * and `recon_norm` are NEVER re-encoded (decode∘encode is the
+    * identity on in-range codes, so re-encoding could only add fp
+    * churn); the new centroids describe the reconstructions, which is
+    * also exactly what every SQ probe scores against — quantizer and
+    * scorer see the SAME geometry, bias-free by construction.
+    *
+    * Everything else — tombstone fold, staged swap, idempotent
+    * [[Similarity.finalizeRetrain]] commit, the crash windows
+    * IvfIndexSpec pins — is [[Similarity.retrainImpl]], shared with the
+    * raw form, so the two retrains cannot drift. The returned handle's
+    * auto-hierarchy follows the published cell count as always
+    * ([[Similarity.IvfIndex.autoSuper]]).
+    *
+    * What this does NOT re-fit: the SQ params themselves. Cell drift
+    * (hot/empty cells) is recoverable from codes; BOUNDS drift is not —
+    * out-of-range appends already saturated at encode, and bounds
+    * re-fit from the decoded view can only lie inside the old bounds.
+    * Monitor bounds drift with [[sqSaturation]]/[[sqDescribe]]; the
+    * remedy there is a raw-corpus re-train (`sqTrain` + re-encode to a
+    * fresh index). */
+  def ivfSqRetrain(spark: SparkSession, table: String, path: String,
+      nCells: Int, p: SqParams, embCol: String = "embedding",
+      seed: Long = 42L): Similarity.IvfIndex =
+    Similarity.retrainImpl(spark, table, path, nCells, embCol, seed,
+      reconstruct = raw => {
+        require(raw.columns.contains("codes"),
+          s"ivfSqRetrain: no `codes` column under $path/assigned — " +
+            "not an SQ-encoded layout (a raw index retrains via " +
+            "ivfRetrain)")
+        require(!raw.columns.contains(embCol),
+          s"ivfSqRetrain: layout already has `$embCol` — a raw index " +
+            "retrains via ivfRetrain (decoding codes over it would fit " +
+            "the quantizer on the wrong column)")
+        raw.withColumn(embCol, sqDecodeCol(col("codes"), p))
+      },
+      project = _.drop(embCol))
+
+  /** Policy wrapper over [[ivfSqRetrain]] — the compressed twin of
+    * [[Similarity.ivfMaybeRetrain]], same thresholds, same measured
+    * trigger ([[Similarity.retrainTrigger]] — one policy, two retrain
+    * forms), so the streaming sink can arm retrain on an SQ index and
+    * an unattended maintenance job pays the re-fit RARELY. Returns
+    * true iff a retrain ran. */
+  def ivfSqMaybeRetrain(spark: SparkSession, table: String, path: String,
+      p: SqParams, maxSkew: Double = 4.0, minOccupiedFrac: Double = 0.5,
+      targetRowsPerCell: Long = 0L, embCol: String = "embedding",
+      seed: Long = 42L): Boolean =
+    Similarity.retrainTrigger(spark, path, maxSkew, minOccupiedFrac,
+        targetRowsPerCell) match {
+      case Some(newCells) =>
+        ivfSqRetrain(spark, table, path, newCells, p, embCol, seed); true
+      case None => false
+    }
+
+  /** Per-dim clamp-saturation over an encoded frame — THE drift signal
+    * specific to an SQ index (VERDICT r13 #3): bounds are trained once,
+    * and a vector appended later that falls outside them silently
+    * saturates at [[graft.functions.SqEncodeF]]'s clamp (code 0 or
+    * levels−1 — correct by design, FAISS clamps the same way), costing
+    * that value up to its full out-of-range distance instead of
+    * step/2. No probe, describe, or maintenance op can see it happen —
+    * the codes are valid codes — so the ONE observable is the rate of
+    * codes sitting AT the clamp. Returns dim rows `(i, n, sat_lo,
+    * sat_hi, sat_rate)`; note min/max-trained bounds make the trained
+    * extremes themselves sit at the clamp, so the baseline rate is
+    * ~2/n per dim, not 0 — compare against the post-train baseline,
+    * not zero (quantile-trained bounds saturate their clipped tails by
+    * design, [[sqTrainQuantile]]).
+    *
+    * Scale shape: the encode-train pass in reverse — posexplode +
+    * groupBy(pos) with algebraic aggregates (map-side combined, the
+    * [[sqTrain]] bound); output is dim rows. `sampleFraction < 1`
+    * sample-bounds the scan for a monitoring cadence over a 100 TB
+    * index (deterministic seed — the x88-eval discipline: rates are
+    * estimates, re-runs agree). */
+  def sqSaturation(encoded: DataFrame, levels: Int,
+      codesCol: String = "codes", sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(levels >= 2, s"sqSaturation: levels must be >= 2, got $levels")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction is a fraction")
+    val src = if (sampleFraction >= 1.0) encoded
+      else encoded.sample(withReplacement = false, sampleFraction, seed)
+    src
+      .select(posexplode(col(codesCol)).as(Seq("i", "c")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("sat_lo"),
+        sum(when(col("c") === levels - 1, 1L).otherwise(0L)).as("sat_hi"))
+      .withColumn("sat_rate",
+        round((col("sat_lo") + col("sat_hi")) / col("n"), 6))
+      .orderBy("i")
+  }
+
+  /** Read-only SQ-index observability — the [[Similarity.ivfDescribe]]
+    * sibling for the signal only an SQ layout has: one summary row
+    * `(rows_sampled, dim, sat_lo_rate, sat_hi_rate, sat_rate,
+    * max_dim_sat_rate, max_dim)` over the persisted assigned frame
+    * (overall rates across all code elements; `max_dim` names the
+    * worst dimension — bounds drift is usually per-dim, a feature
+    * whose live distribution moved). Same cost class as
+    * `ivfDescribe(cellBalance = true)`: one column-pruned scan of
+    * `codes`, sample-boundable; compose with `ivfDescribe` for the
+    * full health picture. Policy: when the rate materially exceeds its
+    * post-train baseline (~2/n per dim for min/max bounds, the
+    * clipped-tail fraction for quantile bounds), the bounds no longer
+    * describe the corpus — re-train params on RAW vectors (`sqTrain` /
+    * [[sqTrainQuantile]] on the source corpus or the `rerankWith`
+    * frame) and re-encode to a fresh index; [[ivfSqRetrain]] cannot
+    * fix it (codes lost the out-of-range mass — see its scaladoc). */
+  def sqDescribe(spark: SparkSession, path: String, levels: Int = 256,
+      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val enc = spark.read.parquet(s"$path/assigned")
+    require(enc.columns.contains("codes"),
+      s"sqDescribe: no `codes` column under $path/assigned — not a " +
+        "compressed (SQ/PQ-encoded) index layout")
+    val perDim = sqSaturation(enc, levels, "codes", sampleFraction, seed)
+    // dim-row roll-up: overall rates + the worst dimension, one row
+    val s = perDim
+      .agg(sum("n").as("els"), sum("sat_lo").as("lo"),
+        sum("sat_hi").as("hi"), count(lit(1)).as("dim"),
+        max(struct(col("sat_rate"), col("i"))).as("worst"))
+      .select(col("els"), col("lo"), col("hi"), col("dim"),
+        col("worst.sat_rate").as("wr"), col("worst.i").as("wi"))
+      .head
+    import spark.implicits._
+    if (s.isNullAt(0) || s.getLong(0) == 0L)
+      // empty index (or an all-null sample): honest zero row
+      Seq((0L, 0, null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Integer]))
+        .toDF("rows_sampled", "dim", "sat_lo_rate", "sat_hi_rate",
+          "sat_rate", "max_dim_sat_rate", "max_dim")
+    else {
+      val els = s.getLong(0).toDouble
+      val dim = s.getLong(3).toInt
+      Seq((s.getLong(0) / dim, dim,
+          s.getLong(1) / els, s.getLong(2) / els,
+          (s.getLong(1) + s.getLong(2)) / els,
+          s.getDouble(4), s.getInt(5)))
+        .toDF("rows_sampled", "dim", "sat_lo_rate", "sat_hi_rate",
+          "sat_rate", "max_dim_sat_rate", "max_dim")
+    }
+  }
+
+  /** Threshold hook over [[sqDescribe]] — the `ivfMaybeRetrain`-shaped
+    * trigger for the saturation signal: true iff the overall
+    * saturation rate exceeds `maxSatRate` OR any single dimension
+    * exceeds `maxDimSatRate` (per-dim drift hides in a corpus-wide
+    * average: one drifted feature out of 1024 moves the overall rate
+    * ~0.1%). Deliberately returns a VERDICT, not a retrain: unlike
+    * cell drift, bounds drift is not recoverable from the index's own
+    * codes (see [[sqDescribe]]'s policy note) — the caller must bring
+    * raw vectors, so the hook's job is to say WHEN, loudly and
+    * cheaply, in a monitoring job's cadence. */
+  def sqSaturationExceeded(spark: SparkSession, path: String,
+      levels: Int = 256, maxSatRate: Double = 0.01,
+      maxDimSatRate: Double = 0.05, sampleFraction: Double = 1.0,
+      seed: Long = 42L): Boolean = {
+    require(maxSatRate > 0.0 && maxDimSatRate > 0.0,
+      "saturation thresholds must be positive (min/max-trained bounds " +
+        "have a nonzero baseline rate — the trained extremes sit at " +
+        "the clamp)")
+    val d = sqDescribe(spark, path, levels, sampleFraction, seed).head
+    !d.isNullAt(4) && (d.getDouble(4) > maxSatRate ||
+      d.getDouble(5) > maxDimSatRate)
+  }
 }

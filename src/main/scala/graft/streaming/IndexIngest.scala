@@ -192,14 +192,24 @@ object IndexIngest {
     * bucket modulus from the published centroid frame next epoch (the
     * cell count legitimately changes under a growth re-fit — which is
     * also why appends always bucket by the PUBLISHED count, validated
-    * against `nCells` at first load when the hook is off). Raw indexes
-    * only: [[graft.ext.Similarity.ivfRetrain]] refuses a PQ-encoded
-    * layout loudly (codes are defined against the old cells). */
+    * against `nCells` at first load when the hook is off).
+    *
+    * Compressed layouts: an SQ-encode-hook sink arms retrain by ALSO
+    * passing `sqParams` (the bounds its encode hook uses) — the hook
+    * then fires [[graft.ext.Sq.ivfSqMaybeRetrain]], which re-fits the
+    * cells on the decoded reconstruction and keeps the codes (same
+    * staged swap, same crash windows). A PQ-encoded sink cannot arm
+    * retrain — residual codes are defined against the old cells, and
+    * plain-PQ decode is codebook-coarse — so retrain-armed without
+    * `sqParams` on a layout with no `embCol` still fails FAST at first
+    * load, not at whatever epoch the policy first fires. */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int, maxFilesPerCell: Int = 0,
       encode: DataFrame => DataFrame = identity,
       nSuper: Int = 0, retrainMaxSkew: Double = 0.0,
-      retrainRowsPerCell: Long = 0L): (DataFrame, Long) => Unit = {
+      retrainRowsPerCell: Long = 0L,
+      sqParams: Option[graft.ext.Sq.SqParams] = None)
+      : (DataFrame, Long) => Unit = {
     // the coarse quantizer is a STATIC offline artifact: load it once
     // per sink, not once per micro-batch (ivfLoad re-reads + the assign
     // collects the centroid parquet every call). The first load performs
@@ -255,13 +265,24 @@ object IndexIngest {
               s"quantizer under $path has $nCellsCur cells — appends " +
               "must bucket by the real modulus")
           // fail FAST, not at whatever epoch the policy first fires:
-          // ivfRetrain re-fits from the index's own embedding column,
-          // which a compressed (PQ/SQ encode-hook) layout doesn't store
-          require(!retrainOn || centroids.assigned.columns.contains(embCol),
+          // ivfRetrain re-fits from the index's own embedding column;
+          // a compressed layout retrains only through the SQ decode
+          // path, which needs the sink to hand over its bounds
+          require(!retrainOn || sqParams.isDefined ||
+              centroids.assigned.columns.contains(embCol),
             s"ivfSink: retrain policy armed but the published index " +
               s"under $path has no `$embCol` column (compressed " +
-              "layout) — ivfRetrain would refuse at fire time; " +
-              "disarm retrain or maintain a raw index")
+              "layout) — pass sqParams so the hook can retrain via " +
+              "Sq.ivfSqRetrain (decode→refit, codes kept), or disarm " +
+              "retrain (PQ layouts cannot retrain from codes)")
+          // the converse misconfiguration fails fast too: sqParams on a
+          // RAW layout would reach ivfSqRetrain's decode-over-embCol
+          // refusal only at fire time
+          require(!retrainOn || sqParams.isEmpty ||
+              !centroids.assigned.columns.contains(embCol),
+            s"ivfSink: sqParams passed but the published index under " +
+              s"$path stores a raw `$embCol` column — a raw index " +
+              "retrains via the default hook; drop sqParams")
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))
@@ -288,16 +309,23 @@ object IndexIngest {
           maxFilesPerCell)
       // retrain LAST (it folds tombstones and may grow the cell count):
       // the journal is committed, so a crash anywhere inside heals via
-      // ivfRetrain's own swap/finalize machinery on the next load. On
+      // the retrain's own swap/finalize machinery on the next load. On
       // firing, the cached quantizer and modulus are stale — drop them
       // so the next epoch re-loads (and re-derives) from the published
-      // state. RAW indexes only: a PQ-encoded layout stores codes, and
-      // ivfRetrain refuses it loudly.
-      if (retrainOn && Similarity.ivfMaybeRetrain(spark, table, path,
-          maxSkew = if (retrainMaxSkew > 0.0) retrainMaxSkew
-            else Double.MaxValue,
-          minOccupiedFrac = 0.0, targetRowsPerCell = retrainRowsPerCell,
-          embCol = embCol)) {
+      // state. The SQ form (sqParams given) shares the trigger and the
+      // swap; it re-fits cells on the decoded reconstruction and keeps
+      // the codes. A PQ layout with retrain armed failed fast above.
+      val skew = if (retrainMaxSkew > 0.0) retrainMaxSkew
+        else Double.MaxValue
+      val fired = retrainOn && (sqParams match {
+        case Some(p) => graft.ext.Sq.ivfSqMaybeRetrain(spark, table, path,
+          p, maxSkew = skew, minOccupiedFrac = 0.0,
+          targetRowsPerCell = retrainRowsPerCell, embCol = embCol)
+        case None => Similarity.ivfMaybeRetrain(spark, table, path,
+          maxSkew = skew, minOccupiedFrac = 0.0,
+          targetRowsPerCell = retrainRowsPerCell, embCol = embCol)
+      })
+      if (fired) {
         centroids = null
         superQ = None
         nCellsCur = 0

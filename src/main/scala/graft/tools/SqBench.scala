@@ -118,6 +118,51 @@ object SqBench {
       Sq.ivfSqProbe(sq4Idx, p4, queryDf(q), "vec_id", nProbe = 2,
         rerankWith = Some(searched), rerankFactor = 4))
 
+    // SQ4 physical nibble packing (VERDICT r13 #6): SQ4 stores 0..15
+    // codes one per INT32 array element and leans on parquet's
+    // bit-packed encoding; packing TWO nibbles per element halves the
+    // array length — does that buy real bytes/scan time, or does
+    // parquet's encoding already capture it? Same flat layout for both
+    // sides; the packed scan unpacks inline via shiftright/AND (codegen
+    // arithmetic — an adopted form would fold the unpack into
+    // SqDecodeF, so this measures the packed READ fairly).
+    val enc4 = Sq.sqEncode(searched, "embedding", p4)
+      .select(col("vec_id"), col("codes"), col("recon_norm"))
+    val packed4 = enc4.select(col("vec_id"),
+      transform(sequence(lit(0), lit(dim / 2 - 1)), i =>
+        element_at(col("codes"), i * 2 + 1) +
+          shiftleft(element_at(col("codes"), i * 2 + 2), 4)).as("codes"),
+      col("recon_norm"))
+    enc4.write.mode("overwrite").parquet(s"$tmp/sq4_flat")
+    packed4.write.mode("overwrite").parquet(s"$tmp/sq4_packed")
+    val sq4FlatBytes = dirBytes(s"$tmp/sq4_flat")
+    val sq4PackedBytes = dirBytes(s"$tmp/sq4_packed")
+    val unpackCol = flatten(transform(col("codes"),
+      x => array(x.bitwiseAND(lit(15)), shiftright(x, 4))))
+    val qv = corpus.filter(col("vec_id") === 1).select(
+      transform(col("embedding"), x => x.cast("double")).as("q"))
+      .head.getSeq[Double](0).toIndexedSeq
+    def scanRace(path: String, unpack: Boolean): (Seq[Long], Double) = {
+      val reads = spark.read.parquet(path)
+      val codes = if (unpack) unpackCol else col("codes")
+      // full-scan decode+score+top-k — the compressed-read hot path
+      time {
+        reads.withColumn("cos_sq",
+            round(Similarity.dot(Sq.sqDecodeCol(codes, p4),
+              array(qv.map(lit(_)): _*)) /
+              (col("recon_norm") * lit(math.sqrt(
+                qv.foldLeft(0.0)((a, x) => a + x * x)))), 6))
+          .orderBy(col("cos_sq").desc, col("vec_id"))
+          .select(col("vec_id").cast("long")).limit(10)
+          .collect().map(_.getLong(0)).toSeq
+      }
+    }
+    scanRace(s"$tmp/sq4_flat", unpack = false) // warm the read path once
+    val (flatIds, flatScanSec) = scanRace(s"$tmp/sq4_flat", unpack = false)
+    val (packedIds, packedScanSec) = scanRace(s"$tmp/sq4_packed", unpack = true)
+    require(flatIds == packedIds,
+      "packed scan must score identically to the flat layout")
+
     // bulk-vs-sequential race (ids filtered through the corpus first)
     val bulkCandidates = (0 until 100).map(i => i.toLong * 3L + 1L)
     val bulkQueries = corpus.filter(col("vec_id").isin(bulkCandidates: _*))
@@ -155,6 +200,10 @@ object SqBench {
       f""""recall_sq4":${recallOf(sq4Top)}%.3f,""" +
       f""""recall_sq4_rerank":${recallOf(sq4RrTop)}%.3f,""" +
       f""""probe_sec_sq4":$sq4Sec%.2f,"probe_sec_sq4_rerank":$sq4RrSec%.2f,""" +
+      f""""sq4_flat_bytes":$sq4FlatBytes,"sq4_packed_bytes":$sq4PackedBytes,""" +
+      f""""sq4_packed_bytes_ratio":${sq4FlatBytes.toDouble / sq4PackedBytes}%.2f,""" +
+      f""""sq4_scan_sec_flat":$flatScanSec%.2f,""" +
+      f""""sq4_scan_sec_packed":$packedScanSec%.2f,""" +
       f""""probe_sec_exact":$exactSec%.2f,"probe_sec_sq":$sqSec%.2f,""" +
       f""""probe_sec_sq_rerank":$sqRrSec%.2f,"probe_sec_pq":$pqSec%.2f,""" +
       f""""bulk_queries":${bulkIds.length},"bulk_seq_sec":$seqSec%.2f,""" +

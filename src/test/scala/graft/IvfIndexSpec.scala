@@ -636,4 +636,147 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         "healed index must probe exactly")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_rc_t")
   }
+
+  test("auto-hier across a retrain: a retrain that crosses the 256-cell " +
+      "threshold hands probes the hierarchical ranking by DEFAULT on the " +
+      "next load — no caller change; nProbeSuper = 0 opts back to exact " +
+      "flat") {
+    // synthetic spread-out corpus: 1,200 distinct dim-8 vectors, so the
+    // growth re-fit below genuinely lands >256 cells
+    // id + 1 keeps the zero vector out: a cosine has no direction for it
+    val syn = spark.range(1200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => sin((col("id") + lit(1)) * (j + lit(1)) * lit(0.7305)))
+        .as("embedding"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ah").toString
+    Similarity.ivfSave(Similarity.ivfBuild(syn, nCells = 4),
+      "ivf_ah_t", dir, 4)
+    try {
+      assert(Similarity.ivfLoad(spark, "ivf_ah_t", dir).autoSuper.isEmpty,
+        "below the threshold probes stay flat")
+      val re = Similarity.ivfRetrain(spark, "ivf_ah_t", dir, nCells = 300)
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") > 256L && d.getAs[Boolean]("auto_hier"),
+        "the retrained index must cross the threshold for this pin")
+      // the handle ivfRetrain returns AND a fresh load both auto-build
+      // the hierarchy — the caller re-derives nothing (VERDICT r13 #5)
+      assert(re.autoSuper.isDefined, "retrain's own handle defaults to hier")
+      val loaded = Similarity.ivfLoad(spark, "ivf_ah_t", dir)
+      assert(loaded.autoSuper.isDefined, "reloaded handle defaults to hier")
+      val q = syn.filter(col("vec_id") === 7).select("embedding")
+      val viaDefault = Similarity.ivfProbe(loaded, q, "vec_id",
+        nProbe = 4, k = 5).collect().toSeq
+      val viaExplicit = Similarity.ivfProbeHier(loaded,
+        loaded.autoSuper.get, q, "vec_id", nProbeSuper = 2, nProbe = 4,
+        k = 5).collect().toSeq
+      assert(viaDefault == viaExplicit,
+        "the default probe must BE the hierarchical ranking")
+      // the per-call opt-out (ADVICE r13): nProbeSuper = 0 forces the
+      // exact flat ranking — exhaustive, it reproduces brute force
+      val nCells = d.getAs[Long]("n_cells").toInt
+      assert(Similarity.ivfProbe(loaded, q, "vec_id", nProbe = nCells,
+          k = 5, nProbeSuper = 0).drop("cell").collect().toSeq
+        == Similarity.bruteForceTopK(syn, q, "vec_id", k = 5)
+          .collect().toSeq,
+        "nProbeSuper = 0 must recover the exact flat ranking")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_ah_t")
+  }
+
+  test("auto-hier at a production cell count: a 4,096-cell index ranks " +
+      "hierarchically by default; the flat opt-out stays exact") {
+    // handmade 4,096-cell index (a 64x64 grid, one vector per cell):
+    // the retrain flow is pinned above — here the claim is the probe
+    // path's default at the IVF_ASSIGN_BENCH cell count, without a
+    // corpus-sized KMeans in the suite
+    val cents = spark.range(4096).select(col("id").cast("int").as("cell"),
+      array(floor(col("id") / 64).cast("double"),
+        (col("id") % 64).cast("double")).as("cent"))
+      .localCheckpoint()
+    val assigned = cents.select(col("cell").cast("long").as("vec_id"),
+      col("cent").as("embedding"), col("cell"))
+    val idx = Similarity.IvfIndex(assigned, cents)
+    assert(idx.autoSuper.isDefined, "4,096 cells must default to hier")
+    val q = assigned.filter(col("vec_id") === 2080).select("embedding")
+    val hier = Similarity.ivfProbe(idx, q, "vec_id", nProbe = 4, k = 3)
+      .collect().toSeq
+    assert(hier == Similarity.ivfProbeHier(idx, idx.autoSuper.get, q,
+        "vec_id", nProbeSuper = 2, nProbe = 4, k = 3).collect().toSeq,
+      "default probe at 4,096 cells must BE the hierarchical ranking")
+    val flat = Similarity.ivfProbe(idx, q, "vec_id", nProbe = 4, k = 3,
+      nProbeSuper = 0).collect()
+    assert(flat.head.getLong(0) == 2080L && flat.head.getDouble(2) == 1.0,
+      "flat opt-out: the exact ranking finds the self-match")
+  }
+
+  test("centroid-count/bucket-modulus contract (ADVICE r13): ivfSave " +
+      "refuses a mismatch; retrain publishes the ACTUAL count as the " +
+      "modulus when KMeans returns fewer centers") {
+    // 90 rows, only 3 distinct embeddings — KMeans cannot return 8 cells
+    // % 3 + 1 keeps the zero vector out (cosine needs a direction)
+    val dup = spark.range(90).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        j => (col("id") % 3 + lit(1)).cast("double") * (j + lit(1)))
+        .as("embedding"))
+      .localCheckpoint()
+    val degenerate = Similarity.ivfBuild(dup, nCells = 8)
+    val actual = degenerate.centroids.count()
+    assert(actual < 8L, "fixture must be degenerate for this pin")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-mm").toString
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfSave(degenerate, "ivf_mm_t", dir, 8))
+    assert(e.getMessage.contains("fewer"), e.getMessage)
+    // a consistent save at the actual count works, and a RETRAIN asked
+    // for 8 cells publishes what KMeans returned — modulus == published
+    // centroid count by construction, so bucket pruning stays correct
+    Similarity.ivfSave(degenerate, "ivf_mm_t", dir, actual.toInt)
+    try {
+      Similarity.ivfRetrain(spark, "ivf_mm_t", dir, nCells = 8)
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") < 8L, "KMeans cannot invent cells")
+      val desc = spark.sql("DESCRIBE FORMATTED `ivf_mm_t`")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0).trim -> r.getString(1).trim).toMap
+      assert(desc("Num Buckets").trim.toLong == d.getAs[Long]("n_cells"),
+        "published centroid count must be the bucket modulus")
+      // exhaustive probe stays exact over the honest (smaller) quantizer
+      val q = dup.filter(col("vec_id") === 1).select("embedding")
+      val healed = Similarity.ivfLoad(spark, "ivf_mm_t", dir)
+      assert(Similarity.ivfProbe(healed, q, "vec_id",
+          nProbe = d.getAs[Long]("n_cells").toInt, k = 3)
+        .drop("cell").collect().toSeq
+        == Similarity.bruteForceTopK(dup, q, "vec_id", k = 3)
+          .collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_mm_t")
+  }
+
+  test("empty-index guards (ADVICE r13): a fully-tombstoned index " +
+      "no-ops ivfMaybeRetrain instead of NPE-ing the maintenance job; " +
+      "describe(cellBalance) over an empty assigned frame returns null " +
+      "balance columns") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    val eight = corpus.limit(8).localCheckpoint()
+    Similarity.ivfSave(Similarity.ivfBuild(eight, nCells = 2),
+      "ivf_eg_t", dir, 2)
+    try {
+      assert(Similarity.ivfDelete(eight.select("vec_id"), "vec_id",
+        "ivf_eg_t", dir) == 8L)
+      assert(!Similarity.ivfMaybeRetrain(spark, "ivf_eg_t", dir,
+        maxSkew = 1.5, minOccupiedFrac = 1.0, targetRowsPerCell = 1L),
+        "zero live rows: nothing to fit — must no-op, not throw")
+      // physically empty assigned tree (the post-compact-of-everything
+      // shape): balance aggregates have no rows to describe
+      val dir2 = java.nio.file.Files.createTempDirectory("ivf-empty2").toString
+      spark.read.parquet(s"$dir/assigned").limit(0)
+        .write.parquet(s"$dir2/assigned")
+      spark.read.parquet(s"$dir/centroids")
+        .write.parquet(s"$dir2/centroids")
+      val d = Similarity.ivfDescribe(spark, dir2, cellBalance = true)
+        .collect()(0)
+      assert(d.getAs[Long]("occupied_cells") == 0L)
+      assert(d.isNullAt(d.fieldIndex("cell_rows_max")) &&
+        d.isNullAt(d.fieldIndex("cell_skew")),
+        "empty balance must be honest nulls, not an NPE")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_eg_t")
+  }
 }

@@ -244,4 +244,191 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       assert(rrBulk == rrSeq, "bulk rerank diverged from per-query")
     } finally spark.sql("DROP TABLE IF EXISTS sq_ivf_t")
   }
+
+  test("ivfSqRetrain: cells re-fit on the decoded view, codes NEVER " +
+      "re-encoded, tombstones folded, modulus follows — the compressed " +
+      "retrain shares the raw form's whole contract") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-retrain").toString
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    val p = Sq.sqTrain(corpus)
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(half, nCells = 4), p, "vec_id"),
+      "sq_rt_t", dir, 4)
+    try {
+      val loaded = Similarity.ivfLoad(spark, "sq_rt_t", dir)
+      // append the other half through the raw-assign + encode pipeline
+      // (assignment on raw embeddings, the sink's shape), tombstone one
+      Similarity.ivfAppendSave(
+        Sq.sqEncode(Similarity.ivfAssign(loaded, rest, "vec_id"),
+          "embedding", p)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        "sq_rt_t", dir, 4)
+      import spark.implicits._
+      assert(Similarity.ivfDelete(Seq(4L).toDF("vec_id"), "vec_id",
+        "sq_rt_t", dir) == 1L)
+      // snapshot payloads pre-retrain: the retrain must carry them
+      // through BYTE-IDENTICAL (only `cell` may change)
+      val before = spark.read.parquet(s"$dir/assigned")
+        .select(col("vec_id").cast("long"), col("codes"), col("recon_norm"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Int](1), r.getDouble(2))).toMap
+
+      // a raw retrain on the compressed layout refuses, pointing here
+      val eRaw = intercept[IllegalArgumentException](
+        Similarity.ivfRetrain(spark, "sq_rt_t", dir, nCells = 8))
+      assert(eRaw.getMessage.contains("ivfSqRetrain"), eRaw.getMessage)
+
+      val re = Sq.ivfSqRetrain(spark, "sq_rt_t", dir, nCells = 8, p = p)
+
+      assert(re.centroids.count() == 8L, "retrained quantizer shape")
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == 8L)
+      assert(d.getAs[Long]("tombstoned_ids") == 0L, "retrain folds tombstones")
+      assert(d.getAs[Long]("physical_rows") == corpus.count() - 1,
+        "live rows only: the tombstoned id is gone from the files")
+      val desc = spark.sql("DESCRIBE FORMATTED `sq_rt_t`")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0).trim -> r.getString(1).trim).toMap
+      assert(desc("Num Buckets").trim.toInt == 8,
+        "catalog bucket spec must follow the new modulus")
+      val after = spark.read.parquet(s"$dir/assigned")
+      assert(!after.columns.contains("embedding"),
+        "the fit-only decoded view must not leak into the layout")
+      after.select(col("vec_id").cast("long"), col("codes"),
+          col("recon_norm")).collect().foreach { r =>
+        assert(before(r.getLong(0)) == ((r.getSeq[Int](1), r.getDouble(2))),
+          s"payload changed across retrain for id ${r.getLong(0)}")
+      }
+      // retrained-compressed ≡ retrain-on-raw at the assignment RULE:
+      // every row's new cell is the argmin against the new centroids of
+      // its DECODED vector — the same self-consistency the raw retrain
+      // has (ivfBuild ≡ ivfAssign, pinned above), applied to the only
+      // vector view a compressed layout owns. (Exact cell-for-cell ≡ a
+      // raw-index retrain is not pinnable: seeded KMeans is partition-
+      // deterministic and the two layouts' file sizes differ.)
+      val reloaded = Similarity.ivfLoad(spark, "sq_rt_t", dir)
+      val decoded = reloaded.assigned
+        .withColumn("embedding", Sq.sqDecodeCol(col("codes"), p))
+        .select(col("vec_id"), col("embedding"))
+      val expect = Similarity.ivfAssign(reloaded, decoded, "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      val got = reloaded.assigned
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "retrained cells must be the decoded view's argmin assignment")
+      // exhaustive probe over the retrained index ≡ the flat SQ scorer
+      // over the surviving corpus — exact regardless of the new cells
+      val qdf = corpus.filter(col("vec_id") === 0)
+      val exhaustive = Sq.ivfSqProbe(reloaded, p, qdf, "vec_id",
+        nProbe = 8, k = 10).collect().toSeq
+      val flat = Sq.sqTopK(
+        Sq.sqEncode(corpus.filter(col("vec_id") =!= 4), "embedding", p),
+        p, queryVec(0L), "vec_id", k = 10).collect().toSeq
+      assert(exhaustive == flat, "exhaustive probe must be exact post-retrain")
+
+      // the converse guard: ivfSqRetrain on a RAW layout refuses
+      val rawDir = java.nio.file.Files.createTempDirectory("sq-rt-raw").toString
+      Similarity.ivfSave(Similarity.ivfBuild(half, nCells = 4),
+        "sq_rt_raw_t", rawDir, 4)
+      try {
+        val eSq = intercept[IllegalArgumentException](
+          Sq.ivfSqRetrain(spark, "sq_rt_raw_t", rawDir, nCells = 8, p = p))
+        assert(eSq.getMessage.contains("ivfRetrain"), eSq.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS sq_rt_raw_t")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_rt_t")
+  }
+
+  test("ivfSqMaybeRetrain: shared trigger, compressed retrain form — " +
+      "growth fires and the quantizer grows; freshly sized: no re-fire") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-mr").toString
+    val p = Sq.sqTrain(corpus)
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 2), p, "vec_id"),
+      "sq_mr_t", dir, 2)
+    try {
+      val live = corpus.count()
+      val target = live / 8
+      assert(Sq.ivfSqMaybeRetrain(spark, "sq_mr_t", dir, p,
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        targetRowsPerCell = target), "outgrown quantizer must fire")
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == (live + target - 1) / target,
+        "cell count must grow to ceil(live/target)")
+      assert(!Sq.ivfSqMaybeRetrain(spark, "sq_mr_t", dir, p,
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        targetRowsPerCell = target), "freshly sized: no re-fire")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_mr_t")
+  }
+
+  test("sqSaturation / sqDescribe / sqSaturationExceeded: the clamp-" +
+      "saturation drift signal — baseline ~2/n per dim on min/max " +
+      "bounds, a planted out-of-bounds append lights up, the hook fires") {
+    val p = Sq.sqTrain(corpus)
+    val n = corpus.count()
+    val enc = Sq.sqEncode(corpus, "embedding", p)
+    val base = Sq.sqSaturation(enc, p.levels).collect()
+    assert(base.length == 64, "one row per dimension")
+    base.foreach { r =>
+      assert(r.getLong(1) == n, "per-dim sample count is the row count")
+      // min/max bounds put the trained extremes AT the clamp: >= 1 row
+      // at each end, and the whole-dim rate stays a small fraction
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L,
+        s"dim ${r.getInt(0)}: trained extremes must sit at the clamp")
+      assert(r.getDouble(4) < 0.1,
+        s"dim ${r.getInt(0)}: baseline saturation should be marginal")
+    }
+
+    // plant drift: 10% extra rows, embeddings scaled 10x — far outside
+    // the trained bounds on any dim with real spread, saturating a mix
+    // of both ends
+    val outliers = corpus.limit((n / 10).toInt)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(10.0f)).as("embedding"))
+    val drifted = Sq.sqEncode(corpus.select("vec_id", "embedding")
+      .union(outliers), "embedding", p)
+    val sat = Sq.sqSaturation(drifted, p.levels).collect()
+    val worst = sat.map(_.getDouble(4)).max
+    assert(worst >= 0.05,
+      s"planted 10% out-of-bounds rows must move the rate, got $worst")
+
+    // persisted-index form: save the drifted frame as an IVF-SQ index,
+    // describe it, and check the threshold hook's verdicts both ways
+    val dir = java.nio.file.Files.createTempDirectory("sq-sat").toString
+    val raw = corpus.select("vec_id", "embedding").union(outliers)
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(raw, nCells = 4), p, "vec_id"),
+      "sq_sat_t", dir, 4)
+    try {
+      val d = Sq.sqDescribe(spark, dir, p.levels).collect()(0)
+      assert(d.getAs[Long]("rows_sampled") == raw.count())
+      assert(d.getAs[Int]("dim") == 64)
+      val overall = d.getAs[Double]("sat_rate")
+      assert(overall > 0.0 && math.abs(overall -
+        (d.getAs[Double]("sat_lo_rate") + d.getAs[Double]("sat_hi_rate")))
+        < 1e-12)
+      assert(d.getAs[Double]("max_dim_sat_rate") >= overall,
+        "the worst dimension bounds the average from above")
+      assert(Sq.sqSaturationExceeded(spark, dir, p.levels,
+        maxSatRate = 0.01, maxDimSatRate = 0.05),
+        "planted drift past both thresholds must fire")
+      assert(!Sq.sqSaturationExceeded(spark, dir, p.levels,
+        maxSatRate = 0.5, maxDimSatRate = 0.99),
+        "lenient thresholds must not fire")
+      // per-dim trigger: a corpus-wide threshold the average passes can
+      // still fire on the worst dimension alone
+      assert(Sq.sqSaturationExceeded(spark, dir, p.levels,
+        maxSatRate = 1.0,
+        maxDimSatRate = d.getAs[Double]("max_dim_sat_rate") / 2))
+    } finally spark.sql("DROP TABLE IF EXISTS sq_sat_t")
+
+    // empty index: honest null row, no NPE in a monitoring call
+    val emptyDir = java.nio.file.Files.createTempDirectory("sq-sat0").toString
+    enc.limit(0).select("vec_id", "codes", "recon_norm")
+      .write.parquet(s"$emptyDir/assigned")
+    val e = Sq.sqDescribe(spark, emptyDir, p.levels).collect()(0)
+    assert(e.getAs[Long]("rows_sampled") == 0L && e.isNullAt(
+      e.fieldIndex("sat_rate")))
+  }
 }
