@@ -182,6 +182,26 @@ object Sq {
     SqParams(byI.map(_._2), byI.map(_._3), levels(0))
   }
 
+  /** Persist an SQ-encoded IVF index TOGETHER with its params
+    * ([[Similarity.ivfSave]] + [[sqParamsSave]] under
+    * `$path/sq_params`): the codes are unreadable without the bounds
+    * that encoded them — params ARE the decode key — and nothing else
+    * ties the two on disk, so an index that outlives its session (the
+    * entire point of the persistence layer) should carry them. The
+    * params dir sits OUTSIDE the assigned tree, so every maintenance
+    * op — append, delete, compact, [[ivfSqRetrain]]'s staged swap
+    * (which by design never re-fits bounds) — leaves it untouched.
+    * Reopen with [[Similarity.ivfLoad]] + [[sqParamsOf]]. */
+  def ivfSqSave(index: Similarity.IvfIndex, p: SqParams, table: String,
+      path: String, nCells: Int): Unit = {
+    Similarity.ivfSave(index, table, path, nCells)
+    sqParamsSave(index.assigned.sparkSession, p, s"$path/sq_params")
+  }
+
+  /** Reopen the params an [[ivfSqSave]] stored next to its index. */
+  def sqParamsOf(spark: SparkSession, path: String): SqParams =
+    sqParamsLoad(spark, s"$path/sq_params")
+
   /** Codegen encode column: `ARRAY<FLOAT|DOUBLE>` → `ARRAY<INT>` codes. */
   def sqEncodeCol(emb: Column, p: SqParams): Column =
     toCol(graft.functions.SqEncodeF(toExpr(emb), p.lo, p.hi, p.levels))

@@ -431,4 +431,65 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getAs[Long]("rows_sampled") == 0L && e.isNullAt(
       e.fieldIndex("sat_rate")))
   }
+
+  test("ivfSqSave: params ride next to the index (the decode key an " +
+      "index must not outlive) and survive the retrain swap untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-save").toString
+    val p = Sq.sqTrain(corpus, levels = 64)
+    Sq.ivfSqSave(Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 4),
+      p, "vec_id"), p, "sq_sv_t", dir, 4)
+    try {
+      // a FRESH consumer reopens index + params from the path alone
+      assert(Sq.sqParamsOf(spark, dir) == p)
+      val loaded = Similarity.ivfLoad(spark, "sq_sv_t", dir)
+      val qdf = corpus.filter(col("vec_id") === 7)
+      val top = Sq.ivfSqProbe(loaded, Sq.sqParamsOf(spark, dir), qdf,
+        "vec_id", k = 1).collect()
+      assert(top.length == 1 &&
+        top(0).getAs[Number]("vec_id").longValue() == 7L)
+      // the retrain's staged swap replaces assigned+centroids; params
+      // are bounds state, deliberately outside it
+      Sq.ivfSqRetrain(spark, "sq_sv_t", dir, nCells = 8, p = p)
+      assert(Sq.sqParamsOf(spark, dir) == p,
+        "params must survive the retrain swap byte-for-byte")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_sv_t")
+  }
+
+  test("ivfSqRetrain crash window: a swap that landed without its " +
+      "commit heals on the next load — the raw retrain's contract, " +
+      "pinned on the COMPRESSED layout") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-rcrash").toString
+    val p = Sq.sqTrain(corpus)
+    Similarity.ivfSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 4), p, "vec_id"),
+      "sq_rc_t", dir, 4)
+    try {
+      import spark.implicits._
+      val oldCent = spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Seq[Double])].collect().toSeq
+      Sq.ivfSqRetrain(spark, "sq_rc_t", dir, nCells = 8, p = p)
+      // reconstruct the worst crash point: new centroids still staged
+      // inside the assigned tree, the OLD frame back at the published
+      // location, the catalog entry lost mid-re-registration
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids"),
+        new org.apache.hadoop.fs.Path(s"$dir/assigned/_centroids")))
+      oldCent.toDF("cell", "cent").coalesce(1).write.parquet(s"$dir/centroids")
+      spark.sql("DROP TABLE `sq_rc_t`")
+
+      val healed = Similarity.ivfLoad(spark, "sq_rc_t", dir)
+      assert(healed.centroids.count() == 8L,
+        "load must publish the staged (new) centroids over the stale frame")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/assigned/_centroids")), "staged frame must be consumed")
+      // the healed compressed index probes exactly at exhaustive nProbe
+      val qdf = corpus.filter(col("vec_id") === 0)
+      val exhaustive = Sq.ivfSqProbe(healed, p, qdf, "vec_id",
+        nProbe = 8, k = 10).collect().toSeq
+      val flat = Sq.sqTopK(Sq.sqEncode(corpus, "embedding", p), p,
+        queryVec(0L), "vec_id", k = 10).collect().toSeq
+      assert(exhaustive == flat, "healed compressed index must probe exactly")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_rc_t")
+  }
 }
