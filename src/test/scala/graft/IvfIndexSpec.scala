@@ -683,30 +683,53 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_ah_t")
   }
 
-  test("auto-hier at a production cell count: a 4,096-cell index ranks " +
-      "hierarchically by default; the flat opt-out stays exact") {
-    // handmade 4,096-cell index (a 64x64 grid, one vector per cell):
-    // the retrain flow is pinned above — here the claim is the probe
-    // path's default at the IVF_ASSIGN_BENCH cell count, without a
-    // corpus-sized KMeans in the suite
-    val cents = spark.range(4096).select(col("id").cast("int").as("cell"),
-      array(floor(col("id") / 64).cast("double"),
-        (col("id") % 64).cast("double")).as("cent"))
+  test("auto-hier at the production cell count: probe-after-RETRAIN at " +
+      "4,096 cells ranks hierarchically by default; the flat opt-out " +
+      "stays exact") {
+    // a 64x64 grid, one distinct vector per target cell (the
+    // IVF_ASSIGN_BENCH cell count, dim kept tiny so the suite pays
+    // seconds, not a corpus-sized fit). The pre-retrain state is a
+    // plain parquet tree — ivfRetrain reads the PATH, so the spec
+    // exercises the real flow: KMeans k=4096 re-fit, 4,096-bucket
+    // staged save, swap, finalize, load.
+    val grid = spark.range(4096).select(col("id").as("vec_id"),
+      array((floor(col("id") / 64) + lit(1)).cast("double"),
+        (col("id") % 64 + lit(1)).cast("double")).as("embedding"),
+      lit(0).as("cell"))
       .localCheckpoint()
-    val assigned = cents.select(col("cell").cast("long").as("vec_id"),
-      col("cent").as("embedding"), col("cell"))
-    val idx = Similarity.IvfIndex(assigned, cents)
-    assert(idx.autoSuper.isDefined, "4,096 cells must default to hier")
-    val q = assigned.filter(col("vec_id") === 2080).select("embedding")
-    val hier = Similarity.ivfProbe(idx, q, "vec_id", nProbe = 4, k = 3)
-      .collect().toSeq
-    assert(hier == Similarity.ivfProbeHier(idx, idx.autoSuper.get, q,
-        "vec_id", nProbeSuper = 2, nProbe = 4, k = 3).collect().toSeq,
-      "default probe at 4,096 cells must BE the hierarchical ranking")
-    val flat = Similarity.ivfProbe(idx, q, "vec_id", nProbe = 4, k = 3,
-      nProbeSuper = 0).collect()
-    assert(flat.head.getLong(0) == 2080L && flat.head.getDouble(2) == 1.0,
-      "flat opt-out: the exact ranking finds the self-match")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ah4k").toString
+    grid.write.parquet(s"$dir/assigned")
+    // stale 1-cell quantizer as the pre-retrain published state
+    spark.range(1).select(col("id").cast("int").as("cell"),
+        array(lit(32.0), lit(32.0)).as("cent"))
+      .coalesce(1).write.parquet(s"$dir/centroids")
+    try {
+      val re = Similarity.ivfRetrain(spark, "ivf_ah4k_t", dir,
+        nCells = 4096)
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") > 256L &&
+        d.getAs[Boolean]("auto_hier"),
+        s"retrained to ${d.getAs[Long]("n_cells")} cells — must cross " +
+          "the threshold")
+      assert(re.autoSuper.isDefined,
+        "retrain's own handle defaults to hier at 4,096 cells")
+      val loaded = Similarity.ivfLoad(spark, "ivf_ah4k_t", dir)
+      assert(loaded.autoSuper.isDefined,
+        "reloaded handle defaults to hier at 4,096 cells")
+      // 2081 -> (33, 34): coprime components, so NO other grid point
+      // is collinear (cos 1.0) with it — the self-match is unique even
+      // if KMeans merges neighboring cells
+      val q = grid.filter(col("vec_id") === 2081).select("embedding")
+      val hier = Similarity.ivfProbe(loaded, q, "vec_id", nProbe = 4,
+        k = 3).collect().toSeq
+      assert(hier == Similarity.ivfProbeHier(loaded, loaded.autoSuper.get,
+          q, "vec_id", nProbeSuper = 2, nProbe = 4, k = 3).collect().toSeq,
+        "default probe at 4,096 cells must BE the hierarchical ranking")
+      val flat = Similarity.ivfProbe(loaded, q, "vec_id", nProbe = 4,
+        k = 3, nProbeSuper = 0).collect()
+      assert(flat.head.getLong(0) == 2081L && flat.head.getDouble(2) == 1.0,
+        "flat opt-out: the exact ranking finds the self-match")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_ah4k_t")
   }
 
   test("centroid-count/bucket-modulus contract (ADVICE r13): ivfSave " +
