@@ -163,6 +163,136 @@ object Pq {
       .drop((0 until cb.m).map(s => s"_pq$s"): _*)
   }
 
+  /** Persist a PQ-encoded IVF index TOGETHER with its codebooks
+    * ([[Similarity.ivfSave]] + [[codebooksSave]] under
+    * `$path/pq_codebooks`): codes are unreadable without the codebooks
+    * that produced them — the PQ decode key, exactly the gap
+    * [[graft.ext.Sq.ivfSqSave]] closes for SQ params. The codebooks
+    * dir sits OUTSIDE the assigned tree (append/delete/compact leave
+    * it untouched); [[ivfPqRetrain]] refreshes it THROUGH the staged
+    * swap, so codes and codebooks can never publish separately.
+    * Reopen with [[Similarity.ivfLoad]] + [[pqCodebooksOf]]. */
+  def ivfPqSave(index: Similarity.IvfIndex, cb: PqCodebooks,
+      table: String, path: String, nCells: Int): Unit = {
+    Similarity.ivfSave(index, table, path, nCells)
+    codebooksSave(index.assigned.sparkSession, cb, s"$path/pq_codebooks")
+  }
+
+  /** Reopen the codebooks an [[ivfPqSave]] (or a retrain) stored next
+    * to the index. */
+  def pqCodebooksOf(spark: SparkSession, path: String): PqCodebooks =
+    codebooksLoad(spark, s"$path/pq_codebooks")
+
+  /** [[Similarity.ivfRetrain]] for a PQ-ENCODED persisted index — the
+    * raw-access form (VERDICT r13 #2's option (b)): PQ codes cannot
+    * seed a re-fit the way SQ codes can (plain-PQ decode is
+    * codebook-coarse, and residual codes are defined against the OLD
+    * cells), so the caller brings the raw embedding frame — which a
+    * production deployment retains anyway: a PQ index is a DERIVED
+    * artifact of its corpus, and this is the `rerankWith` access
+    * pattern applied to maintenance. The coarse re-fit runs on the raw
+    * vectors joined to the index's LIVE ids (every live id must be
+    * covered — missing ids fail loudly, never silently vanish from the
+    * index; tombstoned ids may be absent).
+    *
+    * What happens to codes, by form:
+    *  - plain, `refitCodebooks = false` (default): codes are
+    *    cell-independent — carried through BYTE-IDENTICAL, only `cell`
+    *    moves (the [[graft.ext.Sq.ivfSqRetrain]] shape, but with an
+    *    exact fit instead of a reconstruction fit);
+    *  - plain, `refitCodebooks = true`: codebooks re-trained on the
+    *    live raw vectors, codes re-encoded;
+    *  - `residual = true`: codes are ALWAYS re-encoded (they quantize
+    *    `x − cent(cell)` and the cells just moved); `refitCodebooks`
+    *    re-trains the residual codebooks on the NEW residuals first —
+    *    the full IVFADC retrain, recommended when the corpus drifted
+    *    enough to fire the policy at all.
+    *
+    * The (possibly refreshed) codebooks are staged INSIDE the swapped
+    * tree (`retrainImpl`'s `stagedMeta` → published to
+    * `$path/pq_codebooks` by `finalizeRetrain` before the centroid
+    * publish): no crash window can publish new cells/codes under old
+    * codebooks or vice versa. Returns the reopened index AND the
+    * codebooks valid for its codes — probe with exactly these.
+    *
+    * Caveat the schema cannot catch: SQ and PQ layouts are
+    * deliberately indistinguishable (`codes` + `recon_norm`). The
+    * caller owns knowing which encoder produced the index — same
+    * contract as choosing the probe family. */
+  def ivfPqRetrain(spark: SparkSession, table: String, path: String,
+      nCells: Int, raw: DataFrame, idCol: String, cb: PqCodebooks,
+      embCol: String = "embedding", residual: Boolean = false,
+      refitCodebooks: Boolean = false, seed: Long = 42L)
+      : (Similarity.IvfIndex, PqCodebooks) = {
+    var cbOut: PqCodebooks = cb
+    val reopened = Similarity.retrainImpl(spark, table, path, nCells,
+      embCol, seed,
+      reconstruct = df => {
+        require(df.columns.contains("codes"),
+          s"ivfPqRetrain: no `codes` column under $path/assigned — " +
+            "not a compressed layout (a raw index retrains via " +
+            "ivfRetrain)")
+        require(!df.columns.contains(embCol),
+          s"ivfPqRetrain: layout already has `$embCol` — a raw index " +
+            "retrains via ivfRetrain, no raw frame needed")
+        val emb = raw.select(col(idCol), col(embCol))
+        // every LIVE id must be covered by the raw frame — an inner
+        // join would silently drop uncovered live vectors from the
+        // rewritten index. Tombstoned ids may legitimately be absent
+        // (they are about to be folded away), so the check folds them
+        // out first. One id-column pass of the index — offline-op cost.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val live =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+            val del = spark.read.parquet(s"$path/deletes")
+            df.join(broadcast(del), Seq(del.columns.head), "left_anti")
+          } else df
+        val missing = live.select(col(idCol))
+          .join(emb.select(col(idCol)), Seq(idCol), "left_anti").count()
+        require(missing == 0L,
+          s"ivfPqRetrain: $missing live ids under $path are missing " +
+            s"from the raw frame — the re-fit would silently drop them")
+        df.join(emb, Seq(idCol))
+      },
+      project = idx => {
+        val a = idx.assigned
+        if (!residual && !refitCodebooks) a.drop(embCol)
+        else if (!residual) {
+          cbOut = trainedCodebooks(a, embCol, cb.dim, cb.m, cb.k, seed)
+          pqEncode(a.drop("codes", "recon_norm"), embCol, cbOut)
+            .drop(embCol)
+        } else {
+          if (refitCodebooks)
+            cbOut = trainedResidualCodebooks(a.drop("codes", "recon_norm"),
+              embCol, idx, cb.dim, cb.m, cb.k, seed)
+          pqEncodeResidual(a.drop("codes", "recon_norm"), embCol, cbOut,
+            idx).drop(embCol)
+        }
+      },
+      stagedMeta = _ => Seq("pq_codebooks" -> codebookDf(spark, cbOut)))
+    (reopened, cbOut)
+  }
+
+  /** Policy wrapper over [[ivfPqRetrain]] — the PQ member of the
+    * shared-trigger family ([[Similarity.retrainTrigger]], one policy,
+    * three retrain forms). The raw frame is the extra requirement PQ
+    * carries; returns the refreshed codebooks when it fired, None when
+    * it didn't. */
+  def ivfPqMaybeRetrain(spark: SparkSession, table: String, path: String,
+      raw: DataFrame, idCol: String, cb: PqCodebooks,
+      maxSkew: Double = 4.0, minOccupiedFrac: Double = 0.5,
+      targetRowsPerCell: Long = 0L, embCol: String = "embedding",
+      residual: Boolean = false, refitCodebooks: Boolean = false,
+      seed: Long = 42L): Option[PqCodebooks] =
+    Similarity.retrainTrigger(spark, path, maxSkew, minOccupiedFrac,
+        targetRowsPerCell) match {
+      case Some(newCells) =>
+        Some(ivfPqRetrain(spark, table, path, newCells, raw, idCol, cb,
+          embCol, residual, refitCodebooks, seed)._2)
+      case None => None
+    }
+
   /** Query-side ADC lookup table: `lut(s)(c) = q_s · cent_{s,c}` —
     * m × k doubles, built on the driver once per probe (sequential
     * element fold, the [[graft.functions.DotF32]] order). */

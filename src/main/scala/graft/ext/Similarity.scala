@@ -867,27 +867,39 @@ object Similarity {
             "compressed layout stores codes, not embeddings. An " +
             "SQ-encoded index retrains via Sq.ivfSqRetrain (the decode " +
             "is a lossless-enough reconstruction; codes survive " +
-            "unchanged). PQ residual codes are defined against the OLD " +
-            "cells: re-fit from the raw embedding frame instead — " +
-            "ivfBuild + ivfPqEncode[Residual] + ivfSave to a fresh path")
+            "unchanged). A PQ-encoded index retrains via " +
+            "Pq.ivfPqRetrain with the raw embedding frame (residual " +
+            "codes are defined against the OLD cells, so the re-fit " +
+            "re-encodes from raw)")
         raw
       },
-      project = identity)
+      project = _.assigned)
 
-  /** The staged-swap retrain body [[ivfRetrain]] and
-    * [[graft.ext.Sq.ivfSqRetrain]] share. `reconstruct` gives the live
-    * frame an `embCol` to fit on (identity for a raw index; SQ decodes
-    * its codes — reconstruction error ≤ step/2 per dim, which the
-    * KMeans re-fit tolerates); `project` strips fit-only columns before
-    * the bucketed save (identity for raw; SQ drops the decoded view so
-    * the layout stays compressed — codes are NEVER re-encoded, only the
-    * `cell` column changes). The swap/commit choreography is identical
-    * either way, so the crash-window contract ([[finalizeRetrain]],
-    * spec-pinned) covers both forms by construction. */
+  /** The staged-swap retrain body [[ivfRetrain]],
+    * [[graft.ext.Sq.ivfSqRetrain]], and [[graft.ext.Pq.ivfPqRetrain]]
+    * share. `reconstruct` gives the live frame an `embCol` to fit on
+    * (identity for a raw index; SQ decodes its codes — reconstruction
+    * error ≤ step/2 per dim, which the KMeans re-fit tolerates; PQ
+    * joins a caller-supplied raw frame); `project` maps the freshly
+    * built index to the frame to SAVE (identity/assigned for raw;
+    * compressed forms strip the fit-only view and, for residual PQ,
+    * re-encode against the new cells — it receives the whole
+    * [[IvfIndex]] because residual encoding needs the new centroids).
+    * `stagedMeta` names extra metadata frames to carry through the
+    * SAME two-rename swap: each `(name, frame)` is staged inside the
+    * rewritten tree as `_meta_<name>` and published by
+    * [[finalizeRetrain]] to `$path/<name>` atomically-enough that no
+    * crash can publish new cells under old metadata (the residual-PQ
+    * codebooks problem: codes and codebooks must move together). The
+    * swap/commit choreography is identical for every form, so the
+    * crash-window contract (spec-pinned) covers all of them by
+    * construction. */
   private[ext] def retrainImpl(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, nCells: Int, embCol: String,
       seed: Long, reconstruct: DataFrame => DataFrame,
-      project: DataFrame => DataFrame): IvfIndex = {
+      project: IvfIndex => DataFrame,
+      stagedMeta: IvfIndex => Seq[(String, DataFrame)] = _ => Nil)
+      : IvfIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
@@ -922,9 +934,13 @@ object Similarity {
         "bucket modulus")
     // stage the full retrained state as ONE directory
     val tmpTable = table + "__retraining"
-    graft.engine.Store.saveBucketed(project(newIdx.assigned), tmpTable,
+    graft.engine.Store.saveBucketed(project(newIdx), tmpTable,
       s"$path/assigned__compacting", actualCells, Seq("cell"))
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    stagedMeta(newIdx).foreach { case (name, frame) =>
+      frame.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/assigned__compacting/_meta_$name")
+    }
     newIdx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/assigned__compacting/_centroids")
     // two-rename swap, compactBucketed's discipline
@@ -952,11 +968,15 @@ object Similarity {
     * frame still sitting inside the live assigned tree. Idempotent and
     * re-run by [[ivfLoad]], so every crash window after the swap heals
     * on the next load. Order matters: the catalog is re-registered
-    * (from the STAGED frame's count — the new files' modulus) before
-    * the centroids publish, so a crash between the two re-enters here;
-    * the tombstone clear is last and harmless to lose (the rebuilt
-    * corpus contains no tombstoned ids, so leftovers anti-join
-    * nothing). Returns true iff a commit completed. */
+    * (from the STAGED frame's count — the new files' modulus) first;
+    * staged metadata dirs (`_meta_<name>` → `$path/<name>`, e.g. the
+    * residual-PQ codebooks whose codes are defined against exactly
+    * these cells) publish next, while `_centroids` still marks the
+    * commit as in-progress; the centroids publish after that, so a
+    * crash anywhere re-enters here with each completed step an
+    * idempotent skip; the tombstone clear is last and harmless to lose
+    * (the rebuilt corpus contains no tombstoned ids, so leftovers
+    * anti-join nothing). Returns true iff a commit completed. */
   private[graft] def finalizeRetrain(
       spark: org.apache.spark.sql.SparkSession, table: String,
       path: String): Boolean = {
@@ -967,6 +987,26 @@ object Similarity {
     val n = spark.read.parquet(staged.toString).count().toInt
     graft.engine.Store.registerBucketedExternal(spark, table,
       s"$path/assigned", n, Seq("cell"))
+    // publish any staged metadata dirs BEFORE the centroid publish:
+    // while `_centroids` is still staged, a crash here re-enters this
+    // block on the next load, and an already-published meta dir is
+    // simply absent from the staging (idempotent skip). Publishing
+    // AFTER the centroid rename would open the window this mechanism
+    // exists to close — new cells live while their paired metadata
+    // (e.g. residual-PQ codebooks, whose codes are defined against
+    // exactly these cells) is still the old one.
+    val assignedDir = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    fs.listStatus(assignedDir).map(_.getPath)
+      .filter(_.getName.startsWith("_meta_")).foreach { m =>
+        val target = new org.apache.hadoop.fs.Path(
+          s"$path/${m.getName.stripPrefix("_meta_")}")
+        if (fs.exists(target) && !fs.delete(target, true))
+          throw new java.io.IOException(
+            s"finalizeRetrain: cannot clear stale $target")
+        if (!fs.rename(m, target))
+          throw new java.io.IOException(
+            s"finalizeRetrain: rename $m -> $target failed")
+      }
     val cent = new org.apache.hadoop.fs.Path(s"$path/centroids")
     if (fs.exists(cent) && !fs.delete(cent, true))
       throw new java.io.IOException(

@@ -359,7 +359,7 @@ object Sq {
             "the quantizer on the wrong column)")
         raw.withColumn(embCol, sqDecodeCol(col("codes"), p))
       },
-      project = _.drop(embCol))
+      project = _.assigned.drop(embCol))
 
   /** Policy wrapper over [[ivfSqRetrain]] — the compressed twin of
     * [[Similarity.ivfMaybeRetrain]], same thresholds, same measured

@@ -199,10 +199,12 @@ object IndexIngest {
     * then fires [[graft.ext.Sq.ivfSqMaybeRetrain]], which re-fits the
     * cells on the decoded reconstruction and keeps the codes (same
     * staged swap, same crash windows). A PQ-encoded sink cannot arm
-    * retrain — residual codes are defined against the old cells, and
-    * plain-PQ decode is codebook-coarse — so retrain-armed without
-    * `sqParams` on a layout with no `embCol` still fails FAST at first
-    * load, not at whatever epoch the policy first fires. */
+    * retrain — codes cannot seed the re-fit (residual codes are
+    * defined against the old cells; plain decode is codebook-coarse) —
+    * so retrain-armed without `sqParams` on a layout with no `embCol`
+    * still fails FAST at first load, not at whatever epoch the policy
+    * first fires. The PQ remedy is batch-side:
+    * [[graft.ext.Pq.ivfPqRetrain]] with the retained raw frame. */
   def ivfSink(idCol: String, embCol: String, table: String, path: String,
       nCells: Int, maxFilesPerCell: Int = 0,
       encode: DataFrame => DataFrame = identity,
@@ -274,7 +276,8 @@ object IndexIngest {
               s"under $path has no `$embCol` column (compressed " +
               "layout) — pass sqParams so the hook can retrain via " +
               "Sq.ivfSqRetrain (decode→refit, codes kept), or disarm " +
-              "retrain (PQ layouts cannot retrain from codes)")
+              "retrain (a PQ layout cannot retrain from codes; run " +
+              "Pq.ivfPqRetrain batch-side with the raw frame instead)")
           // the converse misconfiguration fails fast too: sqParams on a
           // RAW layout would reach ivfSqRetrain's decode-over-embCol
           // refusal only at fire time

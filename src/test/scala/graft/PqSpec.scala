@@ -447,4 +447,187 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       ()
     }
   }
+
+  test("ivfPqRetrain (plain): raw-access re-fit — codes byte-identical, " +
+      "cells follow the argmin rule, codebooks published alongside, " +
+      "exhaustive ADC probe == the flat scorer; guards fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-retrain").toString
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    Pq.ivfPqSave(Pq.ivfPqEncode(Similarity.ivfBuild(half, nCells = 4),
+      cb, "vec_id"), cb, "pq_rt_t", dir, 4)
+    try {
+      assert(Pq.pqCodebooksOf(spark, dir) == cb, "save publishes the key")
+      val loaded = Similarity.ivfLoad(spark, "pq_rt_t", dir)
+      Similarity.ivfAppendSave(
+        Pq.pqEncode(Similarity.ivfAssign(loaded, rest, "vec_id"),
+          "embedding", cb)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        "pq_rt_t", dir, 4)
+      import spark.implicits._
+      assert(Similarity.ivfDelete(Seq(4L).toDF("vec_id"), "vec_id",
+        "pq_rt_t", dir) == 1L)
+      val before = spark.read.parquet(s"$dir/assigned")
+        .select(col("vec_id").cast("long"), col("codes"), col("recon_norm"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+
+      // a raw retrain on the compressed layout refuses, pointing here
+      val eRaw = intercept[IllegalArgumentException](
+        Similarity.ivfRetrain(spark, "pq_rt_t", dir, nCells = 8))
+      assert(eRaw.getMessage.contains("ivfPqRetrain"), eRaw.getMessage)
+      // a raw frame missing live ids refuses instead of dropping them
+      val eCov = intercept[IllegalArgumentException](
+        Pq.ivfPqRetrain(spark, "pq_rt_t", dir, nCells = 8,
+          raw = corpus.filter(col("vec_id") < 100), idCol = "vec_id",
+          cb = cb))
+      assert(eCov.getMessage.contains("missing"), eCov.getMessage)
+
+      val (re, cbRe) = Pq.ivfPqRetrain(spark, "pq_rt_t", dir, nCells = 8,
+        raw = corpus, idCol = "vec_id", cb = cb)
+      assert(cbRe == cb, "plain retrain without refit keeps the codebooks")
+      assert(Pq.pqCodebooksOf(spark, dir) == cb,
+        "the staged swap must (re)publish the codebooks alongside")
+      assert(re.centroids.count() == 8L)
+      val after = spark.read.parquet(s"$dir/assigned")
+      assert(!after.columns.contains("embedding"),
+        "the fit-only raw view must not leak into the layout")
+      after.select(col("vec_id").cast("long"), col("codes"),
+          col("recon_norm")).collect().foreach { r =>
+        assert(before(r.getLong(0)) == ((r.getSeq[Int](1), r.getDouble(2))),
+          s"payload changed across plain retrain for id ${r.getLong(0)}")
+      }
+      // the new cells are the RAW argmin assignment (exact fit — the
+      // advantage raw access buys over the SQ reconstruction fit)
+      val reloaded = Similarity.ivfLoad(spark, "pq_rt_t", dir)
+      val expect = Similarity.ivfAssign(reloaded,
+        corpus.filter(col("vec_id") =!= 4), "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      val got = reloaded.assigned
+        .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "retrained cells must be the raw argmin assignment")
+      // exhaustive ADC probe over the retrained index == flat pqTopK
+      val qdf = corpus.filter(col("vec_id") === 0)
+      val exhaustive = Pq.ivfPqProbe(reloaded, cb, qdf, "vec_id",
+        nProbe = 8, k = 10).collect().toSeq
+      val flat = Pq.pqTopK(
+        Pq.pqEncode(corpus.filter(col("vec_id") =!= 4), "embedding", cb),
+        cb, queryVec(0L), "vec_id", k = 10).collect().toSeq
+      assert(exhaustive == flat, "exhaustive probe must equal the flat scorer")
+
+      // the converse guard: ivfPqRetrain on a RAW layout refuses
+      val rawDir = java.nio.file.Files.createTempDirectory("pq-rt-raw").toString
+      Similarity.ivfSave(Similarity.ivfBuild(half, nCells = 4),
+        "pq_rt_raw_t", rawDir, 4)
+      try {
+        val ePq = intercept[IllegalArgumentException](
+          Pq.ivfPqRetrain(spark, "pq_rt_raw_t", rawDir, nCells = 8,
+            raw = corpus, idCol = "vec_id", cb = cb))
+        assert(ePq.getMessage.contains("ivfRetrain"), ePq.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS pq_rt_raw_t")
+    } finally spark.sql("DROP TABLE IF EXISTS pq_rt_t")
+  }
+
+  test("ivfPqRetrain (residual + refit): codes re-encoded against the " +
+      "new cells with codebooks re-trained on the new residuals; codes " +
+      "and codebooks swap TOGETHER (crash window pinned); covering " +
+      "rerank == brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("pqr-retrain").toString
+    val built = Similarity.ivfBuild(corpus, nCells = 4)
+    val cb0 = Pq.trainedResidualCodebooks(built.assigned, "embedding",
+      built, dim = 64, m = 8, k = 16)
+    Pq.ivfPqSave(Pq.ivfPqEncodeResidual(built, cb0, "vec_id"), cb0,
+      "pqr_rt_t", dir, 4)
+    try {
+      import spark.implicits._
+      val oldCent = spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Seq[Double])].collect().toSeq
+
+      val (re, cbNew) = Pq.ivfPqRetrain(spark, "pqr_rt_t", dir,
+        nCells = 8, raw = corpus, idCol = "vec_id", cb = cb0,
+        residual = true, refitCodebooks = true)
+      assert(re.centroids.count() == 8L)
+      assert(cbNew != cb0,
+        "refit on the new residuals must actually change the codebooks")
+      assert(Pq.pqCodebooksOf(spark, dir) == cbNew,
+        "published codebooks must be the ones the codes were encoded with")
+      // codes == the batch residual re-derivation against the new state
+      val reloaded = Similarity.ivfLoad(spark, "pqr_rt_t", dir)
+      val expect = Pq.pqEncodeResidual(
+          Similarity.ivfAssign(reloaded, corpus, "vec_id"), "embedding",
+          cbNew, reloaded)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      val got = reloaded.assigned
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("codes"), col("recon_norm"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "retrained residual codes diverged from the batch re-derivation")
+      // covering rerank over the retrained index reproduces brute force
+      val qdf = corpus.filter(col("vec_id") === 0)
+      val n = corpus.count().toInt
+      assert(Pq.ivfPqProbeResidual(reloaded, cbNew, qdf, "vec_id",
+          nProbe = 8, k = 5, rerankWith = Some(corpus), rerankFactor = n)
+          .collect().toSeq ==
+        Similarity.bruteForceTopK(corpus, qdf, "vec_id", k = 5)
+          .collect().toSeq,
+        "covering rerank must be exact post-retrain")
+
+      // worst crash window, now WITH paired metadata: new codebooks and
+      // centroids staged inside the assigned tree, STALE survivors back
+      // at both published locations, catalog entry lost — one load must
+      // heal the whole pair (codes are defined against the new cells;
+      // healing either half alone would be silent corruption)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      assert(fs.rename(p(s"$dir/pq_codebooks"),
+        p(s"$dir/assigned/_meta_pq_codebooks")))
+      Pq.codebooksSave(spark, cb0, s"$dir/pq_codebooks") // stale survivor
+      assert(fs.rename(p(s"$dir/centroids"), p(s"$dir/assigned/_centroids")))
+      oldCent.toDF("cell", "cent").coalesce(1).write.parquet(s"$dir/centroids")
+      spark.sql("DROP TABLE `pqr_rt_t`")
+
+      val healed = Similarity.ivfLoad(spark, "pqr_rt_t", dir)
+      assert(healed.centroids.count() == 8L,
+        "load must publish the staged (new) centroids over the stale frame")
+      assert(Pq.pqCodebooksOf(spark, dir) == cbNew,
+        "load must publish the staged (new) codebooks over the stale dir")
+      assert(!fs.exists(p(s"$dir/assigned/_meta_pq_codebooks")) &&
+        !fs.exists(p(s"$dir/assigned/_centroids")),
+        "staged state must be consumed")
+      assert(Pq.ivfPqProbeResidual(healed, cbNew, qdf, "vec_id",
+          nProbe = 8, k = 5, rerankWith = Some(corpus),
+          rerankFactor = n).collect().toSeq ==
+        Similarity.bruteForceTopK(corpus, qdf, "vec_id", k = 5)
+          .collect().toSeq,
+        "healed index must probe exactly under the healed codebooks")
+    } finally spark.sql("DROP TABLE IF EXISTS pqr_rt_t")
+  }
+
+  test("ivfPqMaybeRetrain: shared trigger, PQ retrain form — growth " +
+      "fires and returns the codebooks; freshly sized: None") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-mr").toString
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    Pq.ivfPqSave(
+      Pq.ivfPqEncode(Similarity.ivfBuild(corpus, nCells = 2), cb, "vec_id"),
+      cb, "pq_mr_t", dir, 2)
+    try {
+      val live = corpus.count()
+      val target = live / 8
+      val fired = Pq.ivfPqMaybeRetrain(spark, "pq_mr_t", dir,
+        raw = corpus, idCol = "vec_id", cb = cb,
+        maxSkew = 1e9, minOccupiedFrac = 0.0, targetRowsPerCell = target)
+      assert(fired.contains(cb), "growth must fire and return the key")
+      val d = Similarity.ivfDescribe(spark, dir).collect()(0)
+      assert(d.getAs[Long]("n_cells") == (live + target - 1) / target)
+      assert(Pq.ivfPqMaybeRetrain(spark, "pq_mr_t", dir,
+        raw = corpus, idCol = "vec_id", cb = cb,
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        targetRowsPerCell = target).isEmpty, "freshly sized: no re-fire")
+    } finally spark.sql("DROP TABLE IF EXISTS pq_mr_t")
+  }
 }
