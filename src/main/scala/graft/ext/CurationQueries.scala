@@ -1077,7 +1077,10 @@ object CurationQueries {
     (s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val p = Sq.sqTrain(embs.filter(col("vec_id") % 2 === 0), "embedding")
+      // c_max is a levels cross-check column, not part of the oracle
+      // contract — the pinned observability surface is the five below
       Sq.sqSaturation(Sq.sqEncode(embs, "embedding", p), p.levels)
+        .select("i", "n", "sat_lo", "sat_hi", "sat_rate")
     },
     Some("""WITH tr AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
           generate_subscripts(embedding, 1) AS i

@@ -236,19 +236,22 @@ object Pq {
           s"ivfPqRetrain: layout already has `$embCol` — a raw index " +
             "retrains via ivfRetrain, no raw frame needed")
         val emb = raw.select(col(idCol), col(embCol))
+        // the raw frame must be KEYED: duplicate ids would multiply
+        // their rows through the join into the rewritten index
+        // (probes would then return one id at two ranks). One hash
+        // agg over raw — offline-op cost.
+        require(emb.groupBy(col(idCol)).count()
+            .filter(col("count") > 1).isEmpty,
+          s"ivfPqRetrain: raw frame has duplicate $idCol rows — the " +
+            "rebuild would store those vectors more than once")
         // every LIVE id must be covered by the raw frame — an inner
         // join would silently drop uncovered live vectors from the
         // rewritten index. Tombstoned ids may legitimately be absent
         // (they are about to be folded away), so the check folds them
-        // out first. One id-column pass of the index — offline-op cost.
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        val live =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
-            val del = spark.read.parquet(s"$path/deletes")
-            df.join(broadcast(del), Seq(del.columns.head), "left_anti")
-          } else df
-        val missing = live.select(col(idCol))
+        // out first (the shared Similarity.liveRows fold). One
+        // id-column pass of the index — offline-op cost.
+        val missing = Similarity.liveRows(spark, path, df)
+          .select(col(idCol))
           .join(emb.select(col(idCol)), Seq(idCol), "left_anti").count()
         require(missing == 0L,
           s"ivfPqRetrain: $missing live ids under $path are missing " +

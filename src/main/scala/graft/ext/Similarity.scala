@@ -132,19 +132,38 @@ object Similarity {
 
   /** The ONE resolution rule for which quantizer ranks probe cells,
     * shared by every probe entry point (raw/PQ/residual/SQ, single and
-    * bulk): an explicit `superQ` wins; otherwise the index's auto-built
-    * hierarchy above [[AutoHierCells]] cells; flat below. `nProbeSuper
-    * = 0` is the per-call OPT-OUT (ADVICE r13): it forces the exact
-    * flat ranking at ANY cell count without paying a super-quantizer
-    * fit — the auto-hier default changed `superQ = None`'s meaning from
-    * "flat" to "auto" once an index crosses the threshold, and a caller
-    * comparing recall (or pinning exactness) needs flat back without
-    * rebuilding the index under the threshold. */
+    * bulk). `nProbeSuper = 0` is the per-call OPT-OUT (ADVICE r13) and
+    * beats everything — even an explicitly passed `superQ` (zero
+    * supers to consider leaves no hierarchical ranking to do; the hier
+    * path would `take(0)` supers and probe nothing, so 0 MEANS flat,
+    * unconditionally): the exact flat ranking at ANY cell count, no
+    * super-quantizer fit paid. Otherwise an explicit `superQ` wins;
+    * otherwise the index's auto-built hierarchy above
+    * [[AutoHierCells]] cells; flat below — the auto-hier default
+    * changed `superQ = None`'s meaning from "flat" to "auto" once an
+    * index crosses the threshold, and a caller comparing recall (or
+    * pinning exactness) needs flat back without rebuilding the index
+    * under the threshold. */
   private[ext] def resolveSuper(index: IvfIndex, superQ: Option[IvfSuper],
       nProbeSuper: Int): Option[IvfSuper] = {
     require(nProbeSuper >= 0,
       "nProbeSuper must be >= 0 (0 = force the exact flat cell ranking)")
     if (nProbeSuper == 0) None else superQ.orElse(index.autoSuper)
+  }
+
+  /** The tombstone fold every maintenance reader shares: `df` minus the
+    * ids under `$path/deletes` (broadcast anti-join on the tombstone
+    * file's OWN id column — the one schema contract tombstones carry),
+    * identity when none exist. One implementation so the fold cannot
+    * drift between the load, trigger, and retrain paths. */
+  private[ext] def liveRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
+      val del = spark.read.parquet(s"$path/deletes")
+      df.join(broadcast(del), Seq(del.columns.head), "left_anti")
+    } else df
   }
 
   /** IVF index build (the expensive offline step, run once per corpus):
@@ -197,8 +216,6 @@ object Similarity {
     * the files physically. */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, table: String,
       path: String): IvfIndex = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     // an [[ivfCompact]] killed between its two directory renames leaves
     // no live assigned dir — roll the completed rewrite forward
     graft.engine.Store.healInterruptedSwap(spark, s"$path/assigned")
@@ -225,13 +242,8 @@ object Similarity {
       graft.engine.Store.registerBucketedExternal(spark, table,
         s"$path/assigned", n, Seq("cell"))
     }
-    val base = spark.table(table)
-    val assigned =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
-        val del = spark.read.parquet(s"$path/deletes")
-        base.join(broadcast(del), Seq(del.columns.head), "left_anti")
-      } else base
-    IvfIndex(assigned, spark.read.parquet(s"$path/centroids"))
+    IvfIndex(liveRows(spark, path, spark.table(table)),
+      spark.read.parquet(s"$path/centroids"))
   }
 
   /** Delete vectors from a persisted IVF index — retention /
@@ -805,15 +817,9 @@ object Similarity {
         s"$path/${graft.ext.Dedup.StreamJournal}")),
       s"unhealed interrupted stream ingest under $path: replay the " +
         "stream before compacting")
-    val delPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fold: DataFrame => DataFrame =
-      if (fs.exists(delPath)) { df =>
-        val del = spark.read.parquet(s"$path/deletes")
-        df.join(broadcast(del), Seq(del.columns.head), "left_anti")
-      } else identity
     graft.engine.Store.compactBucketed(spark, table, s"$path/assigned",
-      nCells, Seq("cell"), transform = fold)
-    fs.delete(delPath, true)
+      nCells, Seq("cell"), transform = liveRows(spark, path, _))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
   }
 
   /** Compact-on-rot policy for the IVF assigned table — the IVF twin of
@@ -913,10 +919,7 @@ object Similarity {
     // dropped (path read, not spark.table — the rewrite must not depend
     // on catalog state it is about to replace)
     val raw = reconstruct(spark.read.parquet(s"$path/assigned"))
-    val live = (if (fs.exists(p("deletes"))) {
-      val del = spark.read.parquet(s"$path/deletes")
-      raw.join(broadcast(del), Seq(del.columns.head), "left_anti")
-    } else raw).drop("cell")
+    val live = liveRows(spark, path, raw).drop("cell")
     val newIdx = ivfBuild(live, embCol, nCells, seed)
     // bucket by the ACTUAL centroid count, not the requested one:
     // KMeans can return fewer than k centers (fewer distinct points
@@ -1070,30 +1073,24 @@ object Similarity {
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly even)")
     require(minOccupiedFrac >= 0.0 && minOccupiedFrac <= 1.0,
       "minOccupiedFrac is a fraction")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val nCells = spark.read.parquet(s"$path/centroids").count()
-    val raw = spark.read.parquet(s"$path/assigned")
-    val live =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes"))) {
-        val del = spark.read.parquet(s"$path/deletes")
-        raw.join(broadcast(del), Seq(del.columns.head), "left_anti")
-      } else raw
+    val live = liveRows(spark, path,
+      spark.read.parquet(s"$path/assigned"))
     // one pruned scan: per-cell live counts roll up to a single row
     val s = live.groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("occ"), max("n").as("mx"), sum("n").as("rows"))
       .head
     val occ = s.getLong(0)
     if (occ == 0L) return None // empty/fully-tombstoned: nothing to fit
-    val (mx, liveRows) = (s.getLong(1), s.getLong(2))
-    val skew = mx / (liveRows.toDouble / occ)
+    val (mx, liveN) = (s.getLong(1), s.getLong(2))
+    val skew = mx / (liveN.toDouble / occ)
     val outgrown = targetRowsPerCell > 0L &&
-      liveRows > 2L * targetRowsPerCell * nCells
+      liveN > 2L * targetRowsPerCell * nCells
     if (skew <= maxSkew && occ >= minOccupiedFrac * nCells && !outgrown)
       None
     else Some((
       if (targetRowsPerCell > 0L)
-        math.max(1L, (liveRows + targetRowsPerCell - 1) / targetRowsPerCell)
+        math.max(1L, (liveN + targetRowsPerCell - 1) / targetRowsPerCell)
       else nCells).toInt)
   }
 

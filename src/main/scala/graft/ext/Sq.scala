@@ -357,6 +357,15 @@ object Sq {
           s"ivfSqRetrain: layout already has `$embCol` — a raw index " +
             "retrains via ivfRetrain (decoding codes over it would fit " +
             "the quantizer on the wrong column)")
+        // SQ and PQ layouts share a schema; the one physical tell is
+        // the codes width (SQ: dim per row, PQ: m << dim). Decoding
+        // PQ code INDICES through the affine map would re-fit cells on
+        // garbage — refuse on a one-row width probe.
+        val w = raw.select(size(col("codes"))).take(1)
+        require(w.isEmpty || w(0).getInt(0) == p.dim,
+          s"ivfSqRetrain: params dim ${p.dim} != codes width " +
+            s"${w(0).getInt(0)} — these params did not train this " +
+            "index's codes (a PQ layout retrains via Pq.ivfPqRetrain)")
         raw.withColumn(embCol, sqDecodeCol(col("codes"), p))
       },
       project = _.assigned.drop(embCol))
@@ -387,11 +396,18 @@ object Sq {
     * step/2. No probe, describe, or maintenance op can see it happen —
     * the codes are valid codes — so the ONE observable is the rate of
     * codes sitting AT the clamp. Returns dim rows `(i, n, sat_lo,
-    * sat_hi, sat_rate)`; note min/max-trained bounds make the trained
-    * extremes themselves sit at the clamp, so the baseline rate is
-    * ~2/n per dim, not 0 — compare against the post-train baseline,
-    * not zero (quantile-trained bounds saturate their clipped tails by
-    * design, [[sqTrainQuantile]]).
+    * sat_hi, c_max, sat_rate)` — `c_max` is the dim's largest observed
+    * code, the physical cross-check that the claimed `levels` actually
+    * fits these codes ([[sqDescribe]] enforces it). Notes:
+    * min/max-trained bounds make the trained extremes themselves sit
+    * at the clamp, so the baseline rate is ~2/n per dim, not 0 —
+    * compare against the post-train baseline, not zero
+    * (quantile-trained bounds saturate their clipped tails by design,
+    * [[sqTrainQuantile]]); and a DEGENERATE dimension (`hi == lo` at
+    * train — every value encodes to 0 forever) reads 1.0 here by
+    * construction while carrying no drift information — callers with
+    * params in hand should mask such dims ([[sqDescribe]] does, when
+    * given `params`).
     *
     * Scale shape: the encode-train pass in reverse — posexplode +
     * groupBy(pos) with algebraic aggregates (map-side combined, the
@@ -412,7 +428,8 @@ object Sq {
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("c") === 0, 1L).otherwise(0L)).as("sat_lo"),
-        sum(when(col("c") === levels - 1, 1L).otherwise(0L)).as("sat_hi"))
+        sum(when(col("c") === levels - 1, 1L).otherwise(0L)).as("sat_hi"),
+        max(col("c")).as("c_max"))
       .withColumn("sat_rate",
         round((col("sat_lo") + col("sat_hi")) / col("n"), 6))
       .orderBy("i")
@@ -420,27 +437,56 @@ object Sq {
 
   /** Read-only SQ-index observability — the [[Similarity.ivfDescribe]]
     * sibling for the signal only an SQ layout has: one summary row
-    * `(rows_sampled, dim, sat_lo_rate, sat_hi_rate, sat_rate,
-    * max_dim_sat_rate, max_dim)` over the persisted assigned frame
-    * (overall rates across all code elements; `max_dim` names the
-    * worst dimension — bounds drift is usually per-dim, a feature
+    * `(rows_sampled, dim, degenerate_dims, sat_lo_rate, sat_hi_rate,
+    * sat_rate, max_dim_sat_rate, max_dim)` over the persisted assigned
+    * frame (overall rates across all code elements; `max_dim` names
+    * the worst dimension — bounds drift is usually per-dim, a feature
     * whose live distribution moved). Same cost class as
     * `ivfDescribe(cellBalance = true)`: one column-pruned scan of
     * `codes`, sample-boundable; compose with `ivfDescribe` for the
-    * full health picture. Policy: when the rate materially exceeds its
-    * post-train baseline (~2/n per dim for min/max bounds, the
-    * clipped-tail fraction for quantile bounds), the bounds no longer
-    * describe the corpus — re-train params on RAW vectors (`sqTrain` /
-    * [[sqTrainQuantile]] on the source corpus or the `rerankWith`
-    * frame) and re-encode to a fresh index; [[ivfSqRetrain]] cannot
-    * fix it (codes lost the out-of-range mass — see its scaladoc). */
+    * full health picture.
+    *
+    * Pass `params` (e.g. [[sqParamsOf]] for an [[ivfSqSave]]d index)
+    * for the trustworthy form: `levels` is taken from the params, and
+    * DEGENERATE dimensions (`step == 0` — trained constant, every
+    * value encodes to 0 forever, a permanent false 100% lo-saturation
+    * carrying no drift information) are masked out of every rate and
+    * reported in `degenerate_dims` instead. Without params the rates
+    * include them — a constant feature column reads as drift, so a
+    * monitoring job should prefer the params form. Either way the
+    * claimed level count is cross-checked against the largest observed
+    * code (a wrong `levels` would silently zero the hi-saturation half
+    * of the signal — e.g. monitoring an SQ4 index with the default
+    * 256).
+    *
+    * Policy: when the rate materially exceeds its post-train baseline
+    * (~2/n per dim for min/max bounds, the clipped-tail fraction for
+    * quantile bounds), the bounds no longer describe the corpus —
+    * re-train params on RAW vectors (`sqTrain` / [[sqTrainQuantile]]
+    * on the source corpus or the `rerankWith` frame) and re-encode to
+    * a fresh index; [[ivfSqRetrain]] cannot fix it (codes lost the
+    * out-of-range mass — see its scaladoc). */
   def sqDescribe(spark: SparkSession, path: String, levels: Int = 256,
-      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      params: Option[SqParams] = None): DataFrame = {
     val enc = spark.read.parquet(s"$path/assigned")
     require(enc.columns.contains("codes"),
       s"sqDescribe: no `codes` column under $path/assigned — not a " +
         "compressed (SQ/PQ-encoded) index layout")
-    val perDim = sqSaturation(enc, levels, "codes", sampleFraction, seed)
+    val lv = params.map(_.levels).getOrElse(levels)
+    val degenerate: Seq[Int] = params.toSeq.flatMap(_.step.zipWithIndex
+      .collect { case (s, i) if s == 0.0 => i })
+    val perDimAll = sqSaturation(enc, lv, "codes", sampleFraction, seed)
+    // the claimed level count must fit the observed codes — checked on
+    // ALL dims (degenerate dims only ever code 0, harmless here)
+    val cm = perDimAll.agg(max("c_max")).head
+    require(cm.isNullAt(0) || cm.getInt(0) < lv,
+      s"sqDescribe: largest observed code ${cm.getInt(0)} >= claimed " +
+        s"levels $lv under $path — these are not $lv-level codes; " +
+        "pass the index's real levels (or its params via sqParamsOf)")
+    val perDim =
+      if (degenerate.isEmpty) perDimAll
+      else perDimAll.filter(!col("i").isin(degenerate: _*))
     // dim-row roll-up: overall rates + the worst dimension, one row
     val s = perDim
       .agg(sum("n").as("els"), sum("sat_lo").as("lo"),
@@ -451,23 +497,25 @@ object Sq {
       .head
     import spark.implicits._
     if (s.isNullAt(0) || s.getLong(0) == 0L)
-      // empty index (or an all-null sample): honest zero row
-      Seq((0L, 0, null.asInstanceOf[java.lang.Double],
+      // empty index (or an all-null sample, or every dim degenerate):
+      // honest zero row
+      Seq((0L, 0, degenerate.size,
+          null.asInstanceOf[java.lang.Double],
           null.asInstanceOf[java.lang.Double],
           null.asInstanceOf[java.lang.Double],
           null.asInstanceOf[java.lang.Double],
           null.asInstanceOf[java.lang.Integer]))
-        .toDF("rows_sampled", "dim", "sat_lo_rate", "sat_hi_rate",
-          "sat_rate", "max_dim_sat_rate", "max_dim")
+        .toDF("rows_sampled", "dim", "degenerate_dims", "sat_lo_rate",
+          "sat_hi_rate", "sat_rate", "max_dim_sat_rate", "max_dim")
     else {
       val els = s.getLong(0).toDouble
       val dim = s.getLong(3).toInt
-      Seq((s.getLong(0) / dim, dim,
+      Seq((s.getLong(0) / dim, dim, degenerate.size,
           s.getLong(1) / els, s.getLong(2) / els,
           (s.getLong(1) + s.getLong(2)) / els,
           s.getDouble(4), s.getInt(5)))
-        .toDF("rows_sampled", "dim", "sat_lo_rate", "sat_hi_rate",
-          "sat_rate", "max_dim_sat_rate", "max_dim")
+        .toDF("rows_sampled", "dim", "degenerate_dims", "sat_lo_rate",
+          "sat_hi_rate", "sat_rate", "max_dim_sat_rate", "max_dim")
     }
   }
 
@@ -476,21 +524,25 @@ object Sq {
     * saturation rate exceeds `maxSatRate` OR any single dimension
     * exceeds `maxDimSatRate` (per-dim drift hides in a corpus-wide
     * average: one drifted feature out of 1024 moves the overall rate
-    * ~0.1%). Deliberately returns a VERDICT, not a retrain: unlike
-    * cell drift, bounds drift is not recoverable from the index's own
-    * codes (see [[sqDescribe]]'s policy note) — the caller must bring
-    * raw vectors, so the hook's job is to say WHEN, loudly and
-    * cheaply, in a monitoring job's cadence. */
+    * ~0.1%). Pass `params` so degenerate dimensions don't false-fire
+    * forever and `levels` can't be wrong ([[sqDescribe]]'s rules).
+    * Deliberately returns a VERDICT, not a retrain: unlike cell drift,
+    * bounds drift is not recoverable from the index's own codes (see
+    * [[sqDescribe]]'s policy note) — the caller must bring raw
+    * vectors, so the hook's job is to say WHEN, loudly and cheaply, in
+    * a monitoring job's cadence. */
   def sqSaturationExceeded(spark: SparkSession, path: String,
       levels: Int = 256, maxSatRate: Double = 0.01,
       maxDimSatRate: Double = 0.05, sampleFraction: Double = 1.0,
-      seed: Long = 42L): Boolean = {
+      seed: Long = 42L, params: Option[SqParams] = None): Boolean = {
     require(maxSatRate > 0.0 && maxDimSatRate > 0.0,
       "saturation thresholds must be positive (min/max-trained bounds " +
         "have a nonzero baseline rate — the trained extremes sit at " +
         "the clamp)")
-    val d = sqDescribe(spark, path, levels, sampleFraction, seed).head
-    !d.isNullAt(4) && (d.getDouble(4) > maxSatRate ||
-      d.getDouble(5) > maxDimSatRate)
+    val d = sqDescribe(spark, path, levels, sampleFraction, seed, params)
+      .head
+    val rate = d.fieldIndex("sat_rate")
+    !d.isNullAt(rate) && (d.getDouble(rate) > maxSatRate ||
+      d.getDouble(d.fieldIndex("max_dim_sat_rate")) > maxDimSatRate)
   }
 }

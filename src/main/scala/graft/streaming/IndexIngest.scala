@@ -286,6 +286,22 @@ object IndexIngest {
             s"ivfSink: sqParams passed but the published index under " +
               s"$path stores a raw `$embCol` column — a raw index " +
               "retrains via the default hook; drop sqParams")
+          // and the WRONG-compressed-layout case: SQ and PQ layouts
+          // share a schema, but SQ codes are dim-wide per row while PQ
+          // codes are m-wide (m << dim) — sqParams against a PQ index
+          // would decode code INDICES through the affine map and
+          // re-fit cells on garbage, silently. One-row width probe.
+          if (retrainOn && sqParams.isDefined) {
+            val w = centroids.assigned
+              .select(org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.col("codes"))).take(1)
+            require(w.isEmpty || w(0).getInt(0) == sqParams.get.dim,
+              s"ivfSink: sqParams dim ${sqParams.get.dim} != codes " +
+                s"width ${w(0).getInt(0)} under $path — these params " +
+                "did not train this index's codes (a PQ layout's codes " +
+                "are m-wide); disarm retrain or run Pq.ivfPqRetrain " +
+                "batch-side with the raw frame")
+          }
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))
@@ -317,7 +333,9 @@ object IndexIngest {
       // so the next epoch re-loads (and re-derives) from the published
       // state. The SQ form (sqParams given) shares the trigger and the
       // swap; it re-fits cells on the decoded reconstruction and keeps
-      // the codes. A PQ layout with retrain armed failed fast above.
+      // the codes. A PQ layout with retrain armed failed fast at first
+      // load: without sqParams on the no-embCol require, with sqParams
+      // on the codes-width probe (PQ codes are m-wide, not dim-wide).
       val skew = if (retrainMaxSkew > 0.0) retrainMaxSkew
         else Double.MaxValue
       val fired = retrainOn && (sqParams match {

@@ -157,7 +157,10 @@ object SqBench {
           .collect().map(_.getLong(0)).toSeq
       }
     }
-    scanRace(s"$tmp/sq4_flat", unpack = false) // warm the read path once
+    // warm BOTH paths once (each side has its own codegen/JIT to pay —
+    // warming only flat would bias the race against packed)
+    scanRace(s"$tmp/sq4_flat", unpack = false)
+    scanRace(s"$tmp/sq4_packed", unpack = true)
     val (flatIds, flatScanSec) = scanRace(s"$tmp/sq4_flat", unpack = false)
     val (packedIds, packedScanSec) = scanRace(s"$tmp/sq4_packed", unpack = true)
     require(flatIds == packedIds,

@@ -376,7 +376,9 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       // at each end, and the whole-dim rate stays a small fraction
       assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L,
         s"dim ${r.getInt(0)}: trained extremes must sit at the clamp")
-      assert(r.getDouble(4) < 0.1,
+      assert(r.getAs[Int]("c_max") == p.levels - 1,
+        "min/max training puts the max at the top code")
+      assert(r.getAs[Double]("sat_rate") < 0.1,
         s"dim ${r.getInt(0)}: baseline saturation should be marginal")
     }
 
@@ -389,7 +391,7 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
     val drifted = Sq.sqEncode(corpus.select("vec_id", "embedding")
       .union(outliers), "embedding", p)
     val sat = Sq.sqSaturation(drifted, p.levels).collect()
-    val worst = sat.map(_.getDouble(4)).max
+    val worst = sat.map(_.getAs[Double]("sat_rate")).max
     assert(worst >= 0.05,
       s"planted 10% out-of-bounds rows must move the rate, got $worst")
 
@@ -430,6 +432,71 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
     val e = Sq.sqDescribe(spark, emptyDir, p.levels).collect()(0)
     assert(e.getAs[Long]("rows_sampled") == 0L && e.isNullAt(
       e.fieldIndex("sat_rate")))
+  }
+
+  test("saturation with params: degenerate dims are masked (no eternal " +
+      "false alarm), levels come from the params, and a claimed level " +
+      "count the codes don't fit refuses loudly") {
+    // plant ONE constant dimension — the zero-padded-feature shape
+    val const = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, lit(1.5f)).otherwise(x)).as("embedding"))
+    val p = Sq.sqTrain(const)
+    assert(p.step(0) == 0.0, "fixture: dim 0 must be degenerate")
+    val dir = java.nio.file.Files.createTempDirectory("sq-degen").toString
+    Sq.ivfSqSave(Sq.ivfSqEncode(Similarity.ivfBuild(const, nCells = 2),
+      p, "vec_id"), p, "sq_dg_t", dir, 2)
+    try {
+      // WITHOUT params: dim 0 encodes to 0 forever -> 100% lo-sat,
+      // which the naive hook reads as permanent drift
+      assert(Sq.sqSaturationExceeded(spark, dir, p.levels),
+        "naive (no-params) monitoring false-fires on a constant dim")
+      // WITH params: the degenerate dim is masked and reported, the
+      // healthy remainder stays under the default thresholds
+      val d = Sq.sqDescribe(spark, dir, params = Some(p)).collect()(0)
+      assert(d.getAs[Int]("degenerate_dims") == 1)
+      assert(d.getAs[Int]("dim") == 63,
+        "rates must roll up over the non-degenerate dims only")
+      assert(!Sq.sqSaturationExceeded(spark, dir, params = Some(p)),
+        "params-aware monitoring must not false-fire on degeneracy")
+      // claimed levels must fit the codes: an SQ8 index monitored as
+      // SQ4 would silently zero the hi-saturation signal — refuse
+      val eLv = intercept[IllegalArgumentException](
+        Sq.sqDescribe(spark, dir, levels = 16))
+      assert(eLv.getMessage.contains("levels"), eLv.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_dg_t")
+  }
+
+  test("compressed-layout cross-guards: SQ params against PQ-wide codes " +
+      "refuse everywhere the mixup could corrupt (batch retrain, armed " +
+      "sink); PQ retrain refuses a duplicate-id raw frame") {
+    import graft.ext.Pq
+    val p = Sq.sqTrain(corpus)
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("sq-cross").toString
+    // a PQ-encoded index: codes are m=8 wide, not dim=64
+    Pq.ivfPqSave(Pq.ivfPqEncode(Similarity.ivfBuild(corpus, nCells = 4),
+      cb, "vec_id"), cb, "sq_cx_t", dir, 4)
+    try {
+      val eRt = intercept[IllegalArgumentException](
+        Sq.ivfSqRetrain(spark, "sq_cx_t", dir, nCells = 8, p = p))
+      assert(eRt.getMessage.contains("width"), eRt.getMessage)
+      val sink = graft.streaming.IndexIngest.ivfSink("vec_id", "embedding",
+        "sq_cx_t", dir, 4, encode = df => Sq.sqEncode(df, "embedding", p)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        retrainRowsPerCell = 1000000L, sqParams = Some(p))
+      val eSink = intercept[IllegalArgumentException](
+        sink(corpus.limit(3).toDF(), 0L))
+      assert(eSink.getMessage.contains("width"), eSink.getMessage)
+      // and the keyed-raw contract: duplicates would multiply rows
+      val dup = corpus.select("vec_id", "embedding")
+        .union(corpus.limit(1).select("vec_id", "embedding"))
+      val eDup = intercept[IllegalArgumentException](
+        Pq.ivfPqRetrain(spark, "sq_cx_t", dir, nCells = 8, raw = dup,
+          idCol = "vec_id", cb = cb))
+      assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_cx_t")
   }
 
   test("ivfSqSave: params ride next to the index (the decode key an " +
