@@ -223,19 +223,24 @@ object Sq {
     withCodes.withColumn("recon_norm", sqrt(Similarity.dot(dec, dec)))
   }
 
-  /** SQ asymmetric top-k: decode each row's codes and score the exact
-    * cosine of the RECONSTRUCTION against the raw query — rounded at 6
-    * with id tie-breaks (the house scoring rule), optional two-stage
-    * exact rerank via the shared [[Pq.scoredTopK]] tail. */
+  /** SQ asymmetric top-k: score the exact cosine of each row's
+    * RECONSTRUCTION against the raw query — rounded at 6 with id
+    * tie-breaks (the house scoring rule), optional two-stage exact
+    * rerank via the shared [[Pq.scoredTopK]] tail. The numerator is
+    * the fused kernel [[graft.functions.SqAdcF]] (decode+dot in one
+    * loop, no per-row reconstruction array — the in-cell scan's hot
+    * loop at scale), bit-identical to the two-kernel
+    * `dot(decode(codes), q)` form (spec-pinned; x97 hash-checks the
+    * scored output cross-engine). */
   def sqTopK(encoded: DataFrame, p: SqParams, query: IndexedSeq[Double],
       idCol: String, k: Int = 10, rerankWith: Option[DataFrame] = None,
       rerankFactor: Int = 4, embCol: String = "embedding"): DataFrame = {
     require(query.length == p.dim,
       s"sqTopK: query dim ${query.length} != trained dim ${p.dim}")
-    val qlit = array(query.map(lit(_)): _*)
     val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
     val scored = encoded.withColumn("cos_sq",
-      round(Similarity.dot(sqDecodeCol(col("codes"), p), qlit) /
+      round(toCol(graft.functions.SqAdcF(toExpr(col("codes")), p.lo,
+          p.step, query)) /
         (col("recon_norm") * lit(qn)), 6))
     Pq.scoredTopK(scored, query, idCol, k, rerankWith, rerankFactor,
       embCol, scoreCol = "cos_sq")
@@ -288,7 +293,12 @@ object Sq {
     * the index: one projection reconstructs `embCol` from the codes
     * (codegen [[graft.functions.SqDecodeF]], fused into the same stage
     * as the scoring fold — the codes column is what the pruned scan
-    * reads), and every bulk guarantee carries over verbatim — cell
+    * reads; the single-query scorer's fully-fused
+    * [[graft.functions.SqAdcF]] doesn't apply here, since each row's
+    * query arrives as DATA from the pairs join, not as a driver
+    * constant — the decode+`DotF32` pair stays one codegen stage
+    * either way, paying only the per-row reconstruction array),
+    * and every bulk guarantee carries over verbatim — cell
     * ranking as data, `cell IN (…)` bucket pruning, per-query windowed
     * top-k, the shared `pred` rule. Scores are bit-identical to the
     * per-query [[ivfSqProbe]] (spec-pinned): the probe's re-folded

@@ -823,6 +823,68 @@ case class SqDecodeF(child: Expression, lo: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Fused SQ asymmetric scoring kernel: `dot(decode(codes), q)` in ONE
+  * loop — `Σ_i (lo_i + c_i·step_i) · q_i` accumulated in element
+  * order. Bit-identical to `DotF32(SqDecodeF(codes), q)` by
+  * construction (same multiplies, same adds, same order, same
+  * min-length truncation; SqSpec pins the equality value-for-value on
+  * the corpus and x97's oracle hash-checks the scored output) — the
+  * difference is purely mechanical: the two-kernel form allocates a
+  * `double[dim]` reconstruction per row, and the in-cell scan of an
+  * SQ probe at 100 TB is exactly that loop × every surviving row. The
+  * query rides as a reference object like the params (dim doubles —
+  * the probe's existing driver bound). Null input → null. */
+case class SqAdcF(child: Expression, lo: IndexedSeq[Double],
+    step: IndexedSeq[Double], q: IndexedSeq[Double])
+    extends UnaryExpression {
+  require(lo.nonEmpty && lo.length == step.length && lo.length == q.length,
+    s"graft_sq_adc: lo/step/q dims differ " +
+      s"(${lo.length}/${step.length}/${q.length})")
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val stArr: Array[Double] = step.toArray
+  private lazy val qArr: Array[Double] = q.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq_adc expects array<int>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), loArr.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += (loArr(i) + v.getInt(i) * stArr(i)) * qArr(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val loRef = ctx.addReferenceObj("sqaLo", loArr, "double[]")
+      val stRef = ctx.addReferenceObj("sqaStep", stArr, "double[]")
+      val qRef = ctx.addReferenceObj("sqaQ", qArr, "double[]")
+      val (acc, n, i) = (ctx.freshName("acc"), ctx.freshName("n"),
+        ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), ${loArr.length});
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($loRef[$i] + $a.getInt($i) * $stRef[$i]) * $qRef[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native quantile-bucket id: upper-bound binary search of a double
   * value in a sorted boundary array riding as a reference object —
   * `bucket = #{b : b <= v}`, i.e. 0 below the first boundary,

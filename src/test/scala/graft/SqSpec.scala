@@ -128,6 +128,26 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SqAdcF: the fused decode+dot kernel is bit-identical to the " +
+      "two-kernel dot(decode(codes), q) form on every corpus row") {
+    import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+    val p = Sq.sqTrain(corpus)
+    val q = queryVec(0L)
+    val qlit = array(q.map(lit(_)): _*)
+    val rows = Sq.sqEncode(corpus, "embedding", p)
+      .select(
+        toCol(graft.functions.SqAdcF(toExpr(col("codes")), p.lo, p.step, q))
+          .as("fused"),
+        Similarity.dot(Sq.sqDecodeCol(col("codes"), p), qlit)
+          .as("twoKernel"))
+      .collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"fused ${r.getDouble(0)} != two-kernel ${r.getDouble(1)}")
+    }
+  }
+
   test("sqTopK at 256 levels: near-exact — top-10 ids overlap brute " +
       "force >= 9/10 and the top-1 matches") {
     val p = Sq.sqTrain(corpus)
