@@ -235,6 +235,16 @@ object Pq {
         require(!df.columns.contains(embCol),
           s"ivfPqRetrain: layout already has `$embCol` — a raw index " +
             "retrains via ivfRetrain, no raw frame needed")
+        // the mixup guard in the SQ→PQ direction (the sibling of
+        // ivfSqRetrain's): PQ codes are m-wide; an SQ layout's codes
+        // are dim-wide, and running it through here would replace them
+        // with PQ codes (residual/refit) or publish pq_codebooks next
+        // to its sq_params (plain) — either way silent corruption of
+        // an index whose params still look valid. Shared one-row probe.
+        Similarity.codesWidth(df).foreach(w => require(w == cb.m,
+          s"ivfPqRetrain: codebooks are m=${cb.m}-wide but the codes " +
+            s"under $path/assigned are $w-wide — not this codebook's " +
+            "index (an SQ layout retrains via Sq.ivfSqRetrain)"))
         val emb = raw.select(col(idCol), col(embCol))
         // the raw frame must be KEYED: duplicate ids would multiply
         // their rows through the join into the rewritten index

@@ -151,6 +151,17 @@ object Similarity {
     if (nProbeSuper == 0) None else superQ.orElse(index.autoSuper)
   }
 
+  /** One-row probe of a compressed layout's codes width — the ONE
+    * physical tell between the schema-identical SQ (dim-wide) and PQ
+    * (m-wide) layouts, shared by every cross-layout guard so the probe
+    * and its meaning cannot drift between sites. None on an empty
+    * frame (guards skip — nothing to corrupt). */
+  private[graft] def codesWidth(df: DataFrame): Option[Int] = {
+    val w = df.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("codes"))).take(1)
+    if (w.isEmpty) None else Some(w(0).getInt(0))
+  }
+
   /** The tombstone fold every maintenance reader shares: `df` minus the
     * ids under `$path/deletes` (broadcast anti-join on the tombstone
     * file's OWN id column — the one schema contract tombstones carry),

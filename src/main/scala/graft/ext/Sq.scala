@@ -370,12 +370,11 @@ object Sq {
         // SQ and PQ layouts share a schema; the one physical tell is
         // the codes width (SQ: dim per row, PQ: m << dim). Decoding
         // PQ code INDICES through the affine map would re-fit cells on
-        // garbage — refuse on a one-row width probe.
-        val w = raw.select(size(col("codes"))).take(1)
-        require(w.isEmpty || w(0).getInt(0) == p.dim,
-          s"ivfSqRetrain: params dim ${p.dim} != codes width " +
-            s"${w(0).getInt(0)} — these params did not train this " +
-            "index's codes (a PQ layout retrains via Pq.ivfPqRetrain)")
+        // garbage — refuse on the shared one-row width probe.
+        Similarity.codesWidth(raw).foreach(w => require(w == p.dim,
+          s"ivfSqRetrain: params dim ${p.dim} != codes width $w — " +
+            "these params did not train this index's codes (a PQ " +
+            "layout retrains via Pq.ivfPqRetrain)"))
         raw.withColumn(embCol, sqDecodeCol(col("codes"), p))
       },
       project = _.assigned.drop(embCol))
@@ -463,11 +462,16 @@ object Sq {
     * carrying no drift information) are masked out of every rate and
     * reported in `degenerate_dims` instead. Without params the rates
     * include them — a constant feature column reads as drift, so a
-    * monitoring job should prefer the params form. Either way the
-    * claimed level count is cross-checked against the largest observed
-    * code (a wrong `levels` would silently zero the hi-saturation half
-    * of the signal — e.g. monitoring an SQ4 index with the default
-    * 256).
+    * monitoring job should prefer the params form. The claimed level
+    * count is checked against the largest observed code both ways:
+    * claimed-too-SMALL (an SQ8 index monitored as SQ4 — codes exceed
+    * the range) refuses hard; claimed-too-LARGE (an SQ4 index
+    * monitored with the default 256 — `sat_hi` would silently read 0
+    * and upward bounds drift would be invisible) cannot be *proven*
+    * from codes alone (deletes may legitimately have removed the rows
+    * holding the top code), so it warns loudly on stderr when the
+    * observed max is consistent with a half-or-smaller level count.
+    * The params form has neither ambiguity.
     *
     * Policy: when the rate materially exceeds its post-train baseline
     * (~2/n per dim for min/max bounds, the clipped-tail fraction for
@@ -484,29 +488,34 @@ object Sq {
       s"sqDescribe: no `codes` column under $path/assigned — not a " +
         "compressed (SQ/PQ-encoded) index layout")
     val lv = params.map(_.levels).getOrElse(levels)
-    val degenerate: Seq[Int] = params.toSeq.flatMap(_.step.zipWithIndex
-      .collect { case (s, i) if s == 0.0 => i })
-    val perDimAll = sqSaturation(enc, lv, "codes", sampleFraction, seed)
-    // the claimed level count must fit the observed codes — checked on
-    // ALL dims (degenerate dims only ever code 0, harmless here)
-    val cm = perDimAll.agg(max("c_max")).head
-    require(cm.isNullAt(0) || cm.getInt(0) < lv,
-      s"sqDescribe: largest observed code ${cm.getInt(0)} >= claimed " +
-        s"levels $lv under $path — these are not $lv-level codes; " +
-        "pass the index's real levels (or its params via sqParamsOf)")
-    val perDim =
-      if (degenerate.isEmpty) perDimAll
-      else perDimAll.filter(!col("i").isin(degenerate: _*))
-    // dim-row roll-up: overall rates + the worst dimension, one row
-    val s = perDim
-      .agg(sum("n").as("els"), sum("sat_lo").as("lo"),
-        sum("sat_hi").as("hi"), count(lit(1)).as("dim"),
-        max(struct(col("sat_rate"), col("i"))).as("worst"))
-      .select(col("els"), col("lo"), col("hi"), col("dim"),
-        col("worst.sat_rate").as("wr"), col("worst.i").as("wi"))
-      .head
+    val degenerate: Set[Int] = params.toSeq.flatMap(_.step.zipWithIndex
+      .collect { case (s, i) if s == 0.0 => i }).toSet
+    // ONE scan: the per-dim frame is dim rows after aggregation — the
+    // sqTrain collect bound — so every check and the roll-up run
+    // driver-side from a single materialization (an earlier form paid
+    // a second full codes scan for the levels cross-check)
+    val all = sqSaturation(enc, lv, "codes", sampleFraction, seed)
+      .collect() // dim rows — never corpus-sized
+    // levels-vs-codes, hard direction: codes out of the claimed range
+    // (checked on ALL dims — degenerate dims only ever code 0)
+    val cMax = if (all.isEmpty) -1
+      else all.map(_.getAs[Int]("c_max")).max
+    require(all.isEmpty || cMax < lv,
+      s"sqDescribe: largest observed code $cMax >= claimed levels $lv " +
+        s"under $path — these are not $lv-level codes; pass the " +
+        "index's real levels (or its params via sqParamsOf)")
+    // levels-vs-codes, heuristic direction (no params to prove it):
+    // an observed max consistent with a half-or-smaller level count
+    // means sat_hi may be watching a code that can never occur
+    if (params.isEmpty && all.nonEmpty && cMax >= 0 && 2 * (cMax + 1) <= lv)
+      System.err.println(s"sqDescribe: WARNING — largest observed code " +
+        s"$cMax under $path is consistent with <= ${cMax + 1} levels " +
+        s"but $lv were claimed; if this index was encoded at fewer " +
+        "levels, sat_hi is silently zero — pass its params " +
+        "(sqParamsOf) or the real levels")
+    val rows = all.filterNot(r => degenerate.contains(r.getAs[Int]("i")))
     import spark.implicits._
-    if (s.isNullAt(0) || s.getLong(0) == 0L)
+    if (rows.isEmpty || rows.map(_.getAs[Long]("n")).sum == 0L)
       // empty index (or an all-null sample, or every dim degenerate):
       // honest zero row
       Seq((0L, 0, degenerate.size,
@@ -518,12 +527,17 @@ object Sq {
         .toDF("rows_sampled", "dim", "degenerate_dims", "sat_lo_rate",
           "sat_hi_rate", "sat_rate", "max_dim_sat_rate", "max_dim")
     else {
-      val els = s.getLong(0).toDouble
-      val dim = s.getLong(3).toInt
-      Seq((s.getLong(0) / dim, dim, degenerate.size,
-          s.getLong(1) / els, s.getLong(2) / els,
-          (s.getLong(1) + s.getLong(2)) / els,
-          s.getDouble(4), s.getInt(5)))
+      val els = rows.map(_.getAs[Long]("n")).sum
+      val lo = rows.map(_.getAs[Long]("sat_lo")).sum
+      val hi = rows.map(_.getAs[Long]("sat_hi")).sum
+      val dim = rows.length
+      // worst dim by (sat_rate, i) — the max(struct(...)) tie rule
+      val (wr, wi) = rows
+        .map(r => (r.getAs[Double]("sat_rate"), r.getAs[Int]("i")))
+        .max
+      Seq((els / dim, dim, degenerate.size,
+          lo / els.toDouble, hi / els.toDouble,
+          (lo + hi) / els.toDouble, wr, wi))
         .toDF("rows_sampled", "dim", "degenerate_dims", "sat_lo_rate",
           "sat_hi_rate", "sat_rate", "max_dim_sat_rate", "max_dim")
     }

@@ -290,18 +290,17 @@ object IndexIngest {
           // share a schema, but SQ codes are dim-wide per row while PQ
           // codes are m-wide (m << dim) — sqParams against a PQ index
           // would decode code INDICES through the affine map and
-          // re-fit cells on garbage, silently. One-row width probe.
-          if (retrainOn && sqParams.isDefined) {
-            val w = centroids.assigned
-              .select(org.apache.spark.sql.functions.size(
-                org.apache.spark.sql.functions.col("codes"))).take(1)
-            require(w.isEmpty || w(0).getInt(0) == sqParams.get.dim,
-              s"ivfSink: sqParams dim ${sqParams.get.dim} != codes " +
-                s"width ${w(0).getInt(0)} under $path — these params " +
-                "did not train this index's codes (a PQ layout's codes " +
-                "are m-wide); disarm retrain or run Pq.ivfPqRetrain " +
-                "batch-side with the raw frame")
-          }
+          // re-fit cells on garbage, silently. Shared one-row width
+          // probe (Similarity.codesWidth — same tell as the batch
+          // retrains').
+          if (retrainOn && sqParams.isDefined)
+            Similarity.codesWidth(centroids.assigned).foreach(w =>
+              require(w == sqParams.get.dim,
+                s"ivfSink: sqParams dim ${sqParams.get.dim} != codes " +
+                  s"width $w under $path — these params did not train " +
+                  "this index's codes (a PQ layout's codes are " +
+                  "m-wide); disarm retrain or run Pq.ivfPqRetrain " +
+                  "batch-side with the raw frame"))
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))

@@ -516,6 +516,17 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         Pq.ivfPqRetrain(spark, "sq_cx_t", dir, nCells = 8, raw = dup,
           idCol = "vec_id", cb = cb))
       assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+      // the SQ->PQ direction: PQ codebooks against dim-wide SQ codes
+      // refuse before any re-encode could destroy them
+      val sqDir = java.nio.file.Files.createTempDirectory("sq-cx2").toString
+      Sq.ivfSqSave(Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 4),
+        p, "vec_id"), p, "sq_cx2_t", sqDir, 4)
+      try {
+        val ePq = intercept[IllegalArgumentException](
+          Pq.ivfPqRetrain(spark, "sq_cx2_t", sqDir, nCells = 8,
+            raw = corpus, idCol = "vec_id", cb = cb, residual = true))
+        assert(ePq.getMessage.contains("-wide"), ePq.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS sq_cx2_t")
     } finally spark.sql("DROP TABLE IF EXISTS sq_cx_t")
   }
 
