@@ -35,6 +35,15 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Squared-L2 distance of two float/double array columns, accumulated
+    * in double in element order — the codegen'd native expression
+    * ([[graft.functions.L2DistF32]]); bit-identical to the HOF fold it
+    * replaced on equal-length arrays (the cell-ranking rule every probe
+    * shares rounds OUTSIDE, at 6, as before). The HOF form survives as
+    * the cross-check reference in [[ivfAssignViaJoin]]. */
+  def l2sq(a: Column, b: Column): Column =
+    toCol(graft.functions.L2DistF32(toExpr(a), toExpr(b)))
+
   /** L2 norm (= sqrt of self-dot, native). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -353,9 +362,7 @@ object Similarity {
         // flat" hold on near-tie centroids too, and the oracle rows can
         // mirror the ranking deterministically (r12 review finding #1)
         val probeCells = index.centroids.crossJoin(qv)
-          .withColumn("dist", round(aggregate(
-            zip_with(col("cent"), col("q_v"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v), 6))
+          .withColumn("dist", round(l2sq(col("cent"), col("q_v")), 6))
           .orderBy(col("dist").asc, col("cell")).limit(nProbe)
           // cast before collect: the probe must not assume the persisted
           // index's integer width (physical layouts have drifted before
@@ -563,9 +570,9 @@ object Similarity {
       qidCol: String, nProbe: Int, superQ: Option[IvfSuper] = None,
       nProbeSuper: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def d2(a: Column, b: Column): Column = round(aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v), 6)
+    // the one distance the bulk ranking evaluates Q × cells times per
+    // batch — codegen kernel, not the interpreted HOF fold (L2DistF32)
+    def d2(a: Column, b: Column): Column = round(l2sq(a, b), 6)
     val wCell = Window.partitionBy(qidCol)
       .orderBy(col("_dist").asc, col("cell").asc)
     // above AutoHierCells the index supplies its auto-built hierarchy

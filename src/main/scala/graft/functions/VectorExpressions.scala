@@ -88,6 +88,81 @@ case class DotF32(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance of two float/double array columns —
+  * `Σ_i (a_i - b_i)²` accumulated in double in element order, the
+  * [[DotF32]] treatment applied to the OTHER vector fold on the hot
+  * path: cell ranking. The HOF formulation
+  * (`aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0, +)`) is a
+  * CodegenFallback — interpreted lambdas per element — and the bulk
+  * probes evaluate it Q × nCells (flat) or Q × (nSuper +
+  * nProbeSuper·nCells/nSuper) (hier) times per batch, which at
+  * production Q and cell counts is exactly the kind of loop that must
+  * stay inside whole-stage codegen. Bit-identical to the HOF form on
+  * the embedding invariant (equal-length, element-non-null arrays —
+  * same subtractions, multiplies, adds, order; spec-pinned, and the
+  * x91/x94/x95 oracles hash-check the ranked output cross-engine);
+  * on a LENGTH MISMATCH the forms differ by design — zip_with
+  * null-pads to the longer array and nulls the result, this truncates
+  * at the shorter ([[DotF32]]'s defensive rule). Null input → null. */
+case class L2DistF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOf(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (Seq(left, right).forall(elemOf(_).isDefined)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2sq expects array<float|double> on both sides, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+
+  private lazy val lf = elemOf(left).contains(FloatType)
+  private lazy val rf = elemOf(right).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(arr: String, side: Expression) =
+        if (elemOf(side).contains(FloatType)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, left)} - ${get(b, right)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Native MinHash signature fold: all `as.length` permutation minima of
   * `(as(j)·h + bs(j)) mod p` over an `ARRAY<BIGINT>` of shingle hashes,
   * in ONE pass — the codegen replacement for the

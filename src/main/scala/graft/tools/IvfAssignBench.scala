@@ -101,8 +101,51 @@ object IvfAssignBench {
         .intersect(Similarity.ivfAssign(idx, sample, "vec_id")
           .select("vec_id", "cell")).count().toDouble /
         math.min(nBatch, sampleN)
+      // bulk cell-RANKING race (r14): bulkProbeCells evaluates one
+      // squared-L2 per (query × centroid) row — flat: Q·nCells of them
+      // per batch. The codegen kernel (L2DistF32) vs the interpreted
+      // HOF fold it replaced, same Q=1000 synthetic queries, forced
+      // through the same windowed top-2 cut; both verified to rank
+      // identically on a sample before timing.
+      val qn = 1000
+      val qd = spark.range(qn).select(col("id").as("q_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), " +
+            "j -> cast(sin(id % 16 + j * 0.37) + cos(id * 0.017 + j) " +
+            "as double))").as("_q"))
+        .cache()
+      qd.count()
+      val centsD = cents.select(col("cell"),
+        expr("transform(cent, x -> cast(x as double))").as("_cent"))
+      def rankedDf(dist: org.apache.spark.sql.Column,
+          queries: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("_dist").asc, col("cell").asc)
+        queries.crossJoin(broadcast(centsD))
+          .withColumn("_dist", round(dist, 6))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 2)
+          .select("q_id", "cell")
+      }
+      val hofDist = aggregate(
+        zip_with(col("_cent"), col("_q"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      val kernelDist = graft.ext.Similarity.l2sq(col("_cent"), col("_q"))
+      val qs = qd.limit(50)
+      require(rankedDf(kernelDist, qs).except(rankedDf(hofDist, qs))
+          .isEmpty &&
+        rankedDf(hofDist, qs).except(rankedDf(kernelDist, qs)).isEmpty,
+        s"kernel and HOF rankings disagree at nCells=$nCells")
+      def rankRace(dist: org.apache.spark.sql.Column): Double =
+        med((1 to reps).map(_ =>
+          time { rankedDf(dist, qd).count(); () }))
+      val rankKernelSec = rankRace(kernelDist)
+      val rankHofSec = rankRace(hofDist)
       f""""n$nCells":{"argmin_sec":$exprSec%.3f,"hier_sec":$hierSec%.3f,""" +
-        f""""hier_nsuper":$nSuper,"hier_agree":$agree%.4f$joinPart}"""
+        f""""hier_nsuper":$nSuper,"hier_agree":$agree%.4f,""" +
+        f""""bulk_rank_kernel_sec":$rankKernelSec%.3f,""" +
+        f""""bulk_rank_hof_sec":$rankHofSec%.3f$joinPart}"""
     }
     println(s"""{"metric":"ivf_assign","n_batch":$nBatch,"dim":$dim,""" +
       s""""reps":$reps,${lines.mkString(",")}}""")

@@ -25,6 +25,25 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("L2DistF32: the codegen squared-L2 kernel is bit-identical to " +
+      "the HOF fold it replaced, on every adjacent corpus pair") {
+    val a = corpus.select(col("vec_id"), col("embedding").as("ea"))
+    val b = corpus.select((col("vec_id") + 1).as("vec_id"),
+      col("embedding").as("eb"))
+    val rows = a.join(b, "vec_id")
+      .select(
+        Similarity.l2sq(col("ea"), col("eb")).as("kernel"),
+        aggregate(zip_with(
+            transform(col("ea"), x => x.cast("double")),
+            transform(col("eb"), x => x.cast("double")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(rows.length == corpus.count() - 1)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+  }
+
   test("one-shot ivfTopK ≡ build-once + probe (same seed, same cells)") {
     val q = corpus.filter(col("vec_id") === 1).select("embedding")
     val oneShot = Similarity.ivfTopK(corpus, q, "vec_id").collect().toSeq
