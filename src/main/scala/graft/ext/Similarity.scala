@@ -77,9 +77,25 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Random-hyperplane LSH bucket id: bit i = sign(v · h_i). Computed as a
-    * codegen'd expression over array literals — no UDF. */
+  /** Random-hyperplane LSH bucket id: bit i = sign(v · h_i) — the
+    * codegen kernel [[graft.functions.LshBucketF]] (one pass, planes
+    * as a reference object). Replaced the per-plane
+    * `when(aggregate(zip_with(...)) > 0, …)` HOF chain — numPlanes
+    * interpreted folds per CORPUS row on every LSH bucketing path
+    * (semantic dedup, blocked pairs, bucketed ANN) — bit-identically:
+    * same per-plane fold order, same strict `> 0` sign, disjoint bits
+    * so sum ≡ OR (spec-pinned; the x73/x86 oracles hash-check bucket
+    * assignments cross-engine). [[lshBucketHof]] keeps the HOF form
+    * as the cross-check reference. */
   def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    toCol(graft.functions.LshBucketF(toExpr(emb),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Higher-order-function formulation of [[lshBucket]] (interpreted
+    * lambdas) — kept as the cross-check reference implementation (the
+    * [[dotHof]] convention). */
+  private[graft] def lshBucketHof(emb: Column,
+      planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.toIndexedSeq.map(lit(_)): _*)
       when(aggregate(zip_with(d(emb), planeCol, (x, y) => x * y),

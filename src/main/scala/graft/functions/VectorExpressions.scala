@@ -163,6 +163,83 @@ case class L2DistF32(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucket id: bit i = sign(v · h_i), all
+  * planes in one pass over the vector — the codegen replacement for
+  * the per-plane `when(aggregate(zip_with(...)) > 0, 1L << i)` HOF
+  * chain, which evaluates numPlanes interpreted lambda folds per
+  * CORPUS row (LSH bucketing is a corpus-sized assignment in
+  * semantic dedup, blocked pairs, and bucketed ANN). Bit-identical by
+  * construction: each plane's dot accumulates in double in element
+  * order exactly as the HOF fold did (float inputs widened per
+  * element — the same value the `d()` cast produced), the strict
+  * `> 0` sign rule is unchanged, and the per-plane bits are disjoint
+  * so the HOF's `reduce(_ + _)` equals this OR. The planes matrix
+  * rides as a reference object (numPlanes × dim doubles — the
+  * [[NearestCentroidF]] bound). Null input → null; a vector shorter
+  * than a plane dots its prefix (the zip_with-min rule on the only
+  * case the embedding invariant allows to differ — equal lengths in
+  * practice). */
+case class LshBucketF(child: Expression,
+    planes: IndexedSeq[IndexedSeq[Double]]) extends UnaryExpression {
+  require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
+    "graft_lsh_bucket: planes must be non-empty and rectangular")
+  require(planes.length <= 62, "graft_lsh_bucket: bits must fit a long")
+  private lazy val pArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    LshBucketF.bucketOf(v, pArr, elemFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pRef = ctx.addReferenceObj("lshPlanes", pArr, "double[][]")
+      s"""
+         |${ev.value} = graft.functions.LshBucketF.bucketOf(
+         |  $a, $pRef, $elemFloat);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketF {
+  /** Shared by interpreted eval and codegen (the loop is data-bound —
+    * the [[ShingleHashF.hashAll]] pattern). */
+  def bucketOf(v: ArrayData, planes: Array[Array[Double]],
+      isFloat: Boolean): Long = {
+    var acc = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * p(i)
+        i += 1
+      }
+      if (dot > 0) acc |= 1L << b
+      b += 1
+    }
+    acc
+  }
+}
+
 /** Native MinHash signature fold: all `as.length` permutation minima of
   * `(as(j)·h + bs(j)) mod p` over an `ARRAY<BIGINT>` of shingle hashes,
   * in ONE pass — the codegen replacement for the

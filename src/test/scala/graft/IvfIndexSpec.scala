@@ -44,6 +44,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
   }
 
+  test("LshBucketF: the codegen bucket kernel is bit-identical to the " +
+      "per-plane HOF chain on every corpus row (both plane widths in use)") {
+    Seq(4, 16).foreach { nPlanes =>
+      val planes = Similarity.hyperplanes(nPlanes, 64)
+      val rows = corpus.select(
+        Similarity.lshBucket(col("embedding"), planes).as("kernel"),
+        Similarity.lshBucketHof(col("embedding"), planes).as("hof"))
+        .collect()
+      assert(rows.length == corpus.count())
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"nPlanes=$nPlanes: kernel ${r.getLong(0)} != hof ${r.getLong(1)}"))
+    }
+  }
+
   test("one-shot ivfTopK ≡ build-once + probe (same seed, same cells)") {
     val q = corpus.filter(col("vec_id") === 1).select("embedding")
     val oneShot = Similarity.ivfTopK(corpus, q, "vec_id").collect().toSeq
