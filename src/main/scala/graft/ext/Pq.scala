@@ -195,18 +195,24 @@ object Pq {
     * covered — missing ids fail loudly, never silently vanish from the
     * index; tombstoned ids may be absent).
     *
-    * What happens to codes, by form:
-    *  - plain, `refitCodebooks = false` (default): codes are
+    * What happens to codes, by form (`refitCodebooks = None`, the
+    * default, FOLLOWS `residual` — plain keeps the codebooks, residual
+    * refits them; see below for why the defaults differ):
+    *  - plain, refit resolved false (default): codes are
     *    cell-independent — carried through BYTE-IDENTICAL, only `cell`
     *    moves (the [[graft.ext.Sq.ivfSqRetrain]] shape, but with an
     *    exact fit instead of a reconstruction fit);
-    *  - plain, `refitCodebooks = true`: codebooks re-trained on the
-    *    live raw vectors, codes re-encoded;
+    *  - plain, `refitCodebooks = Some(true)`: codebooks re-trained on
+    *    the live raw vectors, codes re-encoded;
     *  - `residual = true`: codes are ALWAYS re-encoded (they quantize
-    *    `x − cent(cell)` and the cells just moved); `refitCodebooks`
+    *    `x − cent(cell)` and the cells just moved); the refit
     *    re-trains the residual codebooks on the NEW residuals first —
-    *    the full IVFADC retrain, recommended when the corpus drifted
-    *    enough to fire the policy at all.
+    *    the full IVFADC retrain, and the DEFAULT for the residual
+    *    form (ADVICE r14): old codebooks model the OLD cells' residual
+    *    distribution, so re-encoding new-cell residuals through them
+    *    silently degrades quantization error in exactly the drifted
+    *    corpus that fired the policy. `Some(false)` opts out (skips
+    *    the m KMeans fits when the drift is known-mild).
     *
     * The (possibly refreshed) codebooks are staged INSIDE the swapped
     * tree (`retrainImpl`'s `stagedMeta` → published to
@@ -222,8 +228,9 @@ object Pq {
   def ivfPqRetrain(spark: SparkSession, table: String, path: String,
       nCells: Int, raw: DataFrame, idCol: String, cb: PqCodebooks,
       embCol: String = "embedding", residual: Boolean = false,
-      refitCodebooks: Boolean = false, seed: Long = 42L)
+      refitCodebooks: Option[Boolean] = None, seed: Long = 42L)
       : (Similarity.IvfIndex, PqCodebooks) = {
+    val refit = refitCodebooks.getOrElse(residual)
     var cbOut: PqCodebooks = cb
     val reopened = Similarity.retrainImpl(spark, table, path, nCells,
       embCol, seed,
@@ -270,15 +277,25 @@ object Pq {
       },
       project = idx => {
         val a = idx.assigned
-        if (!residual && !refitCodebooks) a.drop(embCol)
+        if (!residual && !refit) a.drop(embCol)
         else if (!residual) {
           cbOut = trainedCodebooks(a, embCol, cb.dim, cb.m, cb.k, seed)
           pqEncode(a.drop("codes", "recon_norm"), embCol, cbOut)
             .drop(embCol)
         } else {
-          if (refitCodebooks)
+          if (refit)
             cbOut = trainedResidualCodebooks(a.drop("codes", "recon_norm"),
               embCol, idx, cb.dim, cb.m, cb.k, seed)
+          else
+            // the opted-out residual path re-encodes through codebooks
+            // trained on the OLD cells' residuals — valid, but loses
+            // quantization accuracy in proportion to how far the cells
+            // moved; say so (the retrainImpl stderr convention)
+            System.err.println("ivfPqRetrain: WARNING — residual " +
+              "re-encode with refitCodebooks = Some(false): codebooks " +
+              "model the OLD cells' residual distribution; " +
+              "quantization error grows with the cell movement that " +
+              "fired this retrain")
           pqEncodeResidual(a.drop("codes", "recon_norm"), embCol, cbOut,
             idx).drop(embCol)
         }
@@ -296,7 +313,7 @@ object Pq {
       raw: DataFrame, idCol: String, cb: PqCodebooks,
       maxSkew: Double = 4.0, minOccupiedFrac: Double = 0.5,
       targetRowsPerCell: Long = 0L, embCol: String = "embedding",
-      residual: Boolean = false, refitCodebooks: Boolean = false,
+      residual: Boolean = false, refitCodebooks: Option[Boolean] = None,
       seed: Long = 42L): Option[PqCodebooks] =
     Similarity.retrainTrigger(spark, path, maxSkew, minOccupiedFrac,
         targetRowsPerCell) match {

@@ -180,10 +180,15 @@ object Similarity {
     * physical tell between the schema-identical SQ (dim-wide) and PQ
     * (m-wide) layouts, shared by every cross-layout guard so the probe
     * and its meaning cannot drift between sites. None on an empty
-    * frame (guards skip — nothing to corrupt). */
+    * frame OR one whose codes are all null (guards skip — nothing to
+    * corrupt; a null-encoded row carries no width, and probing it
+    * would NPE through size()'s null result instead of reporting the
+    * layout mismatch the guard exists to name — ADVICE r14). */
   private[graft] def codesWidth(df: DataFrame): Option[Int] = {
-    val w = df.select(org.apache.spark.sql.functions.size(
-      org.apache.spark.sql.functions.col("codes"))).take(1)
+    val w = df
+      .filter(org.apache.spark.sql.functions.col("codes").isNotNull)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("codes"))).take(1)
     if (w.isEmpty) None else Some(w(0).getInt(0))
   }
 

@@ -183,7 +183,12 @@ case class LshBucketF(child: Expression,
     planes: IndexedSeq[IndexedSeq[Double]]) extends UnaryExpression {
   require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
     "graft_lsh_bucket: planes must be non-empty and rectangular")
-  require(planes.length <= 62, "graft_lsh_bucket: bits must fit a long")
+  // 63 planes occupy bits 0..62 — the full non-negative long range the
+  // HOF chain it replaced produced; only a 64th plane would reach the
+  // sign bit (ADVICE r14: the earlier <= 62 rejected a plane count the
+  // HOF form handled)
+  require(planes.length <= 63,
+    "graft_lsh_bucket: at most 63 planes (bits must fit a non-negative long)")
   private lazy val pArr: Array[Array[Double]] = planes.map(_.toArray).toArray
 
   private def elemFloat: Boolean = child.dataType match {

@@ -243,6 +243,28 @@ object IndexIngest {
     // load so a caller's stale declaration fails loudly, not as a
     // silently mis-bucketed append.
     val retrainOn = retrainMaxSkew > 0.0 || retrainRowsPerCell > 0L
+    // the sqParams-vs-PQ codes-width fail-fast needs a non-empty index
+    // to probe (codesWidth is None on an empty/all-null frame). An
+    // index that is empty at FIRST LOAD therefore can't be checked
+    // there — so the probe re-runs before each retrain-trigger
+    // evaluation until it has seen a width once (ADVICE r14: the
+    // documented contract is fail-fast at the earliest observable
+    // epoch, not at fire time via ivfSqRetrain's own guard). The flag
+    // makes the steady state free: one successful probe and the
+    // re-check never runs again (the layout cannot change under the
+    // sink — SQ retrain keeps the codes).
+    var sqWidthChecked: Boolean = false
+    def checkSqWidth(df: org.apache.spark.sql.DataFrame): Unit =
+      if (retrainOn && sqParams.isDefined && !sqWidthChecked)
+        Similarity.codesWidth(df).foreach { w =>
+          require(w == sqParams.get.dim,
+            s"ivfSink: sqParams dim ${sqParams.get.dim} != codes " +
+              s"width $w under $path — these params did not train " +
+              "this index's codes (a PQ layout's codes are " +
+              "m-wide); disarm retrain or run Pq.ivfPqRetrain " +
+              "batch-side with the raw frame")
+          sqWidthChecked = true
+        }
     var nCellsCur: Int = 0
     def modulus(spark: org.apache.spark.sql.SparkSession): Int = {
       if (nCellsCur == 0)
@@ -292,15 +314,9 @@ object IndexIngest {
           // would decode code INDICES through the affine map and
           // re-fit cells on garbage, silently. Shared one-row width
           // probe (Similarity.codesWidth — same tell as the batch
-          // retrains').
-          if (retrainOn && sqParams.isDefined)
-            Similarity.codesWidth(centroids.assigned).foreach(w =>
-              require(w == sqParams.get.dim,
-                s"ivfSink: sqParams dim ${sqParams.get.dim} != codes " +
-                  s"width $w under $path — these params did not train " +
-                  "this index's codes (a PQ layout's codes are " +
-                  "m-wide); disarm retrain or run Pq.ivfPqRetrain " +
-                  "batch-side with the raw frame"))
+          // retrains'). Empty at first load → re-probed pre-trigger
+          // each epoch until a width is seen (checkSqWidth above).
+          checkSqWidth(centroids.assigned)
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))
@@ -337,6 +353,11 @@ object IndexIngest {
       // on the codes-width probe (PQ codes are m-wide, not dim-wide).
       val skew = if (retrainMaxSkew > 0.0) retrainMaxSkew
         else Double.MaxValue
+      // the first-load width probe is a no-op on an index that was
+      // EMPTY then — re-probe the published frame (this epoch's append
+      // is in it) until one non-empty probe lands; free afterwards
+      if (retrainOn && sqParams.isDefined && !sqWidthChecked)
+        checkSqWidth(spark.read.parquet(s"$path/assigned"))
       val fired = retrainOn && (sqParams match {
         case Some(p) => graft.ext.Sq.ivfSqMaybeRetrain(spark, table, path,
           p, maxSkew = skew, minOccupiedFrac = 0.0,

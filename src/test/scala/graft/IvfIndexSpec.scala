@@ -58,6 +58,25 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LshBucketF: 63 planes (bits 0..62) fill the non-negative long " +
+      "range the HOF chain handled — valid and HOF-identical; 64 refuses") {
+    val planes63 = Similarity.hyperplanes(63, 64)
+    val rows = corpus.limit(20).select(
+      Similarity.lshBucket(col("embedding"), planes63).as("kernel"),
+      Similarity.lshBucketHof(col("embedding"), planes63).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"63 planes: kernel ${r.getLong(0)} != hof ${r.getLong(1)}")
+      assert(r.getLong(0) >= 0L, "bits 0..62 stay non-negative")
+    }
+    val e = intercept[IllegalArgumentException](
+      corpus.select(Similarity.lshBucket(col("embedding"),
+        Similarity.hyperplanes(64, 64))))
+    assert(e.getMessage.contains("63"), e.getMessage)
+  }
+
   test("one-shot ivfTopK ≡ build-once + probe (same seed, same cells)") {
     val q = corpus.filter(col("vec_id") === 1).select("embedding")
     val oneShot = Similarity.ivfTopK(corpus, q, "vec_id").collect().toSeq

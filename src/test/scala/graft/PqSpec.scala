@@ -548,7 +548,7 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
 
       val (re, cbNew) = Pq.ivfPqRetrain(spark, "pqr_rt_t", dir,
         nCells = 8, raw = corpus, idCol = "vec_id", cb = cb0,
-        residual = true, refitCodebooks = true)
+        residual = true, refitCodebooks = Some(true))
       assert(re.centroids.count() == 8L)
       assert(cbNew != cb0,
         "refit on the new residuals must actually change the codebooks")
