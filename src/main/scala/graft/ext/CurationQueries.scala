@@ -1103,6 +1103,61 @@ object CurationQueries {
           / CAST(count(*) AS DOUBLE), 6) AS sat_rate
       FROM code GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- x100
+  /** Oracle-checked PQ CODE-USAGE observability ([[Pq.pqCodeUsage]] —
+    * the PQ index's drift signal, VERDICT r14 #2, the x99 sibling):
+    * encode the corpus with the x90 deterministic codebooks (m=2 × k=4,
+    * codeword literals generated into the SQL) and roll the codes up
+    * into the per-subspace health frame a monitoring job reads —
+    * `(sub, n, used_codes, max_frac, entropy)` with NORMALIZED usage
+    * entropy (−Σ frac·log₂frac / log₂k). DuckDB re-derives the argmin
+    * encode (the x90 `code` CTE), the within-subspace histogram, and
+    * the entropy roll-up from the same parquet, so the whole
+    * codes→histogram→entropy observability path — what
+    * [[Pq.pqDescribe]]'s summary and [[Pq.pqUsageCollapsed]]'s trigger
+    * read — is hash-checked cross-engine. Entropy and max_frac round
+    * at 6 (the house cross-engine float rule). */
+  val x100PqUsage: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Pq.pqCodeUsage(Pq.pqEncode(embs, "embedding", cb), "codes")
+          .groupBy(col("sub"))
+          .agg(sum(col("n")).as("n"),
+            count(lit(1)).as("used_codes"),
+            round(max(col("frac")), 6).as("max_frac"),
+            round((-sum(col("frac") * log2(col("frac")))) /
+              log2(lit(cb.k.toDouble)), 6).as("entropy"))
+          .orderBy("sub")
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        hist AS (SELECT s AS sub, c, count(*) AS n FROM code GROUP BY 1, 2),
+        tot AS (SELECT sub, sum(n) AS t FROM hist GROUP BY 1),
+        fr AS (SELECT h.sub, h.c, h.n, h.n / CAST(t.t AS DOUBLE) AS frac
+          FROM hist h JOIN tot t USING (sub))
+        SELECT sub, CAST(sum(n) AS BIGINT) AS n,
+          count(*) AS used_codes,
+          round(max(frac), 6) AS max_frac,
+          round(-sum(frac * log2(frac)) / log2(4.0), 6) AS entropy
+        FROM fr GROUP BY 1 ORDER BY 1"""))
+  }
+
   // ---------------------------------------------------------------- x98
   /** Oracle-checked BULK two-stage rerank ([[Pq.ivfPqProbeBulk]] with
     * `rerankWith` — [[graft.ext.Similarity.bulkRerankTail]], r13): the
@@ -1400,6 +1455,7 @@ object CurationQueries {
     "x96_pq_rerank" -> x96PqRerank,
     "x97_sq_adc" -> x97SqAdc,
     "x99_sq_saturation" -> x99SqSaturation,
+    "x100_pq_usage" -> x100PqUsage,
     "x98_bulk_rerank" -> x98BulkRerank,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,

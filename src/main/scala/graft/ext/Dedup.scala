@@ -1001,6 +1001,24 @@ object Dedup {
     * one-core work, while the loop costs ~5 Spark jobs per iteration. */
   val SmallGraphEdges: Long = 5000000L
 
+  /** Node-count threshold for [[connectedKeepers]]' second dispatch
+    * chance (round 15): union-find MEMORY is O(nodes) — the parent
+    * LongMap — while edges only STREAM through the one task, so a
+    * dense graph over few nodes (near-dup clusters: tight clusters
+    * make near-COMPLETE components, edges ~ nodes²/clusters) is still
+    * single-task work far past [[SmallGraphEdges]]. Measured at sf1
+    * (X50Probe, x50's pair graph: 7.8M edges over 19,985 nodes):
+    * union-find 2.5s vs the distributed loop's 10.5s. 10M nodes ≈
+    * a few hundred MB of LongMap — safe on a standard executor. */
+  val SmallGraphNodes: Long = 10000000L
+
+  /** Edge cap on the node-count dispatch: past this, the single task's
+    * O(E) scan dominates no matter how few nodes (one core streaming
+    * 100M+ edge rows is minutes — the distributed loop's shuffles
+    * amortize better). Graphs over [[SmallGraphNodes]] nodes OR this
+    * many edges take the iterative path. */
+  val UnionFindMaxEdges: Long = 100000000L
+
   /** Connected components over near-dup pairs (id_a < id_b). Returns
     * (id, keeper) where keeper is the component's minimum id — the
     * canonical survivor choice.
@@ -1019,7 +1037,8 @@ object Dedup {
     *    the control loop). At adversarial diameters switch to
     *    large-star/small-star. */
   def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
-      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+      smallGraphEdges: Long = SmallGraphEdges,
+      smallGraphNodes: Long = SmallGraphNodes): DataFrame = {
     // localCheckpoint (eager) everywhere a frame feeds the loop: iterative
     // plans otherwise accumulate the WHOLE upstream lineage (here, the
     // MinHash pipeline) into every iteration's logical plan, and Catalyst
@@ -1031,8 +1050,23 @@ object Dedup {
       p.schema.fields.take(2).forall(f =>
         Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
     }
-    if (integralIds && p.count() <= smallGraphEdges)
-      return unionFindKeepers(p)
+    if (integralIds) {
+      val e = p.count()
+      if (e <= smallGraphEdges) return unionFindKeepers(p)
+      // second chance on the NODE count (round 15): near-dup components
+      // are near-complete subgraphs, so edge counts blow past the edge
+      // threshold while the node set — the union-find's actual memory
+      // bound — stays tiny. The distinct count is one cheap pass over
+      // the already-checkpointed edges, paid only on graphs where
+      // either CC path dwarfs it. Edge cap: the single task still
+      // STREAMS every edge, so past UnionFindMaxEdges the loop's
+      // distributed shuffles win back.
+      if (e <= UnionFindMaxEdges) {
+        val n = p.select(explode(array(col(p.columns(0)).cast("long"),
+          col(p.columns(1)).cast("long")))).distinct().count()
+        if (n <= smallGraphNodes) return unionFindKeepers(p)
+      }
+    }
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)

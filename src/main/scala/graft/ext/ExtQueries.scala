@@ -281,6 +281,40 @@ object ExtQueries {
       CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sb
       FROM spd GROUP BY 1)"""
 
+  /** PER-LABEL ADAPTIVE sub-bucket — mirrors
+    * [[Similarity.blockedPairsAuto]] exactly (integer CASE ladder for
+    * the plane count, low-bit mask of the shared maxPlanes-bit bucket),
+    * so both engines agree on every label's plane count and every
+    * bucket assignment by construction. Shared by x50 (embed-dedup's
+    * candidate generation, the r14 verdict's last quadratic default)
+    * and x86 (the adaptive-pairs gate) so the two oracles cannot
+    * drift. Produces `sub(vec_id, sb)` — the same shape as
+    * [[subBucketCte]]'s fixed form. */
+  private val AutoMaxPlanes = 6
+  private val AutoTarget = 100
+  private val autoSubCte = s"""
+    aplanes(p, i, w) AS (VALUES ${Similarity
+      .hyperplanes(AutoMaxPlanes, 64).zipWithIndex
+      .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
+        s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
+    apd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
+      FROM ex JOIN aplanes pl ON pl.i = ex.i GROUP BY 1, 2),
+    bits AS (SELECT vec_id,
+        CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS BIGINT) AS bits
+      FROM apd GROUP BY 1),
+    cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+    pln AS (SELECT label,
+        CASE ${(0 until AutoMaxPlanes).map(q =>
+          s"WHEN m <= ${1L << q} THEN $q").mkString(" ")}
+             ELSE $AutoMaxPlanes END AS planes
+      FROM (SELECT label, (n + ${AutoTarget - 1}) // $AutoTarget AS m
+            FROM cnt)),
+    sub AS (SELECT e.vec_id,
+        bits & ((CAST(1 AS BIGINT) << planes) - 1) AS sb
+      FROM embeddings e JOIN bits USING (vec_id)
+        JOIN pln USING (label))"""
+
   // ---------------------------------------------------------------- x34
   /** Embedding near-dup pairs: blocked (IVF-style, label = coarse cell)
     * all-pairs cosine ≥ 0.4, sub-blocked by a 2-plane LSH bucket so a hot
@@ -656,22 +690,33 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- x50
   /** Embedding-cosine near-dup dedup, end to end: blocked cosine pairs
-    * (x34's candidate generation) → connected components → min-id keeper
-    * per cluster — the embedding-space analogue of x44's MinHash drop-list.
-    * Same distributed pieces ([[Similarity.blockedPairs]],
-    * [[Dedup.connectedKeepers]]); oracle = recursive-CTE reachability over
-    * the same pair set. */
+    * → connected components → min-id keeper per cluster — the
+    * embedding-space analogue of x44's MinHash drop-list. Candidate
+    * generation is the ADAPTIVE per-label sub-bucketing
+    * ([[Similarity.blockedPairsAuto]], VERDICT r14 #3): the earlier
+    * fixed-[[SubPlanes]] registration divided every label's n² by the
+    * same 2^2, so on the harness's fixed 10-label vocabulary the pair
+    * join grew quadratically with per-label n — 28s at sf1 vs 0.45s at
+    * sf0.1 (SF1_BENCH_r14), the one remaining quadratic default in the
+    * declared surface. Adaptive planes bound the expected bucket at
+    * [[AutoTarget]] rows regardless of label growth (labels at/under
+    * the target keep exact all-pairs — zero recall loss where brute
+    * force is affordable). Same distributed tail
+    * ([[Dedup.connectedKeepers]]); oracle = the shared adaptive
+    * sub-bucket CTE + recursive-CTE reachability over the same pair
+    * set. */
   val x50EmbedDedup: Q = Q(
     (s, dir) => {
-      val pairs = Similarity.blockedPairs(Tables.embeddings(s, dir),
-          "vec_id", "label", minCos = 0.4, subPlanes = SubPlanes)
+      val pairs = Similarity.blockedPairsAuto(Tables.embeddings(s, dir),
+          "vec_id", "label", minCos = 0.4, targetBucket = AutoTarget,
+          maxPlanes = AutoMaxPlanes)
         .select("id_a", "id_b")
       Dedup.connectedKeepers(pairs)
         .select(col("id").as("vec_id"), col("keeper"))
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE $corpusDotCte,
-      $subBucketCte,
+      $autoSubCte,
       dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           sum(a.x * b.x) AS dp
         FROM ex a JOIN ex b
@@ -697,9 +742,8 @@ object ExtQueries {
     * OVER the target at sf0.01+ (≈200/label ⇒ 1 plane), so the oracle
     * exercises the adaptive masking, not the zero-plane fallback. The
     * oracle mirrors the integer CASE ladder verbatim — no float log2,
-    * so both engines agree on every label's plane count by construction. */
-  private val AutoMaxPlanes = 6
-  private val AutoTarget = 100
+    * so both engines agree on every label's plane count by construction
+    * (the [[autoSubCte]] shared with x50's candidate generation). */
   val x86BlockedAutoPairs: Q = Q(
     (s, dir) =>
       Similarity.blockedPairsAuto(Tables.embeddings(s, dir), "vec_id",
@@ -707,27 +751,7 @@ object ExtQueries {
           maxPlanes = AutoMaxPlanes)
         .orderBy("label", "id_a", "id_b"),
     Some(s"""WITH $corpusDotCte,
-      aplanes(p, i, w) AS (VALUES ${Similarity
-        .hyperplanes(AutoMaxPlanes, 64).zipWithIndex
-        .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
-          s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
-      apd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
-        FROM ex JOIN aplanes pl ON pl.i = ex.i GROUP BY 1, 2),
-      bits AS (SELECT vec_id,
-          CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
-                        ELSE 0 END) AS BIGINT) AS bits
-        FROM apd GROUP BY 1),
-      cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
-      pln AS (SELECT label,
-          CASE ${(0 until AutoMaxPlanes).map(q =>
-            s"WHEN m <= ${1L << q} THEN $q").mkString(" ")}
-               ELSE $AutoMaxPlanes END AS planes
-        FROM (SELECT label, (n + ${AutoTarget - 1}) // $AutoTarget AS m
-              FROM cnt)),
-      sub AS (SELECT e.vec_id,
-          bits & ((CAST(1 AS BIGINT) << planes) - 1) AS sb
-        FROM embeddings e JOIN bits USING (vec_id)
-          JOIN pln USING (label)),
+      $autoSubCte,
       dots AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           sum(a.x * b.x) AS dp
         FROM ex a JOIN ex b

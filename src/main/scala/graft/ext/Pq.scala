@@ -253,26 +253,10 @@ object Pq {
             s"under $path/assigned are $w-wide — not this codebook's " +
             "index (an SQ layout retrains via Sq.ivfSqRetrain)"))
         val emb = raw.select(col(idCol), col(embCol))
-        // the raw frame must be KEYED: duplicate ids would multiply
-        // their rows through the join into the rewritten index
-        // (probes would then return one id at two ranks). One hash
-        // agg over raw — offline-op cost.
-        require(emb.groupBy(col(idCol)).count()
-            .filter(col("count") > 1).isEmpty,
-          s"ivfPqRetrain: raw frame has duplicate $idCol rows — the " +
-            "rebuild would store those vectors more than once")
-        // every LIVE id must be covered by the raw frame — an inner
-        // join would silently drop uncovered live vectors from the
-        // rewritten index. Tombstoned ids may legitimately be absent
-        // (they are about to be folded away), so the check folds them
-        // out first (the shared Similarity.liveRows fold). One
-        // id-column pass of the index — offline-op cost.
-        val missing = Similarity.liveRows(spark, path, df)
-          .select(col(idCol))
-          .join(emb.select(col(idCol)), Seq(idCol), "left_anti").count()
-        require(missing == 0L,
-          s"ivfPqRetrain: $missing live ids under $path are missing " +
-            s"from the raw frame — the re-fit would silently drop them")
+        // keyed + live-covering raw frame — the shared raw-access
+        // rebuild contract (Similarity.requireKeyedCovering)
+        Similarity.requireKeyedCovering(spark, path, df, emb, idCol,
+          "ivfPqRetrain")
         df.join(emb, Seq(idCol))
       },
       project = idx => {
@@ -308,20 +292,242 @@ object Pq {
     * shared-trigger family ([[Similarity.retrainTrigger]], one policy,
     * three retrain forms). The raw frame is the extra requirement PQ
     * carries; returns the refreshed codebooks when it fired, None when
-    * it didn't. */
+    * it didn't.
+    *
+    * Beyond the shared CELL trigger, PQ has a drift axis the cell
+    * policy cannot see: codebook health (VERDICT r14 #2 —
+    * [[pqDescribe]]). `minSubEntropy` / `maxCodeFrac` ARM the usage
+    * trigger (both disabled by default: 0.0 / 1.0 never fire); when
+    * the cell trigger is silent but [[pqUsageCollapsed]] says the
+    * usage histogram collapsed, a retrain fires at the CURRENT cell
+    * count with `refitCodebooks = Some(true)` FORCED — a usage-collapse
+    * fire IS a codebook refit; carrying the old codebooks through
+    * (plain form's default) would re-emit byte-identical codes and
+    * re-fire forever. `usageSampleFraction` sample-bounds the
+    * monitoring scan as in [[pqDescribe]]. */
   def ivfPqMaybeRetrain(spark: SparkSession, table: String, path: String,
       raw: DataFrame, idCol: String, cb: PqCodebooks,
       maxSkew: Double = 4.0, minOccupiedFrac: Double = 0.5,
       targetRowsPerCell: Long = 0L, embCol: String = "embedding",
       residual: Boolean = false, refitCodebooks: Option[Boolean] = None,
+      minSubEntropy: Double = 0.0, maxCodeFrac: Double = 1.0,
+      usageSampleFraction: Double = 1.0,
       seed: Long = 42L): Option[PqCodebooks] =
     Similarity.retrainTrigger(spark, path, maxSkew, minOccupiedFrac,
         targetRowsPerCell) match {
       case Some(newCells) =>
         Some(ivfPqRetrain(spark, table, path, newCells, raw, idCol, cb,
           embCol, residual, refitCodebooks, seed)._2)
-      case None => None
+      case None =>
+        val usageArmed = minSubEntropy > 0.0 || maxCodeFrac < 1.0
+        if (usageArmed && pqUsageCollapsed(spark, path, cb,
+            if (minSubEntropy > 0.0) minSubEntropy else 1e-12,
+            maxCodeFrac, usageSampleFraction, seed)) {
+          val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+          Some(ivfPqRetrain(spark, table, path, nCells, raw, idCol, cb,
+            embCol, residual, refitCodebooks = Some(true), seed)._2)
+        } else None
     }
+
+  /** Per-subspace code-usage histogram over an ENCODED frame — the
+    * drift signal specific to a PQ index (VERDICT r14 #2, the
+    * [[graft.ext.Sq.sqSaturation]] sibling): codebooks are trained
+    * once, and a corpus that drifts after appends still encodes to
+    * VALID codes — each new vector just snaps to whatever codewords
+    * lie nearest, so the drift is invisible to every probe and
+    * maintenance op. What codes alone CAN show is the usage
+    * distribution collapsing: when appended vectors cluster where the
+    * codebook has few codewords, a handful of codes absorb the mass
+    * and the per-subspace histogram skews — entropy drops, one code's
+    * share climbs. Returns `(sub, code, n, frac)` — at most m × k rows
+    * after aggregation (one posexplode + groupBy pass, map-side
+    * combined; `frac` is within-subspace). `sampleFraction < 1`
+    * sample-bounds the scan for a monitoring cadence over a 100 TB
+    * index (deterministic seed — rates are estimates, re-runs
+    * agree). Null codes rows contribute nothing (posexplode skips
+    * them). */
+  def pqCodeUsage(encoded: DataFrame, codesCol: String = "codes",
+      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction is a fraction")
+    val src = if (sampleFraction >= 1.0) encoded
+      else encoded.sample(withReplacement = false, sampleFraction, seed)
+    src
+      .select(posexplode(col(codesCol)).as(Seq("sub", "code")))
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sub"))))
+      .orderBy("sub", "code")
+  }
+
+  /** Read-only PQ-index observability — the [[graft.ext.Sq.sqDescribe]]
+    * sibling for the signal only a PQ layout has: one summary row
+    * `(rows_sampled, m, k, min_sub_entropy, mean_sub_entropy,
+    * worst_sub, min_used_codes, max_code_frac, max_frac_sub)` over the
+    * persisted assigned frame. Per-subspace NORMALIZED usage entropy
+    * (`−Σ frac·log₂frac / log₂k` ∈ [0, 1]; 1 = codewords evenly used —
+    * roughly where a fresh KMeans fit on its own training corpus
+    * lands; → 0 as mass collapses onto few codewords) is the headline;
+    * `max_code_frac` (the largest single-code share in any subspace)
+    * catches the collapse-onto-ONE-code case entropy alone can
+    * under-weight at large k. `worst_sub` / `max_frac_sub` name the
+    * offending subspace — drift is usually a subset of the dimensions.
+    *
+    * Same cost class as `sqDescribe`: one column-pruned scan of
+    * `codes` (sample-boundable), m × k rows collected — never the
+    * corpus. Tombstoned rows are FOLDED OUT first (deleted vectors
+    * must not keep firing a drift alarm); compose with
+    * [[Similarity.ivfDescribe]] for cell health and — when the raw
+    * frame is at hand, which PQ maintenance already requires — with
+    * [[pqReconError]] for the true quantization-error estimate.
+    *
+    * Guards, in the sqDescribe mold: the codes width must equal `cb.m`
+    * (refuses an SQ layout — dim-wide codes through a PQ usage scan
+    * would "observe" garbage), and the largest observed code must fit
+    * `cb.k` (not this index's codebooks). Empty/fully-tombstoned index
+    * → one honest zero row, never a throw (a monitoring job must
+    * no-op, not crash — the retrainTrigger rule).
+    *
+    * Policy: a fresh trained codebook starts near entropy 1 on its own
+    * corpus; compare against the POST-TRAIN baseline (record
+    * `pqDescribe` once after encode), and when a subspace's entropy
+    * falls materially below it — or any single code's share exceeds
+    * your tolerance — re-fit codebooks on the raw corpus:
+    * [[ivfPqRetrain]] with `refitCodebooks = Some(true)` (the default
+    * when `residual = true`), or let [[ivfPqMaybeRetrain]]'s armed
+    * usage thresholds fire it unattended. */
+  def pqDescribe(spark: SparkSession, path: String, cb: PqCodebooks,
+      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val enc = spark.read.parquet(s"$path/assigned")
+    require(enc.columns.contains("codes"),
+      s"pqDescribe: no `codes` column under $path/assigned — not a " +
+        "compressed (SQ/PQ-encoded) index layout")
+    Similarity.codesWidth(enc).foreach(w => require(w == cb.m,
+      s"pqDescribe: codebooks are m=${cb.m}-wide but the codes under " +
+        s"$path/assigned are $w-wide — not this codebook's index (an " +
+        "SQ layout is monitored via Sq.sqDescribe)"))
+    val live = Similarity.liveRows(spark, path, enc)
+    val all = pqCodeUsage(live, "codes", sampleFraction, seed)
+      .collect() // m × k rows — never corpus-sized
+    import spark.implicits._
+    if (all.isEmpty)
+      // empty index (or an all-null sample): honest zero row
+      Seq((0L, cb.m, cb.k,
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Integer],
+          null.asInstanceOf[java.lang.Integer],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Integer]))
+        .toDF("rows_sampled", "m", "k", "min_sub_entropy",
+          "mean_sub_entropy", "worst_sub", "min_used_codes",
+          "max_code_frac", "max_frac_sub")
+    else {
+      val cMax = all.map(_.getAs[Int]("code")).max
+      require(cMax < cb.k,
+        s"pqDescribe: largest observed code $cMax >= codebook k=${cb.k} " +
+          s"under $path — these are not this codebook's codes")
+      val bySub = all.groupBy(_.getAs[Int]("sub")).toIndexedSeq.sortBy(_._1)
+      val perSub = bySub.map { case (s, rs) =>
+        val fracs = rs.map(_.getAs[Double]("frac"))
+        val h =
+          if (cb.k < 2) 0.0
+          else -fracs.map(f => f * math.log(f)).sum / math.log(cb.k.toDouble)
+        (s, h, rs.length, fracs.max)
+      }
+      val rows = all.map(_.getAs[Long]("n")).sum / bySub.length
+      // worst by (entropy asc, sub asc); max-frac by (frac desc, sub asc)
+      val (ws, wh, _, _) = perSub.minBy { case (s, h, _, _) => (h, s) }
+      val (fs, _, _, ff) = perSub.maxBy { case (s, _, _, f) => (f, -s) }
+      Seq((rows, cb.m, cb.k,
+          wh, perSub.map(_._2).sum / perSub.length, ws,
+          perSub.map(_._3).min, ff, fs))
+        .toDF("rows_sampled", "m", "k", "min_sub_entropy",
+          "mean_sub_entropy", "worst_sub", "min_used_codes",
+          "max_code_frac", "max_frac_sub")
+    }
+  }
+
+  /** Threshold hook over [[pqDescribe]] — the
+    * [[graft.ext.Sq.sqSaturationExceeded]] twin for codebook drift:
+    * true iff any subspace's normalized usage entropy falls below
+    * `minSubEntropy` OR any single code's within-subspace share
+    * exceeds `maxCodeFrac`. Empty index → false (nothing to refit).
+    * Unlike the SQ bounds case, THIS drift is recoverable with the
+    * machinery PQ already carries: [[ivfPqRetrain]] with a codebook
+    * refit — which is exactly what [[ivfPqMaybeRetrain]] fires when
+    * its usage thresholds are armed. */
+  def pqUsageCollapsed(spark: SparkSession, path: String, cb: PqCodebooks,
+      minSubEntropy: Double = 0.5, maxCodeFrac: Double = 0.9,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Boolean = {
+    require(minSubEntropy > 0.0 && minSubEntropy < 1.0,
+      "minSubEntropy is a fraction of the [0,1] normalized entropy " +
+        "(a fresh fit sits near 1; 0 would never fire)")
+    require(maxCodeFrac > 0.0 && maxCodeFrac <= 1.0,
+      "maxCodeFrac is a fraction")
+    val d = pqDescribe(spark, path, cb, sampleFraction, seed).head
+    val ent = d.fieldIndex("min_sub_entropy")
+    !d.isNullAt(ent) && (d.getDouble(ent) < minSubEntropy ||
+      d.getDouble(d.fieldIndex("max_code_frac")) > maxCodeFrac)
+  }
+
+  /** Sampled quantization-error estimate over a persisted PQ index:
+    * one row `(n, mean_rel_err, max_rel_err)` where `rel_err =
+    * ‖x − decode(codes)‖ / ‖x‖` per sampled live row. Needs the RAW
+    * frame — the error is the distance encoding discarded, and codes
+    * alone cannot price it (decode(codes) re-encodes to itself with
+    * zero error by construction); that is the same raw-access contract
+    * [[ivfPqRetrain]] already establishes for PQ maintenance, so a
+    * deployment that can retrain can also measure. Decode is the
+    * broadcast (sub, code) → codeword join (the bulk-LUT device —
+    * no k·subDim literal arrays in the plan, robust at production
+    * m·k), flattened in subspace order; `residual = true` adds the
+    * cell centroid back (the [[pqEncodeResidual]] reconstruction).
+    * Sampled rows missing from `raw` are simply not estimated (inner
+    * join — this is an estimator, not the retrain's coverage-checked
+    * rebuild). */
+  def pqReconError(spark: SparkSession, path: String, raw: DataFrame,
+      idCol: String, cb: PqCodebooks, residual: Boolean = false,
+      embCol: String = "embedding", sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val enc = spark.read.parquet(s"$path/assigned")
+    Similarity.codesWidth(enc).foreach(w => require(w == cb.m,
+      s"pqReconError: codebooks are m=${cb.m}-wide but the codes under " +
+        s"$path/assigned are $w-wide — not this codebook's index"))
+    val live = Similarity.liveRows(spark, path, enc)
+    val src = (if (sampleFraction >= 1.0) live
+      else live.sample(withReplacement = false, sampleFraction, seed))
+      .filter(col("codes").isNotNull)
+    val dec0 = src
+      .select(col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(codebookDf(spark, cb)), Seq("sub", "code"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cent")))),
+        s => s.getField("cent"))).as("_dec"))
+    val dec =
+      if (!residual) dec0
+      else dec0
+        .join(broadcast(spark.read.parquet(s"$path/centroids")
+          .select(col("cell").cast("int").as("_ccell"),
+            transform(col("cent"), x => x.cast("double")).as("_cent"))),
+          col("cell").cast("int") === col("_ccell"))
+        .withColumn("_dec", zip_with(col("_dec"), col("_cent"),
+          (d, c) => d + c))
+        .drop("_ccell", "_cent")
+    dec
+      .join(raw.select(col(idCol),
+        transform(col(embCol), x => x.cast("double")).as("_x")), Seq(idCol))
+      .withColumn("_err", sqrt(Similarity.dot(
+        zip_with(col("_x"), col("_dec"), (x, d) => x - d),
+        zip_with(col("_x"), col("_dec"), (x, d) => x - d))))
+      .withColumn("_rel", col("_err") / sqrt(Similarity.dot(col("_x"), col("_x"))))
+      .agg(count(lit(1)).as("n"), avg(col("_rel")).as("mean_rel_err"),
+        max(col("_rel")).as("max_rel_err"))
+  }
 
   /** Query-side ADC lookup table: `lut(s)(c) = q_s · cent_{s,c}` —
     * m × k doubles, built on the driver once per probe (sequential

@@ -939,6 +939,33 @@ object Similarity {
     * swap/commit choreography is identical for every form, so the
     * crash-window contract (spec-pinned) covers all of them by
     * construction. */
+  /** The raw-access rebuild contract, shared by every maintenance op
+    * that takes a caller-supplied raw frame ([[graft.ext.Pq.ivfPqRetrain]],
+    * [[graft.ext.Sq.sqReencodeIndex]]): the frame must be KEYED
+    * (duplicate ids would multiply their rows through the rebuild join —
+    * probes would then return one id at two ranks) and must COVER every
+    * live id (an inner join would silently drop uncovered live vectors
+    * from the rewritten index; tombstoned ids may legitimately be
+    * absent — the [[liveRows]] fold runs first). Both checks are one
+    * pass each — offline-op cost. One implementation so the two
+    * raw-access rebuilds cannot drift on the contract. */
+  private[ext] def requireKeyedCovering(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      assigned: DataFrame, raw: DataFrame, idCol: String,
+      caller: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(raw.groupBy(col(idCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"$caller: raw frame has duplicate $idCol rows — the rebuild " +
+        "would store those vectors more than once")
+    val missing = liveRows(spark, path, assigned)
+      .select(col(idCol))
+      .join(raw.select(col(idCol)), Seq(idCol), "left_anti").count()
+    require(missing == 0L,
+      s"$caller: $missing live ids under $path are missing from the " +
+        "raw frame — the re-fit would silently drop them")
+  }
+
   private[ext] def retrainImpl(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, nCells: Int, embCol: String,
       seed: Long, reconstruct: DataFrame => DataFrame,

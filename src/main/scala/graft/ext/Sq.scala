@@ -156,14 +156,20 @@ object Sq {
     SqParams(byI.map(_._2), byI.map(_._3), levels)
   }
 
-  /** Persist params as one tiny parquet (dim rows of
-    * `(i, lo, hi, levels)`) next to the index they encode. */
-  def sqParamsSave(spark: SparkSession, p: SqParams, path: String): Unit = {
+  /** The params as a tiny DataFrame — dim rows of `(i, lo, hi,
+    * levels)`, the persisted layout ([[sqParamsSave]]'s parquet and the
+    * staged `_meta_sq_params` frame [[sqReencodeIndex]] swaps in). */
+  private def paramsDf(spark: SparkSession, p: SqParams): DataFrame = {
     import spark.implicits._
     p.lo.indices.map(i => (i, p.lo(i), p.hi(i), p.levels))
       .toDF("i", "lo", "hi", "levels")
-      .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Persist params as one tiny parquet (dim rows of
+    * `(i, lo, hi, levels)`) next to the index they encode. */
+  def sqParamsSave(spark: SparkSession, p: SqParams, path: String): Unit =
+    paramsDf(spark, p)
+      .coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Reopen persisted params (dim-row collect, the codebooksLoad
     * bound). */
@@ -352,8 +358,8 @@ object Sq {
     * out-of-range appends already saturated at encode, and bounds
     * re-fit from the decoded view can only lie inside the old bounds.
     * Monitor bounds drift with [[sqSaturation]]/[[sqDescribe]]; the
-    * remedy there is a raw-corpus re-train (`sqTrain` + re-encode to a
-    * fresh index). */
+    * remedy is [[sqReencodeIndex]] — the raw-corpus re-train +
+    * re-encode, through this same staged swap. */
   def ivfSqRetrain(spark: SparkSession, table: String, path: String,
       nCells: Int, p: SqParams, embCol: String = "embedding",
       seed: Long = 42L): Similarity.IvfIndex =
@@ -378,6 +384,78 @@ object Sq {
         raw.withColumn(embCol, sqDecodeCol(col("codes"), p))
       },
       project = _.assigned.drop(embCol))
+
+  /** The BOUNDS-drift remedy (VERDICT r14 #4) — the one SQ drift
+    * [[ivfSqRetrain]] cannot fix: out-of-range appends already
+    * saturated at encode (codes lost the out-of-range mass), and
+    * bounds re-fit from the decoded view can only lie inside the old
+    * bounds. So when [[sqSaturationExceeded]] fires, the remedy needs
+    * RAW vectors — this is [[graft.ext.Pq.ivfPqRetrain]]'s raw-access
+    * pattern applied to the SQ layout, the monitoring job's one-call
+    * answer: re-train bounds on the raw live corpus (min/max, or
+    * quantile via `quantile = Some((lowQ, highQ))` for heavy tails),
+    * re-fit cells on the same exact vectors (strictly better than the
+    * reconstruction fit — the raw data is in hand), re-encode every
+    * live row, and publish codes + cells + params TOGETHER through
+    * [[Similarity.retrainImpl]]'s staged two-rename swap (the params
+    * ride as staged `_meta_sq_params`, published by `finalizeRetrain`
+    * before the centroid commit — no crash window can publish new
+    * codes under old bounds or vice versa).
+    *
+    * The raw frame must be keyed and cover every live id
+    * ([[Similarity.requireKeyedCovering]] — the shared raw-access
+    * rebuild contract); tombstones fold away in the rebuild, exactly
+    * as in the other retrains. The SQ/PQ mixup guard is physical:
+    * an SQ layout's codes are dim-wide, so the codes width must equal
+    * the raw embedding dim (a PQ layout's m-wide codes refuse loudly —
+    * running one through here would silently convert it to SQ under
+    * its stale `pq_codebooks`). Returns the reopened index and the
+    * NEW params — probe with exactly these ([[sqParamsOf]] reads the
+    * published copy). */
+  def sqReencodeIndex(spark: SparkSession, table: String, path: String,
+      nCells: Int, raw: DataFrame, idCol: String,
+      embCol: String = "embedding", levels: Int = 256,
+      quantile: Option[(Double, Double)] = None,
+      seed: Long = 42L): (Similarity.IvfIndex, SqParams) = {
+    var pOut: SqParams = null
+    val emb = raw.select(col(idCol), col(embCol))
+    // the physical mixup tell, probed from the RAW side (the new
+    // params' dim is the raw dim by construction): one row each
+    val rawDim = emb.select(size(col(embCol))).take(1)
+    require(rawDim.nonEmpty && !rawDim(0).isNullAt(0),
+      s"sqReencodeIndex: raw frame is empty (or its `$embCol` is " +
+        "null) — bounds cannot re-train on nothing")
+    val dim = rawDim(0).getInt(0)
+    val reopened = Similarity.retrainImpl(spark, table, path, nCells,
+      embCol, seed,
+      reconstruct = df => {
+        require(df.columns.contains("codes"),
+          s"sqReencodeIndex: no `codes` column under $path/assigned — " +
+            "not a compressed layout (a raw index just re-trains via " +
+            "ivfRetrain; it has no bounds to drift)")
+        require(!df.columns.contains(embCol),
+          s"sqReencodeIndex: layout already has `$embCol` — a raw " +
+            "index retrains via ivfRetrain, no re-encode needed")
+        Similarity.codesWidth(df).foreach(w => require(w == dim,
+          s"sqReencodeIndex: raw embedding dim $dim != codes width $w " +
+            s"under $path/assigned — not an SQ layout of this corpus " +
+            "(a PQ layout's codes are m-wide; it re-fits via " +
+            "Pq.ivfPqRetrain)"))
+        Similarity.requireKeyedCovering(spark, path, df, emb, idCol,
+          "sqReencodeIndex")
+        df.join(emb, Seq(idCol))
+      },
+      project = idx => {
+        val a = idx.assigned
+        pOut = quantile match {
+          case Some((lo, hi)) => sqTrainQuantile(a, embCol, levels, lo, hi)
+          case None => sqTrain(a, embCol, levels)
+        }
+        sqEncode(a.drop("codes", "recon_norm"), embCol, pOut).drop(embCol)
+      },
+      stagedMeta = _ => Seq("sq_params" -> paramsDf(spark, pOut)))
+    (reopened, pOut)
+  }
 
   /** Policy wrapper over [[ivfSqRetrain]] — the compressed twin of
     * [[Similarity.ivfMaybeRetrain]], same thresholds, same measured
@@ -453,7 +531,10 @@ object Sq {
     * whose live distribution moved). Same cost class as
     * `ivfDescribe(cellBalance = true)`: one column-pruned scan of
     * `codes`, sample-boundable; compose with `ivfDescribe` for the
-    * full health picture.
+    * full health picture. Tombstoned rows are folded out first (r15,
+    * symmetric with [[graft.ext.Pq.pqDescribe]]): deleted vectors must
+    * not keep a saturation alarm lit — an index whose drifted rows
+    * were tombstoned pending compact is healthy NOW.
     *
     * Pass `params` (e.g. [[sqParamsOf]] for an [[ivfSqSave]]d index)
     * for the trustworthy form: `levels` is taken from the params, and
@@ -483,10 +564,14 @@ object Sq {
   def sqDescribe(spark: SparkSession, path: String, levels: Int = 256,
       sampleFraction: Double = 1.0, seed: Long = 42L,
       params: Option[SqParams] = None): DataFrame = {
-    val enc = spark.read.parquet(s"$path/assigned")
-    require(enc.columns.contains("codes"),
+    val physical = spark.read.parquet(s"$path/assigned")
+    require(physical.columns.contains("codes"),
       s"sqDescribe: no `codes` column under $path/assigned — not a " +
         "compressed (SQ/PQ-encoded) index layout")
+    // tombstones fold out first (r15, the pqDescribe rule): DELETED
+    // vectors must not keep a saturation alarm lit — an index whose
+    // drifted rows were tombstoned pending compact is healthy NOW
+    val enc = Similarity.liveRows(spark, path, physical)
     val lv = params.map(_.levels).getOrElse(levels)
     val degenerate: Set[Int] = params.toSeq.flatMap(_.step.zipWithIndex
       .collect { case (s, i) if s == 0.0 => i }).toSet
@@ -554,7 +639,9 @@ object Sq {
     * bounds drift is not recoverable from the index's own codes (see
     * [[sqDescribe]]'s policy note) — the caller must bring raw
     * vectors, so the hook's job is to say WHEN, loudly and cheaply, in
-    * a monitoring job's cadence. */
+    * a monitoring job's cadence. The one-call remedy is
+    * [[sqReencodeIndex]] (raw-access re-train + re-encode + staged
+    * swap — r15). */
   def sqSaturationExceeded(spark: SparkSession, path: String,
       levels: Int = 256, maxSatRate: Double = 0.01,
       maxDimSatRate: Double = 0.05, sampleFraction: Double = 1.0,

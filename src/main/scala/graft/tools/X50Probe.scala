@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+import graft.engine.Tables
+
+/** One-off decomposition of x50's sf1 cost (round 15): pair-generation
+  * vs connected-components, and the CC small-graph dispatch at edge
+  * counts past [[Dedup.SmallGraphEdges]] where the NODE count is tiny
+  * (union-find memory is O(nodes); edges stream). Evidence for the
+  * x50 scale adjudication in BENCH_NOTES — not part of the driver
+  * contract. */
+object X50Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[x50probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val pairs = Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
+        "vec_id", "label", minCos = 0.4, targetBucket = 100, maxPlanes = 6)
+      .select("id_a", "id_b")
+    val p = t("pairs materialize")(pairs.localCheckpoint(true))
+    val e = t("edge count")(p.count())
+    val n = t("node count")(p.select(explode(array(col("id_a"),
+      col("id_b")))).distinct().count())
+    println(s"[x50probe] edges=$e nodes=$n")
+    t("cc distributed (default dispatch)")(
+      Dedup.connectedKeepers(p).write.format("noop").mode("overwrite").save())
+    t("cc union-find (forced small path)")(
+      Dedup.connectedKeepers(p, smallGraphEdges = Long.MaxValue)
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -67,7 +67,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fast == expected)
     // forced large-graph path (threshold 0): distributed label propagation
     // must produce the identical component map
-    val loop = Dedup.connectedKeepers(pairs, smallGraphEdges = 0L)
+    val loop = Dedup.connectedKeepers(pairs, smallGraphEdges = 0L,
+        smallGraphNodes = 0L)
       .as[(Long, Long)].collect().toMap
     assert(loop == expected)
   }
@@ -92,10 +93,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
         .filter(p => p._1 != p._2).distinct
       val df = edges.toDF("id_a", "id_b")
       val fast = Dedup.connectedKeepers(df).as[(Long, Long)].collect().toMap
-      val loop = Dedup.connectedKeepers(df, smallGraphEdges = 0L)
+      val loop = Dedup.connectedKeepers(df, smallGraphEdges = 0L,
+        smallGraphNodes = 0L)
         .as[(Long, Long)].collect().toMap
       assert(fast == loop, s"trial $trial: paths disagree")
     }
+  }
+
+  test("connectedKeepers node-count dispatch (round 15): a dense graph " +
+      "past the edge threshold but under the node threshold takes the " +
+      "single-task union-find; all three dispatches agree") {
+    // near-complete graph: 40 nodes, ~780 edges — "dense few-node", the
+    // x50 sf1 shape in miniature (7.8M edges over 20k nodes)
+    val edges = (for (a <- 0L until 40L; b <- (a + 1) until 40L)
+      yield (a, b)).toDF("id_a", "id_b")
+    val expected = (0L until 40L).map(i => i -> 0L).toMap
+    // edge threshold forced below the edge count: the OLD dispatch
+    // would take the distributed loop; the node dispatch reclaims it
+    val nodePath = Dedup.connectedKeepers(edges, smallGraphEdges = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(nodePath == expected)
+    // both forced alternatives produce the identical map
+    val edgePath = Dedup.connectedKeepers(edges)
+      .as[(Long, Long)].collect().toMap
+    val loopPath = Dedup.connectedKeepers(edges, smallGraphEdges = 10L,
+      smallGraphNodes = 10L).as[(Long, Long)].collect().toMap
+    assert(edgePath == expected && loopPath == expected)
   }
 
   test("union-find path handles a long chain and adversarial edge order") {

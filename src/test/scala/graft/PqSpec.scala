@@ -630,4 +630,123 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
         targetRowsPerCell = target).isEmpty, "freshly sized: no re-fire")
     } finally spark.sql("DROP TABLE IF EXISTS pq_mr_t")
   }
+
+  test("pqDescribe + pqUsageCollapsed: planted codebook drift — a " +
+      "shifted cluster appended through OLD codebooks collapses usage " +
+      "entropy; the armed usage trigger fires a refit and entropy " +
+      "recovers (VERDICT r14 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-drift").toString
+    val nCells = 4
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    Pq.ivfPqSave(
+      Pq.ivfPqEncode(Similarity.ivfBuild(corpus, nCells = nCells), cb,
+        "vec_id"),
+      cb, "pq_drift_t", dir, nCells)
+    try {
+      // post-train baseline: codebooks fitted on exactly this corpus —
+      // usage spread out, no single code dominating a subspace
+      val base = Pq.pqDescribe(spark, dir, cb).head
+      val baseEnt = base.getDouble(base.fieldIndex("min_sub_entropy"))
+      assert(base.getAs[Long]("rows_sampled") == corpus.count())
+      assert(base.getAs[Int]("m") == 8 && base.getAs[Int]("k") == 16)
+      assert(baseEnt > 0.3 && baseEnt <= 1.0,
+        s"fresh fit should use its codewords broadly, got $baseEnt")
+
+      // planted drift: the same corpus shifted far outside the trained
+      // distribution, appended through the OLD codebooks (exactly what
+      // a streaming ingest does after the corpus moves) — every shifted
+      // vector snaps to the few extreme codewords
+      val shifted = corpus.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(30.0f)).as("embedding"),
+        col("label"))
+      val loaded = Similarity.ivfLoad(spark, "pq_drift_t", dir)
+      Similarity.ivfAppendSave(
+        Pq.pqEncode(Similarity.ivfAssign(loaded, shifted, "vec_id"),
+            "embedding", cb)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        "pq_drift_t", dir, nCells)
+      spark.catalog.refreshTable("pq_drift_t")
+
+      val drifted = Pq.pqDescribe(spark, dir, cb).head
+      val dEnt = drifted.getDouble(drifted.fieldIndex("min_sub_entropy"))
+      val dFrac = drifted.getDouble(drifted.fieldIndex("max_code_frac"))
+      assert(dEnt < baseEnt,
+        s"appended drift must collapse usage entropy: $dEnt vs $baseEnt")
+      assert(dFrac >= 0.5,
+        s"half the index snapped to one codeword per subspace: $dFrac")
+
+      // threshold between the two states: collapsed fires, baseline
+      // would not
+      val thr = (baseEnt + dEnt) / 2
+      assert(Pq.pqUsageCollapsed(spark, dir, cb, minSubEntropy = thr,
+        maxCodeFrac = 1.0))
+
+      // quantization error against the raw corpus: the drifted half is
+      // priced by codebooks that never saw it
+      val rawAll = corpus.select("vec_id", "embedding")
+        .unionByName(shifted.select("vec_id", "embedding"))
+      val errBefore = Pq.pqReconError(spark, dir, rawAll, "vec_id", cb)
+        .head.getDouble(1)
+      assert(errBefore > 0.0)
+
+      // the armed usage trigger (cell trigger deliberately disarmed)
+      // fires the refit form and the histogram recovers
+      val fired = Pq.ivfPqMaybeRetrain(spark, "pq_drift_t", dir,
+        raw = rawAll, idCol = "vec_id", cb = cb,
+        maxSkew = 1e9, minOccupiedFrac = 0.0, targetRowsPerCell = 0L,
+        minSubEntropy = thr)
+      assert(fired.nonEmpty, "usage collapse must fire the retrain")
+      val cbNew = fired.get
+      assert(cbNew != cb, "the usage fire must REFIT the codebooks")
+      assert(Pq.pqCodebooksOf(spark, dir) == cbNew)
+      val after = Pq.pqDescribe(spark, dir, cbNew).head
+      val aEnt = after.getDouble(after.fieldIndex("min_sub_entropy"))
+      assert(aEnt > dEnt,
+        s"refit on the full live corpus must recover entropy: $aEnt vs $dEnt")
+      assert(!Pq.pqUsageCollapsed(spark, dir, cbNew, minSubEntropy = thr,
+        maxCodeFrac = 1.0), "recovered index must not re-fire")
+      val errAfter = Pq.pqReconError(spark, dir, rawAll, "vec_id", cbNew)
+        .head.getDouble(1)
+      assert(errAfter < errBefore,
+        s"refit must cut quantization error: $errAfter vs $errBefore")
+      // the index stays probeable end to end after the usage-fired swap
+      val q = corpus.filter(col("vec_id") === 1).select("embedding")
+      val reloaded = Similarity.ivfLoad(spark, "pq_drift_t", dir)
+      assert(Pq.ivfPqProbe(reloaded, cbNew, q, "vec_id",
+        nProbe = nCells, k = 5).count() == 5L)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_drift_t")
+  }
+
+  test("pqDescribe guards: SQ layout refused on the codes-width tell; " +
+      "empty index is an honest zero row and never fires the trigger") {
+    import graft.ext.Sq
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    // dim-wide SQ codes under PQ monitoring: refuse, don't "observe"
+    val sqDir = java.nio.file.Files.createTempDirectory("pq-d-sq").toString
+    val p = Sq.sqTrain(corpus)
+    Sq.ivfSqSave(Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 4),
+      p, "vec_id"), p, "pq_d_sq_t", sqDir, 4)
+    try {
+      val e = intercept[IllegalArgumentException](
+        Pq.pqDescribe(spark, sqDir, cb))
+      assert(e.getMessage.contains("-wide"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_d_sq_t")
+    // fully-tombstoned index: the liveRows fold empties the usage scan —
+    // zero row, null rates, trigger false (the retrainTrigger no-op rule)
+    val emptyDir = java.nio.file.Files.createTempDirectory("pq-d-e").toString
+    Pq.ivfPqSave(
+      Pq.ivfPqEncode(Similarity.ivfBuild(corpus, nCells = 4), cb, "vec_id"),
+      cb, "pq_d_e_t", emptyDir, 4)
+    try {
+      Similarity.ivfDelete(corpus.select("vec_id"), "vec_id",
+        "pq_d_e_t", emptyDir)
+      val d = Pq.pqDescribe(spark, emptyDir, cb).head
+      assert(d.getAs[Long]("rows_sampled") == 0L)
+      assert(d.isNullAt(d.fieldIndex("min_sub_entropy")))
+      assert(!Pq.pqUsageCollapsed(spark, emptyDir, cb,
+        minSubEntropy = 0.99))
+    } finally spark.sql("DROP TABLE IF EXISTS pq_d_e_t")
+  }
 }

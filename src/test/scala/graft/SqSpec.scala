@@ -443,6 +443,19 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       assert(Sq.sqSaturationExceeded(spark, dir, p.levels,
         maxSatRate = 1.0,
         maxDimSatRate = d.getAs[Double]("max_dim_sat_rate") / 2))
+      // tombstone fold (r15, the pqDescribe rule): deleting the planted
+      // outliers silences the alarm WITHOUT a compact — deleted vectors
+      // must not keep firing a monitoring job
+      Similarity.ivfDelete(outliers.select("vec_id"), "vec_id",
+        "sq_sat_t", dir)
+      val dLive = Sq.sqDescribe(spark, dir, p.levels).collect()(0)
+      assert(dLive.getAs[Long]("rows_sampled") == n,
+        "tombstoned rows must fold out of the describe scan")
+      assert(dLive.getAs[Double]("sat_rate") < d.getAs[Double]("sat_rate"),
+        "folding the drifted rows must drop the rate toward baseline")
+      assert(!Sq.sqSaturationExceeded(spark, dir, p.levels,
+        maxSatRate = 0.05, maxDimSatRate = 0.2),
+        "with the drifted rows tombstoned, the live index is healthy")
     } finally spark.sql("DROP TABLE IF EXISTS sq_sat_t")
 
     // empty index: honest null row, no NPE in a monitoring call
@@ -589,5 +602,103 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         queryVec(0L), "vec_id", k = 10).collect().toSeq
       assert(exhaustive == flat, "healed compressed index must probe exactly")
     } finally spark.sql("DROP TABLE IF EXISTS sq_rc_t")
+  }
+
+  test("sqReencodeIndex: the bounds-drift remedy (VERDICT r14 #4) — " +
+      "planted out-of-bounds appends fire the hook, the raw-access " +
+      "re-encode restores baseline saturation with params swapped " +
+      "alongside, probes exact throughout; guards refuse raw/PQ/" +
+      "uncovering inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-reenc").toString
+    val p0 = Sq.sqTrain(corpus)
+    Sq.ivfSqSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(corpus, nCells = 4), p0, "vec_id"),
+      p0, "sq_re_t", dir, 4)
+    try {
+      // planted drift: 20% extra rows scaled 10× appended through the
+      // OLD bounds — they saturate at the clamp (x99's drift shape)
+      val outliers = corpus.limit((corpus.count() / 5).toInt)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(10.0f)).as("embedding"))
+      val loaded = Similarity.ivfLoad(spark, "sq_re_t", dir)
+      Similarity.ivfAppendSave(
+        Sq.sqEncode(Similarity.ivfAssign(loaded, outliers, "vec_id"),
+            "embedding", p0)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        "sq_re_t", dir, 4)
+      spark.catalog.refreshTable("sq_re_t")
+      assert(Sq.sqSaturationExceeded(spark, dir, params = Some(p0),
+        maxSatRate = 0.01, maxDimSatRate = 0.05),
+        "planted out-of-bounds appends must fire the hook")
+
+      // the one-call remedy: re-train bounds on the raw live corpus,
+      // re-encode, staged swap
+      val rawAll = corpus.select("vec_id", "embedding").unionByName(outliers)
+      val (re, pNew) = Sq.sqReencodeIndex(spark, "sq_re_t", dir,
+        nCells = 4, raw = rawAll, idCol = "vec_id")
+      assert(pNew != p0, "bounds must actually re-train")
+      // min/max over the same rows is order-independent and exact, so
+      // the published params ARE the direct fit on the raw corpus
+      assert(pNew == Sq.sqTrain(rawAll))
+      assert(Sq.sqParamsOf(spark, dir) == pNew,
+        "the staged swap must publish the new params alongside the codes")
+      assert(re.centroids.count() == 4L)
+
+      // saturation back to the min/max baseline: the re-encoded index's
+      // per-dim frame EQUALS a fresh encode under the new params
+      // (deterministic end to end), and the hook stops firing
+      assert(!Sq.sqSaturationExceeded(spark, dir, params = Some(pNew),
+        maxSatRate = 0.05, maxDimSatRate = 0.2),
+        "re-encode must restore baseline saturation")
+      val after = Sq.sqSaturation(
+        spark.read.parquet(s"$dir/assigned"), pNew.levels)
+        .collect().map(_.toSeq).toSet
+      val fresh = Sq.sqSaturation(
+        Sq.sqEncode(rawAll, "embedding", pNew), pNew.levels)
+        .collect().map(_.toSeq).toSet
+      assert(after == fresh,
+        "re-encoded codes must match a fresh encode under the new params")
+
+      // probes exact throughout: exhaustive probe over the re-encoded
+      // index == the flat scorer on a fresh encode with the new params
+      val qdf = corpus.filter(col("vec_id") === 1)
+      val exhaustive = Sq.ivfSqProbe(re, pNew, qdf, "vec_id",
+        nProbe = 4, k = 10).collect().toSeq
+      val flat = Sq.sqTopK(Sq.sqEncode(rawAll, "embedding", pNew), pNew,
+        queryVec(1L), "vec_id", k = 10).collect().toSeq
+      assert(exhaustive == flat, "re-encoded index must probe exactly")
+
+      // coverage guard: a raw frame missing live ids refuses
+      val eCov = intercept[IllegalArgumentException](
+        Sq.sqReencodeIndex(spark, "sq_re_t", dir, nCells = 4,
+          raw = rawAll.filter(col("vec_id") < 100), idCol = "vec_id"))
+      assert(eCov.getMessage.contains("missing"), eCov.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_re_t")
+
+    // raw-layout guard: nothing to re-encode
+    val rawDir = java.nio.file.Files.createTempDirectory("sq-re-raw").toString
+    Similarity.ivfSave(Similarity.ivfBuild(corpus, nCells = 4),
+      "sq_re_raw_t", rawDir, 4)
+    try {
+      val eRaw = intercept[IllegalArgumentException](
+        Sq.sqReencodeIndex(spark, "sq_re_raw_t", rawDir, nCells = 4,
+          raw = corpus.select("vec_id", "embedding"), idCol = "vec_id"))
+      assert(eRaw.getMessage.contains("ivfRetrain"), eRaw.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_re_raw_t")
+
+    // PQ-layout guard: m-wide codes are not an SQ layout of this corpus
+    val pqDir = java.nio.file.Files.createTempDirectory("sq-re-pq").toString
+    val cb = graft.ext.Pq.trainedCodebooks(corpus, "embedding",
+      dim = 64, m = 8, k = 16)
+    graft.ext.Pq.ivfPqSave(
+      graft.ext.Pq.ivfPqEncode(Similarity.ivfBuild(corpus, nCells = 4),
+        cb, "vec_id"), cb, "sq_re_pq_t", pqDir, 4)
+    try {
+      val ePq = intercept[IllegalArgumentException](
+        Sq.sqReencodeIndex(spark, "sq_re_pq_t", pqDir, nCells = 4,
+          raw = corpus.select("vec_id", "embedding"), idCol = "vec_id"))
+      assert(ePq.getMessage.contains("m-wide"), ePq.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sq_re_pq_t")
   }
 }
