@@ -314,9 +314,14 @@ object IndexIngest {
           // would decode code INDICES through the affine map and
           // re-fit cells on garbage, silently. Shared one-row width
           // probe (Similarity.codesWidth — same tell as the batch
-          // retrains'). Empty at first load → re-probed pre-trigger
-          // each epoch until a width is seen (checkSqWidth above).
-          checkSqWidth(centroids.assigned)
+          // retrains'), run on the PHYSICAL frame: the layout is a
+          // property of the files, and a fully-TOMBSTONED PQ index
+          // (live view empty — the probe's None case) still tells its
+          // width physically, so the misconfig fails at first load,
+          // not after this sink has appended mixed-width rows. A
+          // physically empty index → re-probed pre-trigger each epoch
+          // until a width is seen (checkSqWidth above).
+          checkSqWidth(spark.table(table))
           superQ =
             if (nSuper == 0) centroids.autoSuper
             else Some(Similarity.ivfSuperBuild(centroids, nSuper))

@@ -77,6 +77,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("63"), e.getMessage)
   }
 
+  test("codesWidth: null-codes rows are skipped, not NPE'd (ADVICE r14) — " +
+      "all-null and empty frames are None, the first non-null row wins") {
+    import spark.implicits._
+    val allNull = Seq[(Long, Seq[Int])]((1L, null), (2L, null))
+      .toDF("vec_id", "codes")
+    assert(Similarity.codesWidth(allNull).isEmpty,
+      "an all-null frame carries no width — guards must skip, not NPE")
+    val mixed = Seq[(Long, Seq[Int])]((1L, null), (2L, Seq(1, 2, 3)))
+      .toDF("vec_id", "codes")
+    assert(Similarity.codesWidth(mixed).contains(3),
+      "the probe must find the first non-null row")
+    assert(Similarity.codesWidth(allNull.limit(0)).isEmpty)
+  }
+
   test("one-shot ivfTopK ≡ build-once + probe (same seed, same cells)") {
     val q = corpus.filter(col("vec_id") === 1).select("embedding")
     val oneShot = Similarity.ivfTopK(corpus, q, "vec_id").collect().toSeq

@@ -522,6 +522,24 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       val eSink = intercept[IllegalArgumentException](
         sink(corpus.limit(3).toDF(), 0L))
       assert(eSink.getMessage.contains("width"), eSink.getMessage)
+      // empty-at-first-load (ADVICE r14): a fully-TOMBSTONED PQ index
+      // has an empty LIVE view — the one state the live probe cannot
+      // see — but its files still tell the m-wide layout, so the armed
+      // sink must STILL fail at first load (the probe runs on the
+      // physical frame), before any mixed-width rows could land
+      Similarity.ivfDelete(corpus.select("vec_id"), "vec_id",
+        "sq_cx_t", dir)
+      assert(Similarity.ivfLoad(spark, "sq_cx_t", dir)
+        .assigned.isEmpty, "live view must be empty after the delete")
+      val sink2 = graft.streaming.IndexIngest.ivfSink("vec_id",
+        "embedding", "sq_cx_t", dir, 4,
+        encode = df => Sq.sqEncode(df, "embedding", p)
+          .select(col("vec_id"), col("cell"), col("codes"),
+            col("recon_norm")),
+        retrainRowsPerCell = 1000000L, sqParams = Some(p))
+      val eSink2 = intercept[IllegalArgumentException](
+        sink2(corpus.limit(3).toDF(), 0L))
+      assert(eSink2.getMessage.contains("width"), eSink2.getMessage)
       // and the keyed-raw contract: duplicates would multiply rows
       val dup = corpus.select("vec_id", "embedding")
         .union(corpus.limit(1).select("vec_id", "embedding"))
