@@ -1158,6 +1158,57 @@ object CurationQueries {
         FROM fr GROUP BY 1 ORDER BY 1"""))
   }
 
+  // ---------------------------------------------------------------- x101
+  /** Oracle-checked PQ QUANTIZATION-ERROR estimator
+    * ([[Pq.pqReconErrorOf]] — the raw-access half of the r15 PQ
+    * observability pair; x100 is the codes-only half): encode with the
+    * x90 deterministic codebooks, decode through the broadcast
+    * (sub, code) → codeword join, and emit each vector's relative
+    * reconstruction error `‖x − decode(encode(x))‖ / ‖x‖` (round 6,
+    * the house float rule). DuckDB re-derives the argmin encode, the
+    * positional decode, and the error fold from the same parquet, so
+    * the decode path [[Pq.pqReconError]]'s monitoring summary
+    * aggregates is hash-checked row by row cross-engine. */
+  val x101PqReconErr: Q = {
+    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+    Q(
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val enc = Pq.pqEncode(embs, "embedding", cb)
+          .select(col("vec_id"), col("label").cast("int").as("cell"),
+            col("codes"), col("recon_norm"))
+        Pq.pqReconErrorOf(enc, embs.select("vec_id", "embedding"),
+            "vec_id", cb)
+          .select(col("vec_id"), round(col("rel_err"), 6).as("rel_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cw(s, c, i, w) AS (VALUES $cwValues),
+        ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        dist AS (SELECT e.vec_id, cw.s, cw.c,
+            sum((e.x - cw.w) * (e.x - cw.w)) AS d
+          FROM ex e JOIN cw ON cw.i = e.i GROUP BY 1, 2, 3),
+        code AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d ASC, c ASC) AS rn FROM dist) WHERE rn = 1),
+        decv AS (SELECT k.vec_id, cw.i, cw.w
+          FROM code k JOIN cw ON cw.s = k.s AND cw.c = k.c),
+        err AS (SELECT e.vec_id,
+            sqrt(sum((e.x - d.w) * (e.x - d.w))) AS err,
+            sqrt(sum(e.x * e.x)) AS nrm
+          FROM ex e JOIN decv d ON d.vec_id = e.vec_id AND d.i = e.i
+          GROUP BY 1)
+        SELECT vec_id, round(err / nrm, 6) AS rel_err
+        FROM err ORDER BY 1"""))
+  }
+
   // ---------------------------------------------------------------- x98
   /** Oracle-checked BULK two-stage rerank ([[Pq.ivfPqProbeBulk]] with
     * `rerankWith` — [[graft.ext.Similarity.bulkRerankTail]], r13): the
@@ -1456,6 +1507,7 @@ object CurationQueries {
     "x97_sq_adc" -> x97SqAdc,
     "x99_sq_saturation" -> x99SqSaturation,
     "x100_pq_usage" -> x100PqUsage,
+    "x101_pq_recon_err" -> x101PqReconErr,
     "x98_bulk_rerank" -> x98BulkRerank,
     "x92_pq_residual" -> x92PqResidual,
     "x88_ivf_recall" -> x88IvfRecall,

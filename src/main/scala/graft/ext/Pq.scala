@@ -497,8 +497,30 @@ object Pq {
       s"pqReconError: codebooks are m=${cb.m}-wide but the codes under " +
         s"$path/assigned are $w-wide — not this codebook's index"))
     val live = Similarity.liveRows(spark, path, enc)
-    val src = (if (sampleFraction >= 1.0) live
-      else live.sample(withReplacement = false, sampleFraction, seed))
+    pqReconErrorOf(live, raw, idCol, cb,
+      if (residual) Some(spark.read.parquet(s"$path/centroids")) else None,
+      embCol, sampleFraction, seed)
+      .agg(count(lit(1)).as("n"), avg(col("rel_err")).as("mean_rel_err"),
+        max(col("rel_err")).as("max_rel_err"))
+  }
+
+  /** Frame-level core of [[pqReconError]]: per-row relative
+    * reconstruction error `(idCol, rel_err)` of an ENCODED frame
+    * against its raw vectors — `rel_err = ‖x − decode(codes)‖ / ‖x‖`,
+    * decode via the broadcast (sub, code) → codeword join in subspace
+    * order; `centroids = Some(…)` adds the cell centroid back (the
+    * residual form). The path form folds tombstones and aggregates;
+    * this form is the oracle-checkable unit (x101 hash-checks it
+    * cross-engine with deterministic codebooks). */
+  def pqReconErrorOf(encoded: DataFrame, raw: DataFrame, idCol: String,
+      cb: PqCodebooks, centroids: Option[DataFrame] = None,
+      embCol: String = "embedding", sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction is a fraction")
+    val spark = encoded.sparkSession
+    val src = (if (sampleFraction >= 1.0) encoded
+      else encoded.sample(withReplacement = false, sampleFraction, seed))
       .filter(col("codes").isNotNull)
     val dec0 = src
       .select(col(idCol), col("cell"),
@@ -508,25 +530,26 @@ object Pq {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("cent")))),
         s => s.getField("cent"))).as("_dec"))
-    val dec =
-      if (!residual) dec0
-      else dec0
-        .join(broadcast(spark.read.parquet(s"$path/centroids")
+    val dec = centroids match {
+      case None => dec0
+      case Some(cents) => dec0
+        .join(broadcast(cents
           .select(col("cell").cast("int").as("_ccell"),
             transform(col("cent"), x => x.cast("double")).as("_cent"))),
           col("cell").cast("int") === col("_ccell"))
         .withColumn("_dec", zip_with(col("_dec"), col("_cent"),
           (d, c) => d + c))
         .drop("_ccell", "_cent")
+    }
     dec
       .join(raw.select(col(idCol),
         transform(col(embCol), x => x.cast("double")).as("_x")), Seq(idCol))
       .withColumn("_err", sqrt(Similarity.dot(
         zip_with(col("_x"), col("_dec"), (x, d) => x - d),
         zip_with(col("_x"), col("_dec"), (x, d) => x - d))))
-      .withColumn("_rel", col("_err") / sqrt(Similarity.dot(col("_x"), col("_x"))))
-      .agg(count(lit(1)).as("n"), avg(col("_rel")).as("mean_rel_err"),
-        max(col("_rel")).as("max_rel_err"))
+      .select(col(idCol),
+        (col("_err") / sqrt(Similarity.dot(col("_x"), col("_x"))))
+          .as("rel_err"))
   }
 
   /** Query-side ADC lookup table: `lut(s)(c) = q_s · cent_{s,c}` —
