@@ -719,6 +719,49 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS pq_drift_t")
   }
 
+  test("pqReconErrorOf (residual form): the centroid term is load-" +
+      "bearing — residual decode prices the error small, decoding the " +
+      "same codes as plain PQ (dropping the centroid) blows it up; the " +
+      "estimate matches a driver-side reference to fp tolerance") {
+    val built = Similarity.ivfBuild(corpus, nCells = 8)
+    val cbRes = Pq.trainedResidualCodebooks(built.assigned, "embedding",
+      built, dim = 64, m = 8, k = 16)
+    val encIdx = Pq.ivfPqEncodeResidual(built, cbRes, "vec_id")
+    val raw = corpus.select("vec_id", "embedding")
+    val res = Pq.pqReconErrorOf(encIdx.assigned, raw, "vec_id", cbRes,
+      centroids = Some(built.centroids))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.size == corpus.count())
+    res.values.foreach(e => assert(e >= 0.0 && !e.isNaN))
+    // the same codes decoded WITHOUT the centroid term: the residual is
+    // near zero-mean, so ‖x − decode_residual_codes‖ ≈ ‖x‖ — the
+    // mean error must be decisively larger than the residual form's
+    val plain = Pq.pqReconErrorOf(encIdx.assigned, raw, "vec_id", cbRes)
+      .agg(avg(col("rel_err"))).head.getDouble(0)
+    val resMean = res.values.sum / res.size
+    assert(resMean < plain,
+      s"residual decode must beat centroid-less decode: $resMean vs $plain")
+    // spot-check one row against a driver-side fold
+    val cents: Map[Int, IndexedSeq[Double]] = built.centroids
+      .select(col("cell").cast("int"), col("cent")).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Number](1).map(_.doubleValue).toIndexedSeq).toMap
+    val row = encIdx.assigned
+      .filter(col("vec_id") === 3)
+      .select(col("cell").cast("int"), col("codes")).head
+    val x = queryVec(3L)
+    val cent = cents(row.getInt(0))
+    val dec = row.getSeq[Int](1).zipWithIndex.flatMap { case (c, s) =>
+      cbRes.cents(s)(c).zipWithIndex.map { case (w, j) =>
+        w + cent(s * cbRes.subDim + j) }
+    }
+    val err = math.sqrt(x.zip(dec).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    val nrm = math.sqrt(x.map(v => v * v).sum)
+    assert(math.abs(res(3L) - err / nrm) < 1e-9,
+      s"estimator ${res(3L)} != reference ${err / nrm}")
+  }
+
   test("pqDescribe guards: SQ layout refused on the codes-width tell; " +
       "empty index is an honest zero row and never fires the trigger") {
     import graft.ext.Sq

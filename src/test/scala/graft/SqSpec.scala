@@ -692,6 +692,22 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         Sq.sqReencodeIndex(spark, "sq_re_t", dir, nCells = 4,
           raw = rawAll.filter(col("vec_id") < 100), idCol = "vec_id"))
       assert(eCov.getMessage.contains("missing"), eCov.getMessage)
+
+      // quantile form: heavy-tail bounds — strictly inside the min/max
+      // fit on spread dims, and the clipped tails saturate BY DESIGN
+      // (higher baseline rate than the min/max form's ~2/n)
+      val (_, pQ) = Sq.sqReencodeIndex(spark, "sq_re_t", dir,
+        nCells = 4, raw = rawAll, idCol = "vec_id",
+        quantile = Some((0.05, 0.95)))
+      assert(Sq.sqParamsOf(spark, dir) == pQ)
+      val inside = pQ.lo.indices.count(i =>
+        pQ.lo(i) > pNew.lo(i) && pQ.hi(i) < pNew.hi(i))
+      assert(inside > 32,
+        s"middle-90% bounds must sit inside min/max on most dims: $inside/64")
+      val satQ = Sq.sqDescribe(spark, dir, params = Some(pQ)).head
+        .getAs[Double]("sat_rate")
+      assert(satQ > 0.05,
+        s"~10% clipped tails must read as saturation, got $satQ")
     } finally spark.sql("DROP TABLE IF EXISTS sq_re_t")
 
     // raw-layout guard: nothing to re-encode
