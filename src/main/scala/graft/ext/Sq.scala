@@ -420,10 +420,12 @@ object Sq {
     var pOut: SqParams = null
     val emb = raw.select(col(idCol), col(embCol))
     // the physical mixup tell, probed from the RAW side (the new
-    // params' dim is the raw dim by construction): one row each
-    val rawDim = emb.select(size(col(embCol))).take(1)
-    require(rawDim.nonEmpty && !rawDim(0).isNullAt(0),
-      s"sqReencodeIndex: raw frame is empty (or its `$embCol` is " +
+    // params' dim is the raw dim by construction): first non-null row
+    // (the codesWidth null-skip rule — a null embedding carries no dim)
+    val rawDim = emb.filter(col(embCol).isNotNull)
+      .select(size(col(embCol))).take(1)
+    require(rawDim.nonEmpty,
+      s"sqReencodeIndex: raw frame is empty (or its `$embCol` is all " +
         "null) — bounds cannot re-train on nothing")
     val dim = rawDim(0).getInt(0)
     val reopened = Similarity.retrainImpl(spark, table, path, nCells,

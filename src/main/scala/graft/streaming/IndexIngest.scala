@@ -359,10 +359,17 @@ object IndexIngest {
       val skew = if (retrainMaxSkew > 0.0) retrainMaxSkew
         else Double.MaxValue
       // the first-load width probe is a no-op on an index that was
-      // EMPTY then — re-probe the published frame (this epoch's append
-      // is in it) until one non-empty probe lands; free afterwards
-      if (retrainOn && sqParams.isDefined && !sqWidthChecked)
-        checkSqWidth(spark.read.parquet(s"$path/assigned"))
+      // EMPTY then — re-probe the published table (this epoch's append
+      // is in it) until one non-empty probe lands; free afterwards.
+      // The CATALOG table, not a bare path read: a physically file-less
+      // assigned dir (empty initial save + empty first batches) has no
+      // footer to infer a schema from, and the probe must no-op there,
+      // not throw. The listing may trail the append by one epoch —
+      // fine: the un-checked flag persists until a probe lands.
+      if (retrainOn && sqParams.isDefined && !sqWidthChecked) {
+        spark.catalog.refreshTable(table)
+        checkSqWidth(spark.table(table))
+      }
       val fired = retrainOn && (sqParams match {
         case Some(p) => graft.ext.Sq.ivfSqMaybeRetrain(spark, table, path,
           p, maxSkew = skew, minOccupiedFrac = 0.0,
