@@ -920,25 +920,7 @@ object Similarity {
       },
       project = _.assigned)
 
-  /** The staged-swap retrain body [[ivfRetrain]],
-    * [[graft.ext.Sq.ivfSqRetrain]], and [[graft.ext.Pq.ivfPqRetrain]]
-    * share. `reconstruct` gives the live frame an `embCol` to fit on
-    * (identity for a raw index; SQ decodes its codes — reconstruction
-    * error ≤ step/2 per dim, which the KMeans re-fit tolerates; PQ
-    * joins a caller-supplied raw frame); `project` maps the freshly
-    * built index to the frame to SAVE (identity/assigned for raw;
-    * compressed forms strip the fit-only view and, for residual PQ,
-    * re-encode against the new cells — it receives the whole
-    * [[IvfIndex]] because residual encoding needs the new centroids).
-    * `stagedMeta` names extra metadata frames to carry through the
-    * SAME two-rename swap: each `(name, frame)` is staged inside the
-    * rewritten tree as `_meta_<name>` and published by
-    * [[finalizeRetrain]] to `$path/<name>` atomically-enough that no
-    * crash can publish new cells under old metadata (the residual-PQ
-    * codebooks problem: codes and codebooks must move together). The
-    * swap/commit choreography is identical for every form, so the
-    * crash-window contract (spec-pinned) covers all of them by
-    * construction. */
+
   /** The raw-access rebuild contract, shared by every maintenance op
     * that takes a caller-supplied raw frame ([[graft.ext.Pq.ivfPqRetrain]],
     * [[graft.ext.Sq.sqReencodeIndex]]): the frame must be KEYED
@@ -966,6 +948,25 @@ object Similarity {
         "raw frame — the re-fit would silently drop them")
   }
 
+  /** The staged-swap retrain body [[ivfRetrain]],
+    * [[graft.ext.Sq.ivfSqRetrain]], and [[graft.ext.Pq.ivfPqRetrain]]
+    * share. `reconstruct` gives the live frame an `embCol` to fit on
+    * (identity for a raw index; SQ decodes its codes — reconstruction
+    * error ≤ step/2 per dim, which the KMeans re-fit tolerates; PQ
+    * joins a caller-supplied raw frame); `project` maps the freshly
+    * built index to the frame to SAVE (identity/assigned for raw;
+    * compressed forms strip the fit-only view and, for residual PQ,
+    * re-encode against the new cells — it receives the whole
+    * [[IvfIndex]] because residual encoding needs the new centroids).
+    * `stagedMeta` names extra metadata frames to carry through the
+    * SAME two-rename swap: each `(name, frame)` is staged inside the
+    * rewritten tree as `_meta_<name>` and published by
+    * [[finalizeRetrain]] to `$path/<name>` atomically-enough that no
+    * crash can publish new cells under old metadata (the residual-PQ
+    * codebooks problem: codes and codebooks must move together). The
+    * swap/commit choreography is identical for every form, so the
+    * crash-window contract (spec-pinned) covers all of them by
+    * construction. */
   private[ext] def retrainImpl(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, nCells: Int, embCol: String,
       seed: Long, reconstruct: DataFrame => DataFrame,
