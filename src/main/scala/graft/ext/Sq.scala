@@ -459,6 +459,36 @@ object Sq {
     (reopened, pOut)
   }
 
+  /** Policy wrapper over [[sqReencodeIndex]] — the bounds-drift twin
+    * of [[ivfSqMaybeRetrain]] (and of
+    * [[graft.ext.Pq.ivfPqMaybeRetrain]]'s armed usage trigger), so an
+    * unattended maintenance job covers BOTH SQ drift axes with the
+    * same call-every-cycle/pay-rarely shape: evaluates
+    * [[sqSaturationExceeded]] against the index's own persisted params
+    * ([[sqParamsOf]] — the index must be an [[ivfSqSave]]d layout, so
+    * levels can't be wrong and degenerate dims are masked) and, when
+    * it fires, runs the raw-access re-encode at the CURRENT cell count
+    * and the SAME levels (pass `quantile` to switch the re-trained
+    * bounds to the heavy-tail form). Returns the new params when it
+    * fired — probe with exactly these — and None when the index is
+    * healthy. The raw frame is the extra requirement bounds drift
+    * carries (the [[sqReencodeIndex]] contract: keyed, covering every
+    * live id). */
+  def ivfSqMaybeReencode(spark: SparkSession, table: String, path: String,
+      raw: DataFrame, idCol: String, maxSatRate: Double = 0.01,
+      maxDimSatRate: Double = 0.05, sampleFraction: Double = 1.0,
+      embCol: String = "embedding",
+      quantile: Option[(Double, Double)] = None,
+      seed: Long = 42L): Option[SqParams] = {
+    val p = sqParamsOf(spark, path)
+    if (sqSaturationExceeded(spark, path, p.levels, maxSatRate,
+        maxDimSatRate, sampleFraction, seed, Some(p))) {
+      val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+      Some(sqReencodeIndex(spark, table, path, nCells, raw, idCol,
+        embCol, p.levels, quantile, seed)._2)
+    } else None
+  }
+
   /** Policy wrapper over [[ivfSqRetrain]] — the compressed twin of
     * [[Similarity.ivfMaybeRetrain]], same thresholds, same measured
     * trigger ([[Similarity.retrainTrigger]] — one policy, two retrain

@@ -650,11 +650,26 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         maxSatRate = 0.01, maxDimSatRate = 0.05),
         "planted out-of-bounds appends must fire the hook")
 
-      // the one-call remedy: re-train bounds on the raw live corpus,
-      // re-encode, staged swap
+      // the unattended policy wrapper: reads its own persisted params,
+      // fires the re-encode, and a second call no-ops (the
+      // maybe-retrain cadence contract)
       val rawAll = corpus.select("vec_id", "embedding").unionByName(outliers)
+      val fired = Sq.ivfSqMaybeReencode(spark, "sq_re_t", dir,
+        raw = rawAll, idCol = "vec_id",
+        maxSatRate = 0.01, maxDimSatRate = 0.05)
+      assert(fired.nonEmpty, "saturation past thresholds must fire")
+      assert(Sq.ivfSqMaybeReencode(spark, "sq_re_t", dir,
+        raw = rawAll, idCol = "vec_id",
+        maxSatRate = 0.05, maxDimSatRate = 0.2).isEmpty,
+        "freshly re-encoded: no re-fire")
+
+      // the one-call remedy itself, exercised directly: re-train bounds
+      // on the raw live corpus, re-encode, staged swap (idempotent over
+      // the wrapper's run — same corpus, same fit)
       val (re, pNew) = Sq.sqReencodeIndex(spark, "sq_re_t", dir,
         nCells = 4, raw = rawAll, idCol = "vec_id")
+      assert(pNew == fired.get,
+        "same raw corpus, same deterministic fit — wrapper ≡ direct call")
       assert(pNew != p0, "bounds must actually re-train")
       // min/max over the same rows is order-independent and exact, so
       // the published params ARE the direct fit on the raw corpus
