@@ -176,6 +176,60 @@ object Pq {
       table: String, path: String, nCells: Int): Unit = {
     Similarity.ivfSave(index, table, path, nCells)
     codebooksSave(index.assigned.sparkSession, cb, s"$path/pq_codebooks")
+    // the POST-ENCODE usage baseline (r15): one m×k-row frame recording
+    // what "healthy" looks like for exactly these codebooks on exactly
+    // this corpus — the reference [[pqUsageDegraded]] compares against,
+    // refreshed by the retrain swap whenever the codebooks move. Costs
+    // one codes scan at save time (the save just wrote those bytes).
+    pqDescribeOf(index.assigned, cb)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/pq_usage_baseline")
+  }
+
+  /** Reopen the post-encode usage baseline an [[ivfPqSave]] (or a
+    * retrain swap) stored next to the index — None for an index saved
+    * before the baseline existed (plain [[Similarity.ivfSave]], or
+    * pre-r15 layouts). */
+  def pqUsageBaselineOf(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.Row] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_usage_baseline")))
+      None
+    else spark.read.parquet(s"$path/pq_usage_baseline").collect().headOption
+  }
+
+  /** Baseline-RELATIVE drift hook — the form for corpora where
+    * absolute entropy thresholds are unknowable (how uniform "should"
+    * a fashion-image codebook be?): true iff the worst subspace's
+    * normalized entropy fell more than `maxEntropyDrop` below the
+    * index's own persisted post-encode baseline, OR the worst
+    * single-code share rose more than `maxFracRise` above it. Refuses
+    * loudly when no baseline is stored (an index saved via plain
+    * `ivfSave` — re-save with [[ivfPqSave]] or record one with
+    * [[pqDescribeOf]]); an empty live index never fires. The absolute
+    * form ([[pqUsageCollapsed]]) remains what
+    * [[ivfPqMaybeRetrain]]'s armed thresholds evaluate. */
+  def pqUsageDegraded(spark: SparkSession, path: String, cb: PqCodebooks,
+      maxEntropyDrop: Double = 0.2, maxFracRise: Double = 0.25,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Boolean = {
+    require(maxEntropyDrop > 0.0 && maxFracRise > 0.0,
+      "drift tolerances must be positive (zero would fire on noise)")
+    val base = pqUsageBaselineOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"pqUsageDegraded: no pq_usage_baseline under $path — the " +
+          "index predates baseline recording (save via ivfPqSave, or " +
+          "record one: pqDescribeOf(assigned, cb) → " +
+          s"$path/pq_usage_baseline)"))
+    val cur = pqDescribe(spark, path, cb, sampleFraction, seed).head
+    val ent = cur.fieldIndex("min_sub_entropy")
+    if (cur.isNullAt(ent) || base.isNullAt(base.fieldIndex("min_sub_entropy")))
+      false // empty index (now or at baseline): nothing to compare
+    else
+      cur.getDouble(ent) <
+        base.getDouble(base.fieldIndex("min_sub_entropy")) - maxEntropyDrop ||
+      cur.getDouble(cur.fieldIndex("max_code_frac")) >
+        base.getDouble(base.fieldIndex("max_code_frac")) + maxFracRise
   }
 
   /** Reopen the codebooks an [[ivfPqSave]] (or a retrain) stored next
@@ -284,7 +338,12 @@ object Pq {
             idx).drop(embCol)
         }
       },
-      stagedMeta = _ => Seq("pq_codebooks" -> codebookDf(spark, cbOut)))
+      stagedMeta = (_, staged) => Seq(
+        "pq_codebooks" -> codebookDf(spark, cbOut),
+        // the post-retrain usage baseline, derived from EXACTLY the
+        // staged codes so it can never describe a different state than
+        // the one it publishes with (r15 — pqUsageDegraded's reference)
+        "pq_usage_baseline" -> pqDescribeOf(staged, cbOut)))
     (reopened, cbOut)
   }
 
@@ -391,13 +450,16 @@ object Pq {
     * no-op, not crash — the retrainTrigger rule).
     *
     * Policy: a fresh trained codebook starts near entropy 1 on its own
-    * corpus; compare against the POST-TRAIN baseline (record
-    * `pqDescribe` once after encode), and when a subspace's entropy
-    * falls materially below it — or any single code's share exceeds
-    * your tolerance — re-fit codebooks on the raw corpus:
-    * [[ivfPqRetrain]] with `refitCodebooks = Some(true)` (the default
-    * when `residual = true`), or let [[ivfPqMaybeRetrain]]'s armed
-    * usage thresholds fire it unattended. */
+    * corpus; compare against the POST-TRAIN baseline — which
+    * [[ivfPqSave]] persists as `$path/pq_usage_baseline` and the
+    * retrain swap refreshes, so [[pqUsageDegraded]] can ask "did THIS
+    * index drift from ITS OWN healthy state" without the caller
+    * bookkeeping anything. When a subspace's entropy falls materially
+    * below baseline — or any single code's share exceeds your
+    * tolerance — re-fit codebooks on the raw corpus: [[ivfPqRetrain]]
+    * with `refitCodebooks = Some(true)` (the default when
+    * `residual = true`), or let [[ivfPqMaybeRetrain]]'s armed usage
+    * thresholds fire it unattended. */
   def pqDescribe(spark: SparkSession, path: String, cb: PqCodebooks,
       sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
     val enc = spark.read.parquet(s"$path/assigned")
@@ -408,8 +470,21 @@ object Pq {
       s"pqDescribe: codebooks are m=${cb.m}-wide but the codes under " +
         s"$path/assigned are $w-wide — not this codebook's index (an " +
         "SQ layout is monitored via Sq.sqDescribe)"))
-    val live = Similarity.liveRows(spark, path, enc)
-    val all = pqCodeUsage(live, "codes", sampleFraction, seed)
+    pqDescribeOf(Similarity.liveRows(spark, path, enc), cb,
+      sampleFraction, seed, where = s"under $path")
+  }
+
+  /** Frame-level core of [[pqDescribe]] — the roll-up over any ENCODED
+    * frame (no tombstone fold, no layout guards beyond the
+    * codes-vs-k check): what [[ivfPqSave]] runs to record the
+    * post-encode baseline and what [[ivfPqRetrain]] runs on the STAGED
+    * frame so the refreshed baseline swaps atomically with the codes
+    * it describes. */
+  def pqDescribeOf(encoded: DataFrame, cb: PqCodebooks,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      where: String = ""): DataFrame = {
+    val spark = encoded.sparkSession
+    val all = pqCodeUsage(encoded, "codes", sampleFraction, seed)
       .collect() // m × k rows — never corpus-sized
     import spark.implicits._
     if (all.isEmpty)
@@ -428,7 +503,7 @@ object Pq {
       val cMax = all.map(_.getAs[Int]("code")).max
       require(cMax < cb.k,
         s"pqDescribe: largest observed code $cMax >= codebook k=${cb.k} " +
-          s"under $path — these are not this codebook's codes")
+          s"$where — these are not this codebook's codes")
       val bySub = all.groupBy(_.getAs[Int]("sub")).toIndexedSeq.sortBy(_._1)
       val perSub = bySub.map { case (s, rs) =>
         val fracs = rs.map(_.getAs[Double]("frac"))

@@ -963,15 +963,20 @@ object Similarity {
     * rewritten tree as `_meta_<name>` and published by
     * [[finalizeRetrain]] to `$path/<name>` atomically-enough that no
     * crash can publish new cells under old metadata (the residual-PQ
-    * codebooks problem: codes and codebooks must move together). The
-    * swap/commit choreography is identical for every form, so the
-    * crash-window contract (spec-pinned) covers all of them by
+    * codebooks problem: codes and codebooks must move together). Its
+    * second argument is a READ of the frame just staged (the exact
+    * bytes that will publish) — for metadata DERIVED from the new
+    * codes (the r15 PQ usage baseline) without re-running the
+    * projection lineage, and without callers knowing the staging-dir
+    * name. The swap/commit choreography is identical for every form,
+    * so the crash-window contract (spec-pinned) covers all of them by
     * construction. */
   private[ext] def retrainImpl(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, nCells: Int, embCol: String,
       seed: Long, reconstruct: DataFrame => DataFrame,
       project: IvfIndex => DataFrame,
-      stagedMeta: IvfIndex => Seq[(String, DataFrame)] = _ => Nil)
+      stagedMeta: (IvfIndex, DataFrame) => Seq[(String, DataFrame)] =
+        (_, _) => Nil)
       : IvfIndex = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -1007,7 +1012,11 @@ object Similarity {
     graft.engine.Store.saveBucketed(project(newIdx), tmpTable,
       s"$path/assigned__compacting", actualCells, Seq("cell"))
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
-    stagedMeta(newIdx).foreach { case (name, frame) =>
+    // the staged frame, read back: underscore-prefixed meta dirs
+    // written below are invisible to the parquet reader, so this is
+    // exactly the data that will publish
+    val stagedFrame = spark.read.parquet(s"$path/assigned__compacting")
+    stagedMeta(newIdx, stagedFrame).foreach { case (name, frame) =>
       frame.coalesce(1).write.mode("overwrite")
         .parquet(s"$path/assigned__compacting/_meta_$name")
     }

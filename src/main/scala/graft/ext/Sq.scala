@@ -455,7 +455,7 @@ object Sq {
         }
         sqEncode(a.drop("codes", "recon_norm"), embCol, pOut).drop(embCol)
       },
-      stagedMeta = _ => Seq("sq_params" -> paramsDf(spark, pOut)))
+      stagedMeta = (_, _) => Seq("sq_params" -> paramsDf(spark, pOut)))
     (reopened, pOut)
   }
 

@@ -651,6 +651,13 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       assert(base.getAs[Int]("m") == 8 && base.getAs[Int]("k") == 16)
       assert(baseEnt > 0.3 && baseEnt <= 1.0,
         s"fresh fit should use its codewords broadly, got $baseEnt")
+      // ivfPqSave persisted the baseline, and it matches the live
+      // describe exactly (same rows, same codebooks, same roll-up)
+      val stored = Pq.pqUsageBaselineOf(spark, dir).get
+      assert(stored.getDouble(stored.fieldIndex("min_sub_entropy"))
+        == baseEnt, "persisted baseline must equal the fresh describe")
+      assert(!Pq.pqUsageDegraded(spark, dir, cb),
+        "an index at its own baseline has not degraded")
 
       // planted drift: the same corpus shifted far outside the trained
       // distribution, appended through the OLD codebooks (exactly what
@@ -682,6 +689,10 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       val thr = (baseEnt + dEnt) / 2
       assert(Pq.pqUsageCollapsed(spark, dir, cb, minSubEntropy = thr,
         maxCodeFrac = 1.0))
+      // the baseline-relative hook fires too — no absolute threshold
+      // needed, just "fell materially below its own healthy state"
+      assert(Pq.pqUsageDegraded(spark, dir, cb,
+        maxEntropyDrop = (baseEnt - dEnt) / 2, maxFracRise = 1.0))
 
       // quantization error against the raw corpus: the drifted half is
       // priced by codebooks that never saw it
@@ -707,6 +718,15 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
         s"refit on the full live corpus must recover entropy: $aEnt vs $dEnt")
       assert(!Pq.pqUsageCollapsed(spark, dir, cbNew, minSubEntropy = thr,
         maxCodeFrac = 1.0), "recovered index must not re-fire")
+      // the retrain swap REFRESHED the persisted baseline from the
+      // staged codes: the recovered state is the new "healthy", so the
+      // baseline-relative hook stops firing without any caller action
+      val baseNew = Pq.pqUsageBaselineOf(spark, dir).get
+      assert(baseNew.getDouble(baseNew.fieldIndex("min_sub_entropy"))
+        == aEnt, "swapped-in baseline must describe the swapped-in codes")
+      assert(!Pq.pqUsageDegraded(spark, dir, cbNew,
+        maxEntropyDrop = (baseEnt - dEnt) / 2, maxFracRise = 1.0),
+        "recovered index sits at its refreshed baseline")
       val errAfter = Pq.pqReconError(spark, dir, rawAll, "vec_id", cbNew)
         .head.getDouble(1)
       assert(errAfter < errBefore,
