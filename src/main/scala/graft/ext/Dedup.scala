@@ -1032,6 +1032,13 @@ object Dedup {
     *    ~3 Spark jobs total. Near-dup edge sets are tiny relative to the
     *    corpus (pairs that survived Jaccard ≥ 0.8), so this is the common
     *    case even at large corpus scale;
+    *  - past the edge threshold, a SECOND chance on the node count
+    *    (round 15): ≤ `smallGraphNodes` distinct endpoints AND
+    *    ≤ [[UnionFindMaxEdges]] edges still takes the union-find —
+    *    its memory is O(nodes), edges only stream, and dense few-node
+    *    graphs are the near-dup norm (tight clusters ⇒ near-complete
+    *    components; x50's sf1 graph: 7.8M edges / 20k nodes, 2.5s vs
+    *    the loop's 10.5s);
     *  - otherwise: iterative min-label propagation with pointer jumping —
     *    log-diameter rounds of fully distributed joins (driver only runs
     *    the control loop). At adversarial diameters switch to
