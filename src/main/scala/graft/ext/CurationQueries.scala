@@ -635,6 +635,22 @@ object CurationQueries {
       FROM dots d JOIN norms nm ON nm.vec_id = d.vec_id, qn
       ORDER BY cos DESC, d.vec_id LIMIT 10"""))
 
+  /** The ONE deterministic PQ fixture every compression-family oracle
+    * shares (x90/x91/x92/x96/x98/x100/x101): seed-fixed codebooks small
+    * enough that the codeword literals generate into the SQL (the x36
+    * plane-constants device), and the VALUES string built exactly once —
+    * seven per-query copies of the same builder would let a future
+    * positional-formula edit silently desynchronize the oracles
+    * (review r15; the autoSubCte treatment applied to the codewords). */
+  private val DetCb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
+  private val DetCwValues: String =
+    DetCb.cents.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, j) =>
+          s"($s, $c, ${s * DetCb.subDim + j + 1}, CAST($x AS DOUBLE))" }
+      }
+    }.mkString(", ")
+
   // ---------------------------------------------------------------- x90
   /** Oracle-checked product quantization ([[Pq]] — IVF-PQ's compression
     * layer): encode the corpus with DETERMINISTIC seed-fixed codebooks
@@ -650,13 +666,8 @@ object CurationQueries {
     * query-embedding collect at call time is bounded at dim doubles
     * (the ivfProbe probe-cell-collect precedent). */
   val x90PqAdc: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -705,13 +716,8 @@ object CurationQueries {
     * distances round at 6 before ranking (the cross-engine rank rule);
     * ADC cosines round at 6 with (q_id, vec_id) tie-breaks. */
   val x91PqBulkProbe: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -960,13 +966,8 @@ object CurationQueries {
     * BOTH stages — ADC ranking, the 40-candidate cut, the exact
     * rerank — hash-match DuckDB end to end. */
   val x96PqRerank: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -1118,13 +1119,8 @@ object CurationQueries {
     * read — is hash-checked cross-engine. Entropy and max_frac round
     * at 6 (the house cross-engine float rule). */
   val x100PqUsage: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -1170,13 +1166,8 @@ object CurationQueries {
     * the decode path [[Pq.pqReconError]]'s monitoring summary
     * aggregates is hash-checked row by row cross-engine. */
   val x101PqReconErr: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -1223,13 +1214,8 @@ object CurationQueries {
     * tie-breaks — is cross-engine-checked end to end (x96 pins the
     * per-query form; PqSpec/SqSpec pin bulk ≡ per-query). */
   val x98BulkRerank: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
@@ -1329,13 +1315,8 @@ object CurationQueries {
     * rounds identically; label cells are well-separated besides, so
     * the rounding can never be what decides the order here. */
   val x92PqResidual: Q = {
-    val cb = Pq.deterministicCodebooks(dim = 64, m = 2, k = 4)
-    val cwValues = cb.cents.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (x, j) =>
-          s"($s, $c, ${s * cb.subDim + j + 1}, CAST($x AS DOUBLE))" }
-      }
-    }.mkString(", ")
+    val cb = DetCb
+    val cwValues = DetCwValues
     Q(
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)

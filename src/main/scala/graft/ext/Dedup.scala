@@ -1042,7 +1042,12 @@ object Dedup {
     *  - otherwise: iterative min-label propagation with pointer jumping —
     *    log-diameter rounds of fully distributed joins (driver only runs
     *    the control loop). At adversarial diameters switch to
-    *    large-star/small-star. */
+    *    large-star/small-star.
+    *
+    * To FORCE the distributed loop (benchmarks, races), zero BOTH
+    * thresholds — `smallGraphEdges = 0, smallGraphNodes = 0`; zeroing
+    * only the edge threshold still admits the node-count second
+    * chance (r15 — the specs' force idiom was updated with it). */
   def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
       smallGraphEdges: Long = SmallGraphEdges,
       smallGraphNodes: Long = SmallGraphNodes): DataFrame = {

@@ -221,10 +221,20 @@ object Pq {
           "index predates baseline recording (save via ivfPqSave, or " +
           "record one: pqDescribeOf(assigned, cb) → " +
           s"$path/pq_usage_baseline)"))
+    // a NULL-entropy baseline means it was recorded on an EMPTY index
+    // (a streaming bootstrap saved the layout before rows landed) — it
+    // can never witness drift, so silently comparing against it would
+    // disable the hook forever; refuse with the remedy named, like the
+    // missing-baseline case (review r15)
+    require(!base.isNullAt(base.fieldIndex("min_sub_entropy")),
+      s"pqUsageDegraded: the baseline under $path was recorded on an " +
+        "empty index and cannot witness drift — re-record it once " +
+        "populated (pqDescribeOf(assigned, cb) → " +
+        s"$path/pq_usage_baseline)")
     val cur = pqDescribe(spark, path, cb, sampleFraction, seed).head
     val ent = cur.fieldIndex("min_sub_entropy")
-    if (cur.isNullAt(ent) || base.isNullAt(base.fieldIndex("min_sub_entropy")))
-      false // empty index (now or at baseline): nothing to compare
+    if (cur.isNullAt(ent))
+      false // index empty NOW (fully tombstoned): nothing to compare
     else
       cur.getDouble(ent) <
         base.getDouble(base.fieldIndex("min_sub_entropy")) - maxEntropyDrop ||
@@ -338,12 +348,30 @@ object Pq {
             idx).drop(embCol)
         }
       },
-      stagedMeta = (_, staged) => Seq(
-        "pq_codebooks" -> codebookDf(spark, cbOut),
-        // the post-retrain usage baseline, derived from EXACTLY the
-        // staged codes so it can never describe a different state than
-        // the one it publishes with (r15 — pqUsageDegraded's reference)
-        "pq_usage_baseline" -> pqDescribeOf(staged, cbOut)))
+      stagedMeta = (_, staged) => {
+        // the usage baseline refreshes ONLY when codes were actually
+        // (re)encoded (refit, or residual's forced re-encode): a plain
+        // carry-through moves byte-identical — possibly already
+        // drifted — codes, and recording those as "healthy" would
+        // permanently blind pqUsageDegraded (review r15). The plain
+        // form instead CARRIES the existing baseline (recorded at the
+        // last true encode) through the swap; an index that never had
+        // one (plain ivfSave) stays without one.
+        val baseline =
+          if (refit || residual)
+            Seq("pq_usage_baseline" -> pqDescribeOf(staged, cbOut))
+          else {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(path),
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(new org.apache.hadoop.fs.Path(
+                s"$path/pq_usage_baseline")))
+              Seq("pq_usage_baseline" ->
+                spark.read.parquet(s"$path/pq_usage_baseline"))
+            else Nil
+          }
+        Seq("pq_codebooks" -> codebookDf(spark, cbOut)) ++ baseline
+      })
     (reopened, cbOut)
   }
 
@@ -597,11 +625,16 @@ object Pq {
     val src = (if (sampleFraction >= 1.0) encoded
       else encoded.sample(withReplacement = false, sampleFraction, seed))
       .filter(col("codes").isNotNull)
+    // `cell` is a RESIDUAL-branch need only (the centroid add-back
+    // keys on it); a plain pqEncode frame carries no cell column and
+    // must not be forced to fabricate one (review r15)
+    val keyCols = if (centroids.isEmpty) Seq(col(idCol))
+      else Seq(col(idCol), col("cell"))
     val dec0 = src
-      .select(col(idCol), col("cell"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(keyCols :+
+        posexplode(col("codes")).as(Seq("sub", "code")): _*)
       .join(broadcast(codebookDf(spark, cb)), Seq("sub", "code"))
-      .groupBy(col(idCol), col("cell"))
+      .groupBy(keyCols: _*)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("cent")))),
         s => s.getField("cent"))).as("_dec"))

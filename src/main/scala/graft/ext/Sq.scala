@@ -480,6 +480,21 @@ object Sq {
       embCol: String = "embedding",
       quantile: Option[(Double, Double)] = None,
       seed: Long = 42L): Option[SqParams] = {
+    // quantile bounds SATURATE their clipped tails BY DESIGN — the
+    // post-remedy steady state is ~(lowQ + (1 − highQ)) per dim, so
+    // firing thresholds at or below that would re-fire every cycle and
+    // rewrite the whole index forever (review r15). Refuse the
+    // misconfiguration loudly instead of looping an unattended job.
+    quantile.foreach { case (lo, hi) =>
+      val designSat = lo + (1.0 - hi)
+      require(maxSatRate > designSat && maxDimSatRate > designSat,
+        f"ivfSqMaybeReencode: quantile ($lo%.3f, $hi%.3f) bounds clip " +
+          f"~$designSat%.3f of every dim at encode BY DESIGN — firing " +
+          f"thresholds (maxSatRate=$maxSatRate, " +
+          f"maxDimSatRate=$maxDimSatRate) must exceed that or the " +
+          "policy re-fires every cycle; raise the thresholds or use " +
+          "min/max bounds")
+    }
     val p = sqParamsOf(spark, path)
     if (sqSaturationExceeded(spark, path, p.levels, maxSatRate,
         maxDimSatRate, sampleFraction, seed, Some(p))) {

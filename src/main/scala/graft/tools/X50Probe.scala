@@ -34,10 +34,15 @@ object X50Probe {
     val n = t("node count")(p.select(explode(array(col("id_a"),
       col("id_b")))).distinct().count())
     println(s"[x50probe] edges=$e nodes=$n")
-    t("cc distributed (default dispatch)")(
-      Dedup.connectedKeepers(p).write.format("noop").mode("overwrite").save())
-    t("cc union-find (forced small path)")(
-      Dedup.connectedKeepers(p, smallGraphEdges = Long.MaxValue)
+    // post-r15 the DEFAULT dispatch at this shape IS the union-find
+    // (node-count second chance) — force the loop explicitly so the
+    // two rows keep measuring different code paths (review r15)
+    t("cc distributed (forced loop)")(
+      Dedup.connectedKeepers(p, smallGraphEdges = 0L,
+          smallGraphNodes = 0L)
+        .write.format("noop").mode("overwrite").save())
+    t("cc union-find (default dispatch at this shape)")(
+      Dedup.connectedKeepers(p)
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

@@ -485,11 +485,18 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
           cb = cb))
       assert(eCov.getMessage.contains("missing"), eCov.getMessage)
 
+      val baselineBefore = Pq.pqUsageBaselineOf(spark, dir).get
       val (re, cbRe) = Pq.ivfPqRetrain(spark, "pq_rt_t", dir, nCells = 8,
         raw = corpus, idCol = "vec_id", cb = cb)
       assert(cbRe == cb, "plain retrain without refit keeps the codebooks")
       assert(Pq.pqCodebooksOf(spark, dir) == cb,
         "the staged swap must (re)publish the codebooks alongside")
+      // the plain form carries codes byte-identical — the usage
+      // baseline must be CARRIED too, not re-recorded from possibly
+      // drifted codes (review r15: a refresh here would blind
+      // pqUsageDegraded to any drift the carried codes already hold)
+      assert(Pq.pqUsageBaselineOf(spark, dir).get == baselineBefore,
+        "plain carry-through must not re-record the baseline")
       assert(re.centroids.count() == 8L)
       val after = spark.read.parquet(s"$dir/assigned")
       assert(!after.columns.contains("embedding"),
@@ -752,6 +759,13 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       centroids = Some(built.centroids))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(res.size == corpus.count())
+    // the plain form works on a bare pqEncode frame — NO cell column
+    // (review r15: `cell` is a residual-branch need only)
+    val cbPlain = Pq.trainedCodebooks(corpus, "embedding", dim = 64,
+      m = 8, k = 16)
+    val plainRes = Pq.pqReconErrorOf(
+      Pq.pqEncode(corpus, "embedding", cbPlain), raw, "vec_id", cbPlain)
+    assert(plainRes.count() == corpus.count())
     res.values.foreach(e => assert(e >= 0.0 && !e.isNaN))
     // the same codes decoded WITHOUT the centroid term: the residual is
     // near zero-mean, so ‖x − decode_residual_codes‖ ≈ ‖x‖ — the
@@ -810,6 +824,16 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       assert(d.isNullAt(d.fieldIndex("min_sub_entropy")))
       assert(!Pq.pqUsageCollapsed(spark, emptyDir, cb,
         minSubEntropy = 0.99))
+      // a baseline recorded on an EMPTY index (streaming bootstrap) can
+      // never witness drift — the relative hook must refuse loudly, not
+      // silently disable itself forever (review r15)
+      Pq.pqDescribeOf(spark.read.parquet(s"$emptyDir/assigned").limit(0),
+          cb)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$emptyDir/pq_usage_baseline")
+      val eNull = intercept[IllegalArgumentException](
+        Pq.pqUsageDegraded(spark, emptyDir, cb))
+      assert(eNull.getMessage.contains("empty"), eNull.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS pq_d_e_t")
   }
 }

@@ -662,6 +662,16 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
         raw = rawAll, idCol = "vec_id",
         maxSatRate = 0.05, maxDimSatRate = 0.2).isEmpty,
         "freshly re-encoded: no re-fire")
+      // quantile bounds clip their tails BY DESIGN — thresholds at or
+      // below the design saturation would re-fire (and rewrite the
+      // index) every cycle; the wrapper refuses the misconfiguration
+      // (review r15)
+      val eQ = intercept[IllegalArgumentException](
+        Sq.ivfSqMaybeReencode(spark, "sq_re_t", dir,
+          raw = rawAll, idCol = "vec_id",
+          maxSatRate = 0.05, maxDimSatRate = 0.2,
+          quantile = Some((0.05, 0.95))))
+      assert(eQ.getMessage.contains("re-fires"), eQ.getMessage)
 
       // the one-call remedy itself, exercised directly: re-train bounds
       // on the raw live corpus, re-encode, staged swap (idempotent over
