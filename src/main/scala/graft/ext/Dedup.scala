@@ -1072,8 +1072,10 @@ object Dedup {
       // the already-checkpointed edges, paid only on graphs where
       // either CC path dwarfs it. Edge cap: the single task still
       // STREAMS every edge, so past UnionFindMaxEdges the loop's
-      // distributed shuffles win back.
-      if (e <= UnionFindMaxEdges) {
+      // distributed shuffles win back. smallGraphNodes <= 0 means the
+      // dispatch can never change — skip the distinct pass entirely so
+      // the zero-both-thresholds force idiom pays nothing for it.
+      if (smallGraphNodes > 0 && e <= UnionFindMaxEdges) {
         val n = p.select(explode(array(col(p.columns(0)).cast("long"),
           col(p.columns(1)).cast("long")))).distinct().count()
         if (n <= smallGraphNodes) return unionFindKeepers(p)

@@ -209,7 +209,14 @@ object Pq {
     * `ivfSave` — re-save with [[ivfPqSave]] or record one with
     * [[pqDescribeOf]]); an empty live index never fires. The absolute
     * form ([[pqUsageCollapsed]]) remains what
-    * [[ivfPqMaybeRetrain]]'s armed thresholds evaluate. */
+    * [[ivfPqMaybeRetrain]]'s armed thresholds evaluate.
+    *
+    * `sampleFraction < 1` note: the plug-in entropy estimator is
+    * biased LOW on small samples (unseen codes contribute zero mass),
+    * so a sampled current scan drifts toward firing against a
+    * full-scan baseline — size `maxEntropyDrop` with slack above the
+    * pure-drift threshold when sampling, or sample the baseline with
+    * the same fraction so the bias cancels. */
   def pqUsageDegraded(spark: SparkSession, path: String, cb: PqCodebooks,
       maxEntropyDrop: Double = 0.2, maxFracRise: Double = 0.25,
       sampleFraction: Double = 1.0, seed: Long = 42L): Boolean = {
@@ -231,7 +238,30 @@ object Pq {
         "empty index and cannot witness drift — re-record it once " +
         "populated (pqDescribeOf(assigned, cb) → " +
         s"$path/pq_usage_baseline)")
-    val cur = pqDescribe(spark, path, cb, sampleFraction, seed).head
+    // the baseline's (m, k) pin the codebooks it was recorded under; a
+    // caller holding DIFFERENT codebooks (stale cb after an external
+    // refit — same m-wide codes, so no other guard catches it) would
+    // otherwise compare entropies across codebook generations and
+    // return a meaningless verdict (ADVICE r15)
+    require(base.getAs[Int]("m") == cb.m && base.getAs[Int]("k") == cb.k,
+      s"pqUsageDegraded: the baseline under $path was recorded under " +
+        s"m=${base.getAs[Int]("m")}, k=${base.getAs[Int]("k")} codebooks " +
+        s"but the supplied codebooks are m=${cb.m}, k=${cb.k} — not the " +
+        "same codebook generation; re-record the baseline under the " +
+        "current codebooks (pqDescribeOf(assigned, cb) → " +
+        s"$path/pq_usage_baseline)")
+    val cur0 = pqDescribe(spark, path, cb, sampleFraction, seed).head
+    // a null-entropy CURRENT row is ambiguous under sampling: the index
+    // may be genuinely tombstoned-empty (never fires — correct), or a
+    // sparse sample may simply have come back empty — in which case
+    // reporting "healthy" would silently blind the monitoring hook
+    // (ADVICE r15). Disambiguate with one full-fraction re-describe,
+    // paid only on that rare path.
+    val cur =
+      if (cur0.isNullAt(cur0.fieldIndex("min_sub_entropy")) &&
+          sampleFraction < 1.0)
+        pqDescribe(spark, path, cb, 1.0, seed).head
+      else cur0
     val ent = cur.fieldIndex("min_sub_entropy")
     if (cur.isNullAt(ent))
       false // index empty NOW (fully tombstoned): nothing to compare
@@ -584,13 +614,18 @@ object Pq {
     * zero error by construction); that is the same raw-access contract
     * [[ivfPqRetrain]] already establishes for PQ maintenance, so a
     * deployment that can retrain can also measure. Decode is the
-    * broadcast (sub, code) → codeword join (the bulk-LUT device —
-    * no k·subDim literal arrays in the plan, robust at production
-    * m·k), flattened in subspace order; `residual = true` adds the
-    * cell centroid back (the [[pqEncodeResidual]] reconstruction).
-    * Sampled rows missing from `raw` are simply not estimated (inner
-    * join — this is an estimator, not the retrain's coverage-checked
-    * rebuild). */
+    * [[graft.functions.PqDecodeF]] codegen gather — codebook as a
+    * reference object, one map-side pass, no shuffle (r16; the prior
+    * broadcast (sub, code) → codeword join + collect_list re-assembly
+    * cost ~10× the sibling describe scan at 1M×1%, VERDICT r15 #2);
+    * `residual = true` adds the cell centroid back (the
+    * [[pqEncodeResidual]] reconstruction). Sampled rows missing from
+    * `raw` are simply not estimated (inner join — this is an
+    * estimator, not the retrain's coverage-checked rebuild).
+    * A zero-norm raw vector has no defined RELATIVE error (0/0);
+    * such rows carry a null `rel_err` — excluded from `n`/`mean`/`max`
+    * (Spark aggs skip nulls) and counted honestly in `n_zero_norm`
+    * instead of poisoning the summary with NaN (ADVICE r15). */
   def pqReconError(spark: SparkSession, path: String, raw: DataFrame,
       idCol: String, cb: PqCodebooks, residual: Boolean = false,
       embCol: String = "embedding", sampleFraction: Double = 1.0,
@@ -603,25 +638,31 @@ object Pq {
     pqReconErrorOf(live, raw, idCol, cb,
       if (residual) Some(spark.read.parquet(s"$path/centroids")) else None,
       embCol, sampleFraction, seed)
-      .agg(count(lit(1)).as("n"), avg(col("rel_err")).as("mean_rel_err"),
-        max(col("rel_err")).as("max_rel_err"))
+      .agg(count(col("rel_err")).as("n"), avg(col("rel_err")).as("mean_rel_err"),
+        max(col("rel_err")).as("max_rel_err"),
+        count(when(col("rel_err").isNull, 1)).as("n_zero_norm"))
   }
 
   /** Frame-level core of [[pqReconError]]: per-row relative
     * reconstruction error `(idCol, rel_err)` of an ENCODED frame
     * against its raw vectors — `rel_err = ‖x − decode(codes)‖ / ‖x‖`,
-    * decode via the broadcast (sub, code) → codeword join in subspace
-    * order; `centroids = Some(…)` adds the cell centroid back (the
-    * residual form). The path form folds tombstones and aggregates;
-    * this form is the oracle-checkable unit (x101 hash-checks it
-    * cross-engine with deterministic codebooks). */
+    * decode via the [[graft.functions.PqDecodeF]] codegen gather
+    * (codebook as a reference object, zero-shuffle map side — r16;
+    * bit-identical to the join form [[pqDecodeViaJoin]] pins, since
+    * the gather copies the same codeword doubles in the same subspace
+    * order with no arithmetic); `centroids = Some(…)` adds the cell
+    * centroid back (the residual form). A zero-norm raw vector gets a
+    * null `rel_err` (0/0 has no defined relative error — the path
+    * form counts them in `n_zero_norm`). The path form folds
+    * tombstones and aggregates; this form is the oracle-checkable unit
+    * (x101 hash-checks it cross-engine with deterministic
+    * codebooks). */
   def pqReconErrorOf(encoded: DataFrame, raw: DataFrame, idCol: String,
       cb: PqCodebooks, centroids: Option[DataFrame] = None,
       embCol: String = "embedding", sampleFraction: Double = 1.0,
       seed: Long = 42L): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       "sampleFraction is a fraction")
-    val spark = encoded.sparkSession
     val src = (if (sampleFraction >= 1.0) encoded
       else encoded.sample(withReplacement = false, sampleFraction, seed))
       .filter(col("codes").isNotNull)
@@ -630,14 +671,9 @@ object Pq {
     // must not be forced to fabricate one (review r15)
     val keyCols = if (centroids.isEmpty) Seq(col(idCol))
       else Seq(col(idCol), col("cell"))
-    val dec0 = src
-      .select(keyCols :+
-        posexplode(col("codes")).as(Seq("sub", "code")): _*)
-      .join(broadcast(codebookDf(spark, cb)), Seq("sub", "code"))
-      .groupBy(keyCols: _*)
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("sub"), col("cent")))),
-        s => s.getField("cent"))).as("_dec"))
+    val dec0 = src.select(keyCols :+
+      toCol(graft.functions.PqDecodeF(toExpr(col("codes")), cb.cents))
+        .as("_dec"): _*)
     val dec = centroids match {
       case None => dec0
       case Some(cents) => dec0
@@ -655,9 +691,31 @@ object Pq {
       .withColumn("_err", sqrt(Similarity.dot(
         zip_with(col("_x"), col("_dec"), (x, d) => x - d),
         zip_with(col("_x"), col("_dec"), (x, d) => x - d))))
+      .withColumn("_nrm", sqrt(Similarity.dot(col("_x"), col("_x"))))
+      // a zero-norm vector would make rel_err NaN (0/0) and poison the
+      // summary's avg/max; null is honest "undefined" (ADVICE r15)
       .select(col(idCol),
-        (col("_err") / sqrt(Similarity.dot(col("_x"), col("_x"))))
-          .as("rel_err"))
+        when(col("_nrm") === 0.0, lit(null).cast("double"))
+          .otherwise(col("_err") / col("_nrm")).as("rel_err"))
+  }
+
+  /** The pre-r16 broadcast (sub, code) → codeword JOIN decode,
+    * retained solely as the independently-shaped reference
+    * implementation PqSpec pins [[graft.functions.PqDecodeF]]
+    * bit-identical against (posexplode → broadcast codebook join →
+    * collect_list/array_sort re-assembly in subspace order — a
+    * different plan computing the same gather). Production paths use
+    * the kernel; do not call this from query code. */
+  private[graft] def pqDecodeViaJoin(encoded: DataFrame, idCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val spark = encoded.sparkSession
+    encoded.filter(col("codes").isNotNull)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(codebookDf(spark, cb)), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cent")))),
+        s => s.getField("cent"))).as("_dec"))
   }
 
   /** Query-side ADC lookup table: `lut(s)(c) = q_s · cent_{s,c}` —

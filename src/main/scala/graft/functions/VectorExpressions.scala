@@ -819,6 +819,105 @@ case class PqAdcPairF(left: Expression, right: Expression, k: Int)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ decode — the codebook GATHER inverse of the argmin
+  * encode: `x̂ = concat_s cent_{s, code_s}` in subspace order, the
+  * full m×k×subDim codebook riding in the expression as a reference
+  * object (the [[PqAdcF]]/[[NearestCentroidF]] "broadcast the model
+  * inside the kernel" device — a few hundred KB at production m·k,
+  * never corpus data). This turns reconstruction into a per-row
+  * map-side gather: the monitoring estimator
+  * [[graft.ext.Pq.pqReconErrorOf]] previously decoded through a
+  * posexplode → broadcast codebook join → collect_list/array_sort
+  * re-assembly — a full shuffle of m rows per vector for what is, per
+  * row, m array copies (VERDICT r15 #2). Output is BIT-IDENTICAL to
+  * the join form by construction: a pure gather of the same codeword
+  * doubles in the same subspace order, no arithmetic to reorder
+  * (PqSpec pins the equality value-for-value).
+  *
+  * Same loud-failure contracts as [[PqAdcF]]: codes length ≠ m throws
+  * (foreign codebook m); a code outside [0, k) throws; a null code
+  * slot → null result; null input → null. */
+case class PqDecodeF(child: Expression,
+    cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.nonEmpty) &&
+    cents.forall(_.forall(_.length == cents.head.head.length)) &&
+    cents.forall(_.length == cents.head.length) && cents.head.head.nonEmpty,
+    "graft_pq_decode: codebook must be a non-ragged m x k x subDim tensor")
+  // Seq field ⇒ value-based case-class equality (the WeightSumF rule);
+  // primitive tensor rebuilt once for the hot loop / codegen reference
+  private lazy val cwArr: Array[Array[Array[Double]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+  private def subDim: Int = cents.head.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_decode expects array<int> PQ codes, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // a null code slot nulls the result even when the input array itself
+  // is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != cwArr.length)
+      throw new IllegalArgumentException(
+        s"graft_pq_decode: ${codes.numElements()} codes vs codebook " +
+          s"m=${cwArr.length} — codes were encoded with a different " +
+          "codebook m")
+    val m = cwArr.length
+    val d = subDim
+    val out = new Array[Double](m * d)
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= cwArr(s).length)
+        throw new IllegalArgumentException(
+          s"graft_pq_decode: code $c at subspace $s outside " +
+            s"[0, ${cwArr(s).length}) — codes were encoded with a " +
+            "different codebook")
+      System.arraycopy(cwArr(s)(c), 0, out, s * d, d)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cwRef = ctx.addReferenceObj("pqCw", cwArr, "double[][][]")
+      val (m, d, out, s, c) = (ctx.freshName("m"), ctx.freshName("d"),
+        ctx.freshName("out"), ctx.freshName("s"), ctx.freshName("c"))
+      s"""
+         |if ($a.numElements() != $cwRef.length)
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_decode: " + $a.numElements() + " codes vs codebook m=" +
+         |    $cwRef.length + " - codes were encoded with a different codebook m");
+         |int $m = $cwRef.length;
+         |int $d = $cwRef[0][0].length;
+         |double[] $out = new double[$m * $d];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  if ($a.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |  int $c = $a.getInt($s);
+         |  if ($c < 0 || $c >= $cwRef[$s].length)
+         |    throw new IllegalArgumentException(
+         |      "graft_pq_decode: code " + $c + " at subspace " + $s +
+         |      " outside [0, " + $cwRef[$s].length +
+         |      ") - codes were encoded with a different codebook");
+         |  System.arraycopy($cwRef[$s][$c], 0, $out, $s * $d, $d);
+         |}
+         |if (!${ev.isNull}) ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native scalar-quantization (SQ) encode — the per-dimension affine
   * int-code compression of FAISS's `ScalarQuantizer` (QT_8bit form;
   * Jégou et al.'s PQ is the sub-vector sibling, [[NearestCentroidF]]):

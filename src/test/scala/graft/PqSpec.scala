@@ -836,4 +836,117 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       assert(eNull.getMessage.contains("empty"), eNull.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS pq_d_e_t")
   }
+
+  test("PqDecodeF: the codegen gather is BIT-identical to the broadcast " +
+      "codebook-join decode over the whole corpus; contracts — wrong-m " +
+      "codes throw, out-of-range code throws, null code slot nulls") {
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    def dec(codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PqDecodeF(
+          org.apache.spark.sql.GraftBridge.expression(codes), cb.cents))
+    val enc = Pq.pqEncode(corpus, "embedding", cb)
+    val fused = enc.select(col("vec_id"), dec(col("codes")).as("_dec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val joined = Pq.pqDecodeViaJoin(enc, "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fused.keySet == joined.keySet)
+    assert(fused.nonEmpty)
+    fused.foreach { case (id, v) =>
+      // exact ==, not a tolerance: both paths GATHER the same codeword
+      // doubles in the same subspace order — no arithmetic to regroup
+      assert(v == joined(id), s"decode mismatch at vec_id=$id")
+      assert(v.length == 64)
+    }
+    import spark.implicits._
+    // wrong m: a 3-code row against m=8 codebooks is a foreign encode
+    val eW = intercept[Exception] {
+      Seq((0, 1, 2)).toDF("a", "b", "c")
+        .select(dec(array(col("a"), col("b"), col("c")))).head
+    }
+    assert(eW.getMessage.contains("different codebook m"), eW.getMessage)
+    // out-of-range code: k=16, code 16 must throw, not gather garbage
+    val eR = intercept[Exception] {
+      Seq(16).toDF("a")
+        .select(dec(array(Seq(col("a")) ++
+          Seq.fill(7)(lit(0)): _*))).head
+    }
+    assert(eR.getMessage.contains("outside"), eR.getMessage)
+    // null slot → null result (not a zero-filled slice)
+    val nr = Seq(1).toDF("a")
+      .select(dec(array(Seq(lit(null).cast("int")) ++
+        Seq.fill(7)(col("a")): _*)).as("d")).head
+    assert(nr.isNullAt(0), "null code slot must null the decode")
+  }
+
+  test("pqReconError (fused decode): zero-norm raw vector yields a null " +
+      "rel_err, excluded from n/mean/max and counted in n_zero_norm — " +
+      "never a NaN poisoning the summary") {
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 4, k = 8)
+    val small = corpus.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding")
+    val zeroRow = spark.range(1).select(lit(-1L).as("vec_id"),
+      array_repeat(lit(0.0f), 64).as("embedding"))
+    val raw = small.unionByName(zeroRow)
+    val dir = java.nio.file.Files.createTempDirectory("pq-zn").toString
+    Pq.ivfPqSave(
+      Pq.ivfPqEncode(Similarity.ivfBuild(raw, nCells = 2), cb, "vec_id"),
+      cb, "pq_zn_t", dir, 2)
+    try {
+      val perRow = Pq.pqReconErrorOf(
+        spark.read.parquet(s"$dir/assigned"), raw, "vec_id", cb)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(perRow(-1L).isEmpty, "zero-norm row must carry null rel_err")
+      assert(perRow.filter(_._1 >= 0).values.forall(v =>
+        v.exists(d => !d.isNaN && d >= 0.0)), "non-degenerate rows intact")
+      val s = Pq.pqReconError(spark, dir, raw, "vec_id", cb).head
+      assert(s.getLong(s.fieldIndex("n")) == 20L,
+        "n counts only rows with a defined rel_err")
+      assert(s.getLong(s.fieldIndex("n_zero_norm")) == 1L)
+      assert(!s.getDouble(s.fieldIndex("mean_rel_err")).isNaN)
+      assert(!s.getDouble(s.fieldIndex("max_rel_err")).isNaN)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_zn_t")
+  }
+
+  test("pqUsageDegraded guards (r16): a baseline recorded under other " +
+      "codebook dims refuses loudly; an empty SAMPLE on a non-empty " +
+      "index disambiguates via a full re-describe instead of silently " +
+      "reporting healthy") {
+    val cb = Pq.trainedCodebooks(corpus, "embedding", dim = 64, m = 8, k = 16)
+    // collapsed index: every row encodes a CONSTANT vector → all codes
+    // identical → per-subspace entropy 0 (maximal drift)
+    val flat = corpus.select(col("vec_id"),
+      array_repeat(lit(1.0f), 64).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("pq-ud").toString
+    // real-corpus cells, FLAT embeddings under the codes: valid layout,
+    // maximal codebook-usage collapse
+    val built = Similarity.ivfBuild(corpus, nCells = 2)
+    val flatAssigned = built.assigned.drop("embedding").join(flat, "vec_id")
+    Pq.ivfPqSave(
+      Pq.ivfPqEncode(Similarity.IvfIndex(flatAssigned, built.centroids),
+        cb, "vec_id"), cb, "pq_ud_t", dir, 2)
+    try {
+      // overwrite the (collapsed) post-encode baseline with a HEALTHY
+      // one from the real corpus — the planted-drift device
+      Pq.pqDescribeOf(Pq.pqEncode(corpus, "embedding", cb), cb)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/pq_usage_baseline")
+      // stale-codebook generation: same m, different k — the codes
+      // give no tell, only the baseline's recorded dims can
+      val cbWide = Pq.PqCodebooks(cb.dim, cb.m,
+        cb.cents.map(cws => cws ++ cws)) // k doubled
+      val eGen = intercept[IllegalArgumentException](
+        Pq.pqUsageDegraded(spark, dir, cbWide))
+      assert(eGen.getMessage.contains("generation"), eGen.getMessage)
+      // full-fraction scan witnesses the planted collapse
+      assert(Pq.pqUsageDegraded(spark, dir, cb, maxEntropyDrop = 0.2))
+      // a vanishing sample returns no rows — the hook must NOT read
+      // that as "index empty, healthy": the full re-describe still
+      // witnesses the drift (ADVICE r15)
+      assert(Pq.pqUsageDegraded(spark, dir, cb, maxEntropyDrop = 0.2,
+        sampleFraction = 1e-9),
+        "empty sample on a non-empty index must not blind the hook")
+    } finally spark.sql("DROP TABLE IF EXISTS pq_ud_t")
+  }
 }
