@@ -1363,10 +1363,19 @@ object Similarity {
     * trade, as with any LSH blocking: a pair split across sub-buckets is
     * missed; high-cosine pairs agree on most hyperplane signs, so recall
     * loss concentrates on pairs near the threshold. `subPlanes = 0`
-    * preserves exact within-label semantics. */
+    * preserves exact within-label semantics.
+    *
+    * `maxPairs > 0` ARMS the output-scale fail-fast (see
+    * [[estimateBlockedPairs]]): the candidate pair space is estimated
+    * from bucket sizes BEFORE the join materializes anything, and a
+    * corpus whose answer is itself quadratic refuses loudly naming
+    * [[semanticDedup]] as the linear-output remedy — the
+    * `ivfSqMaybeReencode` misconfig-refusal pattern applied to output
+    * scale (VERDICT r15 #4). Default 0 = disarmed: interactive calls
+    * and the registered queries pay nothing. */
   def blockedPairs(embs: DataFrame, idCol: String, labelCol: String,
       embCol: String = "embedding", minCos: Double = 0.4,
-      subPlanes: Int = 0, dim: Int = 64): DataFrame = {
+      subPlanes: Int = 0, dim: Int = 64, maxPairs: Long = 0L): DataFrame = {
     val keyed =
       (if (subPlanes > 0) embs.withColumn("_sub",
         lshBucket(col(embCol), hyperplanes(subPlanes, dim)))
@@ -1377,6 +1386,63 @@ object Similarity {
         // suffices. Bit-identical values (same fold, same op order);
         // the oracle's `norms` CTE has always had this shape.
         .withColumn("_nrm", norm(col(embCol)))
+    pairsFromKeyed(keyed, idCol, labelCol, embCol, minCos, maxPairs)
+  }
+
+  /** Candidate-pair-space size of a (label, sub)-keyed frame:
+    * `Σ_buckets n_b·(n_b−1)/2` — the EXACT number of (id_a < id_b)
+    * rows the pair join will score, and an upper bound on the true
+    * pair output. One cheap aggregate over the keyed frame (never the
+    * pairs themselves) — this is the pre-explosion estimate the
+    * `maxPairs` fail-fast reads, cheap at any corpus size because it
+    * never leaves O(buckets). */
+  private def candidatePairCount(keyed: DataFrame, labelCol: String)
+      : Long = {
+    // n·(n−1) is even, so the >>1 is exact — and stays in LONG
+    // arithmetic (Column./ is double division, lossy past 2^53)
+    val r = keyed.groupBy(col(labelCol), col("_sub"))
+      .agg(count(lit(1)).as("_nb"))
+      .agg(sum(shiftright(col("_nb") * (col("_nb") - lit(1L)), 1))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Public pre-flight for the pair family: how many candidate pairs
+    * would [[blockedPairs]] (`subPlanes`) score on this corpus? Lets an
+    * unattended pipeline size `maxPairs` / choose [[semanticDedup]]
+    * BEFORE launching the join. Same bucketing, same count the armed
+    * guard reads. */
+  def estimateBlockedPairs(embs: DataFrame, labelCol: String,
+      embCol: String = "embedding", subPlanes: Int = 0,
+      dim: Int = 64): Long = {
+    val keyed =
+      if (subPlanes > 0) embs.withColumn("_sub",
+        lshBucket(col(embCol), hyperplanes(subPlanes, dim)))
+      else embs.withColumn("_sub", lit(0L))
+    candidatePairCount(keyed, labelCol)
+  }
+
+  /** Shared pair-join tail of [[blockedPairs]] / [[blockedPairsAuto]]
+    * over a (label, _sub, _nrm)-keyed frame — including the armed
+    * output guard: `maxPairs > 0` pays ONE O(buckets) aggregate to
+    * price the candidate space, then refuses a quadratic OUTPUT before
+    * the join materializes a single pair. The plan below the guard is
+    * byte-identical to the pre-r16 inline form. */
+  private def pairsFromKeyed(keyed: DataFrame, idCol: String,
+      labelCol: String, embCol: String, minCos: Double,
+      maxPairs: Long): DataFrame = {
+    if (maxPairs > 0) {
+      val est = candidatePairCount(keyed, labelCol)
+      require(est <= maxPairs,
+        s"blockedPairs: candidate pair space is $est pairs > maxPairs=" +
+          s"$maxPairs — on a tight-cluster corpus the TRUE pair set is " +
+          "itself quadratic in cluster size, and no candidate scheme can " +
+          "emit it sub-quadratically; the sink OOMs long after the plan " +
+          "behaves. Remedies: semanticDedup (linear keeper-per-cluster " +
+          "output, no pair materialization — the scale path), tighter " +
+          "sub-bucketing (subPlanes / smaller targetBucket) if the " +
+          "blocks are internally diverse, or raise maxPairs if the " +
+          "output really is wanted")
+    }
     val a = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"), col("_nrm").as("_nrm_a"))
     val b = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_b"),
@@ -1425,14 +1491,36 @@ object Similarity {
   def blockedPairsAuto(embs: DataFrame, idCol: String, labelCol: String,
       embCol: String = "embedding", minCos: Double = 0.4,
       targetBucket: Int = 1000, maxPlanes: Int = 16,
-      dim: Int = 64): DataFrame = {
-    // planes_l = ceil(log2(n_l / target)) — computed INTEGER-EXACT via
-    // `m = ceildiv(n, target); planes = min q: 2^q ≥ m` (equivalent for
-    // integer n, target: 2^q ≥ n/t ⟺ 2^q·t ≥ n ⟺ 2^q ≥ ⌈n/t⌉ since 2^q
-    // is integral). A float log2 could misround at exact power-of-2
-    // boundaries, and both engines must agree on every label's plane
-    // count for the x86 oracle to hash-match — the CASE ladder below is
-    // pure integer comparison, so the DuckDB oracle mirrors it verbatim.
+      dim: Int = 64, maxPairs: Long = 0L): DataFrame =
+    pairsFromKeyed(
+      autoSubKeyed(embs, labelCol, embCol, targetBucket, maxPlanes, dim)
+        .withColumn("_nrm", norm(col(embCol))),
+      idCol, labelCol, embCol, minCos, maxPairs)
+
+  /** [[estimateBlockedPairs]] for the ADAPTIVE bucketing — prices the
+    * exact candidate space [[blockedPairsAuto]] would join under the
+    * same `targetBucket`/`maxPlanes` (shared keying, can't drift). */
+  def estimateBlockedPairsAuto(embs: DataFrame, labelCol: String,
+      embCol: String = "embedding", targetBucket: Int = 1000,
+      maxPlanes: Int = 16, dim: Int = 64): Long =
+    candidatePairCount(
+      autoSubKeyed(embs, labelCol, embCol, targetBucket, maxPlanes, dim),
+      labelCol)
+
+  /** The per-label adaptive sub-bucket keying shared by
+    * [[blockedPairsAuto]] and [[estimateBlockedPairsAuto]].
+    *
+    * planes_l = ceil(log2(n_l / target)) — computed INTEGER-EXACT via
+    * `m = ceildiv(n, target); planes = min q: 2^q ≥ m` (equivalent for
+    * integer n, target: 2^q ≥ n/t ⟺ 2^q·t ≥ n ⟺ 2^q ≥ ⌈n/t⌉ since 2^q
+    * is integral). A float log2 could misround at exact power-of-2
+    * boundaries, and both engines must agree on every label's plane
+    * count for the x86 oracle to hash-match — the CASE ladder below is
+    * pure integer comparison, so the DuckDB oracle mirrors it
+    * verbatim. */
+  private def autoSubKeyed(embs: DataFrame, labelCol: String,
+      embCol: String, targetBucket: Int, maxPlanes: Int,
+      dim: Int): DataFrame = {
     val mCol = floor((col("_n") + lit(targetBucket - 1)) / lit(targetBucket))
     val ladder = (0 until maxPlanes).foldRight(lit(maxPlanes): Column) {
       (q, rest) => when(mCol <= (1L << q), q).otherwise(rest)
@@ -1441,21 +1529,11 @@ object Similarity {
       .agg(count(lit(1)).as("_n"))
       .withColumn("_planes", ladder)
       .select(col(labelCol), col("_planes"))
-    val keyed = embs.join(broadcast(counts), Seq(labelCol))
+    embs.join(broadcast(counts), Seq(labelCol))
       .withColumn("_bits", lshBucket(col(embCol), hyperplanes(maxPlanes, dim)))
       // low planes_l bits of the shared bit vector; 2^p fits a long for
       // p ≤ 16 ≤ 62
       .withColumn("_sub", col("_bits")
         .bitwiseAND(pow(lit(2.0), col("_planes")).cast("long") - 1))
-      .withColumn("_nrm", norm(col(embCol)))
-    val a = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"), col("_nrm").as("_nrm_a"))
-    val b = keyed.select(col(labelCol), col("_sub"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"), col("_nrm").as("_nrm_b"))
-    a.join(b, Seq(labelCol, "_sub")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        dot(col("emb_a"), col("emb_b")) / (col("_nrm_a") * col("_nrm_b")), 6))
-      .filter(col("cos") >= minCos)
-      .select(col(labelCol), col("id_a"), col("id_b"), col("cos"))
   }
 }

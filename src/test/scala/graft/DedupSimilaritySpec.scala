@@ -198,6 +198,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .count() == 1, "identical-vector pair lost to adaptive sub-bucketing")
   }
 
+  test("maxPairs output guard (r16): a planted dense cluster refuses at " +
+      "the cap BEFORE the join materializes; below the cap the output " +
+      "is byte-identical to the disarmed form; the estimate is exact") {
+    // 200 IDENTICAL vectors in one label: every candidate scheme keys
+    // them together (identical sign bits), so the TRUE pair output is
+    // n(n-1)/2 = 19900 — quadratic BY OUTPUT, the x50-sf1 shape
+    val dense = (1L to 200L).map(i => (i, "d", Array.fill(16)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    // exact candidate-space pricing, both keyings
+    assert(Similarity.estimateBlockedPairs(dense, "label", dim = 16)
+      == 19900L)
+    assert(Similarity.estimateBlockedPairsAuto(dense, "label",
+      targetBucket = 10, dim = 16) == 19900L,
+      "identical vectors never split across sub-buckets — the adaptive " +
+        "estimate must price the full cluster")
+    // armed below the answer: refuse loudly, name the linear remedy
+    val eFix = intercept[IllegalArgumentException](
+      Similarity.blockedPairs(dense, "vec_id", "label", dim = 16,
+        maxPairs = 1000L).count())
+    assert(eFix.getMessage.contains("semanticDedup"), eFix.getMessage)
+    assert(eFix.getMessage.contains("19900"), eFix.getMessage)
+    val eAuto = intercept[IllegalArgumentException](
+      Similarity.blockedPairsAuto(dense, "vec_id", "label",
+        targetBucket = 10, dim = 16, maxPairs = 1000L).count())
+    assert(eAuto.getMessage.contains("semanticDedup"), eAuto.getMessage)
+    // armed ABOVE the candidate space: output identical to disarmed —
+    // the guard is observability, never a semantics change (x50/x86's
+    // registered plans are the disarmed form)
+    val armed = Similarity.blockedPairsAuto(dense, "vec_id", "label",
+      targetBucket = 10, dim = 16, maxPairs = 100000L)
+    val off = Similarity.blockedPairsAuto(dense, "vec_id", "label",
+      targetBucket = 10, dim = 16)
+    assert(armed.exceptAll(off).isEmpty && off.exceptAll(armed).isEmpty)
+    assert(off.count() == 19900L)
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
