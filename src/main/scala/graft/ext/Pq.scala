@@ -685,9 +685,25 @@ object Pq {
           (d, c) => d + c))
         .drop("_ccell", "_cent")
     }
-    dec
-      .join(raw.select(col(idCol),
-        transform(col(embCol), x => x.cast("double")).as("_x")), Seq(idCol))
+    // The raw corpus is the BIG side by construction (the sample is
+    // sampleFraction of the index); shuffling it to meet a
+    // monitoring-cadence sample 100× smaller was the residual cost
+    // after the decode fused (2.4s of the 1M×1% estimate). When the
+    // decoded sample is provably broadcast-sized — COUNTED, never
+    // assumed from the fraction (1% of 10B rows is not small) — hint
+    // it so raw streams map-side with no shuffle at all. The count
+    // itself is one codes-pruned scan, the describe's cost. Values are
+    // unaffected either way (same arithmetic, join strategy only).
+    val decSide =
+      if (sampleFraction < 1.0 &&
+          src.count() * (8L * cb.dim + 64L) <= (64L << 20)) broadcast(dec)
+      else dec
+    decSide
+      // cast-to-double AFTER the id join: only matched rows (the
+      // sample) pay the per-element copy, and a shuffled raw side
+      // moves float arrays, not doubles
+      .join(raw.select(col(idCol), col(embCol).as("_xf")), Seq(idCol))
+      .withColumn("_x", transform(col("_xf"), x => x.cast("double")))
       .withColumn("_err", sqrt(Similarity.dot(
         zip_with(col("_x"), col("_dec"), (x, d) => x - d),
         zip_with(col("_x"), col("_dec"), (x, d) => x - d))))
