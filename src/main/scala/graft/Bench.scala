@@ -279,7 +279,19 @@ object Bench {
         try { while (in.read(buf) >= 0) () } finally in.close()
       }
 
-    val names = SparkEntry.benchQueries
+    // SPARK_GRAFT_ONLY=a,b,c → measure ONLY the named queries (filters
+    // headline AND extras). Exists for the scaling-curve decades past
+    // sf1 (SCALING.md: sf10 runs the six most-expensive queries under a
+    // bounded wall-clock, not the full 34-query list), never for driver
+    // or BENCH_LOCAL runs — those artifacts must keep the full list so
+    // rounds stay comparable. Unset (the default) is a no-op.
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def onlyFilter(ns: Seq[String]): Seq[String] =
+      onlySet.fold(ns)(s => ns.filter(s))
+
+    val names = onlyFilter(SparkEntry.benchQueries)
     names.foreach { n => // warm-up: JIT + codegen caches, tiny data
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001")
@@ -322,12 +334,12 @@ object Bench {
     val dropExtras = sys.env.get("SPARK_GRAFT_DROP_EXTRAS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val extraNames = (if (skipExtras) Seq.empty[String]
+    val extraNames = onlyFilter((if (skipExtras) Seq.empty[String]
     else defaultExtras ++
       (if (sys.env.get("SPARK_GRAFT_EXTRA_Q62").contains("1"))
          Seq("q62_correlation_full") else Seq.empty))
       .filter(SparkEntry.queries.contains)
-      .filterNot(dropExtras)
+      .filterNot(dropExtras))
     extraNames.foreach { n =>
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
