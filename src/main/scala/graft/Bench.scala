@@ -288,6 +288,18 @@ object Bench {
     val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // a typo'd name would otherwise filter to nothing and the run
+    // would record a normal-looking ~0s artifact measuring nothing —
+    // fail fast on any name the bench does not track (review r16)
+    onlySet.foreach { s =>
+      val tracked = SparkEntry.benchQueries.toSet ++ defaultExtras +
+        "q62_correlation_full"
+      val unknown = s -- tracked
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names ${unknown.mkString(", ")} — not " +
+          "bench-tracked queries (headline + extras are: " +
+          s"${tracked.toSeq.sorted.mkString(", ")})")
+    }
     def onlyFilter(ns: Seq[String]): Seq[String] =
       onlySet.fold(ns)(s => ns.filter(s))
 

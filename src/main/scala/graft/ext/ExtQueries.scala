@@ -292,6 +292,20 @@ object ExtQueries {
     * [[subBucketCte]]'s fixed form. */
   private val AutoMaxPlanes = 6
   private val AutoTarget = 100
+
+  /** Output-scale cap ARMED on the registered pair queries (x50/x86).
+    * LSH sub-bucketing cannot split a TIGHT cluster — its members
+    * share hyperplane signs, so one 20k-vector cluster is one bucket
+    * and the candidate space (= output upper bound) is C(20k,2) per
+    * cluster. Measured, not hypothetical: the sf10 decade point
+    * (SF10_BENCH_r16, 200k vectors in 10 tight clusters) priced at
+    * ~2.0e9 candidates and the unguarded run filled 78 GB of disk in
+    * the connected-components checkpoint before failing. 50M pairs
+    * passes every driver SF and sf1 (7.8M true pairs) untouched —
+    * byte-identical plans below the cap — and refuses the sf10 shape
+    * in seconds, naming [[Similarity.semanticDedup]] (x73's
+    * linear-output keeper form) as the remedy. */
+  private val PairOutputCap = 50000000L
   private val autoSubCte = s"""
     aplanes(p, i, w) AS (VALUES ${Similarity
       .hyperplanes(AutoMaxPlanes, 64).zipWithIndex
@@ -709,7 +723,7 @@ object ExtQueries {
     (s, dir) => {
       val pairs = Similarity.blockedPairsAuto(Tables.embeddings(s, dir),
           "vec_id", "label", minCos = 0.4, targetBucket = AutoTarget,
-          maxPlanes = AutoMaxPlanes)
+          maxPlanes = AutoMaxPlanes, maxPairs = PairOutputCap)
         .select("id_a", "id_b")
       Dedup.connectedKeepers(pairs)
         .select(col("id").as("vec_id"), col("keeper"))
@@ -748,7 +762,7 @@ object ExtQueries {
     (s, dir) =>
       Similarity.blockedPairsAuto(Tables.embeddings(s, dir), "vec_id",
           "label", minCos = 0.4, targetBucket = AutoTarget,
-          maxPlanes = AutoMaxPlanes)
+          maxPlanes = AutoMaxPlanes, maxPairs = PairOutputCap)
         .orderBy("label", "id_a", "id_b"),
     Some(s"""WITH $corpusDotCte,
       $autoSubCte,

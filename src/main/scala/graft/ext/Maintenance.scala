@@ -37,7 +37,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * disarmed (e.g. PQ usage `minSubEntropy = 0`) never fires, exactly
   * as on the underlying hook. Idempotence: a cycle that acted leaves
   * the index below every armed threshold it acted on, so an immediate
-  * second cycle reports `none` (spec-pinned per family). */
+  * second cycle reports `none` (spec-pinned per family) — and an arm
+  * that CANNOT converge refuses loudly instead of acting
+  * ([[Sq.ivfSqMaybeReencode]]'s clamp-bucket-floor guard: saturation
+  * thresholds below what freshly fitted bounds can reach on this
+  * corpus would otherwise rewrite the index every cycle). */
 object Maintenance {
 
   /** What one cycle did: `action` ∈ `heal-only | blocked | compact |
@@ -60,8 +64,7 @@ object Maintenance {
     Similarity.ivfLoad(spark, table, path)
     val d = Similarity.ivfDescribe(spark, path).head
     blockedOr(d, "ivf") {
-      if (Similarity.ivfMaybeCompact(spark, table, path,
-          nCellsOf(spark, path), maxFilesPerCell))
+      if (compactOnRot(spark, table, path, d, maxFilesPerCell))
         CycleReport("ivf", "compact",
           s"file rot exceeded $maxFilesPerCell files/cell", d)
       else if (Similarity.ivfMaybeRetrain(spark, table, path, maxSkew,
@@ -91,8 +94,7 @@ object Maintenance {
     Similarity.ivfLoad(spark, table, path)
     val d = Similarity.ivfDescribe(spark, path).head
     blockedOr(d, "sq") {
-      if (Similarity.ivfMaybeCompact(spark, table, path,
-          nCellsOf(spark, path), maxFilesPerCell))
+      if (compactOnRot(spark, table, path, d, maxFilesPerCell))
         CycleReport("sq", "compact",
           s"file rot exceeded $maxFilesPerCell files/cell", d)
       else if (Sq.ivfSqMaybeRetrain(spark, table, path,
@@ -133,8 +135,7 @@ object Maintenance {
     Similarity.ivfLoad(spark, table, path)
     val d = Similarity.ivfDescribe(spark, path).head
     blockedOr(d, "pq") {
-      if (Similarity.ivfMaybeCompact(spark, table, path,
-          nCellsOf(spark, path), maxFilesPerCell))
+      if (compactOnRot(spark, table, path, d, maxFilesPerCell))
         CycleReport("pq", "compact",
           s"file rot exceeded $maxFilesPerCell files/cell", d)
       else if (Pq.ivfPqMaybeRetrain(spark, table, path, raw, idCol,
@@ -154,22 +155,54 @@ object Maintenance {
     * compact-on-rot. The band index has no quantizer, so there is no
     * retrain arm — rot is its only structural signal. */
   def bandIndexCycle(spark: SparkSession, table: String, path: String,
-      nBuckets: Int = 32, maxFilesPerBucket: Int = 8): CycleReport = {
+      maxFilesPerBucket: Int = 8): CycleReport = {
     Dedup.bandIndexLoad(spark, table, path)
     val d = Dedup.bandIndexDescribe(spark, path).head
-    if (d.getAs[Boolean]("stream_journal"))
-      CycleReport("band", "blocked",
-        "pending streaming-ingest journal: replay the stream, then " +
-          "re-run the cycle", d)
-    else if (Dedup.maybeCompactBandIndex(spark, table, path, nBuckets,
-        maxFilesPerBucket))
-      CycleReport("band", "compact",
-        s"file rot exceeded $maxFilesPerBucket files/bucket", d)
-    else CycleReport("band", "none", "no trigger fired", d)
+    blockedOr(d, "band") {
+      // the bucket modulus is a LAYOUT property, not an operator
+      // memory: read it from the catalog the load just registered
+      // (the banded table is bucketBy-saved) — a caller-remembered
+      // default of 32 on a 64-bucket index would silently halve the
+      // layout's bucket count on the next compact and fire the rot
+      // trigger at half its intended cadence (review r16)
+      val nBuckets = bucketCountOf(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"bandIndexCycle: table `$table` carries no bucket spec — " +
+            "not a bandIndexSave layout"))
+      // same describe-row gating as compactOnRot: the listing is in
+      // hand, don't pay it twice
+      require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+      if (d.getAs[Int]("data_files").toLong >
+          nBuckets.toLong * maxFilesPerBucket) {
+        Dedup.compactBandIndex(spark, table, path, nBuckets)
+        CycleReport("band", "compact",
+          s"file rot exceeded $maxFilesPerBucket files/bucket", d)
+      } else CycleReport("band", "none", "no trigger fired", d)
+    }
   }
 
-  private def nCellsOf(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/centroids").count().toInt
+  /** The shared compact-on-rot arm: gate on the describe row's OWN
+    * file count (taken post-heal in this same cycle — current by
+    * construction) instead of paying `ivfMaybeCompact`'s second
+    * recursive listing of the assigned tree, the dominant metadata
+    * cost on an object store (review r16). */
+  private def compactOnRot(spark: SparkSession, table: String,
+      path: String, d: Row, maxFilesPerCell: Int): Boolean = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val nCells = d.getAs[Long]("n_cells").toInt
+    if (d.getAs[Int]("data_files").toLong <= nCells.toLong * maxFilesPerCell)
+      false
+    else { Similarity.ivfCompact(spark, table, path, nCells); true }
+  }
+
+  /** Bucket count of a bucketBy-saved catalog table (`Num Buckets` in
+    * DESCRIBE FORMATTED); None when the table is not bucketed. The
+    * collect is the DESCRIBE output — tens of rows, never data. */
+  private def bucketCountOf(spark: SparkSession, table: String)
+      : Option[Int] =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Num Buckets"))
+      .flatMap(r => scala.util.Try(r.getString(1).trim.toInt).toOption)
 
   /** The shared step-3 gate: a pending streaming journal blocks every
     * structural rewrite (their own guards would throw) — report it

@@ -625,7 +625,10 @@ object Pq {
     * A zero-norm raw vector has no defined RELATIVE error (0/0);
     * such rows carry a null `rel_err` — excluded from `n`/`mean`/`max`
     * (Spark aggs skip nulls) and counted honestly in `n_zero_norm`
-    * instead of poisoning the summary with NaN (ADVICE r15). */
+    * instead of poisoning the summary with NaN (ADVICE r15). A null
+    * rel_err from a null DECODE (a null code slot in the index) or a
+    * null/ragged raw embedding is a different defect in a different
+    * corpus — counted separately in `n_undecodable` (review r16). */
   def pqReconError(spark: SparkSession, path: String, raw: DataFrame,
       idCol: String, cb: PqCodebooks, residual: Boolean = false,
       embCol: String = "embedding", sampleFraction: Double = 1.0,
@@ -635,12 +638,17 @@ object Pq {
       s"pqReconError: codebooks are m=${cb.m}-wide but the codes under " +
         s"$path/assigned are $w-wide — not this codebook's index"))
     val live = Similarity.liveRows(spark, path, enc)
-    pqReconErrorOf(live, raw, idCol, cb,
+    pqReconRows(live, raw, idCol, cb,
       if (residual) Some(spark.read.parquet(s"$path/centroids")) else None,
       embCol, sampleFraction, seed)
       .agg(count(col("rel_err")).as("n"), avg(col("rel_err")).as("mean_rel_err"),
         max(col("rel_err")).as("max_rel_err"),
-        count(when(col("rel_err").isNull, 1)).as("n_zero_norm"))
+        // attribute each null rel_err to its actual cause (review r16:
+        // a null decode — e.g. a null code slot — is an INDEX defect,
+        // not a zero-norm raw vector; folding both into n_zero_norm
+        // sent the operator hunting the wrong corpus)
+        count(when(col("_zero_norm"), 1)).as("n_zero_norm"),
+        count(when(col("_undecodable"), 1)).as("n_undecodable"))
   }
 
   /** Frame-level core of [[pqReconError]]: per-row relative
@@ -659,6 +667,20 @@ object Pq {
     * codebooks). */
   def pqReconErrorOf(encoded: DataFrame, raw: DataFrame, idCol: String,
       cb: PqCodebooks, centroids: Option[DataFrame] = None,
+      embCol: String = "embedding", sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    pqReconRows(encoded, raw, idCol, cb, centroids, embCol,
+      sampleFraction, seed)
+      .select(col(idCol), col("rel_err"))
+
+  /** [[pqReconErrorOf]] plus the null-cause attribution columns the
+    * summary form aggregates: `_zero_norm` (raw vector with no defined
+    * relative error) vs `_undecodable` (null decode — a null code slot
+    * in the index — or a null/ragged raw embedding). Both are nulls in
+    * `rel_err`, but they indict DIFFERENT corpora: the first is a raw-
+    * data property, the second an index/join defect (review r16). */
+  private[ext] def pqReconRows(encoded: DataFrame, raw: DataFrame,
+      idCol: String, cb: PqCodebooks, centroids: Option[DataFrame] = None,
       embCol: String = "embedding", sampleFraction: Double = 1.0,
       seed: Long = 42L): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
@@ -712,7 +734,10 @@ object Pq {
       // summary's avg/max; null is honest "undefined" (ADVICE r15)
       .select(col(idCol),
         when(col("_nrm") === 0.0, lit(null).cast("double"))
-          .otherwise(col("_err") / col("_nrm")).as("rel_err"))
+          .otherwise(col("_err") / col("_nrm")).as("rel_err"),
+        (col("_nrm") === 0.0).as("_zero_norm"),
+        (col("_nrm").isNull ||
+          (col("_nrm") =!= 0.0 && col("_err").isNull)).as("_undecodable"))
   }
 
   /** The pre-r16 broadcast (sub, code) → codeword JOIN decode,

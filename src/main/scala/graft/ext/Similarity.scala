@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search (north-star extension, SURVEY §7.4).
   *
@@ -1398,12 +1399,25 @@ object Similarity {
     * never leaves O(buckets). */
   private def candidatePairCount(keyed: DataFrame, labelCol: String)
       : Long = {
-    // n·(n−1) is even, so the >>1 is exact — and stays in LONG
-    // arithmetic (Column./ is double division, lossy past 2^53)
+    // n·(n−1) in DECIMAL(38,0), not LONG: past ~3.04e9 rows per bucket
+    // the Long product wraps NEGATIVE (non-ANSI arithmetic), the sum
+    // follows, and `est <= maxPairs` would pass trivially — the guard
+    // failing OPEN at exactly the scale it exists for (review r16).
+    // 38 digits hold the worst case ((9.2e18)² ≈ 8.5e37); the halving
+    // is exact (n·(n−1) is even) and done driver-side in BigInteger.
     val r = keyed.groupBy(col(labelCol), col("_sub"))
       .agg(count(lit(1)).as("_nb"))
-      .agg(sum(shiftright(col("_nb") * (col("_nb") - lit(1L)), 1))).head
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(sum(col("_nb").cast(DecimalType(38, 0)) * (col("_nb") - lit(1L)))
+          .as("_s"),
+        count(lit(1)).as("_buckets")).head
+    if (r.getLong(1) == 0L) 0L // no buckets at all: zero candidates
+    else if (r.isNullAt(0)) Long.MaxValue // decimal overflow: fail CLOSED
+    else {
+      val half = r.getDecimal(0).toBigInteger.shiftRight(1)
+      if (half.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0)
+        Long.MaxValue // more candidate pairs than a Long can count
+      else half.longValue
+    }
   }
 
   /** Public pre-flight for the pair family: how many candidate pairs

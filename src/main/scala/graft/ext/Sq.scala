@@ -416,7 +416,8 @@ object Sq {
       nCells: Int, raw: DataFrame, idCol: String,
       embCol: String = "embedding", levels: Int = 256,
       quantile: Option[(Double, Double)] = None,
-      seed: Long = 42L): (Similarity.IvfIndex, SqParams) = {
+      seed: Long = 42L,
+      preTrained: Option[SqParams] = None): (Similarity.IvfIndex, SqParams) = {
     var pOut: SqParams = null
     val emb = raw.select(col(idCol), col(embCol))
     // the physical mixup tell, probed from the RAW side (the new
@@ -428,6 +429,10 @@ object Sq {
       s"sqReencodeIndex: raw frame is empty (or its `$embCol` is all " +
         "null) — bounds cannot re-train on nothing")
     val dim = rawDim(0).getInt(0)
+    preTrained.foreach(pt => require(pt.dim == dim && pt.levels == levels,
+      s"sqReencodeIndex: preTrained params (dim ${pt.dim}, levels " +
+        s"${pt.levels}) do not match the raw corpus dim $dim / " +
+        s"requested levels $levels"))
     val reopened = Similarity.retrainImpl(spark, table, path, nCells,
       embCol, seed,
       reconstruct = df => {
@@ -449,10 +454,16 @@ object Sq {
       },
       project = idx => {
         val a = idx.assigned
-        pOut = quantile match {
+        // `preTrained` is the policy wrapper's hand-off: the bounds it
+        // already priced the convergence floor with (ivfSqMaybeReencode)
+        // are the bounds published — identical by construction for
+        // min/max (order-independent exact fit on the same live rows),
+        // and for quantile bounds it removes the sketch's merge-order
+        // wiggle between the priced fit and the published fit.
+        pOut = preTrained.getOrElse(quantile match {
           case Some((lo, hi)) => sqTrainQuantile(a, embCol, levels, lo, hi)
           case None => sqTrain(a, embCol, levels)
-        }
+        })
         sqEncode(a.drop("codes", "recon_norm"), embCol, pOut).drop(embCol)
       },
       stagedMeta = (_, _) => Seq("sq_params" -> paramsDf(spark, pOut)))
@@ -498,10 +509,71 @@ object Sq {
     val p = sqParamsOf(spark, path)
     if (sqSaturationExceeded(spark, path, p.levels, maxSatRate,
         maxDimSatRate, sampleFraction, seed, Some(p))) {
+      // Convergence-floor guard (review r16): saturation counts codes
+      // AT the clamp, so even perfectly fresh min/max bounds leave the
+      // outermost two quantization buckets' mass saturated — a
+      // distribution-dependent FLOOR no re-encode can go below. Firing
+      // thresholds at or below that floor re-fire (and rewrite the
+      // whole index) every cycle — the same unbounded loop the
+      // quantile design-saturation require above refuses a priori,
+      // except this floor is only measurable. Price it BEFORE paying
+      // the staged swap: fit the candidate bounds on the raw rows that
+      // are actually live (the exact fit the re-encode would publish),
+      // encode, and measure. Two extra raw-corpus scans, paid only
+      // when the trigger fired — against a full-index rewrite.
+      val emb = raw.select(col(idCol), col(embCol))
+      val liveEmb = emb.join(
+        Similarity.liveRows(spark, path,
+            spark.read.parquet(s"$path/assigned"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+      val cand = quantile match {
+        case Some((lo, hi)) =>
+          sqTrainQuantile(liveEmb, embCol, p.levels, lo, hi)
+        case None => sqTrain(liveEmb, embCol, p.levels)
+      }
+      projectedSaturation(liveEmb, embCol, cand, sampleFraction, seed)
+        .foreach { case (projRate, projMaxDim) =>
+          require(projRate <= maxSatRate && projMaxDim <= maxDimSatRate,
+            f"ivfSqMaybeReencode: re-encode cannot converge below the " +
+              f"firing thresholds on this corpus — freshly fitted " +
+              f"bounds still saturate $projRate%.4f overall / " +
+              f"$projMaxDim%.4f on the worst dim (thresholds " +
+              f"maxSatRate=$maxSatRate, maxDimSatRate=$maxDimSatRate); " +
+              "the policy would re-fire and rewrite the whole index " +
+              "every cycle. Raise the thresholds above this corpus's " +
+              "own clamp-bucket floor, or accept the floor and disarm " +
+              "the bounds signal (raw = None in Maintenance.sqCycle)")
+        }
       val nCells = spark.read.parquet(s"$path/centroids").count().toInt
       Some(sqReencodeIndex(spark, table, path, nCells, raw, idCol,
-        embCol, p.levels, quantile, seed)._2)
+        embCol, p.levels, quantile, seed, preTrained = Some(cand))._2)
     } else None
+  }
+
+  /** Projected post-re-encode saturation of `corpus` under candidate
+    * `cand` bounds — the measurable convergence floor
+    * [[ivfSqMaybeReencode]] prices before its staged swap. Mirrors
+    * [[sqDescribe]]'s roll-up exactly (degenerate dims masked, overall
+    * rate element-weighted, worst dim by rate) so the projection is
+    * commensurate with the firing measurement. None = empty corpus /
+    * all dims degenerate (nothing to price — the re-encode itself
+    * will fail its own emptiness guards). */
+  private def projectedSaturation(corpus: DataFrame, embCol: String,
+      cand: SqParams, sampleFraction: Double, seed: Long)
+      : Option[(Double, Double)] = {
+    val degenerate: Set[Int] =
+      cand.step.zipWithIndex.collect { case (s, i) if s == 0.0 => i }.toSet
+    val rows = sqSaturation(
+        corpus.select(sqEncodeCol(col(embCol), cand).as("codes")),
+        cand.levels, "codes", sampleFraction, seed)
+      .collect() // dim rows — never corpus-sized (the sqTrain bound)
+      .filterNot(r => degenerate.contains(r.getAs[Int]("i")))
+    val els = rows.map(_.getAs[Long]("n")).sum
+    if (rows.isEmpty || els == 0L) None
+    else Some((
+      (rows.map(_.getAs[Long]("sat_lo")).sum +
+        rows.map(_.getAs[Long]("sat_hi")).sum).toDouble / els,
+      rows.map(_.getAs[Double]("sat_rate")).max))
   }
 
   /** Policy wrapper over [[ivfSqRetrain]] — the compressed twin of

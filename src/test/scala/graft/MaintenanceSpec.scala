@@ -133,9 +133,17 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
         maxFilesPerCell = 64, maxSkew = 1e9, minOccupiedFrac = 0.0)
       assert(cNoRaw.action == "none" && cNoRaw.detail.contains("no raw"),
         s"$cNoRaw")
+      // thresholds 0.05/0.2 sit ABOVE this corpus's clamp-bucket floor
+      // (SqSpec measures that), so the r16 convergence guard lets the
+      // re-encode proceed — and idempotence holds at the SAME
+      // thresholds: cycle 2 is none because the re-encode actually
+      // converged below them (cycle 1 at thresholds under the floor
+      // would have REFUSED loudly instead of looping — the SqSpec
+      // planted-floor test pins that branch)
       val c1 = Maintenance.sqCycle(spark, "mc_sq_t", dir,
         raw = Some(rawAll), idCol = "vec_id", maxFilesPerCell = 64,
-        maxSkew = 1e9, minOccupiedFrac = 0.0)
+        maxSkew = 1e9, minOccupiedFrac = 0.0,
+        maxSatRate = 0.05, maxDimSatRate = 0.2)
       assert(c1.action == "reencode", s"cycle 1: $c1")
       assert(Sq.sqParamsOf(spark, dir) != p0, "bounds actually re-trained")
       val c2 = Maintenance.sqCycle(spark, "mc_sq_t", dir,

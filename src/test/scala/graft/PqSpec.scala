@@ -904,8 +904,33 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       assert(s.getLong(s.fieldIndex("n")) == 20L,
         "n counts only rows with a defined rel_err")
       assert(s.getLong(s.fieldIndex("n_zero_norm")) == 1L)
+      assert(s.getLong(s.fieldIndex("n_undecodable")) == 0L,
+        "a healthy index decodes every sampled row")
       assert(!s.getDouble(s.fieldIndex("mean_rel_err")).isNaN)
       assert(!s.getDouble(s.fieldIndex("max_rel_err")).isNaN)
+
+      // null-cause ATTRIBUTION (review r16): a null DECODE (null code
+      // slot in the index) and a null raw embedding are index/join
+      // defects, not zero-norm raw vectors — n_undecodable, never
+      // n_zero_norm, or the operator hunts the wrong corpus
+      val doctored =
+        java.nio.file.Files.createTempDirectory("pq-ud").toString
+      spark.read.parquet(s"$dir/assigned")
+        .withColumn("codes", when(col("vec_id") === 1,
+            concat(array(lit(null).cast("int")),
+              slice(col("codes"), 2, 3)))
+          .otherwise(col("codes")))
+        .write.parquet(s"$doctored/assigned")
+      val raw2 = raw.withColumn("embedding",
+        when(col("vec_id") === 3, lit(null).cast("array<float>"))
+          .otherwise(col("embedding")))
+      val s2 = Pq.pqReconError(spark, doctored, raw2, "vec_id", cb).head
+      assert(s2.getLong(s2.fieldIndex("n")) == 18L, s"$s2")
+      assert(s2.getLong(s2.fieldIndex("n_zero_norm")) == 1L,
+        "the zero-norm row stays attributed to the raw corpus")
+      assert(s2.getLong(s2.fieldIndex("n_undecodable")) == 2L,
+        "null code slot + null raw embedding are undecodable, " +
+          "not zero-norm")
     } finally spark.sql("DROP TABLE IF EXISTS pq_zn_t")
   }
 

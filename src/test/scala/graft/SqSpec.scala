@@ -654,9 +654,13 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
       // fires the re-encode, and a second call no-ops (the
       // maybe-retrain cadence contract)
       val rawAll = corpus.select("vec_id", "embedding").unionByName(outliers)
+      // thresholds 0.05/0.2 are ABOVE this corpus's clamp-bucket floor
+      // (the post-refit assert below measures exactly that), so the
+      // r16 convergence guard passes and the re-encode proceeds; the
+      // refusal branch is pinned by the planted-floor test below
       val fired = Sq.ivfSqMaybeReencode(spark, "sq_re_t", dir,
         raw = rawAll, idCol = "vec_id",
-        maxSatRate = 0.01, maxDimSatRate = 0.05)
+        maxSatRate = 0.05, maxDimSatRate = 0.2)
       assert(fired.nonEmpty, "saturation past thresholds must fire")
       assert(Sq.ivfSqMaybeReencode(spark, "sq_re_t", dir,
         raw = rawAll, idCol = "vec_id",
@@ -759,5 +763,32 @@ class SqSpec extends AnyFunSuite with SparkTestBase {
           raw = corpus.select("vec_id", "embedding"), idCol = "vec_id"))
       assert(ePq.getMessage.contains("m-wide"), ePq.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sq_re_pq_t")
+  }
+
+  test("ivfSqMaybeReencode: a corpus whose clamp-bucket floor sits " +
+      "above the firing thresholds is REFUSED before the staged swap " +
+      "(review r16) — no re-encode can converge, so proceeding would " +
+      "rewrite the index every cycle") {
+    import spark.implicits._
+    // binary ±1 embeddings: under ANY fresh min/max fit every value
+    // sits AT a bound, so the post-re-encode saturation floor is
+    // exactly 1.0 — above every sane threshold
+    val bin = (0L until 64L).map(i =>
+        (i, IndexedSeq.fill(8)(if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val p0 = Sq.sqTrain(bin)
+    val dir = java.nio.file.Files.createTempDirectory("sq-floor").toString
+    Sq.ivfSqSave(
+      Sq.ivfSqEncode(Similarity.ivfBuild(bin, nCells = 2), p0, "vec_id"),
+      p0, "sq_floor_t", dir, 2)
+    try {
+      val e = intercept[IllegalArgumentException](
+        Sq.ivfSqMaybeReencode(spark, "sq_floor_t", dir,
+          raw = bin, idCol = "vec_id",
+          maxSatRate = 0.5, maxDimSatRate = 0.5))
+      assert(e.getMessage.contains("cannot converge"), e.getMessage)
+      assert(Sq.sqParamsOf(spark, dir) == p0,
+        "a refused re-encode must leave the index untouched")
+    } finally spark.sql("DROP TABLE IF EXISTS sq_floor_t")
   }
 }
