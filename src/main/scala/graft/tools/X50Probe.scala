@@ -26,6 +26,30 @@ object X50Probe {
       println(f"[x50probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // r16: the output-scale pre-flight — the same O(buckets) count the
+    // armed maxPairs guard reads, priced before anything joins
+    val est = t("estimate (pre-flight)")(
+      Similarity.estimateBlockedPairsAuto(
+        Tables.embeddings(spark, sfDir), "label",
+        targetBucket = 100, maxPlanes = 6))
+    println(s"[x50probe] candidate_pairs=$est")
+    if (est > 50000000L) {
+      // the registered x50's armed form: price the refusal an
+      // unattended job pays INSTEAD of materializing a quadratic
+      // answer (the unguarded sf10 run filled 78 GB of disk in the CC
+      // checkpoint before failing — SF10_BENCH_r16 run 1)
+      t("armed refusal (cap 50M)")(
+        try {
+          Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
+            "vec_id", "label", minCos = 0.4, targetBucket = 100,
+            maxPlanes = 6, maxPairs = 50000000L)
+          println("[x50probe] UNEXPECTED: guard did not fire")
+        } catch { case e: IllegalArgumentException =>
+          println(s"[x50probe] refused: ${e.getMessage.take(100)}") })
+      println("[x50probe] candidate space over the cap — skipping the " +
+        "quadratic materialization (semanticDedup is the scale path)")
+      spark.stop(); return
+    }
     val pairs = Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
         "vec_id", "label", minCos = 0.4, targetBucket = 100, maxPlanes = 6)
       .select("id_a", "id_b")
