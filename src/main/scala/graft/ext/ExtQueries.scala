@@ -294,18 +294,19 @@ object ExtQueries {
   private val AutoTarget = 100
 
   /** Output-scale cap ARMED on the registered pair queries (x50/x86).
-    * LSH sub-bucketing cannot split a TIGHT cluster — its members
-    * share hyperplane signs, so one 20k-vector cluster is one bucket
-    * and the candidate space (= output upper bound) is C(20k,2) per
-    * cluster. Measured, not hypothetical: the sf10 decade point
+    * LSH sub-bucketing barely splits a TIGHT cluster — its members
+    * share most hyperplane signs, so the 6-plane sub-keying divides a
+    * 20k-vector cluster ~3-fold instead of 64-fold and the candidate
+    * space (= output upper bound) stays near-quadratic in cluster
+    * size. Measured, not hypothetical: the sf10 decade point
     * (SF10_BENCH_r16, 200k vectors in 10 tight clusters) priced at
-    * ~2.0e9 candidates and the unguarded run filled 78 GB of disk in
-    * the connected-components checkpoint before failing. 50M pairs
-    * passes every driver SF and sf1 (7.8M true pairs) untouched —
+    * 692,126,962 candidates and the unguarded run filled 78 GB of
+    * disk in the connected-components checkpoint before failing. A
+    * 50M cap passes every driver SF and sf1 (7.8M true pairs) untouched —
     * byte-identical plans below the cap — and refuses the sf10 shape
     * in seconds, naming [[Similarity.semanticDedup]] (x73's
     * linear-output keeper form) as the remedy. */
-  private val PairOutputCap = 50000000L
+  private[graft] val PairOutputCap = 50000000L
   private val autoSubCte = s"""
     aplanes(p, i, w) AS (VALUES ${Similarity
       .hyperplanes(AutoMaxPlanes, 64).zipWithIndex

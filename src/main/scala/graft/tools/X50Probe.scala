@@ -26,23 +26,31 @@ object X50Probe {
       println(f"[x50probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // fault the input once before ANY timed row so every stage below is
+    // page-cache-warm uniformly (r16 — the estimate stage would
+    // otherwise absorb the cold read that pre-r16 probe rows charged to
+    // "pairs materialize", breaking cross-round row comparability)
+    Tables.embeddings(spark, sfDir).count()
     // r16: the output-scale pre-flight — the same O(buckets) count the
-    // armed maxPairs guard reads, priced before anything joins
+    // armed maxPairs guard reads, priced before anything joins. The cap
+    // is THE registered x50's cap (ExtQueries.PairOutputCap), never a
+    // probe-local copy that could silently desynchronize.
+    val cap = graft.ext.ExtQueries.PairOutputCap
     val est = t("estimate (pre-flight)")(
       Similarity.estimateBlockedPairsAuto(
         Tables.embeddings(spark, sfDir), "label",
         targetBucket = 100, maxPlanes = 6))
     println(s"[x50probe] candidate_pairs=$est")
-    if (est > 50000000L) {
+    if (est > cap) {
       // the registered x50's armed form: price the refusal an
       // unattended job pays INSTEAD of materializing a quadratic
       // answer (the unguarded sf10 run filled 78 GB of disk in the CC
       // checkpoint before failing — SF10_BENCH_r16 run 1)
-      t("armed refusal (cap 50M)")(
+      t(s"armed refusal (cap $cap)")(
         try {
           Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
             "vec_id", "label", minCos = 0.4, targetBucket = 100,
-            maxPlanes = 6, maxPairs = 50000000L)
+            maxPlanes = 6, maxPairs = cap)
           println("[x50probe] UNEXPECTED: guard did not fire")
         } catch { case e: IllegalArgumentException =>
           println(s"[x50probe] refused: ${e.getMessage.take(100)}") })
