@@ -82,25 +82,34 @@ object TextAnalysis {
     val boiler = starts.select(col(idCol), col("shingle")).distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("shingle")
-    val covered = starts.join(boiler, "shingle")
-      .select(col(idCol),
-        explode(array((0 until k).map(o => col("i") + o): _*)).as("p"))
-      .distinct()
-    val toks = base
-      .select(col(idCol), t.as("t"))
-      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "token")))
-      .select(col(idCol), (col("p0") + 1).as("p"), col("token"))
-    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("p"), col("token")))),
-          s => s.getField("token"))).as("clean_text"))
-    docs.select(col(idCol), size(t).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // Coverage is computed PER ROW, not per position (r16): the prior
+    // form exploded every boilerplate hit into k position rows,
+    // corpus-position-scale distinct'd them, and anti-joined the
+    // corpus-position-scale token frame — three shuffles whose volume
+    // is positions×k. x66 was the slowest sf10 query (55.6 s) with
+    // that plan. Instead: group each doc's boilerplate START positions
+    // into one doc-length-bounded array (the only remaining shuffle —
+    // one (id, int) row per HIT, nothing position-scale), expand the
+    // [s, s+k-1] windows per row, and take kept positions with
+    // array_except — a codegen hash-set build, O(tokens + covered) per
+    // doc, order inherited from the ordered left side (deterministic
+    // regardless of collect_set order). Per-row memory is bounded by
+    // the doc's own token count — the same bound clean_text itself
+    // carries.
+    val bstarts = starts.join(boiler, "shingle")
+      .groupBy(col(idCol)).agg(collect_set(col("i")).as("_bs"))
+    val allPos = sequence(lit(1), size(col("_t")))
+    val keptPos = when(col("_bs").isNull, allPos)
+      .otherwise(array_except(allPos,
+        flatten(transform(col("_bs"), s => sequence(s, s + (k - 1))))))
+    docs.select(col(idCol), t.as("_t"))
+      .join(bstarts, Seq(idCol), "left")
+      .withColumn("_kp", keptPos)
+      .select(col(idCol), size(col("_t")).cast("long").as("n_tokens"),
+        (size(col("_t")) - size(col("_kp"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("_kp"), p => element_at(col("_t"), p)))
+          .as("clean_text"))
   }
 
   /** Replace every match of each pattern with its placeholder, left to
