@@ -57,16 +57,22 @@ object TextAnalysis {
     *     corpus-shaped — and a forced broadcast would OOM the driver; a
     *     shuffle hash join on the shingle key is the correct plan there
     *     (the x56 lesson: never force-broadcast an unbounded side);
-    *  3. covered positions = boilerplate starts × {0..k-1} offsets,
-    *     distinct per (doc, position);
-    *  4. kept tokens = position explode anti-joined against covered on
-    *     (doc, position) — an equi hash join, distributed at any scale;
-    *  5. reassembly = one aggregate per doc (`array_sort` of (pos, token)
-    *     structs → `concat_ws`), left-joined back so untouched and
-    *     emptied documents both appear.
-    * Tokens shuffle once (the anti-join) and aggregate once — no
-    * all-pairs stage anywhere; skew is bounded by document length, not
-    * corpus size. */
+    *  3. boilerplate START positions group to ONE doc-length-bounded
+    *     array per doc (`collect_set` — the only remaining shuffle, a
+    *     single (id, int) row per boilerplate HIT, nothing
+    *     position×k-scale; r16, the sf10 lesson: the prior
+    *     explode→distinct→anti-join form shuffled positions×k rows
+    *     three times and was the slowest sf10 query at 55.6 s);
+    *  4. coverage and reassembly are PER ROW: expand each start's
+    *     [s, s+k−1] window, keep positions via `array_except` (codegen
+    *     hash-set build, O(tokens + covered) per doc; output order
+    *     inherited from the ordered left side, so `collect_set`'s
+    *     nondeterminism cannot reach the result), then
+    *     `element_at`-gather + `concat_ws`. Untouched docs take the
+    *     null-`_bs` branch; fully-boilerplate docs keep an empty array.
+    * Per-row memory is bounded by the doc's own token count — the same
+    * bound `clean_text` itself carries; skew is bounded by document
+    * length, not corpus size. */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minDf: Int = 5): DataFrame = {
     val t = split(col(textCol), " ")
@@ -98,11 +104,20 @@ object TextAnalysis {
     // carries.
     val bstarts = starts.join(boiler, "shingle")
       .groupBy(col(idCol)).agg(collect_set(col("i")).as("_bs"))
+    // null text → empty kept set (n_removed = n_tokens − 0, matching
+    // the prior anti-join form where a null row exploded to no tokens);
+    // the guard also keeps sequence() away from size(_t) = −1, whose
+    // descending [1, 0, −1] would plant an element_at(_, 0) trap
     val allPos = sequence(lit(1), size(col("_t")))
-    val keptPos = when(col("_bs").isNull, allPos)
+    val keptPos = when(col("_t").isNull, array().cast("array<int>"))
+      .when(col("_bs").isNull, allPos)
       .otherwise(array_except(allPos,
         flatten(transform(col("_bs"), s => sequence(s, s + (k - 1))))))
-    docs.select(col(idCol), t.as("_t"))
+    // the heavy per-token work (array_except, the element_at gather,
+    // concat_ws) runs where this frame's tasks run — fan a narrow
+    // input out first, exactly as the shingle stage does (review r16:
+    // the rewrite initially ran reassembly at raw-scan parallelism)
+    Dedup.fanOut(docs.select(col(idCol), t.as("_t")))
       .join(bstarts, Seq(idCol), "left")
       .withColumn("_kp", keptPos)
       .select(col(idCol), size(col("_t")).cast("long").as("n_tokens"),
