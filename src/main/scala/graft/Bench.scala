@@ -288,17 +288,45 @@ object Bench {
     val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // the extras gating knobs are read HERE, before the ONLY validation,
+    // so the fail-fast can check the names against the list this run
+    // will actually measure (review r17: the old check used an
+    // always-everything `tracked` set, so SPARK_GRAFT_ONLY=
+    // q62_correlation_full without SPARK_GRAFT_EXTRA_Q62=1 — or an
+    // extra under SKIP_EXTRAS=1 — passed the require yet measured zero
+    // queries and wrote the normal-looking empty artifact the guard was
+    // added to prevent). Semantics of each knob documented at their
+    // use sites below.
+    val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
+    val dropExtras = sys.env.get("SPARK_GRAFT_DROP_EXTRAS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val effectiveExtras: Seq[String] =
+      (if (skipExtras) Seq.empty[String]
+       else defaultExtras ++
+         (if (sys.env.get("SPARK_GRAFT_EXTRA_Q62").contains("1"))
+            Seq("q62_correlation_full") else Seq.empty[String]))
+        .filter(SparkEntry.queries.contains)
+        .filterNot(dropExtras)
     // a typo'd name would otherwise filter to nothing and the run
     // would record a normal-looking ~0s artifact measuring nothing —
-    // fail fast on any name the bench does not track (review r16)
+    // fail fast on any name the bench does not track (review r16) and
+    // on any tracked name the current gating excludes (review r17)
     onlySet.foreach { s =>
-      val tracked = SparkEntry.benchQueries.toSet ++ defaultExtras +
+      val allTracked = SparkEntry.benchQueries.toSet ++ defaultExtras +
         "q62_correlation_full"
-      val unknown = s -- tracked
+      val effective = SparkEntry.benchQueries.toSet ++ effectiveExtras
+      val unknown = s -- allTracked
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names ${unknown.mkString(", ")} — not " +
           "bench-tracked queries (headline + extras are: " +
-          s"${tracked.toSeq.sorted.mkString(", ")})")
+          s"${allTracked.toSeq.sorted.mkString(", ")})")
+      val gatedOff = s -- effective
+      require(gatedOff.isEmpty,
+        s"SPARK_GRAFT_ONLY names ${gatedOff.mkString(", ")} — tracked " +
+          "but gated OFF this run: q62_correlation_full needs " +
+          "SPARK_GRAFT_EXTRA_Q62=1; extras need SPARK_GRAFT_SKIP_EXTRAS " +
+          "unset and the name absent from SPARK_GRAFT_DROP_EXTRAS")
     }
     def onlyFilter(ns: Seq[String]): Seq[String] =
       onlySet.fold(ns)(s => ns.filter(s))
@@ -333,25 +361,18 @@ object Bench {
     // artifact (r4 lesson: a single-rep extra reading is indistinguishable
     // from a regression in a perf audit)
     // SPARK_GRAFT_SKIP_EXTRAS=1 → headline only (the scaling-curve runs
-    // at sf1 use this). q62_correlation_full is NOT here: ~152s/rep at
-    // sf0.1 (S²-by-design, 1.1M exact-decimal pairs) blew the round-5
-    // driver wall-clock (rc 124, no artifact). It stays measured in
-    // BENCH_LOCAL/SCALING evidence; opt in with SPARK_GRAFT_EXTRA_Q62=1.
-    val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
+    // at sf1 use this). q62_correlation_full is NOT a default extra:
+    // ~152s/rep at sf0.1 (S²-by-design, 1.1M exact-decimal pairs) blew
+    // the round-5 driver wall-clock (rc 124, no artifact). It stays
+    // measured in BENCH_LOCAL/SCALING evidence; opt in with
+    // SPARK_GRAFT_EXTRA_Q62=1.
     // SPARK_GRAFT_DROP_EXTRAS=a,b,c → exclude named extras. Exists for
     // CONTROLLED drift races (BENCH_NOTES r13: replay a prior round's
     // query list on the current tree to isolate round-robin neighbor
     // pressure from code drift), not for routine runs — the driver
     // artifact must keep the full list.
-    val dropExtras = sys.env.get("SPARK_GRAFT_DROP_EXTRAS")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
-    val extraNames = onlyFilter((if (skipExtras) Seq.empty[String]
-    else defaultExtras ++
-      (if (sys.env.get("SPARK_GRAFT_EXTRA_Q62").contains("1"))
-         Seq("q62_correlation_full") else Seq.empty))
-      .filter(SparkEntry.queries.contains)
-      .filterNot(dropExtras))
+    // (both knobs are read above, pre-validation — review r17)
+    val extraNames = onlyFilter(effectiveExtras)
     extraNames.foreach { n =>
       if (!overDeadline)
         try run(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }

@@ -290,8 +290,8 @@ object ExtQueries {
     * and x86 (the adaptive-pairs gate) so the two oracles cannot
     * drift. Produces `sub(vec_id, sb)` — the same shape as
     * [[subBucketCte]]'s fixed form. */
-  private val AutoMaxPlanes = 6
-  private val AutoTarget = 100
+  private[graft] val AutoMaxPlanes = 6
+  private[graft] val AutoTarget = 100
 
   /** Output-scale cap ARMED on the registered pair queries (x50/x86).
     * LSH sub-bucketing barely splits a TIGHT cluster — its members

@@ -36,10 +36,16 @@ object X50Probe {
     // is THE registered x50's cap (ExtQueries.PairOutputCap), never a
     // probe-local copy that could silently desynchronize.
     val cap = graft.ext.ExtQueries.PairOutputCap
+    // likewise the keying params (review r17): reference the registered
+    // x50's AutoTarget/AutoMaxPlanes, never probe-local literals that
+    // would silently measure a different keying if the registered
+    // defaults move
+    val tgt = graft.ext.ExtQueries.AutoTarget
+    val mp = graft.ext.ExtQueries.AutoMaxPlanes
     val est = t("estimate (pre-flight)")(
       Similarity.estimateBlockedPairsAuto(
         Tables.embeddings(spark, sfDir), "label",
-        targetBucket = 100, maxPlanes = 6))
+        targetBucket = tgt, maxPlanes = mp))
     println(s"[x50probe] candidate_pairs=$est")
     if (est > cap) {
       // the registered x50's armed form: price the refusal an
@@ -49,8 +55,8 @@ object X50Probe {
       t(s"armed refusal (cap $cap)")(
         try {
           Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
-            "vec_id", "label", minCos = 0.4, targetBucket = 100,
-            maxPlanes = 6, maxPairs = cap)
+            "vec_id", "label", minCos = 0.4, targetBucket = tgt,
+            maxPlanes = mp, maxPairs = cap)
           println("[x50probe] UNEXPECTED: guard did not fire")
         } catch { case e: IllegalArgumentException =>
           println(s"[x50probe] refused: ${e.getMessage.take(100)}") })
@@ -59,7 +65,7 @@ object X50Probe {
       spark.stop(); return
     }
     val pairs = Similarity.blockedPairsAuto(Tables.embeddings(spark, sfDir),
-        "vec_id", "label", minCos = 0.4, targetBucket = 100, maxPlanes = 6)
+        "vec_id", "label", minCos = 0.4, targetBucket = tgt, maxPlanes = mp)
       .select("id_a", "id_b")
     val p = t("pairs materialize")(pairs.localCheckpoint(true))
     val e = t("edge count")(p.count())

@@ -33,6 +33,24 @@ totals are computed over the INTERSECTION of query names with valid
 medians on both sides — a truncated or newly-added query must not bias
 the headline ratio (it previously compared new-measured against
 baseline-full, optimistic when the new run truncated).
+
+Isolated-median mode (VERDICT r16 order #2): the round-robin artifacts
+have needed host-epoch adjudication four rounds running (r13-r16) — the
+only reading that has proven epoch-stable is the isolated per-JVM median
+(tools/iso_bench.sh). `--iso` makes BOTH sides parse as iso_bench .jsonl
+output — one Bench artifact line per query, merged into one per-query
+map — so the gate compares iso-vs-iso and a FAILURE means CODE, not host
+weather:
+
+    tools/iso_bench.sh /root/testdata/sf0.1 7 BENCH_ISO_r17.json <queries...>
+    python3 tools/bench_gate.py --iso BENCH_ISO_r17.json BENCH_ISO_r16.json
+
+In --iso mode all lines' "queries"/"extra" maps are folded into "queries"
+(isolated runs have no round-robin headline/extras distinction — each
+query owns its JVM) and no headline "value" exists; the per-query ratios
+and the intersection total are the whole comparison. A plain single-line
+artifact still parses under --iso (it merges to itself), so an iso run
+can also be gated against a recorded round-robin artifact for continuity.
 """
 import json
 import re
@@ -95,6 +113,35 @@ def scrape_tail(tail: str) -> dict | None:
     return out or None
 
 
+def load_iso(path: str) -> dict:
+    """Merge an iso_bench .jsonl (one Bench artifact line per query) into
+    a single comparable doc. Every line's "queries" and "extra" medians
+    fold into one map — under isolation each query owns its JVM, so the
+    round-robin headline/extras split carries no meaning. A duplicate
+    query name across lines keeps the LAST line's median (a re-run
+    appended to the same file supersedes the earlier reading)."""
+    merged: dict = {}
+    n_lines = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if doc.get("metric") != "total":
+                continue
+            n_lines += 1
+            for key in ("queries", "extra"):
+                merged.update(doc.get(key, {}))
+    if not merged:
+        sys.exit(f"--iso: no per-query medians found in {path}")
+    return {"queries": merged, "all_queries": dict(merged),
+            "iso_lines": n_lines}
+
+
 def load_bench(path: str) -> dict:
     with open(path) as f:
         text = f.read()
@@ -125,10 +172,12 @@ def load_bench(path: str) -> dict:
 
 
 def main() -> None:
-    max_ratio, args, skip = 2.0, [], False
+    max_ratio, args, skip, iso = 2.0, [], False, False
     for i, a in enumerate(sys.argv[1:], start=1):
         if skip:
             skip = False
+        elif a == "--iso":
+            iso = True
         elif a.startswith("--max-ratio"):
             if "=" in a:
                 max_ratio = float(a.split("=", 1)[1])
@@ -139,7 +188,11 @@ def main() -> None:
             args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
-    new, base = load_bench(args[0]), load_bench(args[1])
+    loader = load_iso if iso else load_bench
+    new, base = loader(args[0]), loader(args[1])
+    if iso:
+        print(f"iso mode: {new['iso_lines']} new / {base['iso_lines']} "
+              f"baseline per-query lines merged")
     # compare extras only when BOTH sides measured them
     both_extra = bool(new.get("extra")) and bool(base.get("extra"))
     nq = new["all_queries"] if both_extra else new.get("queries", {})

@@ -10,16 +10,19 @@
 # Fails LOUDLY (review r16): a run that produces no artifact line —
 # typo'd query name (Bench's SPARK_GRAFT_ONLY require), OOM, crash —
 # aborts the script with the sbt log path instead of silently writing
-# a shorter file; and the between-query scratch cleanup removes ONLY
-# directories created during this script's lifetime, never a
-# concurrent run's live shuffle dirs.
+# a shorter file. Scratch isolation (review r17): every sbt invocation
+# gets a script-PRIVATE SPARK_LOCAL_DIRS (mktemp -d), and only that
+# directory is wiped between queries — a concurrent Spark run's live
+# shuffle/block-manager dirs in shared /tmp are never touched.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:?sfDir}; REPS=${2:?reps}; OUT=${3:?out.jsonl}; shift 3
-STAMP=$(mktemp /tmp/iso_bench_stamp.XXXXXX)
+SCRATCH=$(mktemp -d /tmp/iso_bench_scratch.XXXXXX)
+trap 'rm -rf "$SCRATCH"' EXIT
 : > "$OUT"
 for q in "$@"; do
   LOG=$(mktemp /tmp/iso_bench_${q}.XXXXXX.log)
+  SPARK_LOCAL_DIRS="$SCRATCH" \
   SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} SPARK_GRAFT_SF_DIR="$SF" \
   SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_REPS="$REPS" SPARK_GRAFT_WARM_SF=1 \
   SPARK_GRAFT_REP_BUDGET_SEC=${SPARK_GRAFT_REP_BUDGET_SEC:-300} \
@@ -30,10 +33,8 @@ for q in "$@"; do
     exit 1
   fi
   printf '%s\n' "$LINE" >> "$OUT"
-  # scope the scratch cleanup to THIS script's runs (newer than STAMP)
-  find /tmp -maxdepth 1 \( -name 'blockmgr-*' -o -name 'spark-*' \) \
-    -newer "$STAMP" -exec rm -rf {} + 2>/dev/null || true
+  # wipe ONLY this script's private scratch between queries
+  rm -rf "$SCRATCH"/* 2>/dev/null || true
   echo "[iso_bench] $q done" >&2
 done
-rm -f "$STAMP"
 echo "wrote $OUT" >&2
