@@ -48,6 +48,32 @@ object Similarity {
   /** L2 norm (= sqrt of self-dot, native). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Exact-decimal element-mean centroid of an embedding-array column —
+    * the explode-free native aggregate ([[graft.functions.CentroidAggF]]);
+    * bit-identical to [[centroidsViaPosexplode]]'s
+    * posexplode → decimal-sum → collect/sort pipeline (CentroidAggSpec
+    * pins it), with no row expansion: one buffer of 3·dim longs per
+    * group per partition is all that moves. A group whose every array is
+    * null evaluates to null (the exploded frame simply had no row for
+    * it) — call sites filter `isNotNull` to keep the old inner-join
+    * drop semantics. */
+  def centroid(emb: Column): Column =
+    toCol(graft.functions.CentroidAggF(toExpr(emb)).toAggregateExpression())
+
+  /** The original posexplode formulation of the exact-decimal centroid —
+    * kept as the cross-check reference implementation (the [[dotHof]]
+    * convention) and as the decimal(30,7)-headroom fallback the
+    * aggregate's overflow refusal names. Returns `(groupCol, cent)`. */
+  private[graft] def centroidsViaPosexplode(df: DataFrame, groupCol: String,
+      embCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(d(col(embCol))).as(Seq("i", "x")))
+      .groupBy(groupCol, "i")
+      .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(groupCol).agg(
+        transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cent"))
+
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -1260,11 +1286,15 @@ object Similarity {
     * near-redundant core (`cos_centroid ≥ tau`). Low-alignment vectors
     * survive — they carry the cluster's diversity.
     *
-    * Shape: one posexplode pass builds the (buckets × dim) centroid frame
-    * — tiny — which broadcasts back; the corpus itself is never exploded
-    * again. The only corpus-sized movement is the per-bucket window for
-    * the keeper rank (single hash partition by bucket; at 100 TB the
-    * bucket count scales with corpus size, so no hot partition).
+    * Shape: the (buckets × dim) centroid frame — tiny — comes from ONE
+    * explode-free aggregate pass ([[centroid]], r17: the posexplode form
+    * expanded the corpus rows×dim — 12.8M rows at sf10 — to compute
+    * per-row fixed-point adds, and was x73's dominant term; the native
+    * vector-sum buffer moves 3·dim longs per bucket per partition
+    * instead) and broadcasts back; the corpus is never exploded at all.
+    * The only corpus-sized movement is the per-bucket window for the
+    * keeper rank (single hash partition by bucket; at 100 TB the bucket
+    * count scales with corpus size, so no hot partition).
     * Cosines are rounded at 6 digits BEFORE ranking, so the keeper choice
     * is deterministic cross-engine (ties break on id). */
   def semanticDedup(embs: DataFrame, idCol: String,
@@ -1273,20 +1303,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val b = embs.withColumn("bucket",
       lshBucket(col(embCol), hyperplanes(numPlanes, dim)))
-    val ex = b.select(col("bucket"),
-        posexplode(d(col(embCol))).as(Seq("i", "x")))
     // centroid sums quantize each float32 element to an exact DECIMAL
     // first (7 decimals ≥ float32 precision): the corpus-wide group sum
-    // becomes order-independent — deterministic under any partitioning
-    // in BOTH engines — and the mean is one fixed double division.
-    // (The per-row cosine fold downstream keeps the x34/x65 precedent:
-    // rounded at 6, identical inputs.)
-    val cent = ex.groupBy("bucket", "i")
-      .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-        count(lit(1))).as("c"))
-      .groupBy("bucket").agg(
-        transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          s => s.getField("c")).as("cent"))
+    // is order-independent — deterministic under any partitioning in
+    // BOTH engines — and the mean is one fixed double division; the
+    // kernel replicates the exploded decimal pipeline bit-for-bit
+    // (CentroidAggSpec). isNotNull keeps the old inner-join drop for an
+    // all-null-embedding bucket.
+    val cent = b.groupBy("bucket").agg(centroid(col(embCol)).as("cent"))
+      .filter(col("cent").isNotNull)
     val w = Window.partitionBy("bucket")
       .orderBy(col("cos_centroid").desc, col(idCol))
     // centroid self-norm computed once on the tiny (buckets × dim)
@@ -1326,14 +1351,11 @@ object Similarity {
       k: Int = 10, pred: Option[Column] = None): DataFrame = {
     val q = broadcast(query.select(col(embCol).as("q_emb"))
       .withColumn("_qn", norm(col("q_emb"))))
-    val ex = embs.select(col(labelCol),
-      posexplode(d(col(embCol))).as(Seq("i", "x")))
-    val cent = ex.groupBy(col(labelCol), col("i"))
-      .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-        count(lit(1))).as("c"))
-      .groupBy(col(labelCol)).agg(
-        transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          s => s.getField("c")).as("cent"))
+    // the x73 centroid convention, explode-free since r17 ([[centroid]] —
+    // bit-identical to the posexplode decimal pipeline, CentroidAggSpec)
+    val cent = embs.groupBy(col(labelCol))
+      .agg(centroid(col(embCol)).as("cent"))
+      .filter(col("cent").isNotNull)
     val probed = cent.crossJoin(q)
       .withColumn("cell_cos", round(
         dotHof(col("cent"), col("q_emb")) /
