@@ -149,11 +149,10 @@ case class CentroidAggF(child: Expression,
 
   private def refuse(): Nothing =
     throw new IllegalStateException(
-      "graft_centroid: per-element scale-7 sum exceeds long range " +
-        "(~9.2e11 integer digits of group sum) — the corpus is far " +
-        "outside embedding scale; use the posexplode decimal(30,7) " +
-        "reference form (Similarity.centroidsViaPosexplode) for this " +
-        "data")
+      "graft_centroid: a per-element value or group sum exceeds scale-7 " +
+        "long capacity (|x| ~9.2e11) — the corpus is far outside " +
+        "embedding scale; use the posexplode decimal(30,7) reference " +
+        "form (Similarity.centroidsViaPosexplode) for this data")
 
   private def addExactOrRefuse(a: Long, b: Long): Long =
     try Math.addExact(a, b)
