@@ -83,6 +83,9 @@ object OpsWalkthrough {
       val q = input.toDF().toDF("doc_id", "text").writeStream
         .foreachBatch(bandSink)
         .option("checkpointLocation", ckpt).start()
+      // bounded collect: the sf0.001 documents fixture (~500 rows) —
+      // MemoryStream input must be driver-side by construction; a
+      // production stream reads from its source, never from a collect
       val rest = docs.filter(col("doc_id") % 3 =!= 0)
         .as[(Long, String)].collect().toSeq
       val (b1, b2) = rest.splitAt(rest.size / 2)
