@@ -75,9 +75,14 @@ object OpsWalkthrough {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sq0: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // bands is passed EXPLICITLY and shared with the crash-scene
+      // journal math below - a sink-default drift must not silently
+      // desynchronize the fabricated journal's batchN (the X50Probe
+      // keying-constants rule, review r17)
+      val bands = 4
       val bandSink = IndexIngest.bandIndexSink(
         IndexIngest.docSigs("doc_id", "text"), "doc_id", bandT, bandDir,
-        nBuckets = 8)
+        nBuckets = 8, bands = bands)
       val input = MemoryStream[(Long, String)]
       val ckpt = s"$baseDir/ckpt_band"
       val q = input.toDF().toDF("doc_id", "text").writeStream
@@ -126,8 +131,11 @@ object OpsWalkthrough {
       // drift describe between cycles — the read-only monitoring row an
       // operator dashboards (sat_rate spikes AFTER the drifting batch)
       val d = Sq.sqDescribe(spark, sqDir, params = Some(p0)).head
-      steps += "sq_sat_rate" ->
-        f"${d.getAs[Double]("sat_rate")}%.3f"
+      // Locale.ROOT: f"%.3f" follows the JVM default locale, and a
+      // comma-decimal locale would break the spec's toDouble (review r17)
+      def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
+      steps += "sq_sat_rate" -> fmt(d.getAs[Double]("sat_rate"))
       // SQ: compact/retrain disarmed wide so the cycle evaluates the
       // bounds signal; the drifted batch fires the re-encode remedy
       val rawAll = embs.unionByName(outliers)
@@ -140,8 +148,7 @@ object OpsWalkthrough {
       steps += "sq_cycle_2" -> sc2.action // re-encoded index: below threshold
       val d2 = Sq.sqDescribe(spark, sqDir,
         params = Some(Sq.sqParamsOf(spark, sqDir))).head
-      steps += "sq_sat_rate_after" ->
-        f"${d2.getAs[Double]("sat_rate")}%.3f"
+      steps += "sq_sat_rate_after" -> fmt(d2.getAs[Double]("sat_rate"))
 
       // ---- 4. the crash contract: a batch dies between its journal
       // write and its append (the documented window) — reconstructed by
@@ -157,7 +164,7 @@ object OpsWalkthrough {
       // against the wrong floor
       spark.catalog.refreshTable(bandT)
       val pre = spark.table(bandT).count()
-      val batchN = sigsOf(replay).count() * 4 // nSigs × bands
+      val batchN = sigsOf(replay).count() * bands // nSigs × bands
       Dedup.writeFileAtomic(fs,
         new org.apache.hadoop.fs.Path(s"$bandDir/${Dedup.StreamJournal}"),
         s"2 $pre $batchN")

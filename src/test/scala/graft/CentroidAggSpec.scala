@@ -74,7 +74,13 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
       case 6 => (rnd.nextDouble() * 2 - 1) * 1e9 // large but sum-safe
       case 7 => (rnd.nextDouble() * 2 - 1) * 1e-9 // sub-scale noise
       case 8 => -0.0
-      case 9 => 123456789012.1234567 + rnd.nextDouble() // re-round lane
+      case 9 => // re-round lane: 18 significant digits force the cast's
+        // second HALF_UP rounding of round(.,7)'s double; magnitude 6e10
+        // with a random sign keeps any cell's worst-case sum far from the
+        // kernel's ~9.2e11 scale-7 refusal threshold (a prior 1.2e11
+        // unsigned lane could cross it in ~8 same-cell draws - the spec
+        // then passed only by luck of the seed; review r17)
+        (if (rnd.nextBoolean()) 1 else -1) * (61728394506.1234567 + rnd.nextDouble())
       case _ => (rnd.nextDouble() * 2 - 1) * (if (rnd.nextBoolean()) 1 else 1e4)
     }
     (1 to 5).foreach { trial =>

@@ -121,6 +121,7 @@ def load_iso(path: str) -> dict:
     query name across lines keeps the LAST line's median (a re-run
     appended to the same file supersedes the earlier reading)."""
     merged: dict = {}
+    truncated: list = []
     n_lines = 0
     with open(path) as f:
         for line in f:
@@ -136,10 +137,13 @@ def load_iso(path: str) -> dict:
             n_lines += 1
             for key in ("queries", "extra"):
                 merged.update(doc.get(key, {}))
+            # a per-line global deadline leaves its query with no median;
+            # it must surface as TRUNCATED, not vanish from the merge
+            truncated.extend(doc.get("truncated", []))
     if not merged:
         sys.exit(f"--iso: no per-query medians found in {path}")
     return {"queries": merged, "all_queries": dict(merged),
-            "iso_lines": n_lines}
+            "truncated": truncated, "iso_lines": n_lines}
 
 
 def load_bench(path: str) -> dict:
@@ -237,6 +241,14 @@ def main() -> None:
             failures.append("headline_value")
     else:
         lines or print("no comparable queries between the two runs")
+    if iso and not shared:
+        # an iso run that shares NOTHING with its baseline performed no
+        # comparison — renamed queries or a mismatched subset must fail
+        # loudly, never print a normal-looking GATE PASSED (the same
+        # measuring-nothing failure mode Bench's SPARK_GRAFT_ONLY
+        # fail-fast closes)
+        sys.exit("GATE FAILED: --iso found no shared queries with valid "
+                 "medians between the two artifacts — nothing was compared")
     if failures:
         sys.exit(f"GATE FAILED: {', '.join(failures)}")
     print("GATE PASSED")
