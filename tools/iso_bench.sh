@@ -33,6 +33,11 @@ for q in "$@"; do
     exit 1
   fi
   printf '%s\n' "$LINE" >> "$OUT"
+  # per-query environment evidence (r17: epoch adjudication needs the
+  # host state IN the artifact, not reconstructed from memory) — a
+  # sidecar JSON line bench_gate's --iso loader skips (metric != total)
+  printf '{"metric":"iso_env","query":"%s","loadavg":"%s"}\n' \
+    "$q" "$(cut -d' ' -f1-3 /proc/loadavg)" >> "$OUT"
   # wipe ONLY this script's private scratch between queries
   rm -rf "$SCRATCH"/* 2>/dev/null || true
   echo "[iso_bench] $q done" >&2
