@@ -1250,8 +1250,24 @@ object VectorExpressions {
     DotF32(exprs(0), exprs(1))
   }
 
-  /** Register `graft_dot(a, b)` for SQL / `expr()` use in a session. */
-  def register(spark: SparkSession): Unit =
+  /** Arity guard for the SQL-registered centroid aggregate (the
+    * [[dotBuilder]] rule): a wrong arity must name the function and the
+    * expected shape, never silently drop arguments. The analyzer wraps
+    * the returned AggregateFunction in its AggregateExpression when the
+    * call site is an aggregate context (the built-in sum/avg path). */
+  private[functions] def centroidBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"graft_centroid expects exactly 1 argument, got ${exprs.length}")
+    CentroidAggF(exprs.head)
+  }
+
+  /** Register `graft_dot(a, b)` / `graft_centroid(emb)` for SQL /
+    * `expr()` use in a session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_centroid", centroidBuilder, "built-in")
+  }
 }

@@ -179,6 +179,25 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
         msgs(refE).mkString(" | "))
   }
 
+  test("graft_centroid reaches SQL via the registry, matches the Column form, arity fails loudly") {
+    graft.functions.VectorExpressions.register(spark)
+    val rows = Seq[(Int, Seq[java.lang.Double])](
+      (0, Seq(1.0, 4.0)), (0, Seq(3.0, Double.NaN)), (1, Seq(10.0, 20.0)))
+    frame(rows).createOrReplaceTempView("cent_sql_t")
+    val sql = collectCents(spark.sql(
+      "SELECT g, graft_centroid(emb) AS cent FROM cent_sql_t GROUP BY g"))
+    val (fast, _) = bothForms(rows)
+    assert(sql == fast, "SQL registry form diverged from the Column form")
+    // wrong arity fails LOUDLY naming the function (the dotBuilder rule)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_centroid(emb, emb) FROM cent_sql_t").collect()
+    }
+    assert(e.getMessage.contains("graft_centroid"), e.getMessage)
+    // the extensions installer injects it without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+  }
+
   test("wired paths stay identical: semanticDedup centroids on a realistic frame") {
     val rnd = new scala.util.Random(99L)
     val embs = (1L to 500L).map(i =>
