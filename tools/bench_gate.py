@@ -53,6 +53,7 @@ artifact still parses under --iso (it merges to itself), so an iso run
 can also be gated against a recorded round-robin artifact for continuity.
 """
 import json
+import os
 import re
 import sys
 
@@ -113,15 +114,61 @@ def scrape_tail(tail: str) -> dict | None:
     return out or None
 
 
+def verify_source_pass(path: str, cited: dict) -> None:
+    """Refuse a folded iso artifact whose minima cite no committed pass
+    (VERDICT r17 order #3). `cited` maps source_pass basename ->
+    {query: median} claims; each cited raw pass file must exist next to
+    the artifact and actually contain that query at exactly that median
+    — the fold copies lines verbatim, so any mismatch means the artifact
+    was edited after folding."""
+    art_dir = os.path.dirname(os.path.abspath(path))
+    problems = []
+    for base, claims in cited.items():
+        pass_path = os.path.join(art_dir, base)
+        if not os.path.exists(pass_path):
+            problems.append(f"cited pass {base} missing next to {path}")
+            continue
+        found: dict = {}
+        with open(pass_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if doc.get("metric") != "total":
+                    continue
+                for key in ("queries", "extra"):
+                    for q, med in doc.get(key, {}).items():
+                        # a pass may carry several lines for one query
+                        # (appended re-runs) — any of them validates
+                        found.setdefault(q, set()).add(med)
+        for q, med in claims.items():
+            if med not in found.get(q, set()):
+                problems.append(
+                    f"{q}={med} cites {base}, which has "
+                    f"{sorted(found.get(q, ['no reading']))} for it")
+    if problems:
+        sys.exit("GATE FAILED: --iso provenance check — "
+                 + "; ".join(problems))
+
+
 def load_iso(path: str) -> dict:
     """Merge an iso_bench .jsonl (one Bench artifact line per query) into
     a single comparable doc. Every line's "queries" and "extra" medians
     fold into one map — under isolation each query owns its JVM, so the
     round-robin headline/extras split carries no meaning. A duplicate
     query name across lines keeps the LAST line's median (a re-run
-    appended to the same file supersedes the earlier reading)."""
+    appended to the same file supersedes the earlier reading). Lines
+    stamped by tools/iso_fold.py with "source_pass" have their citations
+    VERIFIED against the committed raw pass files (see
+    verify_source_pass); pre-r18 artifacts without stamps load as
+    before."""
     merged: dict = {}
     truncated: list = []
+    cited: dict = {}
     n_lines = 0
     with open(path) as f:
         for line in f:
@@ -135,13 +182,19 @@ def load_iso(path: str) -> dict:
             if doc.get("metric") != "total":
                 continue
             n_lines += 1
+            line_qs: dict = {}
             for key in ("queries", "extra"):
-                merged.update(doc.get(key, {}))
+                line_qs.update(doc.get(key, {}))
+            merged.update(line_qs)
+            if "source_pass" in doc:
+                cited.setdefault(doc["source_pass"], {}).update(line_qs)
             # a per-line global deadline leaves its query with no median;
             # it must surface as TRUNCATED, not vanish from the merge
             truncated.extend(doc.get("truncated", []))
     if not merged:
         sys.exit(f"--iso: no per-query medians found in {path}")
+    if cited:
+        verify_source_pass(path, cited)
     return {"queries": merged, "all_queries": dict(merged),
             "truncated": truncated, "iso_lines": n_lines}
 
