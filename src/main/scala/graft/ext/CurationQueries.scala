@@ -83,18 +83,26 @@ object CurationQueries {
     })
 
   // ---------------------------------------------------------------- x73
-  /** SemDeDup-shaped semantic dedup ([[Similarity.semanticDedup]]):
-    * LSH-bucket clusters, per-cluster centroid, keep the most central
-    * vector, drop the near-redundant core (cos ≥ τ), keep the diverse
-    * tail. Plane constants are generated into the oracle (x36 technique). */
-  private val SemPlanes = 4
+  /** SemDeDup-shaped semantic dedup, ADAPTIVE registration
+    * ([[Similarity.semanticDedupAuto]], VERDICT r17 #4): LSH-bucket
+    * clusters with the plane count keyed to corpus size (the x86/x50
+    * `AutoTarget`/`AutoMaxPlanes` device — expected bucket ≈ 100 rows,
+    * so the keeper window never sees a corpus-sized partition),
+    * per-cluster centroid, keep the most central vector, drop the
+    * near-redundant core (cos ≥ τ), keep the diverse tail. Plane
+    * constants are generated into the oracle (x36 technique); the
+    * oracle recomputes the SAME integer plane ladder from its own
+    * count(*), so both engines agree on the bucket keying at every SF
+    * by construction. */
   private val SemTau = 0.35
 
   val x73SemanticDedup: Q = Q(
-    (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
-      numPlanes = SemPlanes, tau = SemTau).orderBy("vec_id"),
+    (s, dir) => Similarity.semanticDedupAuto(Tables.embeddings(s, dir),
+      "vec_id", targetBucket = ExtQueries.AutoTarget,
+      maxPlanes = ExtQueries.AutoMaxPlanes, tau = SemTau).orderBy("vec_id"),
     Some {
-      val planeRows = Similarity.hyperplanes(SemPlanes, 64).zipWithIndex
+      val mp = ExtQueries.AutoMaxPlanes
+      val planeRows = Similarity.hyperplanes(mp, 64).zipWithIndex
         .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
           s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")
       s"""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -103,10 +111,19 @@ object CurationQueries {
       planes(p, i, w) AS (VALUES $planeRows),
       pd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
         FROM ex JOIN planes pl ON pl.i = ex.i GROUP BY 1, 2),
-      bkt AS (SELECT vec_id,
+      bits AS (SELECT vec_id,
           CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
-            AS BIGINT) AS bucket
+            AS BIGINT) AS bits
         FROM pd GROUP BY 1),
+      pln AS (SELECT
+          CASE ${(0 until ExtQueries.AutoMaxPlanes).map(q =>
+            s"WHEN m <= ${1L << q} THEN $q").mkString(" ")}
+               ELSE ${ExtQueries.AutoMaxPlanes} END AS planes
+        FROM (SELECT (count(*) + ${ExtQueries.AutoTarget - 1})
+                // ${ExtQueries.AutoTarget} AS m FROM embeddings)),
+      bkt AS (SELECT vec_id,
+          bits & ((CAST(1 AS BIGINT) << planes) - 1) AS bucket
+        FROM bits CROSS JOIN pln),
       cent AS (SELECT b.bucket, ex.i,
           CAST(sum(CAST(round(ex.x, 7) AS DECIMAL(20,7))) AS DOUBLE)
             / count(*) AS c

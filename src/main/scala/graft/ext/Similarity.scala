@@ -1299,10 +1299,63 @@ object Similarity {
     * is deterministic cross-engine (ties break on id). */
   def semanticDedup(embs: DataFrame, idCol: String,
       embCol: String = "embedding", numPlanes: Int = 4, dim: Int = 64,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9): DataFrame =
+    semanticDedupTail(
+      embs.withColumn("bucket",
+        lshBucket(col(embCol), hyperplanes(numPlanes, dim))),
+      idCol, embCol, tau)
+
+  /** [[semanticDedup]] with the plane count KEYED TO CORPUS SIZE —
+    * the x86/x50 adaptive device ([[blockedPairsAuto]]) applied to the
+    * keeper form (VERDICT r17 #4: a fixed 16-bucket registration makes
+    * the per-bucket keeper window the one hot-partition risk at corpus
+    * scale). planes = min q: 2^q ≥ ⌈n/targetBucket⌉, capped at
+    * maxPlanes — the same integer-exact ladder as [[autoSubKeyed]]
+    * (float log2 misrounds at power-of-2 boundaries; both engines must
+    * agree on the plane count for the x73 oracle to hash-match), here
+    * over the GLOBAL count (semanticDedup has no label blocking).
+    *
+    * Bucketing masks the low `planes` bits of the SHARED maxPlanes-bit
+    * vector: [[hyperplanes]] draws sequentially from a fixed-seed RNG,
+    * so plane i is the same array under any total count ≥ i+1, and bit
+    * i of the bucket is sign(v·h_i) independently per plane — masking
+    * is therefore bit-identical to bucketing with `planes` planes
+    * directly (DedupSimilaritySpec pins this), and a plane-count change
+    * reshuffles NO per-vector math, only which bits key the window.
+    *
+    * At 100 TB: expected bucket size stays ≈ targetBucket regardless of
+    * corpus growth, so the keeper window never sees a corpus-sized hash
+    * partition. */
+  def semanticDedupAuto(embs: DataFrame, idCol: String,
+      embCol: String = "embedding", targetBucket: Int = 1000,
+      maxPlanes: Int = 16, dim: Int = 64, tau: Double = 0.9): DataFrame = {
+    // one count job over the pruned scan — a driver SCALAR (bounded by
+    // construction), the same price autoSubKeyed pays for its per-label
+    // counts; it keys only the plane-count ladder below
+    val planes = autoGlobalPlanes(embs.count(), targetBucket, maxPlanes)
+    semanticDedupTail(
+      embs.withColumn("bucket",
+        lshBucket(col(embCol), hyperplanes(maxPlanes, dim))
+          .bitwiseAND(lit((1L << planes) - 1))),
+      idCol, embCol, tau)
+  }
+
+  /** Integer-exact global plane ladder: min q in [0, maxPlanes] with
+    * 2^q ≥ ⌈n/targetBucket⌉ — [[autoSubKeyed]]'s CASE ladder as a
+    * scalar (the count is corpus-global here, so the ladder needs no
+    * Column form). */
+  private[graft] def autoGlobalPlanes(n: Long, targetBucket: Int,
+      maxPlanes: Int): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    (0 until maxPlanes).find(q => (1L << q) >= m).getOrElse(maxPlanes)
+  }
+
+  /** Shared centroid/keeper tail of [[semanticDedup]] and
+    * [[semanticDedupAuto]]: `b` arrives with the `bucket` column
+    * already keyed. */
+  private def semanticDedupTail(b: DataFrame, idCol: String,
+      embCol: String, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = embs.withColumn("bucket",
-      lshBucket(col(embCol), hyperplanes(numPlanes, dim)))
     // centroid sums quantize each float32 element to an exact DECIMAL
     // first (7 decimals ≥ float32 precision): the corpus-wide group sum
     // is order-independent — deterministic under any partitioning in

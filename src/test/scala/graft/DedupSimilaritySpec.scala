@@ -608,4 +608,55 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L)._1 != fp(2L)._1, "permutation collided")
     assert(fp(1L)._2 != fp(2L)._2)
   }
+
+  test("semanticDedupAuto: masked shared-bit keying equals direct plane " +
+      "keying; keeper invariants hold across plane counts") {
+    // integer-exact ladder at the power-of-2 boundaries a float log2
+    // misrounds (the autoSubKeyed convention, now global for x73)
+    assert(Similarity.autoGlobalPlanes(1, 100, 6) == 0)
+    assert(Similarity.autoGlobalPlanes(100, 100, 6) == 0)
+    assert(Similarity.autoGlobalPlanes(101, 100, 6) == 1)
+    assert(Similarity.autoGlobalPlanes(200, 100, 6) == 1)
+    assert(Similarity.autoGlobalPlanes(201, 100, 6) == 2)
+    assert(Similarity.autoGlobalPlanes(401, 100, 6) == 3)
+    assert(Similarity.autoGlobalPlanes(6400, 100, 6) == 6)
+    assert(Similarity.autoGlobalPlanes(1000000, 100, 6) == 6, "cap")
+
+    val embs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = embs.count()
+    // mask-equivalence: hyperplanes() draws sequentially from one fixed
+    // seed, so the low-p-bit mask of the maxPlanes-bit bucket must be
+    // bit-identical to bucketing with p planes directly — the property
+    // the x73 oracle's shared-constant VALUES table relies on
+    val p = Similarity.autoGlobalPlanes(n, 100, 6)
+    assert(p > 0 && p < 6, s"fixture should land strictly inside the ladder, got $p")
+    val auto = Similarity.semanticDedupAuto(embs, "vec_id",
+      targetBucket = 100, maxPlanes = 6, tau = 0.35)
+      .orderBy("vec_id").collect().toSeq
+    val direct = Similarity.semanticDedup(embs, "vec_id",
+      numPlanes = p, tau = 0.35).orderBy("vec_id").collect().toSeq
+    assert(auto == direct, "masked auto form diverged from direct p-plane form")
+
+    // keeper invariants are plane-count-independent: every row survives
+    // with a verdict, exactly one keeper per bucket, the keeper is the
+    // bucket's cos-max (ties break on id — rank 1 of the window), and
+    // action ≡ keeper ∨ cos < tau
+    for (planes <- Seq(1, 2, 4, 6)) {
+      val out = Similarity.semanticDedup(embs, "vec_id",
+        numPlanes = planes, tau = 0.35).collect()
+      assert(out.length == n, s"rows lost at planes=$planes")
+      assert(out.map(_.getLong(0)).toSet.size == n)
+      out.groupBy(_.getLong(1)).foreach { case (bkt, rows) =>
+        val keepers = rows.filter(_.getBoolean(3))
+        assert(keepers.length == 1,
+          s"planes=$planes bucket=$bkt has ${keepers.length} keepers")
+        assert(keepers.head.getDouble(2) == rows.map(_.getDouble(2)).max,
+          s"planes=$planes bucket=$bkt keeper is not cos-max")
+      }
+      out.foreach { r =>
+        val expect = if (r.getBoolean(3) || r.getDouble(2) < 0.35) "keep" else "drop"
+        assert(r.getString(4) == expect)
+      }
+    }
+  }
 }
