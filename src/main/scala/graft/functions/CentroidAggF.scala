@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -12,14 +12,19 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Mutable per-group state for [[CentroidAggF]]: per-element scale-7
-  * fixed-point sums plus the two per-element tallies the exploded form's
-  * `count(lit(1))` / null-skipping `sum` kept implicitly. Arrays grow to
-  * the longest input seen (ragged inputs match posexplode, which emits
-  * only existing elements). */
-final class CentroidState(var dim: Int, var sums: Array[Long],
-    var counts: Array[Long], var finite: Array[Long]) {
+  * fixed-point sums in SIGNED 128-BIT (hi:lo long pairs — ADVICE r17:
+  * the earlier single-long buffer refused at ~9.2e11 where the deployed
+  * exploded pipeline's decimal(30,7) sum still had headroom) plus the
+  * two per-element tallies the exploded form's `count(lit(1))` /
+  * null-skipping `sum` kept implicitly. Arrays grow to the longest
+  * input seen (ragged inputs match posexplode, which emits only
+  * existing elements). */
+final class CentroidState(var dim: Int, var sumsHi: Array[Long],
+    var sumsLo: Array[Long], var counts: Array[Long],
+    var finite: Array[Long]) {
   def ensure(n: Int): Unit = if (n > dim) {
-    sums = java.util.Arrays.copyOf(sums, n)
+    sumsHi = java.util.Arrays.copyOf(sumsHi, n)
+    sumsLo = java.util.Arrays.copyOf(sumsLo, n)
     counts = java.util.Arrays.copyOf(counts, n)
     finite = java.util.Arrays.copyOf(finite, n)
     dim = n
@@ -42,7 +47,7 @@ final class CentroidState(var dim: Int, var sums: Array[Long],
   * VERDICT r16 #5, x73's dominant term) to compute what is, per row,
   * `dim` fixed-point adds. This aggregate is the [[DotF32]]/[[PqDecodeF]]
   * pattern applied to ACCUMULATION: array in, per-element exact sums in
-  * the buffer, one (3·dim longs) partial per partition per group on the
+  * the buffer, one (4·dim longs) partial per partition per group on the
   * exchange — no row expansion anywhere, group keys shuffle once.
   *
   * Output is BIT-IDENTICAL to the exploded form (CentroidAggSpec pins it
@@ -59,20 +64,24 @@ final class CentroidState(var dim: Int, var sums: Array[Long],
   *     `finite`/`counts` tallies keep the two denominators distinct, and
   *     an element with no finite contribution evaluates to null exactly
   *     as the null decimal sum did;
-  *   - scale-7 longs ARE the decimal arithmetic (order-independent,
-  *     partitioning-proof); the final `.cast("double") / count` is one
-  *     `BigDecimal(sum, 7).doubleValue / count` per element.
+  *   - scale-7 128-bit integers ARE the decimal arithmetic
+  *     (order-independent, partitioning-proof); the final
+  *     `.cast("double") / count` is one `BigDecimal(sum, 7).doubleValue
+  *     / count` per element.
   *
   * The overflow story (the engine runs Spark 4's DEFAULT ansi=true —
-  * nothing in the repo overrides it): the exploded form's cast THROWS
-  * SparkArithmeticException past decimal(20,7)'s 13 integer digits, so
-  * crash-on-garbage is the deployed semantics, not a regression. This
-  * kernel refuses from ~9.2e11 (scale-7 long capacity) instead of 1e13
-  * — the one honest narrowing, a band real embeddings (unit-scale
-  * values; headroom ~9e9 rows per group at |x|≤100) never enter — and
-  * the refusal is LOUD (`Math.addExact`/`longValueExact` wrapped with
-  * the remedy named) rather than a wrap, the pair-guard fail-closed
-  * convention.
+  * nothing in the repo overrides it) now matches the exploded pipeline's
+  * failure surface EXACTLY (ADVICE r17 — the single-long buffer narrowed
+  * it): a per-element VALUE past decimal(20,7) (|x| ≥ 1e13) refuses
+  * where the exploded cast ANSI-throws, and a per-element GROUP SUM past
+  * decimal(30,7)'s headroom (|Σ| ≥ 1e23, Spark's sum-over-decimal(20,7)
+  * result type) refuses where the exploded sum ANSI-throws. Every value
+  * and sum the deployed pipeline handled, this kernel handles; both
+  * refusals are LOUD with the reference form named, never a wrap — the
+  * pair-guard fail-closed convention. (128-bit capacity ~1.7e31 strictly
+  * contains the 1e30 scaled-sum limit, and the per-add limit check keeps
+  * intermediates below 2^101, so the representation itself can never
+  * silently overflow.)
   *
   * A group whose every row is null (posexplode would emit nothing, so
   * the group vanished from the old centroid frame) evaluates to null —
@@ -81,6 +90,7 @@ case class CentroidAggF(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CentroidState]
     with UnaryLike[Expression] {
+  import CentroidAggF._
 
   private def elemOf(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -100,7 +110,7 @@ case class CentroidAggF(child: Expression,
 
   override def createAggregationBuffer(): CentroidState =
     new CentroidState(0, Array.emptyLongArray, Array.emptyLongArray,
-      Array.emptyLongArray)
+      Array.emptyLongArray, Array.emptyLongArray)
 
   override def update(buf: CentroidState, input: InternalRow): CentroidState = {
     val v = child.eval(input)
@@ -117,16 +127,21 @@ case class CentroidAggF(child: Expression,
           // round(x, 7) — Spark RoundBase double semantics
           val r = JBigDecimal.valueOf(x)
             .setScale(7, RoundingMode.HALF_UP).doubleValue()
-          // cast(decimal(20,7)) re-rounds the ROUNDED double; under the
-          // engine's default ansi=true an overflowing cast THROWS in the
-          // exploded form — here every out-of-capacity value refuses
-          // loudly (scale-7 long capacity ~9.2e11, just narrower than
-          // the decimal's 1e13 — the scaladoc's documented band)
-          val bd = JBigDecimal.valueOf(r).setScale(7, RoundingMode.HALF_UP)
-          val scaled =
-            try bd.movePointRight(7).longValueExact()
-            catch { case _: ArithmeticException => refuse() }
-          buf.sums(i) = addExactOrRefuse(buf.sums(i), scaled)
+          // cast(decimal(20,7)) re-rounds the ROUNDED double; a value the
+          // cast cannot hold refuses exactly where the exploded form's
+          // ANSI cast throws (see valueToScaled)
+          val scaled0 = JBigDecimal.valueOf(r)
+            .setScale(7, RoundingMode.HALF_UP).movePointRight(7)
+          var bhi = 0L
+          var blo = 0L
+          try { // fast path: |unscaled| < 2^63 (every real embedding)
+            blo = scaled0.longValueExact(); bhi = blo >> 63
+          } catch { case _: ArithmeticException =>
+            val big = scaled0.toBigIntegerExact
+            if (big.abs.compareTo(MaxUnscaled20) >= 0) refuseValue()
+            blo = big.longValue(); bhi = big.shiftRight(64).longValue()
+          }
+          accumulate(buf, i, bhi, blo)
           buf.finite(i) += 1
         }
       }
@@ -139,7 +154,7 @@ case class CentroidAggF(child: Expression,
     buf.ensure(other.dim)
     var i = 0
     while (i < other.dim) {
-      buf.sums(i) = addExactOrRefuse(buf.sums(i), other.sums(i))
+      accumulate(buf, i, other.sumsHi(i), other.sumsLo(i))
       buf.counts(i) += other.counts(i)
       buf.finite(i) += other.finite(i)
       i += 1
@@ -147,24 +162,13 @@ case class CentroidAggF(child: Expression,
     buf
   }
 
-  private def refuse(): Nothing =
-    throw new IllegalStateException(
-      "graft_centroid: a per-element value or group sum exceeds scale-7 " +
-        "long capacity (|x| ~9.2e11) — the corpus is far outside " +
-        "embedding scale; use the posexplode decimal(30,7) reference " +
-        "form (Similarity.centroidsViaPosexplode) for this data")
-
-  private def addExactOrRefuse(a: Long, b: Long): Long =
-    try Math.addExact(a, b)
-    catch { case _: ArithmeticException => refuse() }
-
   override def eval(buf: CentroidState): Any = {
     if (buf.dim == 0) return null // all-null group: old frame had no row
     val out = new Array[Any](buf.dim)
     var i = 0
     while (i < buf.dim) {
       out(i) = if (buf.finite(i) == 0) null
-      else new JBigDecimal(java.math.BigInteger.valueOf(buf.sums(i)), 7)
+      else sumToBigDecimal(buf.sumsHi(i), buf.sumsLo(i))
         .doubleValue() / buf.counts(i).toDouble
       i += 1
     }
@@ -172,12 +176,12 @@ case class CentroidAggF(child: Expression,
   }
 
   override def serialize(buf: CentroidState): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 24 * buf.dim)
+    val bb = ByteBuffer.allocate(4 + 32 * buf.dim)
     bb.putInt(buf.dim)
     var i = 0
     while (i < buf.dim) {
-      bb.putLong(buf.sums(i)); bb.putLong(buf.counts(i))
-      bb.putLong(buf.finite(i)); i += 1
+      bb.putLong(buf.sumsHi(i)); bb.putLong(buf.sumsLo(i))
+      bb.putLong(buf.counts(i)); bb.putLong(buf.finite(i)); i += 1
     }
     bb.array()
   }
@@ -186,11 +190,11 @@ case class CentroidAggF(child: Expression,
     val bb = ByteBuffer.wrap(bytes)
     val dim = bb.getInt
     val st = new CentroidState(dim, new Array[Long](dim),
-      new Array[Long](dim), new Array[Long](dim))
+      new Array[Long](dim), new Array[Long](dim), new Array[Long](dim))
     var i = 0
     while (i < dim) {
-      st.sums(i) = bb.getLong; st.counts(i) = bb.getLong
-      st.finite(i) = bb.getLong; i += 1
+      st.sumsHi(i) = bb.getLong; st.sumsLo(i) = bb.getLong
+      st.counts(i) = bb.getLong; st.finite(i) = bb.getLong; i += 1
     }
     st
   }
@@ -202,4 +206,71 @@ case class CentroidAggF(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): CentroidAggF =
     copy(child = newChild)
   override def prettyName: String = "graft_centroid"
+}
+
+object CentroidAggF {
+  /** decimal(20,7) capacity as a scale-7 unscaled bound: the exploded
+    * form's cast ANSI-throws at |x| ≥ 1e13 ⟺ |unscaled| ≥ 1e20. */
+  private[graft] val MaxUnscaled20: BigInteger = BigInteger.TEN.pow(20)
+  /** decimal(30,7) sum headroom (Spark types sum-over-decimal(20,7) as
+    * decimal(30,7)): the exploded sum ANSI-throws at |Σ| ≥ 1e23 ⟺
+    * |unscaled Σ| ≥ 1e30 — split into 128-bit (hi, unsigned-lo) words
+    * for the allocation-free per-add check. */
+  private val MaxSum30: BigInteger = BigInteger.TEN.pow(30)
+  private val SumLimit: BigInteger = MaxSum30.subtract(BigInteger.ONE)
+  private val SumLimitHi: Long = SumLimit.shiftRight(64).longValue()
+  private val SumLimitLo: Long = SumLimit.longValue()
+
+  /** Signed-128-bit accumulate `sums(i) += (bhi:blo)` with the
+    * decimal(30,7) limit checked after every add — primitive-only on
+    * the hot path (no BigInteger per element). Max |addend| < 1e20 <
+    * 2^67 and |pre-add sum| ≤ 1e30−1 < 2^100, so the 128-bit add itself
+    * can never wrap before the check refuses. */
+  private[graft] def accumulate(buf: CentroidState, i: Int,
+      bhi: Long, blo: Long): Unit = {
+    val lo = buf.sumsLo(i)
+    val newLo = lo + blo
+    // unsigned carry out of the low word
+    val carry = ((lo & blo) | ((lo | blo) & ~newLo)) >>> 63
+    val newHi = buf.sumsHi(i) + bhi + carry
+    if (exceedsSumLimit(newHi, newLo)) refuseSum()
+    buf.sumsHi(i) = newHi
+    buf.sumsLo(i) = newLo
+  }
+
+  /** |(hi:lo)| > 10^30 − 1, i.e. the scaled sum left decimal(30,7). */
+  private[graft] def exceedsSumLimit(hi: Long, lo: Long): Boolean = {
+    var h = hi
+    var l = lo
+    if (hi < 0) { // two's-complement negate: |x| for the magnitude test
+      l = -lo
+      h = if (lo == 0) -hi else ~hi
+    }
+    h > SumLimitHi ||
+      (h == SumLimitHi && java.lang.Long.compareUnsigned(l, SumLimitLo) > 0)
+  }
+
+  /** Scale-7 BigDecimal of a 128-bit sum (eval-side only — per group
+    * per element, never per row). */
+  private[graft] def sumToBigDecimal(hi: Long, lo: Long): JBigDecimal = {
+    if (hi == (lo >> 63)) // sign-extended: fits a long (the common case)
+      return new JBigDecimal(BigInteger.valueOf(lo), 7)
+    val big = BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new BigInteger(java.lang.Long.toUnsignedString(lo)))
+    new JBigDecimal(big, 7)
+  }
+
+  private def refuseValue(): Nothing =
+    throw new IllegalStateException(
+      "graft_centroid: a per-element value exceeds decimal(20,7) " +
+        "(|x| >= 1e13) — the exploded reference form " +
+        "(Similarity.centroidsViaPosexplode) ANSI-throws on this data " +
+        "too; the corpus is far outside embedding scale")
+
+  private def refuseSum(): Nothing =
+    throw new IllegalStateException(
+      "graft_centroid: a per-element group sum exceeds decimal(30,7) " +
+        "(|sum| >= 1e23) — the exploded reference form " +
+        "(Similarity.centroidsViaPosexplode) ANSI-throws at exactly " +
+        "this point too; the corpus is far outside embedding scale")
 }

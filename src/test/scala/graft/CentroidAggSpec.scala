@@ -59,11 +59,12 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
     // exact 7-decimal boundaries (HALF_UP ties), sub-rounding noise,
     // NaN/±Inf (round passes through, cast nulls), nulls, and doubles
     // whose round(·,7) re-rounds differently at the cast (>15
-    // significant digits). Magnitudes past scale-7 long capacity
-    // (~9.2e11) are NOT an identity lane: the engine runs default
-    // ansi=true, where the exploded form's decimal cast itself THROWS
-    // past 1e13 — both failure modes are pinned in the refusal test
-    // below.
+    // significant digits). Magnitudes past decimal(20,7) (≥1e13) are
+    // NOT an identity lane: the engine runs default ansi=true, where
+    // the exploded form's decimal cast itself THROWS — pinned in the
+    // refusal test below. (The 9.2e11..1e13 band the r17 single-long
+    // buffer refused IS an identity lane since the 128-bit widening —
+    // pinned in its own test.)
     def value(): java.lang.Double = rnd.nextInt(12) match {
       case 0 => Double.NaN
       case 1 => Double.PositiveInfinity
@@ -75,11 +76,10 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
       case 7 => (rnd.nextDouble() * 2 - 1) * 1e-9 // sub-scale noise
       case 8 => -0.0
       case 9 => // re-round lane: 18 significant digits force the cast's
-        // second HALF_UP rounding of round(.,7)'s double; magnitude 6e10
-        // with a random sign keeps any cell's worst-case sum far from the
-        // kernel's ~9.2e11 scale-7 refusal threshold (a prior 1.2e11
-        // unsigned lane could cross it in ~8 same-cell draws - the spec
-        // then passed only by luck of the seed; review r17)
+        // second HALF_UP rounding of round(.,7)'s double (magnitude 6e10
+        // predates the 128-bit widening, when worst-case cell sums had
+        // to stay under the old ~9.2e11 single-long refusal threshold;
+        // kept — the re-round boundary is what the lane exercises)
         (if (rnd.nextBoolean()) 1 else -1) * (61728394506.1234567 + rnd.nextDouble())
       case _ => (rnd.nextDouble() * 2 - 1) * (if (rnd.nextBoolean()) 1 else 1e4)
     }
@@ -150,7 +150,29 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == ref)
   }
 
-  test("overflow refuses loudly with the remedy named, never wraps") {
+  test("128-bit sums: extreme-but-valid data the exploded form handled " +
+      "stays bit-identical (ADVICE r17 — the single-long buffer refused here)") {
+    // one row at 9e11 fit a scale-7 long; TWO overflowed it — the r17
+    // kernel refused while the exploded decimal(30,7) sum was fine.
+    // Now both forms agree to the bit.
+    val sumLane = Seq[(Int, Seq[java.lang.Double])](
+      (0, Seq(9e11)), (0, Seq(9e11)), (0, Seq(9e11)))
+    val (fastS, refS) = bothForms(sumLane)
+    assert(fastS == refS, "long-capacity sum lane diverged")
+    // a SINGLE value inside decimal(20,7) but past scale-7 long capacity
+    // (|x| in (9.2e11, 1e13)) — previously refused, now identical
+    val valLane = Seq[(Int, Seq[java.lang.Double])](
+      (0, Seq(5e12)), (0, Seq(-5e12, 3e12)), (1, Seq(9.9e12)))
+    val (fastV, refV) = bothForms(valLane)
+    assert(fastV == refV, "wide single-value lane diverged")
+    // mixed signs crossing the low-word carry repeatedly
+    val carryLane = (1 to 40).map(i => (0,
+      Seq[java.lang.Double](if (i % 2 == 0) 9.2233e12 else -9.2233e12)))
+    val (fastC, refC) = bothForms(carryLane)
+    assert(fastC == refC, "carry-crossing lane diverged")
+  }
+
+  test("overflow refuses loudly exactly where the exploded form ANSI-throws, never wraps") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     def assertRefuses(rows: Seq[(Int, Seq[java.lang.Double])], what: String) = {
@@ -159,16 +181,11 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
           .agg(Similarity.centroid(col("emb")).as("cent")).collect()
       }
       assert(msgs(e).exists(_.contains("centroidsViaPosexplode")),
-        s"$what must name the fallback, got: ${msgs(e).mkString(" | ")}")
+        s"$what must name the reference form, got: ${msgs(e).mkString(" | ")}")
     }
-    // 9e11 scales to 9e18 — one row fits a scale-7 long, two overflow
-    assertRefuses(Seq((0, Seq(9e11)), (0, Seq(9e11))), "running-sum overflow")
-    // a SINGLE value inside decimal(20,7) but past scale-7 long capacity
-    // (|x| in (9.2e11, 1e13)): fail-closed, never a silently-wrong sum
-    assertRefuses(Seq((0, Seq(5e12))), "single-value overflow")
-    // past the decimal cliff (>=1e13) the DEPLOYED exploded form throws
-    // too (default ansi=true) — crash-on-garbage is the existing
-    // semantics, the kernel just names a remedy
+    // past the decimal(20,7) cliff (>=1e13) the DEPLOYED exploded form
+    // throws too (default ansi=true) — crash-on-garbage is the existing
+    // semantics, the kernel names where the semantics come from
     assertRefuses(Seq((0, Seq(2e13))), "past-decimal-cliff value")
     val refE = intercept[Exception] {
       Similarity.centroidsViaPosexplode(
@@ -177,6 +194,59 @@ class CentroidAggSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs(refE).exists(_.contains("Decimal(20, 7)")),
       s"reference form must ANSI-throw past the cliff, got: " +
         msgs(refE).mkString(" | "))
+  }
+
+  test("128-bit accumulate: carry, sign, and the decimal(30,7) sum limit " +
+      "— production-path helpers vs BigInt reference") {
+    import graft.functions.{CentroidAggF, CentroidState}
+    def st() = new CentroidState(1, new Array[Long](1), new Array[Long](1),
+      new Array[Long](1), new Array[Long](1))
+    def sumOf(s: CentroidState): BigInt =
+      BigInt(CentroidAggF.sumToBigDecimal(s.sumsHi(0), s.sumsLo(0))
+        .unscaledValue())
+    // property: accumulate ≡ BigInt addition across sign/carry lanes
+    // (values bounded by the per-value decimal(20,7) cap, as in update)
+    val rnd = new scala.util.Random(1818L)
+    val cap = BigInt(10).pow(20) - 1
+    (1 to 200).foreach { trial =>
+      val s = st()
+      var ref = BigInt(0)
+      (1 to 30).foreach { _ =>
+        val v = (BigInt(rnd.nextLong()).abs.pow(2) % cap) *
+          (if (rnd.nextBoolean()) 1 else -1)
+        val lo = (v & ((BigInt(1) << 64) - 1)).toLong
+        val hi = (v >> 64).toLong
+        CentroidAggF.accumulate(s, 0, hi, lo)
+        ref += v
+        assert(sumOf(s) == ref, s"trial $trial: 128-bit add diverged from BigInt")
+      }
+    }
+    // the limit is EXACT: a sum of 10^30−1 (decimal(30,7) max unscaled)
+    // is representable; one more scale-7 unit refuses. Seed the state at
+    // limit−1 directly (update() would need 1e11 capped adds to get
+    // here) and take the last step through the production add.
+    def seeded(v: BigInt) = {
+      val s = st()
+      s.sumsHi(0) = (v >> 64).toLong
+      s.sumsLo(0) = (v & ((BigInt(1) << 64) - 1)).toLong
+      s
+    }
+    val limit = BigInt(10).pow(30) - 1
+    val almost = seeded(limit - 1)
+    CentroidAggF.accumulate(almost, 0, 0L, 1L) // lands exactly ON the limit
+    assert(sumOf(almost) == limit)
+    val e = intercept[IllegalStateException] {
+      CentroidAggF.accumulate(almost, 0, 0L, 1L) // one unit past refuses
+    }
+    assert(e.getMessage.contains("decimal(30,7)"), e.getMessage)
+    // negative side is symmetric
+    val neg = seeded(-(limit - 1))
+    CentroidAggF.accumulate(neg, 0, -1L, -1L) // adds −1 → exactly −limit
+    assert(sumOf(neg) == -limit)
+    val e2 = intercept[IllegalStateException] {
+      CentroidAggF.accumulate(neg, 0, -1L, -1L)
+    }
+    assert(e2.getMessage.contains("decimal(30,7)"), e2.getMessage)
   }
 
   test("graft_centroid reaches SQL via the registry, matches the Column form, arity fails loudly") {
