@@ -431,24 +431,51 @@ object Multimodal {
           val n = p.frames.length
           val stride = math.max(every,
             math.ceil(n.toDouble / math.max(1, maxFrames)).toInt).max(1)
-          val w = p.features.width
-          val h = p.features.height
-          Iterator.range(0, n, stride).flatMap { i =>
-            val packed = p.frames(i)
-            val off = (packed >>> 32).toInt
-            val len = packed.toInt
-            val im: java.awt.image.BufferedImage =
-              if (p.features.codec == "MJPG")
-                boundedImageRead(
-                  java.util.Arrays.copyOfRange(r.media, off, off + len))
-              else if (p.features.codec == "DIB " && p.bitCount == 24)
-                decodeDib24(r.media, off, len, w, h).orNull
-              else null
-            Option(im).map(x => VideoFrameHash(r.doc_id, i.toLong, dHashOf(x)))
-          }
+          Iterator.range(0, n, stride).flatMap(frameHashAt(r, p, _))
         }
       }
     }
+  }
+
+  /** First/middle/last KEYFRAME hashes (VERDICT r17 #6's named shape):
+    * the fixed-cost clip-level probe — exactly three decodes per clip
+    * regardless of length, against [[videoFrameHashes]]'s up-to-
+    * `maxFrames`. Same MJPEG/DIB decode paths, same 64-bit dHash, so
+    * the output feeds [[hammingNearDupPairs64]] unchanged; non-
+    * decodable fourccs yield no rows (metadata still flows through
+    * [[decodeVideo]]). */
+  def videoKeyframeHashes(media: Dataset[MediaRow]): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAviFull(r.media, r.doc_id).toSeq.flatMap { p =>
+          val n = p.frames.length
+          Seq(0, n / 2, n - 1).distinct.filter(i => i >= 0 && i < n)
+            .flatMap(frameHashAt(r, p, _))
+        }
+      }
+    }
+  }
+
+  /** Decode + dHash one indexed frame chunk — the shared kernel of
+    * [[videoFrameHashes]] / [[videoKeyframeHashes]]: MJPEG chunks are
+    * complete baseline JPEGs (bounded ImageIO read), DIB chunks decode
+    * directly; anything else (or a corrupt frame) yields None. */
+  private def frameHashAt(r: MediaRow, p: AviParse,
+      i: Int): Option[VideoFrameHash] = {
+    val packed = p.frames(i)
+    val off = (packed >>> 32).toInt
+    val len = packed.toInt
+    val im: java.awt.image.BufferedImage =
+      if (p.features.codec == "MJPG")
+        boundedImageRead(
+          java.util.Arrays.copyOfRange(r.media, off, off + len))
+      else if (p.features.codec == "DIB " && p.bitCount == 24)
+        decodeDib24(r.media, off, len, p.features.width,
+          p.features.height).orNull
+      else null
+    Option(im).map(x => VideoFrameHash(r.doc_id, i.toLong, dHashOf(x)))
   }
 
   /** Uncompressed 24-bit DIB frame → image: bottom-up BGR rows, each row

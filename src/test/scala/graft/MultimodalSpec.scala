@@ -313,6 +313,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "horizontal ramp sets all 64 gradient bits, JPEG and DIB alike")
   }
 
+  test("videoKeyframeHashes: exactly first/middle/last, any clip length; " +
+      "non-decodable fourccs yield no rows") {
+    val mjpeg12 = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq.fill(12)(jpegFrame(64, 64, (x, _) => x * 4)))
+    val mjpeg1 = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq(jpegFrame(64, 64, (x, _) => x * 4)))
+    val mjpeg2 = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
+      Seq.fill(2)(jpegFrame(64, 64, (x, _) => x * 4)))
+    // H.264 fourcc: metadata-only codec — keyframes must yield nothing
+    val h264 = avi(64, 64, (1, 25), fourcc("H264"), 24, "00dc",
+      Seq(Array[Byte](1, 2, 3, 4)))
+    val ks = Multimodal.videoKeyframeHashes(media(
+        MediaRow(1L, mjpeg12, "avi"), MediaRow(2L, mjpeg1, "avi"),
+        MediaRow(3L, mjpeg2, "avi"), MediaRow(4L, h264, "avi")))
+      .collect().groupBy(_.doc_id)
+    assert(ks(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 6L, 11L))
+    assert(ks(2L).map(_.frame_idx).toSeq == Seq(0L), "1-frame clip: dedup'd indices")
+    assert(ks(3L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L))
+    assert(!ks.contains(4L), "no pixel path for H264 — metadata-only")
+    // same dHash as the stride sampler on the same picture (shared kernel)
+    assert(ks(1L).forall(_.dhash == -1L))
+  }
+
   test("videoFrameHashes feed hammingNearDupPairs64: near-dup clips cluster") {
     val a = avi(64, 64, (1, 25), fourcc("MJPG"), 24, "00dc",
       Seq(jpegFrame(64, 64, (x, _) => x * 4)))
