@@ -112,7 +112,11 @@ object OpsWalkthrough {
           .select(col("vec_id"), col("cell"), col("codes"),
             col("recon_norm")))
       val inDist = embs.filter(col("vec_id") >= 400)
-      val outliers = embs.limit((embs.count() / 5).toInt)
+      // deterministic 20% slice (ADVICE r17: an unordered limit() picks
+      // a partition-dependent subset, making the walkthrough's printed
+      // sat_rate non-reproducible across runs) — key on the id, not on
+      // scan order
+      val outliers = embs.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(10.0f)).as("embedding"))
       sqSink(inDist, 0L)
