@@ -75,7 +75,11 @@ object Bench {
     // ranking, the two-stage ADC→exact rerank, and the scalar-
     // quantization encode/score path — same rationale, all ~sub-second
     "x94_ivf_bulk_probe", "x95_hier_probe", "x96_pq_rerank",
-    "x97_sq_adc")
+    "x97_sq_adc",
+    // round-18: the deterministic-IVF probe — the third wired path of
+    // the CentroidAggF kernel (with x73/x93), tracked so centroid
+    // regressions surface on every path; ~sub-second
+    "x85_ann_ivf_det")
 
   /** Per-query measurement summary: (median, min, max, first error). */
   private[graft] type Reading = (Double, Double, Double, Option[String])
