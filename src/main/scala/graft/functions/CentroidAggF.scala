@@ -127,9 +127,10 @@ case class CentroidAggF(child: Expression,
           // round(x, 7) — Spark RoundBase double semantics
           val r = JBigDecimal.valueOf(x)
             .setScale(7, RoundingMode.HALF_UP).doubleValue()
-          // cast(decimal(20,7)) re-rounds the ROUNDED double; a value the
-          // cast cannot hold refuses exactly where the exploded form's
-          // ANSI cast throws (see valueToScaled)
+          // cast(decimal(20,7)) re-rounds the ROUNDED double; a value
+          // the cast cannot hold (unscaled ≥ MaxUnscaled20) refuses via
+          // refuseValue() exactly where the exploded form's ANSI cast
+          // throws
           val scaled0 = JBigDecimal.valueOf(r)
             .setScale(7, RoundingMode.HALF_UP).movePointRight(7)
           var bhi = 0L

@@ -114,42 +114,80 @@ def scrape_tail(tail: str) -> dict | None:
     return out or None
 
 
-def verify_source_pass(path: str, cited: dict) -> None:
-    """Refuse a folded iso artifact whose minima cite no committed pass
-    (VERDICT r17 order #3). `cited` maps source_pass basename ->
-    {query: median} claims; each cited raw pass file must exist next to
-    the artifact and actually contain that query at exactly that median
-    — the fold copies lines verbatim, so any mismatch means the artifact
-    was edited after folding."""
+def read_pass_medians(pass_path: str) -> dict:
+    """query -> set of medians recorded in a raw pass file (a pass may
+    carry several lines for one query — appended re-runs)."""
+    found: dict = {}
+    with open(pass_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if doc.get("metric") != "total":
+                continue
+            for key in ("queries", "extra"):
+                for q, med in doc.get(key, {}).items():
+                    found.setdefault(q, set()).add(med)
+    return found
+
+
+def verify_source_pass(path: str, cited: dict, fold_header: dict) -> None:
+    """Refuse a folded iso artifact that does not hold up against its
+    committed raw passes (VERDICT r17 order #3 + review r18):
+      1. every `source_pass` citation must name a pass file next to the
+         artifact that actually contains that query at that median;
+      2. when the fold header declares `min-median-of-passes`, the
+         policy is RECOMPUTED across all declared passes — a folded
+         median above the true cross-pass minimum means the artifact
+         was hand-assembled one-sidedly (the exact r17 concern), with
+         or without genuine citations, and fails."""
     art_dir = os.path.dirname(os.path.abspath(path))
     problems = []
+    pass_cache: dict = {}
+
+    def medians_of(base: str):
+        if base not in pass_cache:
+            pass_path = os.path.join(art_dir, base)
+            if not os.path.exists(pass_path):
+                pass_cache[base] = None
+            else:
+                pass_cache[base] = read_pass_medians(pass_path)
+        return pass_cache[base]
+
     for base, claims in cited.items():
-        pass_path = os.path.join(art_dir, base)
-        if not os.path.exists(pass_path):
+        found = medians_of(base)
+        if found is None:
             problems.append(f"cited pass {base} missing next to {path}")
             continue
-        found: dict = {}
-        with open(pass_path) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                try:
-                    doc = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if doc.get("metric") != "total":
-                    continue
-                for key in ("queries", "extra"):
-                    for q, med in doc.get(key, {}).items():
-                        # a pass may carry several lines for one query
-                        # (appended re-runs) — any of them validates
-                        found.setdefault(q, set()).add(med)
         for q, med in claims.items():
             if med not in found.get(q, set()):
                 problems.append(
                     f"{q}={med} cites {base}, which has "
                     f"{sorted(found.get(q, ['no reading']))} for it")
+    if fold_header.get("policy") == "min-median-of-passes":
+        true_min: dict = {}
+        for base in fold_header.get("passes", []):
+            found = medians_of(base)
+            if found is None:
+                problems.append(
+                    f"declared pass {base} missing next to {path}")
+                continue
+            for q, meds in found.items():
+                valid = [m for m in meds if m is not None and m > 0]
+                if valid:
+                    lo = min(valid)
+                    true_min[q] = min(true_min.get(q, lo), lo)
+        all_claims = {q: med for claims in cited.values()
+                      for q, med in claims.items()}
+        for q, med in all_claims.items():
+            if q in true_min and med > true_min[q]:
+                problems.append(
+                    f"{q}={med} violates min-median-of-passes: the "
+                    f"declared passes contain {true_min[q]}")
     if problems:
         sys.exit("GATE FAILED: --iso provenance check — "
                  + "; ".join(problems))
@@ -169,6 +207,7 @@ def load_iso(path: str) -> dict:
     merged: dict = {}
     truncated: list = []
     cited: dict = {}
+    fold_header: dict = {}
     n_lines = 0
     with open(path) as f:
         for line in f:
@@ -178,6 +217,9 @@ def load_iso(path: str) -> dict:
             try:
                 doc = json.loads(line)
             except json.JSONDecodeError:
+                continue
+            if doc.get("metric") == "iso_fold":
+                fold_header = doc
                 continue
             if doc.get("metric") != "total":
                 continue
@@ -193,8 +235,8 @@ def load_iso(path: str) -> dict:
             truncated.extend(doc.get("truncated", []))
     if not merged:
         sys.exit(f"--iso: no per-query medians found in {path}")
-    if cited:
-        verify_source_pass(path, cited)
+    if cited or fold_header:
+        verify_source_pass(path, cited, fold_header)
     return {"queries": merged, "all_queries": dict(merged),
             "truncated": truncated, "iso_lines": n_lines}
 
