@@ -102,8 +102,7 @@ object ExtQueries {
     * do between queries) — this method cannot unpersist it itself. */
   private def verifiedNearDupPairs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sigs = Dedup.minhashSignatures(
-      Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+    val sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
     val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
       .cache()
     val candIds = cands
@@ -1371,8 +1370,7 @@ object ExtQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
       val cands = Dedup.lshCandidatesAcross(
           sigs.filter(col("doc_id") % 5 === 0),
           sigs.filter(col("doc_id") % 5 =!= 0), "doc_id")
@@ -1586,8 +1584,7 @@ object ExtQueries {
           maxDf = Int.MaxValue)
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), lit(1).as("in_t"))
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 4, rows = 4)
         .select(col("id_a"), col("id_b"), lit(1).as("in_c"))
       truth.join(cands, Seq("id_a", "id_b"), "full_outer")
@@ -1638,8 +1635,7 @@ object ExtQueries {
   val x87IndexDeleteProbe: Q = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
       val history = sigs.filter(col("doc_id") % 5 =!= 0)
       val batch = sigs.filter(col("doc_id") % 5 === 0)
       val tmp = java.nio.file.Files
@@ -1695,8 +1691,7 @@ object ExtQueries {
   val x89IndexBulkProbe: Q = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+      val sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
       val history = sigs.filter(col("doc_id") % 5 =!= 0)
       val batch = sigs.filter(col("doc_id") % 5 === 0)
       val tmp = java.nio.file.Files

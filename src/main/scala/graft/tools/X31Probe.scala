@@ -36,8 +36,7 @@ object X31Probe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def docs = graft.engine.Tables.documents(spark, sfDir)
-    def sigs = Dedup.minhashSignatures(
-      Dedup.hashedShingles(docs, "doc_id", "text"), "doc_id", 16)
+    def sigs = Dedup.signatureColumns(docs, "doc_id", "text", 16)
 
     def medianOf(build: => org.apache.spark.sql.DataFrame): Double = {
       def rep(): Double = {

@@ -609,6 +609,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L)._2 != fp(2L)._2)
   }
 
+  test("signatureColumns (r18 batch path): row-for-row equal to the " +
+      "explode+agg signatures; the kernel evaluates once, not 16x") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perRow = Dedup.signatureColumns(d, "doc_id", "text", 16)
+    val agg = Dedup.minhashSignatures(
+      Dedup.hashedShingles(d, "doc_id", "text"), "doc_id", 16)
+    assert(perRow.columns.toSeq == agg.columns.toSeq)
+    val a = perRow.orderBy("doc_id").collect().toSeq
+    val b = agg.orderBy("doc_id").collect().toSeq
+    assert(a == b, "per-row signature columns diverged from the aggregate")
+    // CollapseProject must keep the multiply-referenced signature alias
+    // materialized once — 16 inlined copies would re-run the whole
+    // minhash loop per unpacked column
+    val plan = perRow.queryExecution.optimizedPlan.toString
+    val n = "(?i)minhashsig".r.findAllIn(plan).length
+    assert(n == 1, s"expected ONE kernel evaluation in the plan, found $n")
+  }
+
   test("semanticDedupAuto: masked shared-bit keying equals direct plane " +
       "keying; keeper invariants hold across plane counts") {
     // integer-exact ladder at the power-of-2 boundaries a float log2
