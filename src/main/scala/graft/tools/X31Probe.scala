@@ -57,8 +57,12 @@ object X31Probe {
     val meds = stages.map { case (n, b) => n -> medianOf(b()) }
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(' ').take(3).mkString(" ")
+    // Locale.ROOT: "%.3f".format follows the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON (ADVICE r18 #4)
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"x31_stages","unit":"sec","reps":$reps,""" +
-      meds.map { case (n, v) => s""""$n":${"%.3f".format(v)}""" }
+      meds.map { case (n, v) => s""""$n":${fmt(v)}""" }
         .mkString(",") +
       s""","loadavg":"$load","sf":"$sfDir"}""")
     spark.stop()

@@ -131,20 +131,35 @@ def read_pass_medians(pass_path: str) -> dict:
                 continue
             for key in ("queries", "extra"):
                 for q, med in doc.get(key, {}).items():
+                    # a JSON null carries no reading and would poison the
+                    # sorted() diagnostic below (None vs float TypeError);
+                    # crash markers (-1) are KEPT — verify_source_pass
+                    # must see them to mirror iso_fold's refusal
+                    if med is None:
+                        continue
                     found.setdefault(q, set()).add(med)
     return found
 
 
-def verify_source_pass(path: str, cited: dict, fold_header: dict) -> None:
+def verify_source_pass(path: str, cited: dict, fold_header: dict,
+                       merged: dict) -> None:
     """Refuse a folded iso artifact that does not hold up against its
-    committed raw passes (VERDICT r17 order #3 + review r18):
+    committed raw passes (VERDICT r17 order #3 + review r18 + ADVICE
+    r18):
       1. every `source_pass` citation must name a pass file next to the
          artifact that actually contains that query at that median;
       2. when the fold header declares `min-median-of-passes`, the
-         policy is RECOMPUTED across all declared passes — a folded
+         policy is RECOMPUTED across all declared passes and checked
+         against the FINAL merged medians (not only the cited claims —
+         an appended line could otherwise override a verified median
+         via load_iso's last-wins merge, ADVICE r18 #1) — a gated
          median above the true cross-pass minimum means the artifact
          was hand-assembled one-sidedly (the exact r17 concern), with
-         or without genuine citations, and fails."""
+         or without genuine citations, and fails;
+      3. a query that CRASHED (median -1) in any declared pass but is
+         reported as a success in the fold fails — iso_fold itself
+         refuses that fold, and the gate must be no weaker than the
+         tool it verifies (ADVICE r18 #2)."""
     art_dir = os.path.dirname(os.path.abspath(path))
     problems = []
     pass_cache: dict = {}
@@ -170,6 +185,7 @@ def verify_source_pass(path: str, cited: dict, fold_header: dict) -> None:
                     f"{sorted(found.get(q, ['no reading']))} for it")
     if fold_header.get("policy") == "min-median-of-passes":
         true_min: dict = {}
+        crashed: dict = {}
         for base in fold_header.get("passes", []):
             found = medians_of(base)
             if found is None:
@@ -177,13 +193,24 @@ def verify_source_pass(path: str, cited: dict, fold_header: dict) -> None:
                     f"declared pass {base} missing next to {path}")
                 continue
             for q, meds in found.items():
-                valid = [m for m in meds if m is not None and m > 0]
+                if -1 in meds:
+                    crashed.setdefault(q, base)
+                valid = [m for m in meds if m > 0]
                 if valid:
                     lo = min(valid)
                     true_min[q] = min(true_min.get(q, lo), lo)
-        all_claims = {q: med for claims in cited.values()
-                      for q, med in claims.items()}
-        for q, med in all_claims.items():
+        # recompute against what the gate will actually compare — the
+        # final merged medians — so a late line cannot override a
+        # verified one and still pass (the claims-only check audited
+        # only cited lines; the merge is last-wins)
+        for q, med in merged.items():
+            if med is None or med <= 0:
+                continue
+            if q in crashed:
+                problems.append(
+                    f"{q}={med} folded past a crash (median -1) in "
+                    f"declared pass {crashed[q]} — iso_fold refuses "
+                    "this fold; re-run that pass or drop it explicitly")
             if q in true_min and med > true_min[q]:
                 problems.append(
                     f"{q}={med} violates min-median-of-passes: the "
@@ -208,6 +235,7 @@ def load_iso(path: str) -> dict:
     truncated: list = []
     cited: dict = {}
     fold_header: dict = {}
+    unstamped: list = []
     n_lines = 0
     with open(path) as f:
         for line in f:
@@ -230,13 +258,27 @@ def load_iso(path: str) -> dict:
             merged.update(line_qs)
             if "source_pass" in doc:
                 cited.setdefault(doc["source_pass"], {}).update(line_qs)
+            elif line_qs:
+                # remembered for the post-loop check — the header may in
+                # principle appear anywhere, so decide only after reading
+                # the whole file
+                unstamped.extend(sorted(line_qs))
             # a per-line global deadline leaves its query with no median;
             # it must surface as TRUNCATED, not vanish from the merge
             truncated.extend(doc.get("truncated", []))
     if not merged:
         sys.exit(f"--iso: no per-query medians found in {path}")
+    if fold_header and unstamped:
+        # in a folded artifact every median-bearing line must carry its
+        # provenance stamp; an unstamped line would merge last-wins OVER
+        # a verified median without ever being audited (ADVICE r18 #1).
+        # The truncated-only marker (empty queries) is the one exception.
+        sys.exit("GATE FAILED: --iso provenance check — folded artifact "
+                 f"{path} contains unstamped median line(s) for "
+                 f"{', '.join(unstamped)}; every median in a fold must "
+                 "cite its source_pass")
     if cited or fold_header:
-        verify_source_pass(path, cited, fold_header)
+        verify_source_pass(path, cited, fold_header, merged)
     return {"queries": merged, "all_queries": dict(merged),
             "truncated": truncated, "iso_lines": n_lines}
 
