@@ -980,11 +980,44 @@ object Dedup {
     * identical integers — oracle-parity), with one intended difference:
     * a candidate pair sharing NO shingle now appears with `common = 0`,
     * `jaccard = 0.0` (the join form silently dropped it). Every caller
-    * thresholds `jaccard` above 0, so query results are unchanged. */
+    * thresholds `jaccard` above 0, so query results are unchanged.
+    *
+    * Callers holding the DOCUMENTS of the candidate ids should prefer
+    * [[shingleSets]] + [[jaccardVerifySets]]: the per-row kernel builds
+    * each set inside its own row, skipping this form's explode and
+    * collect_set exchange entirely. This form remains for callers whose
+    * input is an already-exploded hashed-shingle frame (streaming state,
+    * the inverted-index n-gram path). */
   def jaccardVerify(cands: DataFrame, hashedTbl: DataFrame,
-      idCol: String): DataFrame = {
-    val sets = hashedTbl.groupBy(col(idCol))
-      .agg(collect_set(col("h")).as("hs"))
+      idCol: String): DataFrame =
+    jaccardVerifySets(cands,
+      hashedTbl.groupBy(col(idCol)).agg(collect_set(col("h")).as("hs")),
+      idCol)
+
+  /** Per-ROW distinct shingle-hash sets straight from a documents frame —
+    * the zero-shuffle input of [[jaccardVerifySets]]. Same hash family and
+    * k as [[hashedShingles]] (the [[shingleHashArray]] kernel), so the set
+    * per doc is bit-identical to `collect_set` over the exploded multiset
+    * — but assembled inside the row: no explode, no aggregate, no
+    * exchange. Docs with no k-shingle are absent (matching the agg form's
+    * no-row contract, which an inner verify join relies on). The single
+    * `_hs` projection is referenced by the size filter and the output —
+    * CollapseProject keeps the kernel evaluated once per row (the
+    * [[signatureColumns]] pattern). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        array_distinct(shingleHashArray(col(textCol), k)).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Exact Jaccard over candidate pairs from per-doc distinct shingle
+    * SETS (column `hs`) — the verify tail shared by [[jaccardVerify]]
+    * (which aggregates the sets) and the per-row path ([[shingleSets]],
+    * which assembles them shuffle-free). Candidate frames are bounded by
+    * LSH bucket caps, so `sets` semi-joined to candidate ids is small and
+    * both equi-joins broadcast. */
+  def jaccardVerifySets(cands: DataFrame, sets: DataFrame,
+      idCol: String): DataFrame =
     cands
       .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -995,7 +1028,6 @@ object Dedup {
         size(col("hs_b")).cast("long").as("sz_b"))
       .withColumn("jaccard",
         col("common") / (col("sz_a") + col("sz_b") - col("common")))
-  }
 
   /** Inverted-index n-gram Jaccard: candidates from any shared shingle
     * hash whose document frequency is ≤ `maxDf` (blocking guard), then

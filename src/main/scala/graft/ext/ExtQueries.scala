@@ -109,11 +109,17 @@ object ExtQueries {
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     // verification needs shingle SETS only for candidate docs — semi-join
-    // BEFORE the explode, so the verify joins scale with |candidates|,
-    // not the corpus
-    val shCand = Dedup.hashedShingles(
+    // BEFORE the kernel, so the verify scales with |candidates|, not the
+    // corpus. The sets are assembled PER ROW (array_distinct over the
+    // same shingleHashArray kernel the signatures already ride): the
+    // pre-r19 form re-exploded every candidate doc's shingles and
+    // collect_set'ed them back — a candidate-shingle-sized exchange that
+    // X31_STAGES_r18 put at ~1.4s of x31's 2.35s (the dominant,
+    // epoch-sensitive verify tail). Per-row sets are bit-identical
+    // (spec-pinned) and leave the verify with zero pre-join shuffles.
+    val sets = Dedup.shingleSets(
       docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
-    Dedup.jaccardVerify(cands, shCand, "doc_id")
+    Dedup.jaccardVerifySets(cands, sets, "doc_id")
       .filter(col("jaccard") >= 0.8)
   }
 
@@ -378,29 +384,44 @@ object ExtQueries {
     bench = true)
 
   // ---------------------------------------------------------------- x36
-  /** LSH-bucketed approximate ANN (scale path). The hyperplanes are
-    * deterministic engine-side constants (fixed seed), so — like the
-    * MinHash permutation constants — the oracle SQL is GENERATED from the
-    * very same plane literals: a 512-row VALUES table reproduces the
-    * bucket assignment bit by bit. Scalatest additionally checks recall
-    * vs the exact x35. */
+  /** LSH-bucketed approximate ANN (scale path), ADAPTIVE registration
+    * since r19 ([[Similarity.lshTopKAuto]] — the last fixed-plane
+    * registration swept onto the `autoGlobalPlanes` ladder, VERDICT r18
+    * #3/#5): the plane count is keyed to corpus size, so the probed
+    * bucket's expected population stays ≈ [[AutoTarget]] rows at ANY
+    * corpus scale — constant probe cost and stable recall, where the
+    * old fixed-8-plane bucket grew linearly with the corpus. The
+    * hyperplanes are deterministic engine-side constants (fixed seed),
+    * so the oracle SQL is GENERATED from the very same plane literals
+    * and recomputes the SAME integer ladder from its own count(*) (the
+    * x73 technique). Scalatest additionally checks recall vs the exact
+    * x35. */
   val x36AnnLsh: Q = Q(
     (s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
-      Similarity.lshTopK(embs.filter(col("vec_id") =!= 0), q, "vec_id",
-          "embedding", numPlanes = 8, dim = 64, k = 10)
+      Similarity.lshTopKAuto(embs.filter(col("vec_id") =!= 0), q, "vec_id",
+          "embedding", targetBucket = AutoTarget,
+          maxPlanes = AutoMaxPlanes, dim = 64, k = 10)
         .orderBy(col("cos").desc, col("vec_id"))
     },
     Some(s"""WITH $corpusDotCte,
-      planes(p, i, w) AS (VALUES ${Similarity.hyperplanes(8, 64).zipWithIndex
+      planes(p, i, w) AS (VALUES ${Similarity
+        .hyperplanes(AutoMaxPlanes, 64).zipWithIndex
         .flatMap { case (pl, pi) => pl.zipWithIndex.map { case (w, i) =>
           s"($pi, ${i + 1}, CAST($w AS DOUBLE))" } }.mkString(", ")}),
       pd AS (SELECT ex.vec_id, pl.p, sum(ex.x * pl.w) AS d
         FROM ex JOIN planes pl ON pl.i = ex.i GROUP BY 1, 2),
+      pln AS (SELECT
+          CASE ${(0 until AutoMaxPlanes).map(q =>
+            s"WHEN m <= ${1L << q} THEN $q").mkString(" ")}
+               ELSE $AutoMaxPlanes END AS planes
+        FROM (SELECT (count(*) + ${AutoTarget - 1}) // $AutoTarget AS m
+              FROM embeddings WHERE vec_id <> 0)),
       bkt AS (SELECT vec_id,
-        CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-        FROM pd GROUP BY 1),
+        CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+          & ((CAST(1 AS BIGINT) << planes) - 1) AS bucket
+        FROM pd CROSS JOIN pln GROUP BY vec_id, planes),
       qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
       qd AS (SELECT a.vec_id, sum(a.x * b.x) AS dp
         FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id = 0
@@ -1379,11 +1400,13 @@ object ExtQueries {
       val candIds = cands
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
-      val shCand = Dedup.hashedShingles(
+      // per-row candidate shingle sets — same r19 verify-tail swap as
+      // verifiedNearDupPairs (no explode, no collect_set exchange)
+      val sets = Dedup.shingleSets(
         docs.join(candIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
       val w = Window.partitionBy("id_a")
         .orderBy(col("jaccard").desc, col("id_b"))
-      Dedup.jaccardVerify(cands, shCand, "doc_id")
+      Dedup.jaccardVerifySets(cands, sets, "doc_id")
         .filter(col("jaccard") >= 0.8)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("id_a").as("id_new"), col("id_b").as("id_old"),

@@ -627,6 +627,63 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1, s"expected ONE kernel evaluation in the plan, found $n")
   }
 
+  test("lshTopKAuto: masked corpus-keyed probe equals the direct q-plane " +
+      "lshTopK; pre-counted corpusRows path is identical") {
+    val embs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding"))
+    val n = corpus.count()
+    val p = Similarity.autoGlobalPlanes(n, 100, 6)
+    assert(p > 0 && p < 6, s"fixture should land inside the ladder, got $p")
+    // hyperplanes draw sequentially from one fixed seed, so masking the
+    // low p bits of the 6-plane bucket IS bucketing with p planes — the
+    // same property the x36 oracle's shared-constant ladder relies on
+    val auto = Similarity.lshTopKAuto(corpus, q, "vec_id",
+        targetBucket = 100, maxPlanes = 6, dim = 64, k = 10)
+      .orderBy(col("cos").desc, col("vec_id")).collect().toSeq
+    val direct = Similarity.lshTopK(corpus, q, "vec_id",
+        numPlanes = p, dim = 64, k = 10)
+      .orderBy(col("cos").desc, col("vec_id")).collect().toSeq
+    assert(auto == direct, "masked auto probe diverged from direct p-plane")
+    val counted = Similarity.lshTopKAuto(corpus, q, "vec_id",
+        targetBucket = 100, maxPlanes = 6, dim = 64, k = 10, corpusRows = n)
+      .orderBy(col("cos").desc, col("vec_id")).collect().toSeq
+    assert(counted == auto, "pre-counted probe diverged from counting form")
+  }
+
+  test("shingleSets (r19 verify tail): per-row sets equal collect_set " +
+      "over the exploded multiset; verify output is pair-for-pair equal " +
+      "and the set branch plans shuffle-free") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perRow = Dedup.shingleSets(d, "doc_id", "text")
+    val agg = Dedup.hashedShingles(d, "doc_id", "text")
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    // set equality element-for-element (collect_set order is
+    // nondeterministic — compare sorted)
+    val a = perRow.select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      .orderBy("doc_id").collect().toSeq
+    val b = agg.select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "per-row shingle sets diverged from the collect_set form")
+    // the whole point of the swap: the per-row branch must carry NO
+    // aggregate and NO generator — sets are assembled inside the row
+    val plan = perRow.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"unexpected aggregate:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected explode:\n$plan")
+
+    // end-to-end: the verify tail over per-row sets is pair-for-pair
+    // equal to the classic collect_set form on the same candidates
+    val sigs = Dedup.signatureColumns(d, "doc_id", "text", 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id").cache()
+    val vNew = Dedup.jaccardVerifySets(cands, perRow, "doc_id")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val vOld = Dedup.jaccardVerify(cands,
+        Dedup.hashedShingles(d, "doc_id", "text"), "doc_id")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(vNew == vOld, "verify outputs diverged between set forms")
+    cands.unpersist()
+  }
+
   test("semanticDedupAuto: masked shared-bit keying equals direct plane " +
       "keying; keeper invariants hold across plane counts") {
     // integer-exact ladder at the power-of-2 boundaries a float log2
@@ -654,6 +711,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val direct = Similarity.semanticDedup(embs, "vec_id",
       numPlanes = p, tau = 0.35).orderBy("vec_id").collect().toSeq
     assert(auto == direct, "masked auto form diverged from direct p-plane form")
+    // pre-counted overload (r19): same n => same keying, zero count jobs
+    val counted = Similarity.semanticDedupAutoCounted(embs, n, "vec_id",
+      targetBucket = 100, maxPlanes = 6, tau = 0.35)
+      .orderBy("vec_id").collect().toSeq
+    assert(counted == auto, "pre-counted overload diverged from counting form")
 
     // keeper invariants are plane-count-independent: every row survives
     // with a verdict, exactly one keeper per bucket, the keeper is the
