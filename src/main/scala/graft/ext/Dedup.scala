@@ -150,8 +150,11 @@ object Dedup {
     * primitive loop; the HOF fold it replaces evaluated interpreted per
     * element × per permutation — kept below as the cross-check
     * reference). Rows with NO shingles yield the neutral all-P array —
-    * filter on `size(shingleHashArray(...)) > 0` first (the batch agg
-    * simply has no row for such docs). Spec-pinned element-for-element
+    * filter first on the cheap token-count test (`isNotNull` and
+    * `size(split(text, " ")) >= k`, exactly the rows that yield a
+    * shingle; a `size(shingleHashArray(...)) > 0` guard is inlined into
+    * FilterExec by predicate pushdown and hashes every doc twice — the
+    * batch agg simply has no row for such docs). Spec-pinned element-for-element
     * equal to the HOF form AND the oracle-checked batch aggregate.
     * Since r18 this kernel IS the batch path too ([[signatureColumns]]
     * — ProfileDedup measured it 4.0× faster than the explode+agg form
@@ -195,7 +198,15 @@ object Dedup {
   def signatureColumns(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3): DataFrame =
     fanOut(docs.select(col(idCol), col(textCol)))
-      .filter(size(shingleHashArray(col(textCol), k)) > 0)
+      // the no-shingle guard is a TOKEN-COUNT test, not
+      // `size(shingleHashArray(...)) > 0`: predicate pushdown inlines a
+      // filter through the `_sig` alias, so a kernel-based guard made
+      // FilterExec hash every doc a second time (~2× the md5 work of the
+      // whole stage, found during the r19 sf10 decade campaign).
+      // `hashAll` yields a shingle iff the row has ≥ k tokens, so the
+      // cheap test admits exactly the same rows.
+      .filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= k)
       .select(col(idCol), signatureArray(col(textCol), numHashes, k).as("_sig"))
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("_sig")(i).as(s"m$i")): _*)
@@ -1006,9 +1017,14 @@ object Dedup {
     * [[signatureColumns]] pattern). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    docs.select(col(idCol),
+    docs
+      // token-count guard BEFORE the kernel projection (same rationale
+      // as [[signatureColumns]]: a `size(hs) > 0` filter on the alias is
+      // inlined by predicate pushdown and re-evaluates the kernel)
+      .filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= k)
+      .select(col(idCol),
         array_distinct(shingleHashArray(col(textCol), k)).as("hs"))
-      .filter(size(col("hs")) > 0)
 
   /** Exact Jaccard over candidate pairs from per-doc distinct shingle
     * SETS (column `hs`) — the verify tail shared by [[jaccardVerify]]

@@ -70,7 +70,12 @@ object StreamingNearDup {
         .map(i => element_at(col("sig"), i + 1).cast("string")): _*)
     }
     docs
-      .filter(size(Dedup.shingleHashArray(col(textCol))) > 0)
+      // token-count guard, not a kernel-based one: a filter on
+      // size(shingleHashArray(...)) makes FilterExec hash every doc a
+      // second time (see Dedup.signatureColumns, r19); ≥3 tokens admits
+      // exactly the rows that yield a k=3 shingle
+      .filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).cast("long").as("docId"),
         Dedup.signatureArray(col(textCol), numHashes).as("sig"))
       .select(col("docId"), col("sig"),
