@@ -1006,18 +1006,24 @@ object Dedup {
       idCol)
 
   /** Per-ROW distinct shingle-hash sets straight from a documents frame —
-    * the zero-shuffle input of [[jaccardVerifySets]]. Same hash family and
-    * k as [[hashedShingles]] (the [[shingleHashArray]] kernel), so the set
+    * the input of [[jaccardVerifySets]]. Same hash family and k as
+    * [[hashedShingles]] (the [[shingleHashArray]] kernel), so the set
     * per doc is bit-identical to `collect_set` over the exploded multiset
-    * — but assembled inside the row: no explode, no aggregate, no
-    * exchange. Docs with no k-shingle are absent (matching the agg form's
-    * no-row contract, which an inner verify join relies on). The single
-    * `_hs` projection is referenced by the size filter and the output —
-    * CollapseProject keeps the kernel evaluated once per row (the
-    * [[signatureColumns]] pattern). */
+    * — but assembled inside the row: no explode, no aggregate; the only
+    * exchange is [[fanOut]]'s conditional candidate-docs-sized
+    * round-robin (vs the agg form's shingle-multiset-sized exchange).
+    * Docs with no k-shingle are absent (matching the agg form's
+    * no-row contract, which an inner verify join relies on). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    docs
+    // fanOut BEFORE the kernel: the candidate-docs frame usually arrives
+    // from a broadcast semi-join, which inherits the SCAN's partitioning
+    // — on few-row-group inputs that is 1–2 effective tasks, so the md5
+    // kernel ran serially (and a single long task is exactly the
+    // interpreted-codegen exposure BENCH_NOTES r19 documents). The
+    // round-robin here is candidate-docs-sized — trivial next to the
+    // verify joins it feeds.
+    fanOut(docs.select(col(idCol), col(textCol)))
       // token-count guard BEFORE the kernel projection (same rationale
       // as [[signatureColumns]]: a `size(hs) > 0` filter on the alias is
       // inlined by predicate pushdown and re-evaluates the kernel)
