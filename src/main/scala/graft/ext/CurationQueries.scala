@@ -43,14 +43,20 @@ object CurationQueries {
     })
 
   // ---------------------------------------------------------------- x72
-  /** DSIR importance weights ([[Retrieval.dsirWeights]]): target = the
-    * `lang = 'en'` slice, source = full corpus; hashed unigram+bigram
-    * features (dim 4096). The oracle rebuilds the identical hashed
-    * distributions from the shared md5→P→dim reduction. */
+  /** DSIR importance weights ([[Retrieval.dsirWeightsSlice]]): target =
+    * the `lang = 'en'` slice, source = full corpus; hashed unigram+bigram
+    * features (dim 4096). Since r19 the registration rides the slice
+    * form — the target is a predicate over the source, so one fused
+    * conditional-count pass derives both distributions (feature kernel
+    * 2× over the corpus, not 3×) and the per-bucket log-ratio is
+    * computed on the 4096-row frame before broadcast, not per feature
+    * instance; bit-identical to the two-frame form (spec-pinned). The
+    * oracle rebuilds the identical hashed distributions from the shared
+    * md5→P→dim reduction. */
   val x72Dsir: Q = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      Retrieval.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      Retrieval.dsirWeightsSlice(docs, col("lang") === "en",
         "doc_id", "text").orderBy("doc_id")
     },
     Some {

@@ -120,7 +120,12 @@ object Retrieval {
     *
     * Per-feature log-ratio contributions are quantized to 8 decimals and
     * summed in exact decimal (order-independence, the x71 convention).
-    * Output: (idCol, n_feat, dsir_weight) per source doc. */
+    * Output: (idCol, n_feat, dsir_weight) per source doc.
+    *
+    * This is the GENERAL form (target an arbitrary frame, possibly with
+    * buckets absent from the source); targets that are a predicate over
+    * the source should use [[dsirWeightsSlice]], which derives both
+    * distributions from one fused pass. */
   def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
       textCol: String = "text", dim: Int = DsirDim): DataFrame = {
     def featTable(docs: DataFrame) = Dedup.fanOut(docs).select(col(idCol),
@@ -139,6 +144,51 @@ object Retrieval {
       .join(broadcast(sCnt), Seq("b"))
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
       .withColumn("_c", round(log(ratio), 8).cast("decimal(24,8)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("_c")).cast("double") / count(lit(1)), 6)
+          .as("dsir_weight"))
+  }
+
+  /** [[dsirWeights]] for a target that IS a slice of the source (the
+    * x72 shape: target = `isTarget` rows of `source`), bit-identical to
+    * the two-frame form on that shape (spec-pinned) because a target
+    * row's features are exactly its source row's features. r19, two
+    * structural savings over the general form at corpus scale:
+    *
+    *  - ONE fused explode+conditional-count pass derives BOTH bucket
+    *    distributions AND (via an unpartitioned window over the
+    *    `dim`-bounded count frame — evaluated once, no self-join, no
+    *    recomputed lineage) both totals: the feature kernel runs twice
+    *    over the corpus (count pass + scoring pass) where the general
+    *    form's unshared subtrees run it ~4× (source counts, source
+    *    total, target counts/total, scoring).
+    *  - the per-bucket log-ratio is computed on the ≤`dim`-row frame
+    *    BEFORE broadcasting, so the per-instance join carries a ready
+    *    decimal instead of re-deriving log/round/decimal per feature
+    *    occurrence. */
+  def dsirWeightsSlice(source: DataFrame, isTarget: Column, idCol: String,
+      textCol: String = "text", dim: Int = DsirDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fb = Dedup.fanOut(source).select(col(idCol), isTarget.as("_t"),
+      explode(hashedFeatures(col(textCol), dim)).as("b"))
+    val everything = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val half = lit(0.5)
+    val smooth = lit(0.5 * dim)
+    // count() is never null, so tc = 0 on target-absent buckets — the
+    // same value the general form's coalesce(tc, 0) produces there; with
+    // target ⊆ source, sum(tc) over source buckets IS the target total
+    val ratio =
+      ((col("tc") + half) / (sum(col("tc")).over(everything).cast("double") +
+        smooth)) /
+      ((col("sc") + half) / (sum(col("sc")).over(everything).cast("double") +
+        smooth))
+    val contrib = fb.groupBy("b").agg(
+        count(lit(1)).as("sc"), count(when(col("_t"), 1)).as("tc"))
+      .select(col("b"), round(log(ratio), 8).cast("decimal(24,8)").as("_c"))
+    fb.select(col(idCol), col("b"))
+      .join(broadcast(contrib), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feat"),
         round(sum(col("_c")).cast("double") / count(lit(1)), 6)

@@ -43,6 +43,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"expected on-target > mixed > off-target, got $w")
   }
 
+  test("dsir: slice form is bit-identical to the two-frame form") {
+    // target = the lang slice of source — the x72 shape; every bucket
+    // class is exercised: shared, source-only, null lang (not counted)
+    val source = Seq(
+      (1L, "en", "alpha beta gamma alpha"),
+      (2L, "de", "omega psi chi omega psi"),
+      (3L, "en", "alpha omega beta psi"),
+      (4L, null.asInstanceOf[String], "gamma chi gamma"),
+      (5L, "fr", "alpha alpha alpha"))
+      .toDF("doc_id", "lang", "text")
+    val twoFrame = Retrieval.dsirWeights(
+      source, source.filter(col("lang") === "en"), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val slice = Retrieval.dsirWeightsSlice(
+      source, col("lang") === "en", "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(slice == twoFrame,
+      s"slice form diverged:\n$slice\nvs\n$twoFrame")
+  }
+
   test("rrf fusion: both-source docs outrank single-source docs, values exact") {
     val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "s1")
     val sem = Seq((1L, 0.9), (4L, 0.8), (5L, 0.7)).toDF("doc_id", "s2")
