@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *    prunes at the scan); doc stats are one scalar-aggregate broadcast;
   *    per-term df is a ≤|q|-row broadcast. Nothing corpus-sized shuffles
   *    except the (doc, term)→tf partial agg over the MATCHING docs only.
-  *  - [[dsirWeights]]: both feature distributions are bounded by the
-  *    hashed dimension (`dim` rows), so they broadcast; scoring is a
-  *    map-side join — per-doc cost linear in its features, corpus never
-  *    shuffled (the feature-count aggs shuffle `dim`-bounded frames).
+  *  - [[dsirWeights]] / [[dsirWeightsSlice]]: both feature distributions
+  *    are bounded by the hashed dimension (`dim` rows), so they
+  *    broadcast; scoring is a map-side join — per-doc cost linear in its
+  *    features, corpus never shuffled (the feature-count aggs shuffle
+  *    `dim`-bounded frames). When the target is a predicate over the
+  *    source, the slice form runs the feature kernel exactly twice over
+  *    the corpus (one fused count pass + the scoring pass, r19).
   */
 object Retrieval {
 
