@@ -44,29 +44,39 @@ object TextAnalysis {
     * a fully-boilerplate document survives as `clean_text = ""` (the
     * caller decides whether to drop empties).
     *
-    * Shape, scan to result:
+    * Shape, scan to result (r20: ONE shingle pass — the old form built
+    * the boilerplate set with a distinct+count aggregate and JOINED it
+    * back onto a second, fully re-executed `starts` subtree; unshared
+    * Spark subtrees re-execute their lineage, so the tokenize+explode+
+    * concat kernel ran twice over the corpus — the x72 lesson):
     *  1. shingle starts with positions — same codegen explode +
     *     `element_at` form as [[Dedup.hashedShingles]], fanned out to full
-    *     parallelism on narrow inputs;
-    *  2. boilerplate set = one distinct + one count aggregate over
-    *     (shingle → distinct-doc df), joined back onto the start
-    *     positions. The join strategy is deliberately left to the
-    *     planner: on a small corpus the set broadcasts for free (AQE
-    *     sizes it at runtime), while at web scale the ≥minDf trigram set
-    *     is NOT small — common natural-language trigrams alone make it
-    *     corpus-shaped — and a forced broadcast would OOM the driver; a
-    *     shuffle hash join on the shingle key is the correct plan there
-    *     (the x56 lesson: never force-broadcast an unbounded side);
+    *     parallelism on narrow inputs. The under-k-tokens guard lives
+    *     INSIDE the generator (`explode(when(size ≥ k, sequence ...))`,
+    *     null generates no rows) rather than as a Filter: predicate
+    *     pushdown inlines a filter through the `t` alias, so FilterExec
+    *     would evaluate `split(text)` per row before the projection
+    *     evaluates it again (the r19 x31 guard lesson);
+    *  2. ONE aggregate to per-(shingle, doc) start-position arrays,
+    *     then the distinct-doc df as a WINDOW count over the aggregated
+    *     frame — no boiler self-join, no second corpus pass. A
+    *     mega-shingle's window partition holds one row per CONTAINING
+    *     DOC (post-aggregation), and WindowExec buffers spill to disk —
+    *     the same spill-safe-guard shape [[Dedup.lshCandidates]] uses
+    *     for its bucket cap. The boiler join is gone with the second
+    *     pass (at web scale the ≥minDf trigram set is corpus-shaped and
+    *     was a shuffle join anyway — the x56 lesson);
     *  3. boilerplate START positions group to ONE doc-length-bounded
-    *     array per doc (`collect_set` — the only remaining shuffle, a
-    *     single (id, int) row per boilerplate HIT, nothing
+    *     array per doc (flatten of the per-shingle position arrays — a
+    *     start position belongs to exactly one shingle, so no
+    *     duplicates; one (id, ints) row per boilerplate HIT, nothing
     *     position×k-scale; r16, the sf10 lesson: the prior
     *     explode→distinct→anti-join form shuffled positions×k rows
     *     three times and was the slowest sf10 query at 55.6 s);
     *  4. coverage and reassembly are PER ROW: expand each start's
     *     [s, s+k−1] window, keep positions via `array_except` (codegen
     *     hash-set build, O(tokens + covered) per doc; output order
-    *     inherited from the ordered left side, so `collect_set`'s
+    *     inherited from the ordered left side, so aggregation-order
     *     nondeterminism cannot reach the result), then
     *     `element_at`-gather + `concat_ws`. Untouched docs take the
     *     null-`_bs` branch; fully-boilerplate docs keep an empty array.
@@ -75,35 +85,33 @@ object TextAnalysis {
     * length, not corpus size. */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minDf: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = split(col(textCol), " ")
     val base = Dedup.fanOut(docs.select(col(idCol), col(textCol)))
     val starts = base
       .select(col(idCol), t.as("t"))
-      .filter(size(col("t")) >= k)
       .select(col(idCol), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"))
+        explode(when(size(col("t")) >= k,
+          sequence(lit(1), size(col("t")) - (k - 1)))).as("i"))
       .select(col(idCol), col("i"), concat_ws(" ",
         (0 until k).map(o => element_at(col("t"), col("i") + o)): _*)
         .as("shingle"))
-    val boiler = starts.select(col(idCol), col("shingle")).distinct()
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select("shingle")
-    // Coverage is computed PER ROW, not per position (r16): the prior
-    // form exploded every boilerplate hit into k position rows,
-    // corpus-position-scale distinct'd them, and anti-joined the
-    // corpus-position-scale token frame — three shuffles whose volume
-    // is positions×k. x66 was the slowest sf10 query (55.6 s) with
-    // that plan. Instead: group each doc's boilerplate START positions
-    // into one doc-length-bounded array (the only remaining shuffle —
-    // one (id, int) row per HIT, nothing position-scale), expand the
-    // [s, s+k-1] windows per row, and take kept positions with
-    // array_except — a codegen hash-set build, O(tokens + covered) per
-    // doc, order inherited from the ordered left side (deterministic
-    // regardless of collect_set order). Per-row memory is bounded by
-    // the doc's own token count — the same bound clean_text itself
-    // carries.
-    val bstarts = starts.join(boiler, "shingle")
-      .groupBy(col(idCol)).agg(collect_set(col("i")).as("_bs"))
+    // Coverage is computed PER ROW, not per position (r16): group each
+    // doc's boilerplate START positions into one doc-length-bounded
+    // array, expand the [s, s+k-1] windows per row, and take kept
+    // positions with array_except — a codegen hash-set build,
+    // O(tokens + covered) per doc. The r20 exchange chain is
+    // (shingle, id) agg → shingle window → id agg: the corpus-sized
+    // shingle kernel runs exactly ONCE (the r19 form ran it twice —
+    // once under the boiler aggregate, once under the join probe side)
+    // and the df ≥ minDf test rides the window count (= distinct
+    // containing docs, the old distinct→count semantics, since the
+    // frame is already one row per (shingle, doc)).
+    val bstarts = starts.groupBy(col("shingle"), col(idCol))
+      .agg(collect_list(col("i")).as("_ps"))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_df") >= minDf)
+      .groupBy(col(idCol)).agg(flatten(collect_list(col("_ps"))).as("_bs"))
     // null text → empty kept set (n_removed = n_tokens − 0, matching
     // the prior anti-join form where a null row exploded to no tokens);
     // the guard also keeps sequence() away from size(_t) = −1, whose
