@@ -123,10 +123,13 @@ object Indicators {
       .withColumn("_c2",
         round(col("_c").cast("double") * col("_c").cast("double"), 8)
           .cast("decimal(28,8)"))
-      .withColumn("_rn", row_number().over(order))
+      // full-window guard as a COUNT over the same sliding frame
+      // (count-in-frame = min(rn, n), so = n ⟺ rn ≥ n): the window op
+      // runs one frame processor instead of running-frame + sliding
+      .withColumn("_cnt", count(lit(1)).over(win))
       .withColumn("_s1", sum(col("_c")).over(win))
       .withColumn("_s2", sum(col("_c2")).over(win))
-      .filter(col("_rn") >= n)
+      .filter(col("_cnt") === n)
     val mean = col("_s1").cast("double") / n
     val varPop = greatest(
       (col("_s2").cast("double") -
@@ -365,12 +368,14 @@ object Indicators {
     val joined = r.join(broadcast(mkt), bucketCol)
       .withColumn("xm", prod(col("ret"), col("mret")))
       .withColumn("m2", prod(col("mret"), col("mret")))
-      .withColumn("_rn", row_number().over(order))
+      // count-in-frame full-window guard (see bollinger): one frame
+      // processor instead of two
+      .withColumn("_cnt", count(lit(1)).over(win))
       .withColumn("sx", sum(col("ret")).over(win))
       .withColumn("sm", sum(col("mret")).over(win))
       .withColumn("sxm", sum(col("xm")).over(win))
       .withColumn("sm2", sum(col("m2")).over(win))
-      .filter(col("_rn") >= n)
+      .filter(col("_cnt") === n)
     val denom = lit(n) * d("sm2") - d("sm") * d("sm")
     joined
       .withColumn("beta", when(denom <= 0, lit(null).cast("double"))
@@ -402,9 +407,11 @@ object Indicators {
         col("_h") - col("_l"),
         abs(col("_h") - col("_pc")),
         abs(col("_l") - col("_pc"))).cast("decimal(19,4)"))
-      .withColumn("_rn", row_number().over(order))
+      // count-in-frame full-window guard (see bollinger): one frame
+      // processor instead of two
+      .withColumn("_cnt", count(lit(1)).over(win))
       .withColumn("_st", sum(col("tr")).over(win))
-      .filter(col("_rn") >= n)
+      .filter(col("_cnt") === n)
     withTr
       .withColumn("atr", round(col("_st").cast("double") / n, 6))
       .select(col(symbolCol), col(bucketCol),
@@ -451,10 +458,10 @@ object Indicators {
       .withColumn("_h", dec4(col("high")))
       .withColumn("_l", dec4(col("low")))
       .withColumn("_c", dec4(col("close")))
-      .withColumn("_rn", row_number().over(order))
+      .withColumn("_cnt", count(lit(1)).over(chan))
       .withColumn("_hh", max(col("_h")).over(chan))
       .withColumn("_ll", min(col("_l")).over(chan))
-      .filter(col("_rn") >= n)
+      .filter(col("_cnt") === n)
       .withColumn("k_raw",
         when(col("_hh") === col("_ll"), lit(50.0))
           .otherwise((col("_c") - col("_ll")).cast("double") * 100.0 /
@@ -469,9 +476,9 @@ object Indicators {
     // (d=3 turns 8-decimal sums into repeating decimals, hitting
     // x.xxxxxx5 routinely; measured 1/7317 rows at sf0.01)
     withK
-      .withColumn("_rn2", row_number().over(order))
+      .withColumn("_cnt2", count(lit(1)).over(dwin))
       .withColumn("_sd", sum(col("_k8")).over(dwin))
-      .filter(col("_rn2") >= d)
+      .filter(col("_cnt2") === d)
       .withColumn("pct_k", col("k_raw"))
       .withColumn("pct_d", col("_sd").cast("double") / d)
       .select(col(symbolCol), col(bucketCol), col("pct_k"), col("pct_d"))
@@ -502,10 +509,13 @@ object Indicators {
         col("_h") - col("_l"),
         abs(col("_h") - col("_pc")),
         abs(col("_l") - col("_pc"))).cast("decimal(19,4)"))
-      .withColumn("_rn", row_number().over(order))
+      // count-in-frame full-window guard over the LARGER frame
+      // (count = min(rn, max(n, m)) there): one frame processor fewer
+      .withColumn("_cnt",
+        count(lit(1)).over(if (n >= m) nWin else mWin))
       .withColumn("_sc", sum(col("_c")).over(nWin))
       .withColumn("_st", sum(col("_tr")).over(mWin))
-      .filter(col("_rn") >= math.max(n, m))
+      .filter(col("_cnt") === math.max(n, m))
     val mid = col("_sc").cast("double") / n
     val band = col("_st").cast("double") / m * k
     withTr
@@ -581,10 +591,12 @@ object Indicators {
       .filter(col("_d").isNotNull)
       .withColumn("_gain", greatest(col("_d"), zero))
       .withColumn("_loss", greatest(-col("_d"), zero))
-      .withColumn("_rn", row_number().over(order))
+      // count-in-frame full-window guard (see bollinger): one frame
+      // processor instead of two
+      .withColumn("_cnt", count(lit(1)).over(win))
       .withColumn("_sg", sum(col("_gain")).over(win))
       .withColumn("_sl", sum(col("_loss")).over(win))
-      .filter(col("_rn") >= n)
+      .filter(col("_cnt") === n)
     withSums
       .withColumn("rsi",
         when(col("_sl") === zero, lit(100.0))

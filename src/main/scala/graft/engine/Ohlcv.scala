@@ -157,9 +157,13 @@ object Ohlcv {
       valueCol: String, orderTieBreak: String, outCol: String = "sma"): DataFrame = {
     val w = Window.partitionBy(col(partitionCol))
       .orderBy(col(tsCol), col(orderTieBreak))
+    val sliding = w.rowsBetween(-(n - 1), 0)
+    // full-window guard as a COUNT over the same sliding frame
+    // (count-in-frame = min(rn, n), so = n ⟺ rn ≥ n): one frame
+    // processor instead of running-frame row_number + sliding avg
     df.withColumn(outCol,
-      when(row_number().over(w) >= n,
-        avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0))))
+      when(count(lit(1)).over(sliding) === n,
+        avg(col(valueCol)).over(sliding)))
   }
 
   /** S3 ingest cast: raw 12-field string klines (reference:
