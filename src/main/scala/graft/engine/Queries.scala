@@ -543,16 +543,19 @@ object Queries {
   val q26AsofJoin: Q = Q(
     (s, dir) => {
       val ev = Tables.events(s, dir)
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"), lit(0).as("side"),
-          lit(null).cast("long").as("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
-          col("event_id"))
+      // r20: ONE scan — the old views/purchases union scanned events
+      // twice (unshared subtrees re-execute lineage); the tagged frame
+      // is derivable row-wise from a single IN-filtered pass, and the
+      // In(event_type, [view, purchase]) predicate pushes to the scan
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("side"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      views.unionByName(purchases)
+      ev.filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("side"),
+          when(col("event_type") === "purchase", col("event_id"))
+            .as("event_id"))
         .withColumn("asof_view_ms",
           last(when(col("side") === 0, unix_millis(col("ts"))), ignoreNulls = true).over(w))
         .withColumn("asof_value",
