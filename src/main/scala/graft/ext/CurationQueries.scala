@@ -749,15 +749,13 @@ object CurationQueries {
           .select(col("vec_id").as("q_id"), col("embedding"))
         val corpus = embs
           .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
-        val ex = corpus.select(col("label"),
-          posexplode(transform(col("embedding"), x => x.cast("double")))
-            .as(Seq("i", "x")))
-        val cent = ex.groupBy(col("label"), col("i"))
-          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-            count(lit(1))).as("c"))
-          .groupBy("label").agg(
-            transform(array_sort(collect_list(struct(col("i"), col("c")))),
-              e => e.getField("c")).as("cent"))
+        // r20: the CentroidAggF kernel (bit-identical to the posexplode
+        // pipeline, CentroidAggSpec) — one aggregate, no dim-wise row
+        // expansion, no (label, i) exchange; isNotNull keeps the
+        // exploded form's no-row semantics for all-null groups
+        val cent = corpus.groupBy(col("label"))
+          .agg(Similarity.centroid(col("embedding")).as("cent"))
+          .filter(col("cent").isNotNull)
           .select(col("label").cast("int").as("cell"), col("cent"))
         val assigned = Pq.pqEncode(corpus, "embedding", cb)
           .select(col("vec_id"), col("label").cast("int").as("cell"),
@@ -830,15 +828,11 @@ object CurationQueries {
         .select(col("vec_id").as("q_id"), col("embedding"))
       val corpus = embs
         .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
-      val ex = corpus.select(col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("i", "x")))
-      val cent = ex.groupBy(col("label"), col("i"))
-        .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("i"), col("c")))),
-            e => e.getField("c")).as("cent"))
+      // r20: CentroidAggF kernel — see the x91 note (bit-identical,
+      // one aggregate instead of posexplode + two)
+      val cent = corpus.groupBy(col("label"))
+        .agg(Similarity.centroid(col("embedding")).as("cent"))
+        .filter(col("cent").isNotNull)
         .select(col("label").cast("int").as("cell"), col("cent"))
       val assigned = corpus.select(col("vec_id"),
         col("label").cast("int").as("cell"), col("embedding"))
@@ -900,15 +894,11 @@ object CurationQueries {
       val embs = Tables.embeddings(s, dir)
       val query = embs.filter(col("vec_id") === 0).select("embedding")
       val corpus = embs.filter(col("vec_id") =!= 0)
-      val ex = corpus.select(col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("i", "x")))
-      val cent = ex.groupBy(col("label"), col("i"))
-        .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("i"), col("c")))),
-            e => e.getField("c")).as("cent"))
+      // r20: CentroidAggF kernel — see the x91 note (bit-identical,
+      // one aggregate instead of posexplode + two)
+      val cent = corpus.groupBy(col("label"))
+        .agg(Similarity.centroid(col("embedding")).as("cent"))
+        .filter(col("cent").isNotNull)
         .select(col("label").cast("int").as("cell"), col("cent"))
       val withSuper = cent
         .withColumn("super", (col("cell") / lit(5)).cast("int"))
@@ -1247,15 +1237,13 @@ object CurationQueries {
           .select(col("vec_id").as("q_id"), col("embedding"))
         val corpus = embs
           .filter(col("vec_id") % 50 =!= 0 || col("vec_id") >= 500)
-        val ex = corpus.select(col("label"),
-          posexplode(transform(col("embedding"), x => x.cast("double")))
-            .as(Seq("i", "x")))
-        val cent = ex.groupBy(col("label"), col("i"))
-          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-            count(lit(1))).as("c"))
-          .groupBy("label").agg(
-            transform(array_sort(collect_list(struct(col("i"), col("c")))),
-              e => e.getField("c")).as("cent"))
+        // r20: the CentroidAggF kernel (bit-identical to the posexplode
+        // pipeline, CentroidAggSpec) — one aggregate, no dim-wise row
+        // expansion, no (label, i) exchange; isNotNull keeps the
+        // exploded form's no-row semantics for all-null groups
+        val cent = corpus.groupBy(col("label"))
+          .agg(Similarity.centroid(col("embedding")).as("cent"))
+          .filter(col("cent").isNotNull)
           .select(col("label").cast("int").as("cell"), col("cent"))
         val assigned = Pq.pqEncode(corpus, "embedding", cb)
           .select(col("vec_id"), col("label").cast("int").as("cell"),
@@ -1344,15 +1332,13 @@ object CurationQueries {
       (s, dir) => {
         val embs = Tables.embeddings(s, dir)
         val corpus = embs.filter(col("vec_id") =!= 0)
-        val ex = corpus.select(col("label"),
-          posexplode(transform(col("embedding"), x => x.cast("double")))
-            .as(Seq("i", "x")))
-        val cent = ex.groupBy(col("label"), col("i"))
-          .agg((sum(round(col("x"), 7).cast("decimal(20,7)")).cast("double") /
-            count(lit(1))).as("c"))
-          .groupBy("label").agg(
-            transform(array_sort(collect_list(struct(col("i"), col("c")))),
-              e => e.getField("c")).as("cent"))
+        // r20: the CentroidAggF kernel (bit-identical to the posexplode
+        // pipeline, CentroidAggSpec) — one aggregate, no dim-wise row
+        // expansion, no (label, i) exchange; isNotNull keeps the
+        // exploded form's no-row semantics for all-null groups
+        val cent = corpus.groupBy(col("label"))
+          .agg(Similarity.centroid(col("embedding")).as("cent"))
+          .filter(col("cent").isNotNull)
           .select(col("label").cast("int").as("cell"), col("cent"))
         val idx = Similarity.IvfIndex(
           corpus.withColumn("cell", col("label").cast("int")), cent)
