@@ -41,15 +41,22 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], idCol: String,
       textCol: String = "text", k: Int = 10): DataFrame = {
     val fd = Dedup.fanOut(docs) // single-file scans must not serialize the explode
-    val toks = fd.select(col(idCol),
-      explode(split(col(textCol), " ")).as("tok"))
-    val dl = fd.select(col(idCol),
-      size(split(col(textCol), " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+    val t = split(col(textCol), " ")
+    // r20: dl rides the tf aggregate (constant per doc, so max() is the
+    // identity) instead of a separate corpus-sized dl frame JOINED back
+    // by id — that join exchanged the whole corpus's (id, dl) rows to
+    // attach a value the tf pass already had in hand. The only
+    // corpus-sized work left is the token explode feeding tf (whose
+    // exchange the df aggregate reuses) and the scalar doc-stats pass.
+    val stats = fd.select(size(t).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = fd.select(col(idCol), t.as("_t"))
+      .select(col(idCol), size(col("_t")).cast("long").as("dl"),
+        explode(col("_t")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
       .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
@@ -58,7 +65,6 @@ object Retrieval {
     val contrib = round(idf * (col("tf") * lit(K1Plus1)) / denom, 8)
       .cast("decimal(24,8)")
     tf.join(broadcast(df), "tok")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("_c", contrib)
       .groupBy(col(idCol))
