@@ -63,9 +63,13 @@ object Dedup {
     val t = split(col(textCol), " ")
     fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), t.as("t"))
-      .filter(size(col("t")) >= k)
+      // under-k guard INSIDE the generator (null explodes to no rows):
+      // a separate Filter on size(t) is pushed through the `t` alias and
+      // re-evaluates split(text) per row before the projection does
+      // (r19 x31 / r20 x66 lesson) — same rows, one split
       .select(col(idCol), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"))
+        explode(when(size(col("t")) >= k,
+          sequence(lit(1), size(col("t")) - (k - 1)))).as("i"))
       .select(col(idCol), concat_ws(" ",
         (0 until k).map(o => element_at(col("t"), col("i") + o)): _*)
         .as("shingle"))

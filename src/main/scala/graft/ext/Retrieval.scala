@@ -175,12 +175,24 @@ object Retrieval {
     *  - the per-bucket log-ratio is computed on the ≤`dim`-row frame
     *    BEFORE broadcasting, so the per-instance join carries a ready
     *    decimal instead of re-deriving log/round/decimal per feature
-    *    occurrence. */
+    *    occurrence.
+    *
+    * Empty-target edge (ADVICE r19): a predicate matching NO rows gives
+    * sum(tc) = 0, so this form yields finite smoothed weights, whereas
+    * the general two-frame form aggregates an empty target frame to a
+    * null total and nulls every dsir_weight. The bit-identity claim is
+    * for non-empty targets (the x72 shape); an all-false predicate is a
+    * caller error this form degrades on gracefully instead of nulling. */
   def dsirWeightsSlice(source: DataFrame, isTarget: Column, idCol: String,
       textCol: String = "text", dim: Int = DsirDim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fb = Dedup.fanOut(source).select(col(idCol), isTarget.as("_t"),
       explode(hashedFeatures(col(textCol), dim)).as("b"))
+    // unpartitioned window = single-partition WindowExec (the 'No
+    // Partition Defined' warning in entry logs) — safe ONLY because it
+    // runs over the post-aggregation count frame, which is bounded by
+    // `dim` (≤4096) rows by construction; do not lift it onto anything
+    // corpus-sized (ADVICE r19)
     val everything = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val half = lit(0.5)
